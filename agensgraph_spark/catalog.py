@@ -1,0 +1,168 @@
+"""Graph catalog: the Spark-side replacement of ``ag_graph`` / ``ag_label``.
+
+The reference keeps graphs as PostgreSQL schemas and labels as heap
+tables registered in catalog tables (reference:
+src/include/catalog/ag_graph.h:24-29, ag_label.h:29-47, with label
+inheritance wired through AgInheritanceDependancy in
+src/backend/commands/graphcmds.c:241-303). Here a graph is a named
+collection of label entries; each entry records its 16-bit labid, its
+kind ('v' or 'e'), its parents (label inheritance), and its *property
+schema* — the typed columns this label's DataFrame carries.
+
+Property schemas are the engine's major departure from jsonb-as-blob:
+properties live as native columnar fields (Parquet column chunks →
+predicate pushdown, column pruning), and the jsonb document view is
+reconstructed on demand. Schemaless-ness is preserved per-label: labels
+may carry any column set, and unions across labels null-fill.
+
+Persistence is a small JSON metastore (one file per graph), replacing
+the reference's system catalogs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+VLABEL_BASE = "ag_vertex"
+ELABEL_BASE = "ag_edge"
+
+
+@dataclass
+class LabelMeta:
+    name: str
+    labid: int
+    kind: str  # 'v' | 'e'
+    parents: list[str] = field(default_factory=list)
+    # property name -> Spark DDL type string ("bigint", "string", "double", ...)
+    props: dict[str, str] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "labid": self.labid,
+            "kind": self.kind,
+            "parents": list(self.parents),
+            "props": dict(self.props),
+        }
+
+
+class GraphCatalog:
+    """Catalog for one graph: label registry + inheritance closure."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.labels: dict[str, LabelMeta] = {}
+        self._next_labid = 1
+
+    # ---- DDL (reference: CREATE VLABEL/ELABEL, graphcmds.c:241) ----
+
+    def create_label(
+        self,
+        name: str,
+        kind: str,
+        labid: int | None = None,
+        parents: list[str] | None = None,
+        props: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> LabelMeta:
+        if name in self.labels:
+            if if_not_exists:
+                return self.labels[name]
+            raise ValueError(f"label {name!r} already exists in graph {self.name!r}")
+        if kind not in ("v", "e"):
+            raise ValueError("kind must be 'v' or 'e'")
+        for p in parents or []:
+            pm = self.labels.get(p)
+            if pm is None:
+                raise ValueError(f"parent label {p!r} does not exist")
+            if pm.kind != kind:
+                raise ValueError(f"parent label {p!r} has kind {pm.kind!r}, expected {kind!r}")
+        if labid is None:
+            while self._next_labid in {m.labid for m in self.labels.values()}:
+                self._next_labid += 1
+            labid = self._next_labid
+        meta = LabelMeta(name=name, labid=labid, kind=kind, parents=list(parents or []), props=dict(props or {}))
+        self.labels[name] = meta
+        return meta
+
+    def create_vlabel(self, name: str, **kw) -> LabelMeta:
+        return self.create_label(name, "v", **kw)
+
+    def create_elabel(self, name: str, **kw) -> LabelMeta:
+        return self.create_label(name, "e", **kw)
+
+    def drop_label(self, name: str) -> None:
+        children = [m.name for m in self.labels.values() if name in m.parents]
+        if children:
+            raise ValueError(f"label {name!r} has children {children}; drop them first")
+        del self.labels[name]
+
+    # ---- inheritance (reference: label scan includes subtree unless ONLY) ----
+
+    def descendants(self, name: str) -> list[str]:
+        """name + all labels inheriting from it, in registration order."""
+        out, frontier = [], {name}
+        for lbl in self.labels.values():  # dict preserves insertion order
+            if lbl.name in frontier or any(p in frontier or p in out for p in lbl.parents):
+                if lbl.name not in out:
+                    out.append(lbl.name)
+                    frontier.add(lbl.name)
+        if name not in out and name in self.labels:
+            out.insert(0, name)
+        return out
+
+    def ancestors(self, name: str) -> list[str]:
+        """Full ancestor closure (the reference's labels(v) result set),
+        nearest-first, excluding the base label."""
+        seen: list[str] = []
+        stack = [name]
+        while stack:
+            cur = stack.pop(0)
+            meta = self.labels.get(cur)
+            if meta is None:
+                continue
+            for p in meta.parents:
+                if p not in seen:
+                    seen.append(p)
+                    stack.append(p)
+        return seen
+
+    def vlabels(self) -> list[str]:
+        return [m.name for m in self.labels.values() if m.kind == "v"]
+
+    def elabels(self) -> list[str]:
+        return [m.name for m in self.labels.values() if m.kind == "e"]
+
+    def labid_of(self, name: str) -> int:
+        return self.labels[name].labid
+
+    # ---- persistence ----
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"name": self.name, "labels": [m.to_dict() for m in self.labels.values()]},
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "GraphCatalog":
+        data = json.loads(text)
+        cat = cls(data["name"])
+        for m in data["labels"]:
+            cat.labels[m["name"]] = LabelMeta(
+                name=m["name"], labid=m["labid"], kind=m["kind"],
+                parents=list(m.get("parents", [])), props=dict(m.get("props", {})),
+            )
+        return cat
+
+    def save(self, root: str) -> None:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, f"{self.name}.graph.json"), "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, root: str, name: str) -> "GraphCatalog":
+        with open(os.path.join(root, f"{name}.graph.json")) as f:
+            return cls.from_json(f.read())

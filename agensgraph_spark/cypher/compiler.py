@@ -1,0 +1,763 @@
+"""Cypher → DataFrame compiler.
+
+Each clause folds over its predecessor's DataFrame — the direct analog
+of the reference's design where every Cypher clause wraps its
+predecessor in a subquery RTE and layers itself on top (reference:
+src/include/nodes/parsenodes.h:3854-3866, src/backend/parser/
+parse_graph.c:5678 transformClauseImpl). Because the whole pipeline is
+declarative, Catalyst flattens it into one optimized plan, exactly as
+the reference's planner collapses the clause-chain via
+pull_up_subqueries (src/backend/optimizer/prep/prepjointree.c:685).
+
+MATCH compilation follows transformComponents semantics
+(parse_graph.c:1579): patterns decompose into label scans joined on
+``e.start = a.id AND e.end = b.id``; undirected/multi-type edges scan a
+unioned edge relation both ways (genEdgeUnion, parse_graph.c:2100);
+edge-uniqueness inequality quals are added between every pair of edges
+in one MATCH (addQualUniqueEdges, parse_graph.c:2972).
+
+Scale-minded choices:
+- anonymous, unconstrained nodes are never joined (edge endpoints are
+  vertices by construction — the analog of the reference's
+  future-vertex deferral, parse_graph.c:3487 resolve_future_vertex);
+- labeled-but-unreferenced nodes become labid *range predicates on the
+  edge's endpoint id* (labels live in the id's high bits), avoiding the
+  vertex join entirely;
+- property/label filters are applied at scan time so they reach the
+  Parquet reader as pushed filters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from agensgraph_spark.cypher import ast as A
+from agensgraph_spark.cypher.expressions import ExprCompiler, has_agg
+from agensgraph_spark.cypher.parser import parse_cypher
+from agensgraph_spark.cypher.scope import Binding, Scope
+from agensgraph_spark.graph import Graph
+from agensgraph_spark.graphid import LOCID_BITS
+from agensgraph_spark.operators import paths as P
+
+
+@dataclass
+class EdgeRef:
+    """An edge (or VLE edge-array) bound in the current MATCH, for
+    uniqueness quals."""
+    var: str
+    is_array: bool
+
+
+class CypherEngine:
+    """Session-level entry point: ``engine.cypher(text) -> DataFrame``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        graph: Graph | None = None,
+        tables: dict[str, DataFrame] | None = None,
+        vle_max_hops: int = P.DEFAULT_MAX_HOPS,
+    ):
+        self.spark = spark
+        self.graph = graph
+        self.tables = dict(tables or {})
+        self.vle_max_hops = vle_max_hops
+
+    def cypher(self, text: str, params: dict | None = None) -> DataFrame:
+        uq = parse_cypher(text)
+        dfs: list[DataFrame] = []
+        for part in uq.parts:
+            qc = QueryCompiler(self, params or {})
+            dfs.append(qc.compile(part))
+        out = dfs[0]
+        for i, df in enumerate(dfs[1:]):
+            out = out.unionByName(df)
+            if not uq.all_flags[i]:
+                out = out.dropDuplicates()
+        if len(dfs) > 1 and not all(uq.all_flags):
+            out = out.dropDuplicates()
+        return out
+
+    def sql(self, text: str) -> DataFrame:
+        return self.spark.sql(text)
+
+
+class QueryCompiler:
+    def __init__(self, engine: CypherEngine, params: dict):
+        self.engine = engine
+        self.graph = engine.graph
+        self.params = params
+        self.scope = Scope()
+        self.df: DataFrame | None = None
+
+    # ---------- helpers ----------
+
+    def _schema_map(self) -> dict[str, T.DataType]:
+        if self.df is None:
+            return {}
+        return {f.name: f.dataType for f in self.df.schema.fields}
+
+    def _ec(self) -> ExprCompiler:
+        cat = self.graph.catalog if self.graph is not None else None
+        return ExprCompiler(self.scope, self._schema_map(), cat, self.params)
+
+    def _ensure_df(self) -> DataFrame:
+        if self.df is None:
+            self.df = self.engine.spark.range(1).select(F.lit(1).alias("__one"))
+        return self.df
+
+    # ---------- top ----------
+
+    def compile(self, q: A.Query) -> DataFrame:
+        for clause in q.clauses:
+            if isinstance(clause, A.Match):
+                self._compile_match(clause)
+            elif isinstance(clause, A.Projection):
+                self._compile_projection(clause)
+            elif isinstance(clause, A.Unwind):
+                self._compile_unwind(clause)
+            elif isinstance(clause, A.LoadClause):
+                self._compile_load(clause)
+            elif isinstance(clause, (A.Create, A.Merge, A.SetClause, A.RemoveClause, A.Delete)):
+                raise NotImplementedError(
+                    "write clauses execute through GraphWriter (agensgraph_spark.operators.writes)")
+            else:
+                raise NotImplementedError(type(clause).__name__)
+        if self.df is None:
+            raise ValueError("query produced no result")
+        return self.df
+
+    # ---------- scans ----------
+
+    def _vertex_scan(self, var: str, labels: list[str], only: bool) -> tuple[DataFrame, Binding]:
+        g = self.graph
+        if g is None:
+            raise ValueError("no graph bound to this engine (MATCH requires one)")
+        if labels:
+            lbls: list[str] = []
+            for l in labels:
+                if l not in g.catalog.labels:
+                    raise ValueError(f"vertex label {l!r} does not exist in graph {g.catalog.name!r}")
+                for d in ([l] if only else g.catalog.descendants(l)):
+                    if d not in lbls:
+                        lbls.append(d)
+            df = g._union(lbls)
+        else:
+            lbls = g.catalog.vlabels()
+            df = g.vertices()
+        props = [c for c in df.columns if c not in ("id", "label")]
+        renamed = df.select(*[F.col(c).alias(f"{var}__{c}") for c in df.columns])
+        return renamed, Binding(var, "vertex", labels=lbls, props=props)
+
+    def _edge_scan(self, var: str, types: list[str], only: bool, direction: str) -> tuple[DataFrame, Binding]:
+        """Edge relation with join columns {var}__src/{var}__dst derived
+        from direction; real start/end preserved for the binding."""
+        g = self.graph
+        if types:
+            lbls: list[str] = []
+            for t in types:
+                if t not in g.catalog.labels:
+                    raise ValueError(f"edge label {t!r} does not exist in graph {g.catalog.name!r}")
+                for d in ([t] if only else g.catalog.descendants(t)):
+                    if d not in lbls:
+                        lbls.append(d)
+            df = g._union(lbls)
+        else:
+            lbls = g.catalog.elabels()
+            df = g.edges()
+        props = [c for c in df.columns if c not in ("id", "start", "end", "label")]
+        cols = [F.col(c).alias(f"{var}__{c}") for c in df.columns]
+        if direction == "out":
+            cols += [F.col("start").alias(f"{var}__src"), F.col("end").alias(f"{var}__dst")]
+            renamed = df.select(*cols)
+        elif direction == "in":
+            cols += [F.col("end").alias(f"{var}__src"), F.col("start").alias(f"{var}__dst")]
+            renamed = df.select(*cols)
+        else:  # undirected: union both orientations (genEdgeUnion)
+            fwd = df.select(*cols, F.col("start").alias(f"{var}__src"), F.col("end").alias(f"{var}__dst"))
+            bwd = df.select(*cols, F.col("end").alias(f"{var}__src"), F.col("start").alias(f"{var}__dst"))
+            renamed = fwd.unionByName(bwd)
+        return renamed, Binding(var, "edge", labels=lbls, props=props)
+
+    def _labid_set(self, labels: list[str], kind: str, only: bool) -> list[int]:
+        cat = self.graph.catalog
+        out: list[int] = []
+        for l in labels:
+            for d in ([l] if only else cat.descendants(l)):
+                lid = cat.labels[d].labid
+                if lid not in out:
+                    out.append(lid)
+        return out
+
+    @staticmethod
+    def _labid_pred(col: Column, labids: list[int]) -> Column:
+        import pyspark.sql.functions as F_
+        preds = None
+        for lid in labids:
+            lo = lid << LOCID_BITS
+            hi = lo | ((1 << LOCID_BITS) - 1)
+            p = col.between(lo, hi)
+            preds = p if preds is None else (preds | p)
+        return preds if preds is not None else F_.lit(True)
+
+    def _prop_filter(self, var: str, props: A.MapLit | None, df: DataFrame) -> DataFrame:
+        if props is None:
+            return df
+        ec = ExprCompiler(self.scope, {f.name: f.dataType for f in df.schema.fields},
+                          self.graph.catalog if self.graph else None, self.params)
+        for key, val in props.items:
+            if key == "__param__":
+                pv = self.params.get(val.name) if isinstance(val, A.Param) else None
+                if isinstance(pv, dict):
+                    for k2, v2 in pv.items():
+                        df = df.filter(F.col(f"{var}__{k2}").eqNullSafe(F.lit(v2)))
+                    continue
+                raise ValueError("node property parameter must be a map")
+            df = df.filter(F.col(f"{var}__{key}") == ec.col(val))
+        return df
+
+    # ---------- MATCH ----------
+
+    def _compile_match(self, m: A.Match) -> None:
+        if m.optional:
+            self._compile_optional_match(m)
+            return
+        edge_refs: list[EdgeRef] = []
+        for pat in m.patterns:
+            if pat.kind == "plain":
+                self._fold_pattern(pat, edge_refs)
+            else:
+                self._fold_pathfind(pat)
+        self._edge_uniqueness(edge_refs)
+        if m.where is not None:
+            self._apply_where(m.where)
+
+    def _apply_where(self, where: A.Expr) -> None:
+        """Split top-level conjuncts; pattern predicates become
+        semi/anti joins (reference: sublink conversion,
+        src/backend/optimizer/plan/subselect.c:1269)."""
+        conjuncts = self._split_and(where)
+        plain: list[A.Expr] = []
+        for c in conjuncts:
+            if isinstance(c, A.PatternPred):
+                self._pattern_semijoin(c.pattern, anti=False)
+            elif isinstance(c, A.Not) and isinstance(c.operand, A.PatternPred):
+                self._pattern_semijoin(c.operand.pattern, anti=True)
+            else:
+                plain.append(c)
+        if plain:
+            ec = self._ec()
+            pred = None
+            for c in plain:
+                col = ec.bool_col(c)
+                pred = col if pred is None else (pred & col)
+            self.df = self.df.filter(pred)
+
+    @staticmethod
+    def _split_and(e: A.Expr) -> list[A.Expr]:
+        if isinstance(e, A.BoolOp) and e.op == "and":
+            out = []
+            for a in e.args:
+                out.extend(QueryCompiler._split_and(a))
+            return out
+        return [e]
+
+    def _fold_pattern(self, pat: A.PathPattern, edge_refs: list[EdgeRef]) -> None:
+        els = pat.elements
+        node = els[0]
+        left_var = self._anchor_node(node)
+        path_vids: list[Column | str] = [left_var]
+        path_eids: list[tuple[str, bool]] = []
+
+        i = 1
+        while i < len(els):
+            rel: A.RelPat = els[i]
+            right: A.NodePat = els[i + 1]
+            if rel.varlen:
+                left_var = self._vle_step(left_var, rel, right, edge_refs, path_eids)
+            else:
+                left_var = self._edge_step(left_var, rel, right, edge_refs, path_eids)
+            path_vids.append(left_var)
+            i += 2
+
+        if pat.var is not None:
+            self._bind_path(pat.var, path_vids, path_eids)
+
+    def _anchor_node(self, node: A.NodePat) -> str:
+        """Bind/locate the pattern's first node; returns its var name."""
+        var = node.var or self.scope.fresh_anon()
+        existing = self.scope.get(var)
+        if existing is not None:
+            if existing.kind != "vertex":
+                raise ValueError(f"variable {var!r} already bound as {existing.kind}")
+            # already in pipeline: apply extra label/prop constraints
+            if node.labels:
+                labids = self._labid_set(node.labels, "v", node.only)
+                self.df = self.df.filter(self._labid_pred(F.col(f"{var}__id"), labids))
+            self.df = self._prop_filter(var, node.props, self.df)
+            return var
+        scan, binding = self._vertex_scan(var, node.labels, node.only)
+        scan = self._prop_filter(var, node.props, scan)
+        self.scope.bind(binding)
+        self.df = scan if self.df is None else self.df.crossJoin(scan)
+        return var
+
+    def _edge_step(
+        self,
+        left_var: str,
+        rel: A.RelPat,
+        right: A.NodePat,
+        edge_refs: list[EdgeRef],
+        path_eids: list[tuple[str, bool]],
+    ) -> str:
+        evar = rel.var or self.scope.fresh_anon()
+        if self.scope.get(evar) is not None:
+            raise ValueError(f"edge variable {evar!r} bound twice in pattern")
+        escan, ebind = self._edge_scan(evar, rel.types, rel.only, rel.direction)
+        escan = self._prop_filter(evar, rel.props, escan)
+
+        rvar = right.var or self.scope.fresh_anon()
+        rbound = self.scope.get(rvar)
+
+        # endpoint labid pruning on the edge side (filters reach the
+        # edge Parquet scan through the id's high bits)
+        if right.labels:
+            labids = self._labid_set(right.labels, "v", right.only)
+            escan = escan.filter(self._labid_pred(F.col(f"{evar}__dst"), labids))
+
+        self.df = self.df.join(escan, F.col(f"{left_var}__id") == F.col(f"{evar}__src"), "inner")
+        self.scope.bind(ebind)
+        edge_refs.append(EdgeRef(evar, False))
+        path_eids.append((evar, False))
+
+        if rbound is not None:
+            # right node already bound: close the cycle with a filter
+            if rbound.kind != "vertex":
+                raise ValueError(f"variable {rvar!r} already bound as {rbound.kind}")
+            self.df = self.df.filter(F.col(f"{evar}__dst") == F.col(f"{rvar}__id"))
+            self.df = self._prop_filter(rvar, right.props, self.df)
+            return rvar
+
+        need_vertex = (right.var is not None) or (right.props is not None)
+        if need_vertex:
+            rscan, rbind = self._vertex_scan(rvar, right.labels, right.only)
+            rscan = self._prop_filter(rvar, right.props, rscan)
+            self.df = self.df.join(rscan, F.col(f"{evar}__dst") == F.col(f"{rvar}__id"), "inner")
+            self.scope.bind(rbind)
+            return rvar
+        # anonymous unconstrained endpoint: the edge's dst IS the vertex
+        # id — no join (future-vertex deferral). Bind a light vertex so
+        # later pattern parts can still chain from it.
+        self.scope.bind(Binding(rvar, "vertex", labels=right.labels, props=[]))
+        self.df = self.df.withColumn(f"{rvar}__id", F.col(f"{evar}__dst")) \
+                         .withColumn(f"{rvar}__label", F.lit(None).cast("string"))
+        return rvar
+
+    def _vle_step(
+        self,
+        left_var: str,
+        rel: A.RelPat,
+        right: A.NodePat,
+        edge_refs: list[EdgeRef],
+        path_eids: list[tuple[str, bool]],
+    ) -> str:
+        evar = rel.var or self.scope.fresh_anon()
+        escan, _ = self._edge_scan("_e", rel.types, rel.only, rel.direction)
+        escan = self._prop_filter("_e", rel.props, escan)
+        edges = escan.select(
+            F.col("_e__src").alias("src"),
+            F.col("_e__dst").alias("dst"),
+            F.col("_e__id").alias("eid"),
+        )
+        seeds = self.df.select(F.col(f"{left_var}__id").alias("seed")).distinct()
+        maxh = rel.maxhops if rel.maxhops is not None else self.engine.vle_max_hops
+        minh = 0 if rel.minhops == 0 else (rel.minhops or 1)
+        vle = P.vle_expand(edges, seeds, minh, maxh)
+        vle = vle.select(
+            F.col("seed").alias(f"{evar}__seed"),
+            F.col("dst").alias(f"{evar}__dst"),
+            F.col("eids").alias(f"{evar}__eids"),
+            F.col("vids").alias(f"{evar}__vids"),
+            F.col("len").alias(f"{evar}__len"),
+        )
+        self.df = self.df.join(vle, F.col(f"{left_var}__id") == F.col(f"{evar}__seed"), "inner")
+        self.scope.bind(Binding(evar, "path"))
+        edge_refs.append(EdgeRef(evar, True))
+        path_eids.append((evar, True))
+
+        rvar = right.var or self.scope.fresh_anon()
+        rbound = self.scope.get(rvar)
+        if rbound is not None:
+            self.df = self.df.filter(F.col(f"{evar}__dst") == F.col(f"{rvar}__id"))
+            self.df = self._prop_filter(rvar, right.props, self.df)
+            return rvar
+        if right.labels:
+            labids = self._labid_set(right.labels, "v", right.only)
+            self.df = self.df.filter(self._labid_pred(F.col(f"{evar}__dst"), labids))
+        need_vertex = (right.var is not None) or (right.props is not None)
+        if need_vertex:
+            rscan, rbind = self._vertex_scan(rvar, right.labels, right.only)
+            rscan = self._prop_filter(rvar, right.props, rscan)
+            self.df = self.df.join(rscan, F.col(f"{evar}__dst") == F.col(f"{rvar}__id"), "inner")
+            self.scope.bind(rbind)
+        else:
+            self.scope.bind(Binding(rvar, "vertex", labels=right.labels, props=[]))
+            self.df = self.df.withColumn(f"{rvar}__id", F.col(f"{evar}__dst")) \
+                             .withColumn(f"{rvar}__label", F.lit(None).cast("string"))
+        return rvar
+
+    def _fold_pathfind(self, pat: A.PathPattern) -> None:
+        """shortestpath / allshortestpaths / dijkstra over bound endpoints."""
+        els = pat.elements
+        if len(els) != 3:
+            raise NotImplementedError("path-finding patterns must be single-hop (a)-[...]->(b)")
+        lnode, rel, rnode = els
+        lvar = self._anchor_node(lnode)
+        rvar = self._anchor_node(rnode)
+
+        evar = rel.var or "_e"
+        escan, ebind = self._edge_scan(evar, rel.types, rel.only, rel.direction)
+        escan = self._prop_filter(evar, rel.props, escan)
+        if pat.qual is not None:
+            # dijkstra edge qual filters the edge relation up front
+            sc = Scope()
+            sc.bind(ebind)
+            ec = ExprCompiler(sc, {f.name: f.dataType for f in escan.schema.fields},
+                              self.graph.catalog, self.params)
+            escan = escan.filter(ec.bool_col(pat.qual))
+
+        pairs = self.df.select(F.col(f"{lvar}__id").alias("seed"), F.col(f"{rvar}__id").alias("target"))
+        pvar = pat.var or self.scope.fresh_anon()
+
+        if pat.kind in ("shortestpath", "allshortestpaths"):
+            edges = escan.select(F.col(f"{evar}__src").alias("src"), F.col(f"{evar}__dst").alias("dst"),
+                                 F.col(f"{evar}__id").alias("eid"))
+            minh = rel.minhops if rel.varlen and rel.minhops is not None else 1
+            maxh = rel.maxhops if rel.varlen and rel.maxhops is not None else self.engine.vle_max_hops
+            res = P.bfs_shortest(edges, pairs, minh, maxh, all_paths=(pat.kind == "allshortestpaths"))
+            props = []
+        else:  # dijkstra
+            sc = Scope()
+            sc.bind(ebind)
+            ec = ExprCompiler(sc, {f.name: f.dataType for f in escan.schema.fields},
+                              self.graph.catalog, self.params)
+            weight = ec.col(pat.weight) if pat.weight is not None else F.lit(1.0)
+            edges = escan.select(F.col(f"{evar}__src").alias("src"), F.col(f"{evar}__dst").alias("dst"),
+                                 F.col(f"{evar}__id").alias("eid"), weight.cast("double").alias("w"))
+            limit = 1
+            if pat.limit is not None and isinstance(pat.limit, A.Lit):
+                limit = int(pat.limit.value)
+            res = P.dijkstra_paths(edges, pairs, limit=limit)
+            props = ["weight"]
+            res = res.withColumnRenamed("weight", f"{pvar}__weight")
+
+        res = res.select(
+            F.col("seed").alias(f"{pvar}__seed"),
+            F.col("target").alias(f"{pvar}__target"),
+            F.col("eids").alias(f"{pvar}__eids"),
+            F.col("vids").alias(f"{pvar}__vids"),
+            F.col("len").alias(f"{pvar}__len"),
+            *[F.col(f"{pvar}__weight") for _ in props],
+        )
+        self.df = self.df.join(
+            res,
+            (F.col(f"{lvar}__id") == F.col(f"{pvar}__seed"))
+            & (F.col(f"{rvar}__id") == F.col(f"{pvar}__target")),
+            "inner",
+        )
+        self.scope.bind(Binding(pvar, "path", props=[f"{pvar}__weight"] if props else []))
+        if pat.weight_var is not None:
+            self.df = self.df.withColumn(pat.weight_var, F.col(f"{pvar}__weight"))
+            self.scope.bind(Binding(pat.weight_var, "value"))
+
+    def _edge_uniqueness(self, refs: list[EdgeRef]) -> None:
+        """Pairwise edge-distinctness within one MATCH (reference:
+        addQualUniqueEdges parse_graph.c:2972)."""
+        for i in range(len(refs)):
+            for j in range(i + 1, len(refs)):
+                a, b = refs[i], refs[j]
+                if not a.is_array and not b.is_array:
+                    self.df = self.df.filter(F.col(f"{a.var}__id") != F.col(f"{b.var}__id"))
+                elif a.is_array and not b.is_array:
+                    self.df = self.df.filter(~F.array_contains(F.col(f"{a.var}__eids"), F.col(f"{b.var}__id")))
+                elif not a.is_array and b.is_array:
+                    self.df = self.df.filter(~F.array_contains(F.col(f"{b.var}__eids"), F.col(f"{a.var}__id")))
+                else:
+                    self.df = self.df.filter(
+                        F.size(F.array_intersect(F.col(f"{a.var}__eids"), F.col(f"{b.var}__eids"))) == 0)
+
+    def _bind_path(self, pvar: str, vids: list[str], eids: list[tuple[str, bool]]) -> None:
+        """p = (a)-[e]->(b)...: compose path arrays from the bound parts."""
+        vid_cols: list[Column] = [F.array(F.col(f"{vids[0]}__id"))]
+        eid_cols: list[Column] = []
+        ln: Column = F.lit(0).cast("long")
+        for i, (evar, is_arr) in enumerate(eids):
+            if is_arr:
+                eid_cols.append(F.col(f"{evar}__eids"))
+                vid_cols.append(F.col(f"{evar}__vids"))
+                ln = ln + F.col(f"{evar}__len")
+            else:
+                eid_cols.append(F.array(F.col(f"{evar}__id")))
+                vid_cols.append(F.array(F.col(f"{vids[i + 1]}__id")))
+                ln = ln + F.lit(1)
+        self.df = (
+            self.df.withColumn(f"{pvar}__vids", F.concat(*vid_cols))
+            .withColumn(f"{pvar}__eids", F.concat(*eid_cols) if eid_cols else F.array().cast("array<long>"))
+            .withColumn(f"{pvar}__len", ln)
+        )
+        self.scope.bind(Binding(pvar, "path"))
+
+    # ---------- OPTIONAL MATCH / pattern predicates ----------
+
+    def _compile_pattern_standalone(self, patterns: list[A.PathPattern], where: A.Expr | None,
+                                    shared: list[str]) -> tuple[DataFrame, Scope, dict[str, str]]:
+        """Compile patterns in a fresh sub-compiler. Shared (outer-bound)
+        vertex/edge vars are re-scanned under a temp prefix; returns
+        (df, subscope, shared_var -> temp_var map)."""
+        sub = QueryCompiler(self.engine, self.params)
+        renames: dict[str, str] = {}
+        # pre-bind nothing; compile patterns with original names first
+        m = A.Match(patterns, optional=False, where=None)
+        sub._compile_match(m)
+        if where is not None:
+            # only conjuncts referencing solely inner vars can be applied
+            # here; the rest go into the join condition by the caller
+            pass
+        df = sub.df
+        for v in shared:
+            b = sub.scope.get(v)
+            if b is None:
+                continue
+            tmp = f"__sh_{v}"
+            renames[v] = tmp
+            for c in list(df.columns):
+                if c == v or c.startswith(f"{v}__"):
+                    df = df.withColumnRenamed(c, c.replace(v, tmp, 1))
+        return df, sub.scope, renames
+
+    def _vars_in(self, e: A.Expr | None) -> set[str]:
+        out: set[str] = set()
+
+        def walk(x):
+            if isinstance(x, A.Var):
+                out.add(x.name)
+            elif isinstance(x, A.Expr):
+                for attr in ("left", "right", "operand", "base", "item", "container",
+                             "index", "lo", "hi", "source", "where", "projection", "default"):
+                    v = getattr(x, attr, None)
+                    if v is not None:
+                        walk(v)
+                if isinstance(x, A.BoolOp):
+                    for a in x.args:
+                        walk(a)
+                if isinstance(x, A.FuncCall):
+                    for a in x.args:
+                        walk(a)
+                if isinstance(x, A.ListLit):
+                    for a in x.items:
+                        walk(a)
+                if isinstance(x, A.MapLit):
+                    for _, a in x.items:
+                        walk(a)
+                if isinstance(x, A.Case):
+                    for c, v2 in x.whens:
+                        walk(c)
+                        walk(v2)
+        walk(e)
+        return out
+
+    def _pattern_shared_vars(self, patterns: list[A.PathPattern]) -> list[str]:
+        shared = []
+        for pat in patterns:
+            for el in pat.elements:
+                v = getattr(el, "var", None)
+                if v and self.scope.get(v) is not None and v not in shared:
+                    shared.append(v)
+        return shared
+
+    def _compile_optional_match(self, m: A.Match) -> None:
+        if self.df is None:
+            # OPTIONAL MATCH as first clause behaves like MATCH-or-null;
+            # compile as plain match (single-row null case not needed)
+            self._compile_match(A.Match(m.patterns, optional=False, where=m.where))
+            return
+        shared = self._pattern_shared_vars(m.patterns)
+        right, rscope, renames = self._compile_pattern_standalone(m.patterns, None, shared)
+
+        cond: Column | None = None
+        for v, tmp in renames.items():
+            c = F.col(f"{v}__id") == F.col(f"{tmp}__id")
+            cond = c if cond is None else (cond & c)
+
+        # WHERE inside OPTIONAL MATCH joins the ON condition (LEFT JOIN
+        # ... ON semantics — reference: transformMatchOptional lateral
+        # left join, parse_graph.c:1184)
+        if m.where is not None:
+            merged = Scope()
+            merged.bindings.update(self.scope.bindings)
+            merged.bindings.update({v: b for v, b in rscope.bindings.items() if v not in renames})
+            sch = self._schema_map()
+            sch.update({f.name: f.dataType for f in right.schema.fields})
+            ec = ExprCompiler(merged, sch, self.graph.catalog if self.graph else None, self.params)
+            wcol = ec.bool_col(m.where)
+            cond = wcol if cond is None else (cond & wcol)
+
+        self.df = self.df.join(right, cond if cond is not None else F.lit(True), "left")
+        self.df = self.df.drop(*[c for tmp in renames.values() for c in right.columns if c.startswith(f"{tmp}__")])
+        for v, b in rscope.bindings.items():
+            if v not in renames and self.scope.get(v) is None:
+                self.scope.bind(b)
+
+    def _pattern_semijoin(self, pattern: A.PathPattern, anti: bool) -> None:
+        """EXISTS((...)) / NOT EXISTS → left-semi / left-anti join."""
+        shared = self._pattern_shared_vars([pattern])
+        right, rscope, renames = self._compile_pattern_standalone([pattern], None, shared)
+        cond: Column | None = None
+        for v, tmp in renames.items():
+            c = F.col(f"{v}__id") == F.col(f"{tmp}__id")
+            cond = c if cond is None else (cond & c)
+        how = "left_anti" if anti else "left_semi"
+        self.df = self.df.join(right, cond if cond is not None else F.lit(True), how)
+
+    # ---------- UNWIND / LOAD ----------
+
+    def _compile_unwind(self, u: A.Unwind) -> None:
+        self._ensure_df()
+        ec = self._ec()
+        col = ec.col(u.expr)
+        self.df = self.df.withColumn(u.alias, F.explode(col))
+        self.scope.bind(Binding(u.alias, "value"))
+
+    def _compile_load(self, l: A.LoadClause) -> None:
+        src = self.engine.tables.get(l.table)
+        if src is None:
+            src = self.engine.spark.table(l.table)
+        var = l.alias
+        renamed = src.select(*[F.col(c).alias(f"{var}__{c}") for c in src.columns])
+        self.scope.bind(Binding(var, "row", props=list(src.columns)))
+        self.df = renamed if self.df is None else self.df.crossJoin(renamed)
+
+    # ---------- WITH / RETURN ----------
+
+    def _expand_star_items(self, proj: A.Projection) -> list[A.ReturnItem]:
+        items: list[A.ReturnItem] = []
+        if proj.star:
+            for var, b in self.scope.bindings.items():
+                if var.startswith("_a") or var.startswith("__"):
+                    continue
+                items.append(A.ReturnItem(A.Var(var), None))
+        items.extend(proj.items)
+        return items
+
+    def _default_alias(self, e: A.Expr, idx: int) -> str:
+        if isinstance(e, A.Var):
+            return e.name
+        if isinstance(e, A.Prop) and isinstance(e.base, A.Var):
+            return e.key
+        return f"col{idx}"
+
+    def _compile_projection(self, proj: A.Projection) -> None:
+        self._ensure_df()
+        items = self._expand_star_items(proj)
+        ec = self._ec()
+
+        out_cols: list[Column] = []       # final select/agg columns
+        key_cols: list[Column] = []       # grouping keys
+        agg_cols: list[Column] = []
+        new_scope = Scope()
+        new_schema_hint: dict[str, A.Expr] = {}
+        any_agg = any(has_agg(it.expr) for it in items)
+        passthrough: dict[str, Binding] = {}
+
+        for idx, it in enumerate(items):
+            e = it.expr
+            # whole-entity pass-through keeps the binding's flat columns
+            if isinstance(e, A.Var):
+                b = self.scope.get(e.name)
+                if b is not None and b.kind in ("vertex", "edge", "path", "row") and (
+                        it.alias is None or it.alias == e.name):
+                    if proj.kind == "with" or b.kind in ("path",):
+                        passthrough[e.name] = b
+                        continue
+                    if proj.kind == "return":
+                        col = ec.tc(e).col.alias(it.alias or e.name)
+                        (key_cols if any_agg else out_cols).append(col)
+                        new_scope.bind(Binding(it.alias or e.name, "value"))
+                        continue
+            alias = it.alias or self._default_alias(e, idx)
+            tc = ec.tc(e)
+            col = tc.col.alias(alias)
+            if any_agg and has_agg(e):
+                agg_cols.append(col)
+            elif any_agg:
+                key_cols.append(col)
+            else:
+                out_cols.append(col)
+            new_scope.bind(Binding(alias, "value"))
+            new_schema_hint[alias] = e
+
+        pass_cols: list[Column] = []
+        for var, b in passthrough.items():
+            pass_cols.extend([F.col(c) for c in b.cols()])
+            new_scope.bind(b)
+
+        # sort columns may reference pre-projection scope → compute as
+        # hidden columns first (non-agg only)
+        sort_specs: list[tuple[str, bool]] = []
+        hidden: list[Column] = []
+        if proj.order:
+            for si, s in enumerate(proj.order):
+                resolved = self._resolve_sort(s.expr, items, new_scope)
+                if resolved is not None:
+                    sort_specs.append((resolved, s.asc))
+                elif not any_agg:
+                    hname = f"__sort{si}"
+                    hidden.append(ec.col(s.expr).alias(hname))
+                    sort_specs.append((hname, s.asc))
+                else:
+                    raise ValueError("ORDER BY after aggregation must reference returned items")
+
+        if any_agg:
+            gb = self.df.groupBy(*key_cols, *pass_cols) if (key_cols or pass_cols) else self.df.groupBy()
+            self.df = gb.agg(*agg_cols) if agg_cols else gb.agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
+        else:
+            self.df = self.df.select(*out_cols, *pass_cols, *hidden)
+
+        if proj.distinct:
+            vis = [c for c in self.df.columns if not c.startswith("__sort")]
+            self.df = self.df.dropDuplicates(vis)
+
+        self.scope = new_scope
+
+        if proj.where is not None:
+            self._apply_where(proj.where)
+
+        if sort_specs:
+            self.df = self.df.orderBy(*[F.col(n).asc() if asc else F.col(n).desc() for n, asc in sort_specs])
+        drop_hidden = [c for c in self.df.columns if c.startswith("__sort")]
+        if drop_hidden:
+            self.df = self.df.drop(*drop_hidden)
+        if proj.skip is not None:
+            self.df = self.df.offset(self._int_arg(proj.skip))
+        if proj.limit is not None:
+            self.df = self.df.limit(self._int_arg(proj.limit))
+
+    def _int_arg(self, e: A.Expr) -> int:
+        if isinstance(e, A.Lit) and isinstance(e.value, int):
+            return e.value
+        if isinstance(e, A.Param):
+            return int(self.params[e.name])
+        raise ValueError("SKIP/LIMIT must be an integer literal or parameter")
+
+    def _resolve_sort(self, e: A.Expr, items: list[A.ReturnItem], new_scope: Scope) -> str | None:
+        """Match a sort expression to a projected alias."""
+        if isinstance(e, A.Var) and new_scope.get(e.name) is not None:
+            return e.name
+        for it in items:
+            if it.expr == e:
+                return it.alias or None
+        return None

@@ -1,0 +1,734 @@
+"""Cypher expression → Spark Column compiler, type-directed.
+
+The reference evaluates Cypher expressions dynamically over jsonb
+(reference: src/backend/utils/adt/cypher_ops.c jsonb_add/sub/...,
+cypher_funcs.c jsonb function layer). We instead resolve the coercion
+matrix *at compile time* using the DataFrame's schema (property columns
+are natively typed), so arithmetic, string ops and list ops all stay
+inside whole-stage codegen — no per-row Python, no runtime jsonb
+dispatch. Semantics preserved where types are static:
+
+- ``+``: number+number add, string concat, list concat
+  (cypher_ops.c:25-125 jsonb_add)
+- ``/`` between integers truncates (PostgreSQL integer division)
+- ``substring``/``left``/``right`` use Cypher's 0-based indexing
+  (parse_cypher_expr.c:929-962)
+- ``=~`` is a full-string regex match, list indexing supports negative
+  indices and slices (parse_cypher_expr.c:1572-1720 CypherIndices)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from agensgraph_spark.cypher import ast as A
+from agensgraph_spark.cypher.scope import Binding, Scope
+
+AGG_NAMES = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+             "stddev", "stddev_samp", "stddev_pop", "percentilecont", "percentiledisc",
+             "head_agg"}
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def has_agg(e: A.Expr) -> bool:
+    if isinstance(e, A.FuncCall):
+        if e.name in AGG_NAMES:
+            return True
+        return any(has_agg(a) for a in e.args)
+    for attr in ("left", "right", "operand", "base", "item", "container", "index",
+                 "lo", "hi", "source", "where", "projection", "default"):
+        v = getattr(e, attr, None)
+        if isinstance(v, A.Expr) and has_agg(v):
+            return True
+    if isinstance(e, A.BoolOp):
+        return any(has_agg(a) for a in e.args)
+    if isinstance(e, (A.ListLit,)):
+        return any(has_agg(a) for a in e.items)
+    if isinstance(e, A.MapLit):
+        return any(has_agg(v) for _, v in e.items)
+    if isinstance(e, A.Case):
+        return any(has_agg(c) or has_agg(v) for c, v in e.whens)
+    return False
+
+
+class TC:
+    """Typed column: a Spark Column + statically-known DataType (or None)."""
+
+    __slots__ = ("col", "dtype")
+
+    def __init__(self, col: Column, dtype: T.DataType | None = None):
+        self.col = col
+        self.dtype = dtype
+
+    def is_string(self) -> bool:
+        return isinstance(self.dtype, T.StringType)
+
+    def is_array(self) -> bool:
+        return isinstance(self.dtype, T.ArrayType)
+
+    def is_integral(self) -> bool:
+        return isinstance(self.dtype, _INTEGRAL)
+
+    def is_numeric(self) -> bool:
+        return isinstance(self.dtype, _NUMERIC)
+
+
+class ExprCompiler:
+    def __init__(
+        self,
+        scope: Scope,
+        schema: dict[str, T.DataType],
+        catalog=None,
+        params: dict | None = None,
+    ):
+        self.scope = scope
+        self.schema = schema
+        self.catalog = catalog
+        self.params = params or {}
+        self.lambda_vars: dict[str, TC] = {}
+
+    # ---- public ----
+
+    def col(self, e: A.Expr) -> Column:
+        return self.tc(e).col
+
+    def bool_col(self, e: A.Expr) -> Column:
+        """Cypher truthiness: non-boolean values in predicate position
+        (null → false via filter semantics)."""
+        t = self.tc(e)
+        if t.dtype is None or isinstance(t.dtype, T.BooleanType):
+            return t.col.cast("boolean")
+        if t.is_numeric():
+            return t.col != F.lit(0)
+        return t.col.cast("boolean")
+
+    # ---- dispatch ----
+
+    def tc(self, e: A.Expr) -> TC:
+        meth = getattr(self, f"_c_{type(e).__name__}", None)
+        if meth is None:
+            raise NotImplementedError(f"expression {type(e).__name__} not supported")
+        return meth(e)
+
+    def _c_Lit(self, e: A.Lit) -> TC:
+        v = e.value
+        if v is None:
+            return TC(F.lit(None), T.NullType())
+        if isinstance(v, bool):
+            return TC(F.lit(v), T.BooleanType())
+        if isinstance(v, int):
+            return TC(F.lit(v).cast("long"), T.LongType())
+        if isinstance(v, float):
+            return TC(F.lit(v), T.DoubleType())
+        return TC(F.lit(v), T.StringType())
+
+    def _c_Param(self, e: A.Param) -> TC:
+        if e.name not in self.params:
+            raise ValueError(f"missing parameter ${e.name}")
+        return self._c_Lit(A.Lit(self.params[e.name])) if not isinstance(self.params[e.name], (list, dict)) \
+            else TC(F.lit(self.params[e.name]))
+
+    def _c_Var(self, e: A.Var) -> TC:
+        if e.name in self.lambda_vars:
+            return self.lambda_vars[e.name]
+        b = self.scope.get(e.name)
+        if b is None:
+            raise ValueError(f"variable {e.name!r} not defined")
+        if b.kind == "value":
+            return TC(F.col(e.name), self.schema.get(e.name))
+        if b.kind in ("vertex", "edge"):
+            return TC(self.entity_struct(b), None)
+        if b.kind == "row":
+            p = e.name
+            flds = [F.col(f"{p}__{x}").alias(x) for x in b.props]
+            dts = T.StructType([T.StructField(x, self.schema.get(f"{p}__{x}", T.StringType())) for x in b.props])
+            return TC(F.struct(*flds), dts)
+        if b.kind == "path":
+            p = e.name
+            return TC(F.struct(F.col(f"{p}__vids").alias("vids"),
+                               F.col(f"{p}__eids").alias("eids"),
+                               F.col(f"{p}__len").alias("len")), None)
+        raise ValueError(f"cannot use {e.name!r} as a value")
+
+    def entity_struct(self, b: Binding) -> Column:
+        p = b.var
+        props = F.to_json(F.struct(*[F.col(f"{p}__{x}").alias(x) for x in b.props])) if b.props else F.lit("{}")
+        fields = [F.col(f"{p}__id").alias("id"), F.col(f"{p}__label").alias("label")]
+        if b.kind == "edge":
+            fields += [F.col(f"{p}__start").alias("start"), F.col(f"{p}__end").alias("end")]
+        fields.append(props.alias("properties"))
+        return F.struct(*fields)
+
+    def entity_id(self, e: A.Expr) -> Column | None:
+        """If e is a bare entity variable, its id column (for equality,
+        count, distinct — entities compare by identity)."""
+        if isinstance(e, A.Var):
+            b = self.scope.get(e.name)
+            if b is not None and b.kind in ("vertex", "edge"):
+                return F.col(f"{e.name}__id")
+        return None
+
+    def _c_Prop(self, e: A.Prop) -> TC:
+        if isinstance(e.base, A.Var) and e.base.name not in self.lambda_vars:
+            b = self.scope.get(e.base.name)
+            if b is not None and b.kind in ("vertex", "edge", "path", "row"):
+                name = f"{e.base.name}__{e.key}"
+                if name in self.schema:
+                    return TC(F.col(name), self.schema[name])
+                if e.key in ("id", "label") or (b.kind == "edge" and e.key in ("start", "end")):
+                    return TC(F.col(f"{e.base.name}__{e.key}"), self.schema.get(f"{e.base.name}__{e.key}"))
+                # property not present on any candidate label → null
+                return TC(F.lit(None), T.NullType())
+        base = self.tc(e.base)
+        if isinstance(base.dtype, T.StructType):
+            fld = next((f for f in base.dtype.fields if f.name == e.key), None)
+            return TC(base.col.getField(e.key), fld.dataType if fld else None)
+        if isinstance(base.dtype, T.MapType):
+            return TC(base.col.getItem(e.key), base.dtype.valueType)
+        # unknown / JSON string document
+        return TC(F.get_json_object(base.col.cast("string"), f"$.{e.key}"), None)
+
+    def _c_Index(self, e: A.Index) -> TC:
+        base = self.tc(e.base)
+        idx = self.tc(e.index)
+        if base.is_array():
+            elem = base.dtype.elementType
+            # Cypher is 0-based with negative wrap; element_at is 1-based
+            i = idx.col.cast("int")
+            pos = F.when(i >= 0, i + 1).otherwise(i)
+            return TC(F.element_at(base.col, pos), elem)
+        if isinstance(base.dtype, T.MapType):
+            return TC(F.element_at(base.col, idx.col), base.dtype.valueType)
+        if isinstance(base.dtype, T.StructType):
+            return TC(base.col.getField(e.index.value if isinstance(e.index, A.Lit) else None), None)
+        return TC(F.get_json_object(base.col.cast("string"), f"$[{e.index.value}]")
+                  if isinstance(e.index, A.Lit) and isinstance(e.index.value, int)
+                  else F.element_at(base.col, idx.col + 1), None)
+
+    def _c_Slice(self, e: A.Slice) -> TC:
+        base = self.tc(e.base)
+        n = F.size(base.col)
+        lo = self.tc(e.lo).col.cast("int") if e.lo is not None else F.lit(0)
+        hi = self.tc(e.hi).col.cast("int") if e.hi is not None else n
+        lo_n = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
+        hi_n = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
+        length = F.greatest(hi_n - lo_n, F.lit(0))
+        return TC(F.slice(base.col, lo_n + 1, length), base.dtype)
+
+    # ---- operators ----
+
+    def _c_BinOp(self, e: A.BinOp) -> TC:
+        l, r = self.tc(e.left), self.tc(e.right)
+        op = e.op
+        if op == "||" or (op == "+" and (l.is_string() or r.is_string())):
+            return TC(F.concat(l.col.cast("string"), r.col.cast("string")), T.StringType())
+        if op == "+" and (l.is_array() or r.is_array()):
+            lc = l.col if l.is_array() else F.array(l.col)
+            rc = r.col if r.is_array() else F.array(r.col)
+            return TC(F.concat(lc, rc), l.dtype if l.is_array() else r.dtype)
+        if op == "+":
+            return TC(l.col + r.col, self._num_out(l, r))
+        if op == "-":
+            return TC(l.col - r.col, self._num_out(l, r))
+        if op == "*":
+            return TC(l.col * r.col, self._num_out(l, r))
+        if op == "/":
+            if l.is_integral() and r.is_integral():
+                # PostgreSQL integer division truncates toward zero
+                return TC((l.col / r.col).cast("long"), T.LongType())
+            return TC(l.col / r.col, T.DoubleType())
+        if op == "%":
+            return TC(l.col % r.col, self._num_out(l, r))
+        if op == "^":
+            return TC(F.pow(l.col.cast("double"), r.col.cast("double")), T.DoubleType())
+        raise NotImplementedError(f"operator {op}")
+
+    @staticmethod
+    def _num_out(l: TC, r: TC) -> T.DataType | None:
+        if l.is_integral() and r.is_integral():
+            return T.LongType()
+        if l.is_numeric() and r.is_numeric():
+            return T.DoubleType()
+        return None
+
+    def _c_UnaryOp(self, e: A.UnaryOp) -> TC:
+        t = self.tc(e.operand)
+        return TC(-t.col if e.op == "-" else t.col, t.dtype)
+
+    def _c_Cmp(self, e: A.Cmp) -> TC:
+        lid, rid = self.entity_id(e.left), self.entity_id(e.right)
+        if lid is not None and rid is not None:
+            l, r = TC(lid, T.LongType()), TC(rid, T.LongType())
+        else:
+            l, r = self.tc(e.left), self.tc(e.right)
+        ops: dict[str, Callable[[Column, Column], Column]] = {
+            "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+            "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+            "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+        }
+        return TC(ops[e.op](l.col, r.col), T.BooleanType())
+
+    def _c_BoolOp(self, e: A.BoolOp) -> TC:
+        cols = [self.bool_col(a) for a in e.args]
+        out = cols[0]
+        for c in cols[1:]:
+            if e.op == "and":
+                out = out & c
+            elif e.op == "or":
+                out = out | c
+            else:  # xor: null-propagating
+                out = (out & ~c) | (~out & c)
+        return TC(out, T.BooleanType())
+
+    def _c_Not(self, e: A.Not) -> TC:
+        return TC(~self.bool_col(e.operand), T.BooleanType())
+
+    def _c_IsNull(self, e: A.IsNull) -> TC:
+        target = self.entity_id(e.operand)
+        if target is None:
+            target = self.tc(e.operand).col
+        return TC(target.isNotNull() if e.negated else target.isNull(), T.BooleanType())
+
+    def _c_InList(self, e: A.InList) -> TC:
+        item = self.tc(e.item)
+        if isinstance(e.container, A.ListLit) and all(isinstance(i, A.Lit) for i in e.container.items):
+            return TC(item.col.isin([i.value for i in e.container.items]), T.BooleanType())
+        cont = self.tc(e.container)
+        return TC(F.array_contains(cont.col, item.col), T.BooleanType())
+
+    def _c_StringOp(self, e: A.StringOp) -> TC:
+        l, r = self.tc(e.left), self.tc(e.right)
+        lc = l.col.cast("string")
+        if e.op == "starts_with":
+            return TC(lc.startswith(r.col.cast("string")), T.BooleanType())
+        if e.op == "ends_with":
+            return TC(lc.endswith(r.col.cast("string")), T.BooleanType())
+        if e.op == "contains":
+            return TC(lc.contains(r.col.cast("string")), T.BooleanType())
+        if e.op == "regex":
+            if isinstance(e.right, A.Lit) and isinstance(e.right.value, str):
+                return TC(lc.rlike(f"^(?:{e.right.value})$"), T.BooleanType())
+            return TC(lc.rlike(F.concat(F.lit("^(?:"), r.col.cast("string"), F.lit(")$"))), T.BooleanType())
+        raise NotImplementedError(e.op)
+
+    def _c_Case(self, e: A.Case) -> TC:
+        out = None
+        for cond, val in e.whens:
+            c = (self.tc(e.operand).col == self.tc(cond).col) if e.operand is not None else self.bool_col(cond)
+            v = self.tc(val)
+            out = F.when(c, v.col) if out is None else out.when(c, v.col)
+        dflt = self.tc(e.default) if e.default is not None else None
+        col = out.otherwise(dflt.col) if dflt is not None else out
+        return TC(col, dflt.dtype if dflt is not None else None)
+
+    def _c_ListLit(self, e: A.ListLit) -> TC:
+        items = [self.tc(i) for i in e.items]
+        dtypes = {str(i.dtype) for i in items if i.dtype is not None and not isinstance(i.dtype, T.NullType)}
+        elem = items[0].dtype if len(dtypes) == 1 else None
+        if not items:
+            return TC(F.array().cast("array<long>"), T.ArrayType(T.LongType()))
+        if elem is None:
+            return TC(F.array(*[i.col.cast("string") for i in items]), T.ArrayType(T.StringType()))
+        return TC(F.array(*[i.col for i in items]), T.ArrayType(elem))
+
+    def _c_MapLit(self, e: A.MapLit) -> TC:
+        fields = [self.tc(v).col.alias(k) for k, v in e.items]
+        dts = T.StructType([T.StructField(k, self.tc(v).dtype or T.StringType()) for k, v in e.items])
+        return TC(F.struct(*fields), dts)
+
+    def _c_ListComp(self, e: A.ListComp) -> TC:
+        src = self.tc(e.source)
+        elem_t = src.dtype.elementType if src.is_array() else None
+
+        def body(x: Column) -> TC:
+            old = self.lambda_vars.get(e.var)
+            self.lambda_vars[e.var] = TC(x, elem_t)
+            try:
+                if e.projection is not None:
+                    return self.tc(e.projection)
+                return TC(x, elem_t)
+            finally:
+                if old is None:
+                    self.lambda_vars.pop(e.var, None)
+                else:
+                    self.lambda_vars[e.var] = old
+
+        col = src.col
+        if e.where is not None:
+            def pred(x: Column) -> Column:
+                old = self.lambda_vars.get(e.var)
+                self.lambda_vars[e.var] = TC(x, elem_t)
+                try:
+                    return self.bool_col(e.where)
+                finally:
+                    if old is None:
+                        self.lambda_vars.pop(e.var, None)
+                    else:
+                        self.lambda_vars[e.var] = old
+            col = F.filter(col, pred)
+        out_t = None
+        if e.projection is not None:
+            probe = body(F.lit(None))
+            out_t = T.ArrayType(probe.dtype) if probe.dtype else None
+            col = F.transform(col, lambda x: body(x).col)
+        else:
+            out_t = src.dtype
+        return TC(col, out_t)
+
+    def _c_Quantifier(self, e: A.Quantifier) -> TC:
+        src = self.tc(e.source)
+        elem_t = src.dtype.elementType if src.is_array() else None
+
+        def pred(x: Column) -> Column:
+            old = self.lambda_vars.get(e.var)
+            self.lambda_vars[e.var] = TC(x, elem_t)
+            try:
+                return self.bool_col(e.where)
+            finally:
+                if old is None:
+                    self.lambda_vars.pop(e.var, None)
+                else:
+                    self.lambda_vars[e.var] = old
+
+        if e.kind == "all":
+            return TC(F.forall(src.col, pred), T.BooleanType())
+        if e.kind == "any":
+            return TC(F.exists(src.col, pred), T.BooleanType())
+        if e.kind == "none":
+            return TC(~F.exists(src.col, pred), T.BooleanType())
+        # single
+        return TC(F.size(F.filter(src.col, pred)) == 1, T.BooleanType())
+
+    # ---- function calls ----
+
+    def _c_FuncCall(self, e: A.FuncCall) -> TC:
+        name = e.name
+        if name in AGG_NAMES:
+            return self._agg(e)
+        handler = getattr(self, f"_f_{name}", None)
+        if handler is not None:
+            return handler(e)
+        return self._generic_func(e)
+
+    def _agg(self, e: A.FuncCall) -> TC:
+        name = e.name
+        if name == "count":
+            if e.star:
+                return TC(F.count(F.lit(1)), T.LongType())
+            arg = e.args[0]
+            ident = self.entity_id(arg)
+            col = ident if ident is not None else self.tc(arg).col
+            return TC(F.count_distinct(col) if e.distinct else F.count(col), T.LongType())
+        arg = self.tc(e.args[0])
+        col = arg.col
+        if name == "collect":
+            ident = None
+            if isinstance(e.args[0], A.Var):
+                b = self.scope.get(e.args[0].name)
+                if b is not None and b.kind in ("vertex", "edge"):
+                    ident = self.entity_struct(b)
+            c = ident if ident is not None else col
+            return TC(F.collect_set(c) if e.distinct else F.collect_list(c), T.ArrayType(arg.dtype or T.StringType()))
+        if name == "sum":
+            c = F.sum_distinct(col) if e.distinct else F.sum(col)
+            return TC(c, arg.dtype if arg.is_numeric() else T.DoubleType())
+        if name == "avg":
+            return TC(F.avg(col), T.DoubleType())
+        if name == "min":
+            return TC(F.min(col), arg.dtype)
+        if name == "max":
+            return TC(F.max(col), arg.dtype)
+        if name in ("stdev", "stddev", "stddev_samp"):
+            return TC(F.stddev_samp(col), T.DoubleType())
+        if name in ("stdevp", "stddev_pop"):
+            return TC(F.stddev_pop(col), T.DoubleType())
+        if name == "percentilecont":
+            p = self.tc(e.args[1]).col
+            return TC(F.percentile(col, p), T.DoubleType())
+        if name == "percentiledisc":
+            p = e.args[1].value if isinstance(e.args[1], A.Lit) else 0.5
+            return TC(F.percentile_approx(col, F.lit(p), F.lit(1000000)), arg.dtype)
+        raise NotImplementedError(name)
+
+    # entity functions ------------------------------------------------
+
+    def _entity_binding(self, arg: A.Expr) -> Binding | None:
+        if isinstance(arg, A.Var):
+            return self.scope.get(arg.name)
+        return None
+
+    def _f_id(self, e: A.FuncCall) -> TC:
+        b = self._entity_binding(e.args[0])
+        if b is not None and b.kind in ("vertex", "edge"):
+            return TC(F.col(f"{b.var}__id"), T.LongType())
+        return TC(self.tc(e.args[0]).col.getField("id"), T.LongType())
+
+    def _f_label(self, e: A.FuncCall) -> TC:
+        b = self._entity_binding(e.args[0])
+        if b is not None:
+            return TC(F.col(f"{b.var}__label"), T.StringType())
+        return TC(self.tc(e.args[0]).col.getField("label"), T.StringType())
+
+    _f_type = _f_label
+
+    def _f_labels(self, e: A.FuncCall) -> TC:
+        """label + ancestor closure (reference: vertex_labels, graph.c)."""
+        b = self._entity_binding(e.args[0])
+        if b is None:
+            raise ValueError("labels() needs a vertex variable")
+        lbl = F.col(f"{b.var}__label")
+        out = None
+        cands = b.labels or (self.catalog.vlabels() if self.catalog else [])
+        for name in cands:
+            closure = [name] + (self.catalog.ancestors(name) if self.catalog else [])
+            arr = F.array(*[F.lit(x) for x in closure])
+            out = F.when(lbl == name, arr) if out is None else out.when(lbl == name, arr)
+        return TC(out if out is not None else F.array(lbl), T.ArrayType(T.StringType()))
+
+    def _f_start(self, e: A.FuncCall) -> TC:
+        b = self._entity_binding(e.args[0])
+        if b is not None and b.kind == "edge":
+            return TC(F.col(f"{b.var}__start"), T.LongType())
+        return TC(self.tc(e.args[0]).col.getField("start"), T.LongType())
+
+    def _f_end(self, e: A.FuncCall) -> TC:
+        b = self._entity_binding(e.args[0])
+        if b is not None and b.kind == "edge":
+            return TC(F.col(f"{b.var}__end"), T.LongType())
+        return TC(self.tc(e.args[0]).col.getField("end"), T.LongType())
+
+    _f_startnode = _f_start
+    _f_endnode = _f_end
+
+    def _f_properties(self, e: A.FuncCall) -> TC:
+        b = self._entity_binding(e.args[0])
+        if b is not None and b.kind in ("vertex", "edge"):
+            if not b.props:
+                return TC(F.lit("{}"), T.StringType())
+            return TC(F.to_json(F.struct(*[F.col(f"{b.var}__{x}").alias(x) for x in b.props])), T.StringType())
+        return TC(self.tc(e.args[0]).col.getField("properties"), T.StringType())
+
+    def _f_keys(self, e: A.FuncCall) -> TC:
+        props = self._f_properties(e)
+        return TC(F.json_object_keys(props.col), T.ArrayType(T.StringType()))
+
+    # path functions ---------------------------------------------------
+
+    def _path_col(self, arg: A.Expr, suffix: str) -> Column:
+        if isinstance(arg, A.Var):
+            b = self.scope.get(arg.name)
+            if b is not None and b.kind == "path":
+                return F.col(f"{arg.name}__{suffix}")
+        raise ValueError("expected a path variable")
+
+    def _f_length(self, e: A.FuncCall) -> TC:
+        arg = e.args[0]
+        if isinstance(arg, A.Var):
+            b = self.scope.get(arg.name)
+            if b is not None and b.kind == "path":
+                return TC(F.col(f"{arg.name}__len"), T.LongType())
+        t = self.tc(arg)
+        if t.is_array():
+            return TC(F.size(t.col).cast("long"), T.LongType())
+        return TC(F.length(t.col.cast("string")).cast("long"), T.LongType())
+
+    def _f_nodes(self, e: A.FuncCall) -> TC:
+        return TC(self._path_col(e.args[0], "vids"), T.ArrayType(T.LongType()))
+
+    _f_vertices = _f_nodes
+
+    def _f_relationships(self, e: A.FuncCall) -> TC:
+        return TC(self._path_col(e.args[0], "eids"), T.ArrayType(T.LongType()))
+
+    _f_edges = _f_relationships
+
+    # scalar / list functions -----------------------------------------
+
+    def _f_size(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        if t.is_string():
+            return TC(F.length(t.col).cast("long"), T.LongType())
+        return TC(F.size(t.col).cast("long"), T.LongType())
+
+    def _f_head(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        return TC(F.element_at(t.col, 1), t.dtype.elementType if t.is_array() else None)
+
+    def _f_last(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        return TC(F.element_at(t.col, -1), t.dtype.elementType if t.is_array() else None)
+
+    def _f_tail(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        return TC(F.slice(t.col, 2, F.greatest(F.size(t.col) - 1, F.lit(0))), t.dtype)
+
+    def _f_range(self, e: A.FuncCall) -> TC:
+        args = [self.tc(a).col.cast("long") for a in e.args]
+        step = args[2] if len(args) > 2 else F.lit(1).cast("long")
+        return TC(F.sequence(args[0], args[1], step), T.ArrayType(T.LongType()))
+
+    def _f_coalesce(self, e: A.FuncCall) -> TC:
+        ts = [self.tc(a) for a in e.args]
+        return TC(F.coalesce(*[t.col for t in ts]), ts[0].dtype)
+
+    def _f_isempty(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        if t.is_string():
+            return TC(F.length(t.col) == 0, T.BooleanType())
+        return TC(F.size(t.col) == 0, T.BooleanType())
+
+    def _f_reverse(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        return TC(F.reverse(t.col), t.dtype)
+
+    def _f_exists(self, e: A.FuncCall) -> TC:
+        return TC(self.tc(e.args[0]).col.isNotNull(), T.BooleanType())
+
+    # casts ------------------------------------------------------------
+
+    def _f_tostring(self, e: A.FuncCall) -> TC:
+        return TC(self.tc(e.args[0]).col.cast("string"), T.StringType())
+
+    def _f_tointeger(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        return TC(t.col.cast("double").cast("long"), T.LongType())
+
+    _f_toint = _f_tointeger
+
+    def _f_tofloat(self, e: A.FuncCall) -> TC:
+        return TC(self.tc(e.args[0]).col.cast("double"), T.DoubleType())
+
+    def _f_toboolean(self, e: A.FuncCall) -> TC:
+        return TC(self.tc(e.args[0]).col.cast("boolean"), T.BooleanType())
+
+    # strings ----------------------------------------------------------
+
+    def _f_toupper(self, e: A.FuncCall) -> TC:
+        return TC(F.upper(self.tc(e.args[0]).col.cast("string")), T.StringType())
+
+    _f_upper = _f_toupper
+
+    def _f_tolower(self, e: A.FuncCall) -> TC:
+        return TC(F.lower(self.tc(e.args[0]).col.cast("string")), T.StringType())
+
+    _f_lower = _f_tolower
+
+    def _f_trim(self, e: A.FuncCall) -> TC:
+        return TC(F.trim(self.tc(e.args[0]).col.cast("string")), T.StringType())
+
+    def _f_ltrim(self, e: A.FuncCall) -> TC:
+        return TC(F.ltrim(self.tc(e.args[0]).col.cast("string")), T.StringType())
+
+    def _f_rtrim(self, e: A.FuncCall) -> TC:
+        return TC(F.rtrim(self.tc(e.args[0]).col.cast("string")), T.StringType())
+
+    def _f_replace(self, e: A.FuncCall) -> TC:
+        s, frm, to = (self.tc(a).col.cast("string") for a in e.args)
+        return TC(F.replace(s, frm, to), T.StringType())
+
+    def _f_split(self, e: A.FuncCall) -> TC:
+        s, d = self.tc(e.args[0]).col.cast("string"), e.args[1]
+        import re as _re
+        delim = _re.escape(d.value) if isinstance(d, A.Lit) else self.tc(d).col
+        return TC(F.split(s, delim), T.ArrayType(T.StringType()))
+
+    def _f_left(self, e: A.FuncCall) -> TC:
+        s, n = self.tc(e.args[0]).col.cast("string"), self.tc(e.args[1]).col.cast("int")
+        return TC(F.substring(s, 1, n), T.StringType())
+
+    def _f_right(self, e: A.FuncCall) -> TC:
+        s, n = self.tc(e.args[0]).col.cast("string"), self.tc(e.args[1]).col.cast("int")
+        return TC(s.substr(F.length(s) - n + 1, n), T.StringType())
+
+    def _f_substring(self, e: A.FuncCall) -> TC:
+        """Cypher substring is 0-based (reference:
+        parse_cypher_expr.c:929-962 adjusts the start index)."""
+        s = self.tc(e.args[0]).col.cast("string")
+        start = self.tc(e.args[1]).col.cast("int") + 1
+        if len(e.args) > 2:
+            return TC(s.substr(start, self.tc(e.args[2]).col.cast("int")), T.StringType())
+        return TC(s.substr(start, F.length(s)), T.StringType())
+
+    # math -------------------------------------------------------------
+
+    def _num1(self, e: A.FuncCall, fn, out=T.DoubleType()) -> TC:
+        return TC(fn(self.tc(e.args[0]).col.cast("double")), out)
+
+    def _f_abs(self, e: A.FuncCall) -> TC:
+        t = self.tc(e.args[0])
+        return TC(F.abs(t.col), t.dtype)
+
+    def _f_ceil(self, e: A.FuncCall) -> TC:
+        return TC(F.ceil(self.tc(e.args[0]).col.cast("double")).cast("double"), T.DoubleType())
+
+    def _f_floor(self, e: A.FuncCall) -> TC:
+        return TC(F.floor(self.tc(e.args[0]).col.cast("double")).cast("double"), T.DoubleType())
+
+    def _f_round(self, e: A.FuncCall) -> TC:
+        c = self.tc(e.args[0]).col
+        n = self.tc(e.args[1]).col if len(e.args) > 1 else F.lit(0)
+        if isinstance(e.args[1] if len(e.args) > 1 else A.Lit(0), A.Lit):
+            scale = e.args[1].value if len(e.args) > 1 else 0
+            return TC(F.round(c, scale), T.DoubleType())
+        return TC(F.round(c, 0), T.DoubleType())
+
+    def _f_sign(self, e: A.FuncCall) -> TC:
+        return self._num1(e, F.signum)
+
+    def _f_sqrt(self, e: A.FuncCall) -> TC:
+        return self._num1(e, F.sqrt)
+
+    def _f_exp(self, e: A.FuncCall) -> TC:
+        return self._num1(e, F.exp)
+
+    def _f_log(self, e: A.FuncCall) -> TC:
+        return self._num1(e, F.log)  # Cypher log = natural log (ln alias, parse_cypher_expr.c:894)
+
+    _f_ln = _f_log
+
+    def _f_log10(self, e: A.FuncCall) -> TC:
+        return self._num1(e, F.log10)
+
+    def _f_sin(self, e): return self._num1(e, F.sin)
+    def _f_cos(self, e): return self._num1(e, F.cos)
+    def _f_tan(self, e): return self._num1(e, F.tan)
+    def _f_cot(self, e): return self._num1(e, lambda c: 1.0 / F.tan(c))
+    def _f_asin(self, e): return self._num1(e, F.asin)
+    def _f_acos(self, e): return self._num1(e, F.acos)
+    def _f_atan(self, e): return self._num1(e, F.atan)
+    def _f_degrees(self, e): return self._num1(e, F.degrees)
+    def _f_radians(self, e): return self._num1(e, F.radians)
+
+    def _f_atan2(self, e: A.FuncCall) -> TC:
+        return TC(F.atan2(self.tc(e.args[0]).col.cast("double"), self.tc(e.args[1]).col.cast("double")), T.DoubleType())
+
+    def _f_pi(self, e: A.FuncCall) -> TC:
+        import math
+        return TC(F.lit(math.pi), T.DoubleType())
+
+    def _f_e(self, e: A.FuncCall) -> TC:
+        import math
+        return TC(F.lit(math.e), T.DoubleType())
+
+    def _f_rand(self, e: A.FuncCall) -> TC:
+        return TC(F.rand(), T.DoubleType())
+
+    def _f_timestamp(self, e: A.FuncCall) -> TC:
+        return TC((F.unix_timestamp(F.current_timestamp()) * 1000).cast("long"), T.LongType())
+
+    def _generic_func(self, e: A.FuncCall) -> TC:
+        """Fallback: any pyspark.sql.functions name (SQL-side surface)."""
+        fn = getattr(F, e.name, None)
+        if fn is None:
+            raise NotImplementedError(f"function {e.name!r} not supported")
+        return TC(fn(*[self.tc(a).col for a in e.args]), None)
+
+
+def _sql(col: Column) -> str:  # pragma: no cover - debug helper
+    return str(col)

@@ -1,0 +1,125 @@
+"""Graph: a catalog + one DataFrame per label.
+
+The runtime unit the Cypher compiler queries against. Label DataFrames
+carry the canonical base columns plus typed property columns
+(SURVEY.md §1.5 mapping):
+
+- vertex label df: ``id: long`` + props
+- edge label df:   ``id: long, start: long, end: long`` + props
+
+A scan of label L includes L's inheritance subtree (reference semantics:
+MATCH (n:parent) sees child rows — src/backend/commands/graphcmds.c
+AgInheritanceDependancy; ``ONLY`` restricts to L). Here that is a
+``unionByName(allowMissingColumns=True)`` over the descendant
+DataFrames, each stamped with its concrete label name — Catalyst
+pushes filters/pruning into every branch of the union.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agensgraph_spark.catalog import GraphCatalog
+
+BASE_V_COLS = ["id"]
+BASE_E_COLS = ["id", "start", "end"]
+
+
+class Graph:
+    def __init__(self, catalog: GraphCatalog, frames: dict[str, DataFrame] | None = None):
+        self.catalog = catalog
+        self.frames: dict[str, DataFrame] = dict(frames or {})
+
+    # ---- registration ----
+
+    def set_label_df(self, label: str, df: DataFrame) -> None:
+        if label not in self.catalog.labels:
+            raise ValueError(f"label {label!r} not in catalog")
+        self.frames[label] = df
+
+    def label_df(self, label: str) -> DataFrame:
+        return self.frames[label]
+
+    # ---- scans ----
+
+    def _stamped(self, label: str) -> DataFrame:
+        meta = self.catalog.labels[label]
+        df = self.frames[label]
+        base = BASE_V_COLS if meta.kind == "v" else BASE_E_COLS
+        cols = [F.col(c) for c in base] + [F.lit(label).alias("label")]
+        cols += [F.col(p) for p in meta.props if p in df.columns]
+        return df.select(*cols)
+
+    def _union(self, labels: Iterable[str]) -> DataFrame:
+        labels = list(labels)
+        if not labels:
+            raise ValueError("empty label set")
+        out = None
+        for lbl in labels:
+            part = self._stamped(lbl)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        return out
+
+    def vertices(self, label: str | None = None, only: bool = False) -> DataFrame:
+        """All vertices of a label (incl. inheritance subtree) or of the graph."""
+        if label is None:
+            return self._union(self.catalog.vlabels())
+        labels = [label] if only else self.catalog.descendants(label)
+        return self._union(labels)
+
+    def edges(self, label: str | None = None, only: bool = False) -> DataFrame:
+        if label is None:
+            return self._union(self.catalog.elabels())
+        labels = [label] if only else self.catalog.descendants(label)
+        return self._union(labels)
+
+    def edges_multi(self, labels: list[str]) -> DataFrame:
+        """Union scan for multi-type edge patterns ``[:A|B]`` (reference:
+        genEdgeUnion, src/backend/parser/parse_graph.c:2100)."""
+        expanded: list[str] = []
+        for lbl in labels:
+            for d in self.catalog.descendants(lbl):
+                if d not in expanded:
+                    expanded.append(d)
+        return self._union(expanded)
+
+    # ---- property document view (jsonb parity) ----
+
+    def props_json(self, label: str) -> DataFrame:
+        """Label df with a ``properties`` JSON column reconstructed from
+        the typed columns — the reference's jsonb document shape."""
+        meta = self.catalog.labels[label]
+        df = self.frames[label]
+        present = [p for p in meta.props if p in df.columns]
+        doc = F.to_json(F.struct(*[F.col(p) for p in present])) if present else F.lit("{}")
+        return df.withColumn("properties", doc)
+
+    # ---- SQL interop (reference: Cypher results usable as SQL relations) ----
+
+    def register_views(self, spark: SparkSession, prefix: str | None = None) -> None:
+        pre = f"{prefix}_" if prefix else f"{self.catalog.name}_"
+        for lbl in self.catalog.labels:
+            self._stamped(lbl).createOrReplaceTempView(f"{pre}{lbl}")
+
+    # ---- persistence: immutable snapshot model ----
+
+    def write_snapshot(self, root: str) -> None:
+        """Write every label as Parquet partitioned for scale: vertices
+        bucket-friendly by id, edges repartitioned by ``start`` so
+        out-edge expansion joins co-locate."""
+        self.catalog.save(root)
+        for lbl, df in self.frames.items():
+            meta = self.catalog.labels[lbl]
+            path = f"{root}/{self.catalog.name}/{meta.kind}_{lbl}"
+            df.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def read_snapshot(cls, spark: SparkSession, root: str, name: str) -> "Graph":
+        cat = GraphCatalog.load(root, name)
+        g = cls(cat)
+        for lbl, meta in cat.labels.items():
+            g.frames[lbl] = spark.read.parquet(f"{root}/{name}/{meta.kind}_{lbl}")
+        return g

@@ -1,0 +1,146 @@
+"""Derive the TPC-H-ish property graph from the driver's Parquet tables.
+
+Mapping per FIXTURES.md §7 (labids fixed: customer=1 supplier=2 part=3
+orders=4 nation=5 region=6; placed=17 contains=18 supplies=19
+in_nation=20 in_region=21; vertex locid = source primary key).
+
+Edge locids are **deterministic key-packings** of the source rows, not
+global sequences: `monotonically_increasing_id()` or row_number() over a
+global window would either be partition-layout-dependent or force a
+single-partition sort — neither survives a 1000-executor cluster. Key
+packing is embarrassingly parallel and reproducible run-to-run:
+
+- placed:    locid = o_orderkey                    (1 edge per order)
+- contains:  locid = l_orderkey * 64 + l_linenumber (1 edge per lineitem)
+- supplies:  locid = l_suppkey << 24 | l_partkey    (distinct pairs)
+- in_nation: locid = key*2 (+1 for suppliers)       (customer|supplier)
+- in_region: locid = n_nationkey
+
+48 locid bits bound the scale: orderkey < 2^42, suppkey/partkey < 2^24.
+At TPC-H sf100k (100 TB) orderkey tops out ~1.5e11 < 2^42 — fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agensgraph_spark.catalog import GraphCatalog
+from agensgraph_spark.graph import Graph
+from agensgraph_spark.graphid import graphid_col
+
+VLABIDS = {"customer": 1, "supplier": 2, "part": 3, "orders": 4, "nation": 5, "region": 6}
+ELABIDS = {"placed": 17, "contains": 18, "supplies": 19, "in_nation": 20, "in_region": 21}
+
+VPROPS = {
+    "customer": {"c_custkey": "bigint", "c_name": "string", "c_acctbal": "double", "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "bigint", "s_name": "string", "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_name": "string", "p_brand": "string", "p_type": "string", "p_retailprice": "double"},
+    "orders": {"o_orderkey": "bigint", "o_orderdate": "timestamp", "o_totalprice": "double", "o_orderstatus": "string"},
+    "nation": {"n_nationkey": "bigint", "n_name": "string"},
+    "region": {"r_regionkey": "bigint", "r_name": "string"},
+}
+EPROPS = {
+    "placed": {},
+    "contains": {"l_quantity": "double", "l_extendedprice": "double", "l_discount": "double", "l_returnflag": "string"},
+    "supplies": {},
+    "in_nation": {},
+    "in_region": {},
+}
+
+_VKEY = {
+    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "orders": "o_orderkey", "nation": "n_nationkey", "region": "r_regionkey",
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tpch_catalog() -> GraphCatalog:
+    cat = GraphCatalog("tpch")
+    for name, labid in VLABIDS.items():
+        cat.create_vlabel(name, labid=labid, props=VPROPS[name])
+    for name, labid in ELABIDS.items():
+        cat.create_elabel(name, labid=labid, props=EPROPS[name])
+    return cat
+
+
+def build_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Lazy DataFrames end-to-end — nothing materializes until a query runs,
+    so Catalyst prunes unused labels/columns out of each query's plan."""
+    cat = tpch_catalog()
+    g = Graph(cat)
+    t = {name: read_table(spark, sf_dir, name) for name in
+         ("customer", "supplier", "part", "orders", "nation", "region", "lineitem")}
+
+    # vertices: id = labid<<48 | primary key; typed prop columns as-is
+    for name, labid in VLABIDS.items():
+        src = t[name]
+        key = _VKEY[name]
+        cols = [graphid_col(labid, F.col(key)).alias("id")]
+        cols += [F.col(p).cast(dt).alias(p) for p, dt in VPROPS[name].items()]
+        g.set_label_df(name, src.select(*cols))
+
+    li, orders, cust, supp, nation = t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+
+    placed = orders.select(
+        graphid_col(ELABIDS["placed"], F.col("o_orderkey")).alias("id"),
+        graphid_col(VLABIDS["customer"], F.col("o_custkey")).alias("start"),
+        graphid_col(VLABIDS["orders"], F.col("o_orderkey")).alias("end"),
+    )
+    g.set_label_df("placed", placed)
+
+    contains = li.select(
+        graphid_col(ELABIDS["contains"], F.col("l_orderkey") * 64 + F.col("l_linenumber")).alias("id"),
+        graphid_col(VLABIDS["orders"], F.col("l_orderkey")).alias("start"),
+        graphid_col(VLABIDS["part"], F.col("l_partkey")).alias("end"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_returnflag").alias("l_returnflag"),
+    )
+    g.set_label_df("contains", contains)
+
+    supplies = (
+        li.select("l_suppkey", "l_partkey").distinct()
+        .select(
+            graphid_col(ELABIDS["supplies"], F.shiftleft(F.col("l_suppkey"), 24) + F.col("l_partkey")).alias("id"),
+            graphid_col(VLABIDS["supplier"], F.col("l_suppkey")).alias("start"),
+            graphid_col(VLABIDS["part"], F.col("l_partkey")).alias("end"),
+        )
+    )
+    g.set_label_df("supplies", supplies)
+
+    in_nation = (
+        cust.select(
+            graphid_col(ELABIDS["in_nation"], F.col("c_custkey") * 2).alias("id"),
+            graphid_col(VLABIDS["customer"], F.col("c_custkey")).alias("start"),
+            graphid_col(VLABIDS["nation"], F.col("c_nationkey")).alias("end"),
+        )
+        .unionByName(
+            supp.select(
+                graphid_col(ELABIDS["in_nation"], F.col("s_suppkey") * 2 + 1).alias("id"),
+                graphid_col(VLABIDS["supplier"], F.col("s_suppkey")).alias("start"),
+                graphid_col(VLABIDS["nation"], F.col("s_nationkey")).alias("end"),
+            )
+        )
+    )
+    g.set_label_df("in_nation", in_nation)
+
+    in_region = nation.select(
+        graphid_col(ELABIDS["in_region"], F.col("n_nationkey")).alias("id"),
+        graphid_col(VLABIDS["nation"], F.col("n_nationkey")).alias("start"),
+        graphid_col(VLABIDS["region"], F.col("n_regionkey")).alias("end"),
+    )
+    g.set_label_df("in_region", in_region)
+    return g
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the raw relational tables as temp views (SQL side of the
+    hybrid engine — the reference runs full SQL beside Cypher)."""
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

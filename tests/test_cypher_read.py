@@ -1,0 +1,156 @@
+"""Read-query tests against the TPC-H graph at sf0.001, cross-checked
+with handwritten DataFrame/SQL equivalents (the differential strategy
+from SURVEY.md §5)."""
+
+from pyspark.sql import functions as F
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_one_hop_filter(engine, spark):
+    got = engine.cypher(
+        "MATCH (c:customer)-[:placed]->(o:orders) WHERE o.o_totalprice > 450000 "
+        "RETURN c.c_custkey AS ckey, o.o_orderkey AS okey ORDER BY okey"
+    )
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exp = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+           .filter(F.col("o_totalprice") > 450000)
+           .select(F.col("c_custkey").alias("ckey"), F.col("o_orderkey").alias("okey"))
+           .orderBy("okey"))
+    assert rows(got) == rows(exp)
+
+
+def test_two_hop_agg(engine, spark):
+    got = engine.cypher(
+        "MATCH (c:customer)-[:placed]->(o:orders)-[:contains]->(p:part) "
+        "RETURN c.c_custkey AS ckey, count(*) AS n ORDER BY ckey"
+    )
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exp = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+           .join(li, orders.o_orderkey == li.l_orderkey)
+           .groupBy(F.col("c_custkey").alias("ckey")).agg(F.count(F.lit(1)).alias("n"))
+           .orderBy("ckey"))
+    assert rows(got) == rows(exp)
+
+
+def test_optional_match_counts_nulls(engine, spark):
+    got = engine.cypher(
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:placed]->(o:orders) "
+        "RETURN c.c_custkey AS ckey, count(o) AS n ORDER BY ckey"
+    )
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exp = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+           .groupBy(F.col("c_custkey").alias("ckey")).agg(F.count("o_orderkey").alias("n"))
+           .orderBy("ckey"))
+    assert rows(got) == rows(exp)
+
+
+def test_vle_depths(engine):
+    got = engine.cypher(
+        "MATCH (c:customer {c_custkey: 1})-[e:in_nation|in_region*1..2]->(x) "
+        "RETURN length(e) AS hops ORDER BY hops"
+    )
+    # custkey 1 → its nation (1 hop) → that nation's region (2 hops)
+    assert [r.hops for r in got.collect()] == [1, 2]
+
+
+def test_undirected_edge(engine):
+    got = engine.cypher(
+        "MATCH (n:nation {n_nationkey: 0})-[:in_region]-(x) RETURN x.id AS xid"
+    )
+    # undirected sees the region (outgoing) only — no incoming in_region to a nation
+    assert got.count() == 1
+
+
+def test_shortestpath_two_hops(engine):
+    got = engine.cypher(
+        "MATCH (c:customer {c_custkey: 1}), (r:region) "
+        "MATCH p = shortestpath((c)-[:in_nation|in_region*..4]->(r)) "
+        "RETURN length(p) AS hops"
+    )
+    assert [r.hops for r in got.collect()] == [2]
+
+
+def test_distinct_union(engine):
+    got = engine.cypher(
+        "MATCH (n:nation) RETURN n.n_name AS name UNION MATCH (n:nation) RETURN n.n_name AS name"
+    )
+    assert got.count() == 25
+
+
+def test_with_where_pipeline(engine):
+    got = engine.cypher(
+        "MATCH (c:customer)-[:placed]->(o:orders) "
+        "WITH c, count(o) AS n WHERE n >= 10 "
+        "RETURN c.c_custkey AS ckey, n ORDER BY n DESC, ckey LIMIT 5"
+    )
+    out = got.collect()
+    assert len(out) == 5
+    assert all(r.n >= 10 for r in out)
+    assert out[0].n >= out[-1].n
+
+
+def test_unwind_expressions(engine):
+    got = engine.cypher("UNWIND range(1, 5) AS x WITH x WHERE x % 2 = 1 RETURN x * x AS sq ORDER BY sq")
+    assert [r.sq for r in got.collect()] == [1, 9, 25]
+
+
+def test_edge_uniqueness(engine):
+    # two edges in one MATCH must differ (reference: addQualUniqueEdges)
+    got = engine.cypher(
+        "MATCH (a:nation {n_nationkey: 0})-[e1:in_region]->(r)<-[e2:in_region]-(b:nation) "
+        "RETURN count(*) AS n"
+    )
+    n_same_region = engine.cypher(
+        "MATCH (a:nation {n_nationkey: 0})-[:in_region]->(r) MATCH (b:nation)-[:in_region]->(r) "
+        "RETURN count(*) AS n"
+    )
+    assert got.collect()[0].n == n_same_region.collect()[0].n - 1  # excludes e1 = e2
+
+
+def test_entity_functions(engine):
+    got = engine.cypher(
+        "MATCH (c:customer {c_custkey: 1})-[e:in_nation]->(n:nation) "
+        "RETURN id(c) AS cid, label(c) AS clabel, type(e) AS et, start(e) AS s, properties(n) AS props"
+    )
+    r = got.collect()[0]
+    assert r.clabel == "customer" and r.et == "in_nation"
+    assert r.s == r.cid
+    assert '"n_nationkey"' in r.props
+
+
+def test_string_predicates(engine):
+    got = engine.cypher(
+        "MATCH (p:part) WHERE p.p_name STARTS WITH 'a' AND p.p_name CONTAINS 'e' "
+        "RETURN count(*) AS n"
+    )
+    exp = engine.cypher(
+        "MATCH (p:part) WHERE p.p_name =~ 'a.*e.*' RETURN count(*) AS n"
+    )
+    assert got.collect()[0].n == exp.collect()[0].n
+
+
+def test_collect_and_list_ops(engine):
+    got = engine.cypher(
+        "MATCH (r:region)<-[:in_region]-(n:nation) "
+        "WITH r, collect(n.n_name) AS names "
+        "RETURN r.r_name AS rname, size(names) AS n ORDER BY rname"
+    )
+    out = got.collect()
+    assert sum(r.n for r in out) == 25
+    assert len(out) == 5
+
+
+def test_case_in_null(engine):
+    got = engine.cypher(
+        "MATCH (o:orders) RETURN CASE WHEN o.o_totalprice > 250000 THEN 'big' ELSE 'small' END AS bucket, "
+        "count(*) AS n ORDER BY bucket"
+    )
+    out = got.collect()
+    assert [r.bucket for r in out] == ["big", "small"]
