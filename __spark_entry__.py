@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-hop graph query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the full declared workload
+(graph/Cypher, relational SQL, and pipeline operators) — definitions
+live in ``agensgraph_spark.workload``.
 """
 
 from __future__ import annotations
@@ -13,26 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from agensgraph_spark import workload
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: 2-hop Cypher MATCH with aggregation over the
+    property graph derived from /root/testdata/sf0.001."""
+    eng = workload._engine(spark, "/root/testdata/sf0.001")
+    return eng.cypher(
+        "MATCH (c:customer)-[:placed]->(o:orders)-[x:contains]->(p:part) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n_items, "
+        "round(sum(x.l_quantity), 2) AS total_qty "
+        "ORDER BY n_items DESC"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return workload.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return workload.all_oracles()

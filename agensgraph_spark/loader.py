@@ -55,7 +55,12 @@ _VKEY = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong);
+        # values are micro-precision so the conversion is exact
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
 
 
 def tpch_catalog() -> GraphCatalog:

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — one (broadcast) join
+  of the query set against the corpus, dot products via zip_with/
+  aggregate (JVM-side), window top-k;
+- LSH-bucketed ANN: random-hyperplane signatures shrink the candidate
+  set; buckets join instead of cross product — the 100 TB path.
+
+Hyperplanes are generated from a fixed seed so results are
+deterministic run-to-run and cluster-layout-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (query set is broadcast —
+    the corpus is never shuffled). Excludes self-pairs. Ties broken by
+    neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign bits packed into one long per 64 planes
+    (here n_planes <= 32 → a single long)."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        sig = sig + (d > 0).cast("long") * F.lit(1 << j)
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing a full signature in
+    any of ``n_tables`` hyperplane tables, then exact cosine re-rank.
+    The bucket join replaces the cross product — candidate count is
+    |bucket| not |corpus|."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        cb = c.select("neighbor_id", lsh_signature(F.col("cv"), planes).alias("sig"))
+        qb = q.select("query_id", lsh_signature(F.col("qv"), planes).alias("sig"))
+        pairs = cb.join(F.broadcast(qb), "sig").select("query_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct().filter(F.col("query_id") != F.col("neighbor_id"))
+
+    scored = (cand.join(q, "query_id").join(c, "neighbor_id")
+              .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+                    F.col("rank").cast("long").alias("rank")))

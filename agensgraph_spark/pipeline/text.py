@@ -1,0 +1,98 @@
+"""Text analysis operators over a document table.
+
+All pure `pyspark.sql.functions` column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs in any hot path. Each operator
+is deterministic so a SQL oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A deliberately simple, SQL-replayable stopword inventory per language.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")) \
+            .otherwise(F.size(F.split(t, r"\s+")).cast("long"))
+
+
+def substr_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring (length-difference trick —
+    exact, engine-portable)."""
+    return ((F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document counts: chars, tokens, punctuation, digits, 'the'."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))).cast("long").alias("n_punct"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long").alias("n_digits"),
+        substr_count(t, "the").alias("n_the"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: token/char shape signals, scaled to
+    integer basis points to stay engine-exact (no float rounding drift)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    mean_tok_len_x100 = F.when(n_tokens > 0, F.floor((n_chars - n_tokens + 1) * 100 / n_tokens).cast("long")).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len_x100.alias("mean_token_len_x100"),
+        (n_tokens >= 10).cast("boolean").alias("len_ok"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram-marker language vote: count per-language stopword hits
+    (substring occurrences with word boundaries approximated by spaces),
+    pick argmax with 'unk' fallback."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {lang: sum_cols([substr_count(t, f" {w} ") for w in words])
+              for lang, words in LANG_MARKERS.items()}
+    best = None
+    best_score = None
+    for lang, score in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            swap = score > best_score
+            best = F.when(swap, F.lit(lang)).otherwise(best)
+            best_score = F.when(swap, score).otherwise(best_score)
+    pred = F.when(best_score > 0, best).otherwise(F.lit("unk"))
+    return df.select(F.col(id_col), pred.alias("lang_pred"), best_score.cast("long").alias("lang_hits"))
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprints: md5 (engine-portable) +
+    xxhash64 (Spark-native 64-bit, used by dedup internals)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(t.cast("binary")).alias("md5"),
+        F.xxhash64(t).alias("xxh64"),
+    )

@@ -28,5 +28,8 @@ def get_spark(app_name: str = "agensgraph_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores TIMESTAMP(NANOS) parquet (events.ts);
+        # read as long and convert in the loader (values are micro-precision)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

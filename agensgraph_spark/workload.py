@@ -1,0 +1,385 @@
+"""The declared operator workload: every entry pairs a Spark
+implementation with a DuckDB oracle (where SQL-expressible) for the
+driver's correctness gate (`__spark_entry__.py`).
+
+Conventions keeping Spark and DuckDB hash-identical:
+- integer ids/counts cast to BIGINT on both sides;
+- aggregated doubles go through DECIMAL(18,2) accumulation (exact) and
+  cast to DOUBLE at the end — double sums in different orders are NOT
+  reproducible, exact decimal sums are;
+- LIMIT always rides a deterministic tiebreak;
+- timestamps are formatted to strings before returning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agensgraph_spark.cypher.compiler import CypherEngine
+from agensgraph_spark.loader import build_tpch_graph, read_table, register_tables
+from agensgraph_spark.pipeline import dedup as D
+from agensgraph_spark.pipeline import similarity as S
+from agensgraph_spark.pipeline import text as TX
+
+_ENGINES: dict[tuple, CypherEngine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
+    key = (id(spark), sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = CypherEngine(spark, build_tpch_graph(spark, sf_dir))
+        _ENGINES[key] = eng
+    return eng
+
+
+def _cypher(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).cypher(text)
+    return fn
+
+
+def _sparksql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(sql)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Graph queries (Cypher engine); oracles re-derive the same answer from
+# the raw relational tables the graph was loaded from (FIXTURES.md §7).
+# graphid constants: labid << 48 (nation=5, region=6).
+_NATION_BASE = 5 << 48
+_REGION_BASE = 6 << 48
+
+GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
+    "cy_match_1hop": (
+        "MATCH (c:customer)-[:placed]->(o:orders) WHERE o.o_totalprice > 400000 "
+        "RETURN c.c_custkey AS ckey, c.c_name AS cname, o.o_orderkey AS okey, o.o_totalprice AS total",
+        "SELECT c_custkey AS ckey, c_name AS cname, o_orderkey AS okey, o_totalprice AS total "
+        "FROM customer JOIN orders ON o_custkey = c_custkey WHERE o_totalprice > 400000",
+    ),
+    "cy_match_2hop_agg": (
+        "MATCH (c:customer)-[:placed]->(o:orders)-[:contains]->(p:part) "
+        "RETURN c.c_custkey AS ckey, count(*) AS n_items",
+        "SELECT c_custkey AS ckey, count(*) AS n_items FROM customer "
+        "JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN part ON p_partkey = l_partkey GROUP BY c_custkey",
+    ),
+    "cy_optional_match": (
+        "MATCH (c:customer) OPTIONAL MATCH (c)-[:placed]->(o:orders) "
+        "RETURN c.c_custkey AS ckey, count(o) AS n_orders",
+        "SELECT c_custkey AS ckey, count(o_orderkey) AS n_orders FROM customer "
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey",
+    ),
+    "cy_vle_reach": (
+        "MATCH (c:customer)-[e:in_nation|in_region*1..2]->(x) WHERE c.c_custkey < 100 "
+        "RETURN c.c_custkey AS ckey, length(e) AS hops, x.id AS xid",
+        f"SELECT c_custkey AS ckey, CAST(1 AS BIGINT) AS hops, {_NATION_BASE} + c_nationkey AS xid "
+        "FROM customer WHERE c_custkey < 100 "
+        "UNION ALL "
+        f"SELECT c_custkey AS ckey, CAST(2 AS BIGINT) AS hops, {_REGION_BASE} + n_regionkey AS xid "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 100",
+    ),
+    "cy_order_limit": (
+        "MATCH (o:orders) RETURN o.o_orderkey AS okey, o.o_totalprice AS total "
+        "ORDER BY total DESC, okey LIMIT 10",
+        "SELECT o_orderkey AS okey, o_totalprice AS total FROM orders "
+        "ORDER BY total DESC, okey LIMIT 10",
+    ),
+    "cy_string_pred": (
+        "MATCH (p:part) WHERE p.p_name STARTS WITH 's' AND p.p_name CONTAINS 'g' "
+        "RETURN p.p_partkey AS pkey, p.p_name AS pname",
+        "SELECT p_partkey AS pkey, p_name AS pname FROM part "
+        "WHERE p_name LIKE 's%' AND p_name LIKE '%g%'",
+    ),
+    "cy_union": (
+        "MATCH (n:nation) RETURN n.n_name AS name UNION MATCH (r:region) RETURN r.r_name AS name",
+        "SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region",
+    ),
+    "cy_unwind": (
+        "UNWIND range(1, 100) AS x WITH x WHERE x % 7 = 3 RETURN x, x * x AS sq",
+        "SELECT x, x * x AS sq FROM (SELECT CAST(range AS BIGINT) AS x FROM range(1, 101)) WHERE x % 7 = 3",
+    ),
+    "cy_agg_stats": (
+        "MATCH (c:customer) RETURN c.c_mktsegment AS seg, count(*) AS n, "
+        "min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal, "
+        "round(sum(c.c_acctbal), 2) AS sum_bal",
+        "SELECT c_mktsegment AS seg, count(*) AS n, min(c_acctbal) AS min_bal, "
+        "max(c_acctbal) AS max_bal, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal "
+        "FROM customer GROUP BY c_mktsegment",
+    ),
+    "cy_case_bucket": (
+        "MATCH (o:orders) RETURN CASE WHEN o.o_totalprice >= 300000 THEN 'big' "
+        "WHEN o.o_totalprice >= 100000 THEN 'mid' ELSE 'small' END AS bucket, count(*) AS n",
+        "SELECT CASE WHEN o_totalprice >= 300000 THEN 'big' "
+        "WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'small' END AS bucket, count(*) AS n "
+        "FROM orders GROUP BY 1",
+    ),
+    "cy_shortestpath": (
+        "MATCH (c:customer), (r:region) WHERE c.c_custkey < 50 "
+        "MATCH p = shortestpath((c)-[:in_nation|in_region*..3]->(r)) "
+        "RETURN c.c_custkey AS ckey, r.r_regionkey AS rkey, length(p) AS hops",
+        "SELECT c_custkey AS ckey, CAST(n_regionkey AS BIGINT) AS rkey, CAST(2 AS BIGINT) AS hops "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 50",
+    ),
+    "cy_multi_hop_region": (
+        "MATCH (s:supplier)-[:in_nation]->(n:nation)-[:in_region]->(r:region) "
+        "WHERE r.r_name = 'ASIA' RETURN s.s_suppkey AS skey, n.n_name AS nname",
+        "SELECT s_suppkey AS skey, n_name AS nname FROM supplier "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'",
+    ),
+    "cy_distinct_nations": (
+        "MATCH (c:customer)-[:in_nation]->(n:nation) WHERE c.c_acctbal > 9000 "
+        "RETURN DISTINCT n.n_name AS nname",
+        "SELECT DISTINCT n_name AS nname FROM customer "
+        "JOIN nation ON n_nationkey = c_nationkey WHERE c_acctbal > 9000",
+    ),
+    "cy_with_having": (
+        "MATCH (c:customer)-[:placed]->(o:orders) WITH c, count(o) AS n WHERE n >= 12 "
+        "RETURN c.c_custkey AS ckey, n",
+        "SELECT c_custkey AS ckey, count(o_orderkey) AS n FROM customer "
+        "JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey HAVING count(o_orderkey) >= 12",
+    ),
+    "cy_edge_props": (
+        "MATCH (o:orders)-[x:contains]->(p:part) WHERE x.l_returnflag = 'R' AND x.l_quantity >= 49 "
+        "RETURN o.o_orderkey AS okey, p.p_partkey AS pkey, x.l_quantity AS qty",
+        "SELECT l_orderkey AS okey, l_partkey AS pkey, l_quantity AS qty FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "WHERE l_returnflag = 'R' AND l_quantity >= 49",
+    ),
+}
+
+# ---------------------------------------------------------------------------
+# Relational engine (the SQL half of the hybrid surface). The same text
+# runs on Spark SQL and DuckDB.
+
+SQL_QUERIES: dict[str, str] = {
+    "sql_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "sql_tpch_q3": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderpriority
+    """,
+    "sql_tpch_q5": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "sql_window_rank": """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+            FROM orders
+        ) t WHERE rnk <= 3
+    """,
+    "sql_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "sql_setops": """
+        SELECT o_custkey AS k FROM orders
+        INTERSECT
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    """,
+    "sql_exists_semijoin": """
+        SELECT c_custkey AS ckey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 450000)
+    """,
+    "sql_events_hourly": """
+        SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
+               EXTRACT(hour FROM ts) AS hr,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+}
+
+# DuckDB-side text tweaks where dialects diverge.
+SQL_ORACLE_OVERRIDES: dict[str, str] = {
+    "sql_events_hourly": """
+        SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+}
+
+# ---------------------------------------------------------------------------
+# Pipeline operators (dedup / text / similarity)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"]).select(
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("n_copies").cast("long").alias("n_copies"))
+
+
+def _q_dedup_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["lang", "source"]).select(
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("n_copies").cast("long").alias("n_copies"))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(read_table(spark, sf_dir, "documents")).select("doc_id", "md5")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def _q_jaccard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_char_pairs(read_table(spark, sf_dir, "documents"), max_id=40)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs)
+    return D.ngram_jaccard_pairs(cands, docs, threshold=0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(read_table(spark, sf_dir, "documents"))
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.brute_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "dedup_exact": (_q_dedup_exact,
+        "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"),
+    "dedup_bykey": (_q_dedup_bykey,
+        "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY lang, source"),
+    "text_stats": (_q_text_stats, r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+               CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
+        FROM documents"""),
+    "lang_id": (_q_lang_id, None),  # heuristic vote; verified by pytest, rows-only here
+    "fingerprint_md5": (_q_fingerprint,
+        "SELECT doc_id, md5(text) AS md5 FROM documents"),
+    "quality_score": (_q_quality, r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+               CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+                    THEN CAST(floor((length(text) - (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) + 1) * 100.0
+                         / (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)) AS BIGINT)
+                    ELSE 0 END AS mean_token_len_x100,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 10 AS len_ok
+        FROM documents"""),
+    "dedup_jaccard_chars": (_q_jaccard_chars, """
+        WITH chars AS (
+          SELECT doc_id, list_distinct(string_split(lower(text), '')) AS cs
+          FROM documents WHERE doc_id < 40
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter,
+               CAST(len(list_distinct(list_concat(a.cs, b.cs))) AS BIGINT) AS uni
+        FROM chars a JOIN chars b ON a.doc_id < b.doc_id"""),
+    "dedup_minhash_lsh": (_q_minhash_lsh, None),  # xxhash64-based; rows-only
+    "dedup_simhash": (_q_simhash, None),          # xxhash64-based; rows-only
+    "ann_cosine_topk": (_q_ann_brute, """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             scored AS (
+               SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos_sim
+               FROM q JOIN c ON query_id <> neighbor_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos_sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= 5"""),
+    "ann_cosine_lsh": (_q_ann_lsh, None),  # approximate; rows-only
+}
+
+
+# ---------------------------------------------------------------------------
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for name, (cy, _) in GRAPH_QUERIES.items():
+        out[name] = _cypher(cy)
+    for name, sql in SQL_QUERIES.items():
+        out[name] = _sparksql(sql)
+    for name, (fn, _) in PIPELINE_QUERIES.items():
+        out[name] = fn
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, (_, oracle) in GRAPH_QUERIES.items():
+        if oracle is not None:
+            out[name] = oracle
+    for name, sql in SQL_QUERIES.items():
+        out[name] = SQL_ORACLE_OVERRIDES.get(name, sql)
+    for name, (_, oracle) in PIPELINE_QUERIES.items():
+        if oracle is not None:
+            out[name] = oracle
+    return out
