@@ -35,13 +35,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from agensgraph_spark.catalog import GraphCatalog
 from agensgraph_spark.cypher import ast as A
 from agensgraph_spark.cypher.expressions import ExprCompiler, has_agg
 from agensgraph_spark.cypher.parser import parse_cypher
 from agensgraph_spark.cypher.scope import Binding, Scope
+from agensgraph_spark.cypher.writes import WriteContext, WriteMixin
 from agensgraph_spark.graph import Graph
 from agensgraph_spark.graphid import LOCID_BITS
 from agensgraph_spark.operators import paths as P
+
+WRITE_CLAUSES = (A.Create, A.Merge, A.SetClause, A.RemoveClause, A.Delete)
 
 
 @dataclass
@@ -66,9 +70,18 @@ class CypherEngine:
         self.graph = graph
         self.tables = dict(tables or {})
         self.vle_max_hops = vle_max_hops
+        self.last_write_stats: dict[str, int] = {
+            "insertedvertices": 0, "insertededges": 0,
+            "deletedvertices": 0, "deletededges": 0, "updatedproperties": 0}
 
     def cypher(self, text: str, params: dict | None = None) -> DataFrame:
         uq = parse_cypher(text)
+        has_write = any(isinstance(c, WRITE_CLAUSES)
+                        for part in uq.parts for c in part.clauses)
+        if has_write:
+            if len(uq.parts) > 1:
+                raise ValueError("write statements cannot combine with UNION")
+            return self._execute_write(uq.parts[0], params or {})
         dfs: list[DataFrame] = []
         for part in uq.parts:
             qc = QueryCompiler(self, params or {})
@@ -82,17 +95,53 @@ class CypherEngine:
             out = out.dropDuplicates()
         return out
 
+    def _execute_write(self, part: A.Query, params: dict) -> DataFrame:
+        """Run a writing statement: compile the clause pipeline (writes
+        swap new immutable frames into a working Graph), then commit the
+        working snapshot as this engine's graph. Returns the trailing
+        RETURN's rows, or a one-row write-stats DataFrame (the analog of
+        get_last_graph_write_stats(), reference: cypher_funcs.c:1186)."""
+        qc = QueryCompiler(self, params)
+        returns_rows = part.clauses and isinstance(part.clauses[-1], A.Projection)
+        df = qc.compile(part)
+        if qc.wctx is not None:
+            for lbl in qc.wctx.touched:
+                qc.wctx.graph.frames[lbl] = qc.wctx.graph.frames[lbl].localCheckpoint(eager=True)
+            self.graph = qc.wctx.graph
+            self.last_write_stats = qc.wctx.stats.as_dict()
+        if returns_rows:
+            return df
+        stats = self.last_write_stats
+        return self.spark.createDataFrame(
+            [tuple(stats.values())],
+            schema=", ".join(f"{k} long" for k in stats))
+
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
 
 
-class QueryCompiler:
-    def __init__(self, engine: CypherEngine, params: dict):
+class QueryCompiler(WriteMixin):
+    def __init__(self, engine: CypherEngine, params: dict, graph: Graph | None = None):
         self.engine = engine
-        self.graph = engine.graph
+        self.graph = graph if graph is not None else engine.graph
         self.params = params
         self.scope = Scope()
         self.df: DataFrame | None = None
+        self.wctx: WriteContext | None = None
+
+    def _begin_write(self) -> None:
+        """First write clause: fork the graph into a working copy all
+        subsequent clauses (read or write) run against."""
+        if self.wctx is None:
+            if self.graph is None:
+                self.graph = Graph(GraphCatalog("default"))
+            self.wctx = WriteContext.begin(self.graph)
+            self.graph = self.wctx.graph
+
+    def _spawn_subcompiler(self) -> "QueryCompiler":
+        sub = QueryCompiler(self.engine, self.params, graph=self.graph)
+        sub.wctx = self.wctx
+        return sub
 
     # ---------- helpers ----------
 
@@ -122,9 +171,14 @@ class QueryCompiler:
                 self._compile_unwind(clause)
             elif isinstance(clause, A.LoadClause):
                 self._compile_load(clause)
-            elif isinstance(clause, (A.Create, A.Merge, A.SetClause, A.RemoveClause, A.Delete)):
-                raise NotImplementedError(
-                    "write clauses execute through GraphWriter (agensgraph_spark.operators.writes)")
+            elif isinstance(clause, A.Create):
+                self._compile_create(clause)
+            elif isinstance(clause, A.Delete):
+                self._compile_delete(clause)
+            elif isinstance(clause, (A.SetClause, A.RemoveClause)):
+                self._compile_set(clause)
+            elif isinstance(clause, A.Merge):
+                self._compile_merge(clause)
             else:
                 raise NotImplementedError(type(clause).__name__)
         if self.df is None:
@@ -518,7 +572,7 @@ class QueryCompiler:
         """Compile patterns in a fresh sub-compiler. Shared (outer-bound)
         vertex/edge vars are re-scanned under a temp prefix; returns
         (df, subscope, shared_var -> temp_var map)."""
-        sub = QueryCompiler(self.engine, self.params)
+        sub = QueryCompiler(self.engine, self.params, graph=self.graph)
         renames: dict[str, str] = {}
         # pre-bind nothing; compile patterns with original names first
         m = A.Match(patterns, optional=False, where=None)

@@ -1,0 +1,517 @@
+"""Cypher write clauses (CREATE / DELETE / SET / REMOVE / MERGE) as
+snapshot-producing batch operations.
+
+The reference drives writes through the ModifyGraph executor node
+(reference: src/backend/executor/nodeModifyGraph.c:296 ExecModifyGraph
+dispatching to execCypherCreate.c:30 ExecCreateGraph,
+execCypherDelete.c:45, execCypherSet.c:141, execCypherMerge.c:35) with
+MVCC visibility plus optional eager tuplestore buffering
+(nodeModifyGraph.c:339-369) so later clauses observe earlier writes.
+
+Spark-native shape: every write clause computes a *change-set
+DataFrame* and swaps new immutable label frames into a working copy of
+the Graph; downstream clauses in the same statement scan the working
+copy, so the reference's eager semantics hold by construction — no
+tuplestore, no visibility machinery. On commit the changed frames are
+materialized (lineage cut) and become the engine's new snapshot; at
+scale the same change-sets append/overwrite Parquet label snapshots
+(`Graph.write_snapshot`) instead of memory.
+
+Id allocation: the reference draws 48-bit locids from a per-graph
+sequence (src/backend/commands/graphcmds.c:79-87 ag_label_seq). Here a
+batch of created elements takes ``next_locid + monotonically_increasing_id()``
+— embarrassingly parallel, unique per batch, no coordination; the
+per-partition id blocks leave gaps exactly like a cached sequence does.
+The input pipeline is checkpointed before minting so ids are stable
+against recomputation.
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agensgraph_spark.cypher import ast as A
+from agensgraph_spark.cypher.scope import Binding
+from agensgraph_spark.graph import Graph
+from agensgraph_spark.graphid import LOCID_BITS, LOCID_MASK, graphid_col
+
+DEFAULT_VLABEL = "ag_vertex"
+
+
+@dataclass
+class WriteStats:
+    """Mirror of the reference's graphWriteStats counters
+    (nodeModifyGraph.c:459-475; surfaced by
+    get_last_graph_write_stats(), cypher_funcs.c:1186)."""
+    insertedvertices: int = 0
+    insertededges: int = 0
+    deletedvertices: int = 0
+    deletededges: int = 0
+    updatedproperties: int = 0
+
+    def as_dict(self) -> dict[str, int]:
+        return dict(self.__dict__)
+
+
+@dataclass
+class WriteContext:
+    """Per-statement working state: a private Graph copy whose frames
+    mutate clause-by-clause, plus stats and the set of touched labels."""
+    graph: Graph
+    stats: WriteStats = field(default_factory=WriteStats)
+    touched: set[str] = field(default_factory=set)
+    _next_locid: dict[str, int] = field(default_factory=dict)
+
+    @classmethod
+    def begin(cls, graph: Graph) -> "WriteContext":
+        return cls(graph=Graph(_copy.deepcopy(graph.catalog), dict(graph.frames)))
+
+    # ---- id allocation ----
+
+    def next_locid(self, label: str) -> int:
+        nxt = self._next_locid.get(label)
+        if nxt is None:
+            df = self.graph.frames.get(label)
+            if df is None or not df.columns:
+                nxt = 1
+            else:
+                row = df.agg(F.max(F.col("id").bitwiseAND(F.lit(LOCID_MASK))).alias("m")).collect()[0]
+                nxt = (row["m"] or 0) + 1
+        return nxt
+
+    def advance_locid(self, label: str, used_past_max: int) -> None:
+        self._next_locid[label] = self.next_locid(label) + used_past_max
+
+    # ---- frame mutation ----
+
+    def append(self, label: str, new_rows: DataFrame) -> None:
+        cur = self.graph.frames.get(label)
+        if cur is None:
+            self.graph.frames[label] = new_rows
+        else:
+            self.graph.frames[label] = cur.unionByName(new_rows, allowMissingColumns=True)
+        self.touched.add(label)
+
+    def replace(self, label: str, df: DataFrame) -> None:
+        self.graph.frames[label] = df
+        self.touched.add(label)
+
+    def ensure_props(self, label: str, schema: dict[str, str]) -> None:
+        meta = self.graph.catalog.labels[label]
+        for k, t in schema.items():
+            meta.props.setdefault(k, t)
+
+
+class WriteMixin:
+    """Write-clause compilation, mixed into QueryCompiler. Expects:
+    self.df, self.scope, self.graph, self.params, self._ec(),
+    self._ensure_df(), self.wctx (WriteContext)."""
+
+    # ------------------------------------------------------------------
+    # CREATE  (reference: execCypherCreate.c:30 ExecCreateGraph —
+    # instantiate the pattern once per input row)
+    # ------------------------------------------------------------------
+
+    def _compile_create(self, c: A.Create) -> None:
+        self._begin_write()
+        df = self._ensure_df()
+        df = df.withColumn("__uid", F.monotonically_increasing_id())
+        df = df.localCheckpoint(eager=True)  # pin ids against recompute
+        mx = df.agg(F.max("__uid").alias("m")).collect()[0]["m"]
+        span = (mx or 0) + 1
+        self.df = df
+        for pat in c.patterns:
+            self._create_pattern(pat, span)
+        self.df = self.df.drop("__uid")
+
+    def _create_pattern(self, pat: A.PathPattern, span: int) -> None:
+        els = pat.elements
+        if pat.kind != "plain":
+            raise ValueError("CREATE pattern cannot use path-finding forms")
+        # nodes first (so edges can reference both endpoints)
+        node_vars: list[str] = []
+        for i in range(0, len(els), 2):
+            node_vars.append(self._create_node(els[i], span))
+        evars: list[str] = []
+        for i in range(1, len(els), 2):
+            rel: A.RelPat = els[i]
+            evars.append(self._create_edge(rel, node_vars[(i - 1) // 2], node_vars[(i + 1) // 2], span))
+        if pat.var is not None:
+            vids = [F.array(F.col(f"{v}__id")) for v in node_vars]
+            eids = [F.array(F.col(f"{e}__id")) for e in evars]
+            self.df = (self.df
+                       .withColumn(f"{pat.var}__vids", F.concat(*vids))
+                       .withColumn(f"{pat.var}__eids",
+                                   F.concat(*eids) if eids else F.array().cast("array<long>"))
+                       .withColumn(f"{pat.var}__len", F.lit(len(eids)).cast("long")))
+            self.scope.bind(Binding(pat.var, "path"))
+
+    def _eval_props(self, props: A.MapLit | None) -> list[tuple[str, Column]]:
+        if props is None:
+            return []
+        ec = self._ec()
+        out: list[tuple[str, Column]] = []
+        for key, val in props.items:
+            if key == "__param__":
+                pv = self.params.get(val.name) if isinstance(val, A.Param) else None
+                if not isinstance(pv, dict):
+                    raise ValueError("property parameter must be a map")
+                for k2, v2 in pv.items():
+                    out.append((k2, F.lit(v2)))
+                continue
+            out.append((key, ec.col(val)))
+        return out
+
+    def _create_node(self, node: A.NodePat, span: int) -> str:
+        var = node.var or self.scope.fresh_anon()
+        bound = self.scope.get(var)
+        if bound is not None:
+            if bound.kind != "vertex":
+                raise ValueError(f"variable {var!r} already bound as {bound.kind}")
+            if node.labels or node.props:
+                raise ValueError(f"bound variable {var!r} cannot take labels/properties in CREATE")
+            return var
+        if len(node.labels) > 1:
+            raise ValueError("CREATE node takes at most one label")
+        label = node.labels[0] if node.labels else DEFAULT_VLABEL
+        cat = self.wctx.graph.catalog
+        if label not in cat.labels:
+            cat.create_vlabel(label)
+        labid = cat.labels[label].labid
+
+        base = self.wctx.next_locid(label)
+        prop_cols = self._eval_props(node.props)
+        id_col = graphid_col(labid, F.lit(base) + F.col("__uid"))
+        self.df = self.df.withColumn(f"{var}__id", id_col) \
+                         .withColumn(f"{var}__label", F.lit(label))
+        for k, col in prop_cols:
+            self.df = self.df.withColumn(f"{var}__{k}", col)
+        self.df = self.df.localCheckpoint(eager=True)
+
+        new_rows = self.df.select(
+            F.col(f"{var}__id").alias("id"),
+            *[F.col(f"{var}__{k}").alias(k) for k, _ in prop_cols],
+        )
+        self.wctx.ensure_props(label, {
+            k: dict(zip(new_rows.columns, [f.dataType.simpleString() for f in new_rows.schema.fields]))[k]
+            for k, _ in prop_cols})
+        self.wctx.append(label, new_rows)
+        self.wctx.advance_locid(label, span)
+        n = self.df.count()
+        self.wctx.stats.insertedvertices += n
+        self.scope.bind(Binding(var, "vertex", labels=[label], props=[k for k, _ in prop_cols]))
+        return var
+
+    def _create_edge(self, rel: A.RelPat, lvar: str, rvar: str, span: int) -> str:
+        if rel.varlen:
+            raise ValueError("CREATE cannot use variable-length relationships")
+        if rel.direction == "undir":
+            raise ValueError("CREATE relationship must be directed")
+        if len(rel.types) != 1:
+            raise ValueError("CREATE relationship needs exactly one type")
+        var = rel.var or self.scope.fresh_anon()
+        if self.scope.get(var) is not None:
+            raise ValueError(f"edge variable {var!r} already bound")
+        label = rel.types[0]
+        cat = self.wctx.graph.catalog
+        if label not in cat.labels:
+            cat.create_elabel(label)
+        labid = cat.labels[label].labid
+
+        src, dst = (lvar, rvar) if rel.direction == "out" else (rvar, lvar)
+        base = self.wctx.next_locid(label)
+        prop_cols = self._eval_props(rel.props)
+        self.df = self.df.withColumn(f"{var}__id", graphid_col(labid, F.lit(base) + F.col("__uid"))) \
+                         .withColumn(f"{var}__start", F.col(f"{src}__id")) \
+                         .withColumn(f"{var}__end", F.col(f"{dst}__id")) \
+                         .withColumn(f"{var}__label", F.lit(label))
+        for k, col in prop_cols:
+            self.df = self.df.withColumn(f"{var}__{k}", col)
+        self.df = self.df.localCheckpoint(eager=True)
+
+        new_rows = self.df.select(
+            F.col(f"{var}__id").alias("id"),
+            F.col(f"{var}__start").alias("start"),
+            F.col(f"{var}__end").alias("end"),
+            *[F.col(f"{var}__{k}").alias(k) for k, _ in prop_cols],
+        )
+        self.wctx.ensure_props(label, {
+            k: dict(zip(new_rows.columns, [f.dataType.simpleString() for f in new_rows.schema.fields]))[k]
+            for k, _ in prop_cols})
+        self.wctx.append(label, new_rows)
+        self.wctx.advance_locid(label, span)
+        self.wctx.stats.insertededges += self.df.count()
+        self.scope.bind(Binding(var, "edge", labels=[label], props=[k for k, _ in prop_cols]))
+        return var
+
+    # ------------------------------------------------------------------
+    # DELETE / DETACH DELETE  (reference: execCypherDelete.c:45,215 —
+    # non-detach vertex delete errors while edges remain)
+    # ------------------------------------------------------------------
+
+    def _compile_delete(self, d: A.Delete) -> None:
+        self._begin_write()
+        if self.df is None:
+            raise ValueError("DELETE requires a preceding reading clause")
+        v_victims: list[DataFrame] = []
+        e_victims: list[DataFrame] = []
+        for e in d.exprs:
+            if not isinstance(e, A.Var):
+                raise ValueError("DELETE takes bound variables")
+            b = self.scope.require(e.name)
+            if b.kind == "vertex":
+                v_victims.append(self.df.select(F.col(f"{e.name}__id").alias("id")).distinct())
+            elif b.kind == "edge":
+                e_victims.append(self.df.select(F.col(f"{e.name}__id").alias("id")).distinct())
+            elif b.kind == "path":
+                v_victims.append(self.df.select(F.explode(f"{e.name}__vids").alias("id")).distinct())
+                e_victims.append(self.df.select(F.explode(f"{e.name}__eids").alias("id")).distinct())
+            else:
+                raise ValueError(f"cannot DELETE {b.kind} variable {e.name!r}")
+
+        vdf = self._union_ids(v_victims)
+        edf = self._union_ids(e_victims)
+        g = self.wctx.graph
+
+        if vdf is not None:
+            vdf = vdf.localCheckpoint(eager=True)
+            if not d.detach:
+                # any surviving incident edge → error (reference parity)
+                for lbl in g.catalog.elabels():
+                    if lbl not in g.frames:
+                        continue
+                    ef = g.frames[lbl]
+                    if edf is not None:
+                        ef = ef.join(edf.withColumnRenamed("id", "__del"),
+                                     ef["id"] == F.col("__del"), "left_anti")
+                    dangling = ef.join(
+                        vdf.withColumnRenamed("id", "__vid"),
+                        (ef["start"] == F.col("__vid")) | (ef["end"] == F.col("__vid")),
+                        "left_semi")
+                    if dangling.take(1):
+                        raise ValueError(
+                            f"vertices in {lbl!r} still have edges; use DETACH DELETE")
+            else:
+                for lbl in self._labels_for_ids(vdf, "e", incident=True):
+                    ef = g.frames[lbl]
+                    keep = ef.join(
+                        vdf.withColumnRenamed("id", "__vid"),
+                        (ef["start"] == F.col("__vid")) | (ef["end"] == F.col("__vid")),
+                        "left_anti")
+                    keep = keep.localCheckpoint(eager=True)
+                    self.wctx.stats.deletededges += ef.count() - keep.count()
+                    self.wctx.replace(lbl, keep)
+            for lbl in self._labels_for_ids(vdf, "v"):
+                f = g.frames[lbl]
+                keep = f.join(vdf.withColumnRenamed("id", "__vid"),
+                              f["id"] == F.col("__vid"), "left_anti").localCheckpoint(eager=True)
+                self.wctx.stats.deletedvertices += f.count() - keep.count()
+                self.wctx.replace(lbl, keep)
+        if edf is not None:
+            edf = edf.localCheckpoint(eager=True)
+            for lbl in self._labels_for_ids(edf, "e"):
+                f = g.frames[lbl]
+                keep = f.join(edf.withColumnRenamed("id", "__eid"),
+                              f["id"] == F.col("__eid"), "left_anti").localCheckpoint(eager=True)
+                self.wctx.stats.deletededges += f.count() - keep.count()
+                self.wctx.replace(lbl, keep)
+
+    @staticmethod
+    def _union_ids(dfs: list[DataFrame]) -> DataFrame | None:
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct()
+
+    def _labels_for_ids(self, ids: DataFrame, kind: str, incident: bool = False) -> list[str]:
+        """Prune the label set to those whose labid range intersects the
+        victim ids (labels live in the id's high bits) — avoids touching
+        unrelated label frames. For incident-edge deletion every edge
+        label is a candidate."""
+        cat = self.wctx.graph.catalog
+        names = cat.vlabels() if kind == "v" else cat.elabels()
+        if incident:
+            return [n for n in names if n in self.wctx.graph.frames]
+        labids = {r["l"] for r in
+                  ids.select(F.shiftrightunsigned(F.col("id"), LOCID_BITS).alias("l")).distinct().collect()}
+        return [n for n in names if cat.labels[n].labid in labids and n in self.wctx.graph.frames]
+
+    # ------------------------------------------------------------------
+    # SET / REMOVE  (reference: execCypherSet.c:141 ExecSetGraph; `+=`
+    # merge and `=` overwrite semantics; REMOVE nulls the property)
+    # ------------------------------------------------------------------
+
+    def _compile_set(self, s: A.SetClause | A.RemoveClause) -> None:
+        self._begin_write()
+        if self.df is None:
+            raise ValueError("SET/REMOVE requires a preceding reading clause")
+        by_var: dict[str, list[A.SetItem]] = {}
+        for it in s.items:
+            if isinstance(it.target, A.Prop) and isinstance(it.target.base, A.Var):
+                by_var.setdefault(it.target.base.name, []).append(it)
+            elif isinstance(it.target, A.Var):
+                by_var.setdefault(it.target.name, []).append(it)
+            else:
+                raise ValueError("SET target must be var.prop or var")
+        for var, items in by_var.items():
+            self._apply_set_var(var, items)
+
+    def _apply_set_var(self, var: str, items: list[A.SetItem]) -> None:
+        b = self.scope.require(var)
+        if b.kind not in ("vertex", "edge"):
+            raise ValueError(f"cannot SET on {b.kind} variable {var!r}")
+        ec = self._ec()
+
+        # assignments: prop -> Column (None = remove)
+        assigns: dict[str, Column | None] = {}
+        replace_all = False
+        for it in items:
+            if it.op == "remove":
+                assigns[it.target.key] = None
+            elif isinstance(it.target, A.Prop):
+                assigns[it.target.key] = ec.col(it.value)
+            else:  # whole-entity SET n = {...} / n += {...}
+                if not isinstance(it.value, A.MapLit):
+                    raise ValueError("SET var = expr requires a map literal")
+                if it.op == "set":
+                    replace_all = True
+                for k, vcol in self._eval_props(it.value):
+                    assigns[k] = vcol
+        if replace_all:
+            for p in b.props:
+                assigns.setdefault(p, None)
+
+        # change-set: victim id + new values, one row per id (the
+        # reference's enable_multiple_update keeps the last; we keep one)
+        upd_cols = [F.col(f"{var}__id").alias("__uid_key")]
+        names: list[str] = []
+        for k, col in assigns.items():
+            nm = f"__new_{k}"
+            names.append(k)
+            upd_cols.append((col if col is not None else F.lit(None)).alias(nm))
+        updates = self.df.select(*upd_cols).dropDuplicates(["__uid_key"])
+        updates = updates.localCheckpoint(eager=True)
+        n_upd = updates.count()
+
+        cat = self.wctx.graph.catalog
+        upd_schema = {f.name: f.dataType for f in updates.schema.fields}
+        for lbl in b.labels:
+            frame = self.wctx.graph.frames[lbl]
+            meta = cat.labels[lbl]
+            joined = frame.join(F.broadcast(updates) if n_upd < 1_000_000 else updates,
+                                frame["id"] == F.col("__uid_key"), "left")
+            matched = F.col("__uid_key").isNotNull()
+            out_cols: list[Column] = [frame["id"].alias("id")]
+            if meta.kind == "e":
+                out_cols += [frame["start"].alias("start"), frame["end"].alias("end")]
+            handled = set()
+            for p in meta.props:
+                if p in frame.columns:
+                    old = frame[p]
+                elif p in assigns:
+                    old = F.lit(None)
+                else:
+                    continue
+                if p in assigns:
+                    handled.add(p)
+                    out_cols.append(F.when(matched, F.col(f"__new_{p}")).otherwise(old).alias(p))
+                else:
+                    out_cols.append(old.alias(p))
+            for p in assigns:
+                if p not in handled and p not in meta.props:
+                    out_cols.append(F.when(matched, F.col(f"__new_{p}")).otherwise(F.lit(None)).alias(p))
+            self.wctx.replace(lbl, joined.select(*out_cols))
+            for p, col in assigns.items():
+                if col is not None:
+                    t = upd_schema[f"__new_{p}"].simpleString()
+                    meta.props.setdefault(p, "string" if t == "void" else t)
+
+        # reflect into the pipeline so later clauses/RETURN see the new
+        # values (reference: reflectModifiedProp, nodeModifyGraph.c:46)
+        for p, col in assigns.items():
+            self.df = self.df.withColumn(f"{var}__{p}", col if col is not None else F.lit(None))
+            if p not in b.props and col is not None:
+                b.props.append(p)
+        self.wctx.stats.updatedproperties += n_upd * max(1, len(assigns))
+
+    # ------------------------------------------------------------------
+    # MERGE  (reference: execCypherMerge.c:35 ExecMergeGraph —
+    # match-or-create per input row + ON CREATE / ON MATCH SET)
+    # ------------------------------------------------------------------
+
+    def _compile_merge(self, m: A.Merge) -> None:
+        self._begin_write()
+        first = self.df is None
+        if first:
+            self.df = self._ensure_df()
+        pat = m.pattern
+
+        # 1. try to match the whole pattern against the working graph
+        shared = self._pattern_shared_vars([pat])
+        sub_av = self._compile_pattern_standalone([pat], None, shared)
+        right, rscope, renames = sub_av
+        cond: Column | None = None
+        for v, tmp in renames.items():
+            c = F.col(f"{v}__id") == F.col(f"{tmp}__id")
+            cond = c if cond is None else (cond & c)
+        probe_col = next(
+            (f"{b.var}__id" for b in rscope.bindings.values()
+             if b.var not in renames and b.kind in ("vertex", "edge")),
+            None)
+        if probe_col is None:
+            raise ValueError("MERGE pattern introduces no new variable")
+        joined = self.df.join(right, cond if cond is not None else F.lit(True), "left")
+        joined = joined.drop(*[c for tmp in renames.values()
+                               for c in right.columns if c.startswith(f"{tmp}__")])
+        joined = joined.localCheckpoint(eager=True)
+        matched = joined.filter(F.col(probe_col).isNotNull())
+        missing = joined.filter(F.col(probe_col).isNull()) \
+                        .drop(*[c for c in right.columns if c in joined.columns])
+
+        new_bindings = {v: b for v, b in rscope.bindings.items()
+                        if v not in renames and self.scope.get(v) is None}
+
+        # 2. create the pattern for rows that found no match; distinct
+        # on the creation key so concurrent duplicates collapse
+        # (single-writer batch + dedup-before-append)
+        created: DataFrame | None = None
+        if missing.take(1):
+            sub = self._spawn_subcompiler()
+            key_cols = [f"{v}__id" for v in renames] or None
+            miss_in = missing.dropDuplicates(key_cols) if key_cols else missing.limit(1)
+            sub.df = miss_in
+            sub.scope = self.scope.copy()
+            sub.wctx = self.wctx
+            sub._compile_create(A.Create([pat]))
+            if m.on_create:
+                sub._compile_set(A.SetClause(m.on_create))
+            created = sub.df
+            for v, b in sub.scope.bindings.items():
+                if self.scope.get(v) is None and v not in new_bindings:
+                    new_bindings[v] = b
+
+        if m.on_match and matched.take(1):
+            sub = self._spawn_subcompiler()
+            sub.df = matched
+            sub.scope = self.scope.copy()
+            for v, b in new_bindings.items():
+                sub.scope.bind(b)
+            sub.wctx = self.wctx
+            sub._compile_set(A.SetClause(m.on_match))
+            matched = sub.df
+
+        for v, b in new_bindings.items():
+            self.scope.bind(b)
+        if created is not None:
+            matched_cols = set(matched.columns)
+            created = created.select(*[c for c in created.columns if c in matched_cols
+                                       or any(c.startswith(f"{v}__") for v in new_bindings)])
+            self.df = matched.unionByName(created, allowMissingColumns=True)
+        else:
+            self.df = matched

@@ -1,0 +1,172 @@
+"""Write-clause tests mirroring the reference corpus:
+cypher_dml.sql CREATE/DELETE (:545-800), SET/REMOVE/+= (:803-947),
+MERGE (:968-1117); cypher_eager.sql read-after-write semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agensgraph_spark.catalog import GraphCatalog
+from agensgraph_spark.cypher.compiler import CypherEngine
+from agensgraph_spark.graph import Graph
+from agensgraph_spark.graphid import graphid_labid
+
+
+@pytest.fixture
+def eng(spark):
+    """Small people/knows graph built through the write path itself."""
+    e = CypherEngine(spark, Graph(GraphCatalog("t")))
+    e.cypher("CREATE (:person {name: 'ana', age: 30}), (:person {name: 'bob', age: 25}), "
+             "(:person {name: 'cal', age: 41})")
+    e.cypher("MATCH (a:person {name: 'ana'}), (b:person {name: 'bob'}) "
+             "CREATE (a)-[:knows {since: 2020}]->(b)")
+    e.cypher("MATCH (b:person {name: 'bob'}), (c:person {name: 'cal'}) "
+             "CREATE (b)-[:knows {since: 2021}]->(c)")
+    return e
+
+
+def rows(df, *cols):
+    out = [tuple(r) for r in df.select(*cols).collect()]
+    return sorted(out)
+
+
+def test_create_and_read_back(eng):
+    got = rows(eng.cypher("MATCH (p:person) RETURN p.name AS n, p.age AS a"), "n", "a")
+    assert got == [("ana", 30), ("bob", 25), ("cal", 41)]
+    stats = eng.last_write_stats
+    assert stats["insertededges"] == 1
+
+
+def test_create_edge_traversal(eng):
+    got = rows(eng.cypher(
+        "MATCH (a:person)-[k:knows]->(b:person) RETURN a.name AS an, b.name AS bn, k.since AS s"),
+        "an", "bn", "s")
+    assert got == [("ana", "bob", 2020), ("bob", "cal", 2021)]
+
+
+def test_create_per_input_row(eng):
+    # CREATE instantiates once per source row (ExecCreateGraph semantics)
+    eng.cypher("MATCH (p:person) CREATE (:shadow {of: p.name})")
+    got = rows(eng.cypher("MATCH (s:shadow) RETURN s.of AS o"), "o")
+    assert got == [("ana",), ("bob",), ("cal",)]
+
+
+def test_create_path_and_ids_distinct(eng):
+    df = eng.cypher("CREATE p = (:a1 {x: 1})-[:r1]->(:a1 {x: 2}) RETURN length(p) AS l")
+    assert [r["l"] for r in df.collect()] == [1]
+    ids = [r["i"] for r in eng.cypher("MATCH (n:a1) RETURN n.id AS i").collect()]
+    assert len(set(ids)) == 2
+
+
+def test_set_property(eng):
+    eng.cypher("MATCH (p:person {name: 'ana'}) SET p.age = 31")
+    got = rows(eng.cypher("MATCH (p:person {name: 'ana'}) RETURN p.age AS a"), "a")
+    assert got == [(31,)]
+    assert eng.last_write_stats["updatedproperties"] >= 1
+
+
+def test_set_new_property_extends_schema(eng):
+    eng.cypher("MATCH (p:person {name: 'bob'}) SET p.city = 'nyc'")
+    got = rows(eng.cypher("MATCH (p:person) RETURN p.name AS n, p.city AS c"), "n", "c")
+    assert got == [("ana", None), ("bob", "nyc"), ("cal", None)]
+
+
+def test_set_returns_updated_value_same_statement(eng):
+    # reflectModifiedProp: RETURN after SET sees the new value
+    df = eng.cypher("MATCH (p:person {name: 'cal'}) SET p.age = p.age + 1 RETURN p.age AS a")
+    assert [r["a"] for r in df.collect()] == [42]
+
+
+def test_set_plus_equals_merges(eng):
+    eng.cypher("MATCH (p:person {name: 'ana'}) SET p += {age: 33, tag: 'x'}")
+    got = rows(eng.cypher("MATCH (p:person {name: 'ana'}) RETURN p.age AS a, p.tag AS t, p.name AS n"),
+               "a", "t", "n")
+    assert got == [(33, "x", "ana")]
+
+
+def test_set_overwrite_clears_others(eng):
+    eng.cypher("MATCH (p:person {name: 'bob'}) SET p = {name: 'bob', age: 26}")
+    got = rows(eng.cypher("MATCH (p:person {name: 'bob'}) RETURN p.age AS a"), "a")
+    assert got == [(26,)]
+
+
+def test_remove_property(eng):
+    eng.cypher("MATCH (p:person {name: 'cal'}) REMOVE p.age")
+    got = rows(eng.cypher("MATCH (p:person) WHERE p.age IS NULL RETURN p.name AS n"), "n")
+    assert got == [("cal",)]
+
+
+def test_delete_vertex_with_edges_errors(eng):
+    with pytest.raises(ValueError, match="DETACH"):
+        eng.cypher("MATCH (p:person {name: 'bob'}) DELETE p")
+
+
+def test_detach_delete_removes_incident_edges(eng):
+    eng.cypher("MATCH (p:person {name: 'bob'}) DETACH DELETE p")
+    assert eng.cypher("MATCH (p:person) RETURN p").count() == 2
+    assert eng.cypher("MATCH ()-[k:knows]->() RETURN k").count() == 0
+    assert eng.last_write_stats == {
+        "insertedvertices": 0, "insertededges": 0,
+        "deletedvertices": 1, "deletededges": 2, "updatedproperties": 0}
+
+
+def test_delete_edge_only(eng):
+    eng.cypher("MATCH (:person {name: 'ana'})-[k:knows]->() DELETE k")
+    assert eng.cypher("MATCH ()-[k:knows]->() RETURN k").count() == 1
+    assert eng.cypher("MATCH (p:person) RETURN p").count() == 3
+
+
+def test_merge_matches_existing(eng):
+    before = eng.cypher("MATCH (p:person) RETURN p").count()
+    eng.cypher("MERGE (p:person {name: 'ana'})")
+    assert eng.cypher("MATCH (p:person) RETURN p").count() == before
+
+
+def test_merge_creates_missing(eng):
+    eng.cypher("MERGE (p:person {name: 'dee'})")
+    got = rows(eng.cypher("MATCH (p:person) RETURN p.name AS n"), "n")
+    assert got == [("ana",), ("bob",), ("cal",), ("dee",)]
+
+
+def test_merge_on_create_on_match(eng):
+    eng.cypher("MERGE (p:person {name: 'eve'}) ON CREATE SET p.age = 1 ON MATCH SET p.age = 99")
+    assert rows(eng.cypher("MATCH (p:person {name: 'eve'}) RETURN p.age AS a"), "a") == [(1,)]
+    eng.cypher("MERGE (p:person {name: 'eve'}) ON CREATE SET p.age = 1 ON MATCH SET p.age = 99")
+    assert rows(eng.cypher("MATCH (p:person {name: 'eve'}) RETURN p.age AS a"), "a") == [(99,)]
+
+
+def test_merge_edge_between_bound(eng):
+    q = ("MATCH (a:person {name: 'ana'}), (c:person {name: 'cal'}) "
+         "MERGE (a)-[:knows {since: 2022}]->(c)")
+    eng.cypher(q)
+    assert eng.cypher("MATCH ()-[k:knows]->() RETURN k").count() == 3
+    eng.cypher(q)  # second run: matched, no new edge
+    assert eng.cypher("MATCH ()-[k:knows]->() RETURN k").count() == 3
+
+
+def test_merge_dedups_parallel_duplicates(eng):
+    # two input rows demanding the same absent node → exactly one create
+    eng.cypher("UNWIND [1, 2] AS i MERGE (p:person {name: 'fay'})")
+    assert eng.cypher("MATCH (p:person {name: 'fay'}) RETURN p").count() == 1
+
+
+def test_eager_create_then_match_sees_writes(eng):
+    # cypher_eager.sql: a later clause reads an earlier clause's writes
+    df = eng.cypher("CREATE (:flag {v: 7}) WITH 1 AS one MATCH (f:flag) RETURN f.v AS v")
+    assert [r["v"] for r in df.collect()] == [7]
+
+
+def test_unbound_labels_isolated_per_label(eng):
+    eng.cypher("CREATE (:animal {name: 'rex'})")
+    assert eng.cypher("MATCH (p:person) RETURN p").count() == 3
+    got = rows(eng.cypher("MATCH (a:animal) RETURN a.name AS n"), "n")
+    assert got == [("rex",)]
+    # labid partitioning: ids of different labels never collide
+    pid = [r["i"] for r in eng.cypher("MATCH (p:person) RETURN p.id AS i").collect()]
+    aid = [r["i"] for r in eng.cypher("MATCH (a:animal) RETURN a.id AS i").collect()]
+    assert {graphid_labid(i) for i in pid}.isdisjoint({graphid_labid(i) for i in aid})
+
+
+def test_write_stats_dataframe(eng):
+    df = eng.cypher("CREATE (:person {name: 'gus'})")
+    row = df.collect()[0]
+    assert row["insertedvertices"] == 1 and row["insertededges"] == 0
