@@ -39,6 +39,15 @@ def _maybe_checkpoint(df: DataFrame, k: int, every: int | None) -> DataFrame:
     return df
 
 
+def _pin_edges(edges: DataFrame) -> DataFrame:
+    """Persist the edge relation: every hop re-joins it, and each
+    iteration's isEmpty/cache action would otherwise re-run the whole
+    scan lineage (label unions, graphid arithmetic) once per hop.
+    MEMORY_AND_DISK so oversized edge sets spill instead of OOM."""
+    from pyspark import StorageLevel
+    return edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def vle_expand(
     edges: DataFrame,
     seeds: DataFrame,
@@ -58,6 +67,8 @@ def vle_expand(
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
     max_hops = min(max_hops, DEFAULT_MAX_HOPS * 4)
+    if max_hops > 1:
+        edges = _pin_edges(edges)
 
     frontier = seeds.select(
         F.col("seed"),
@@ -113,6 +124,7 @@ def bfs_shortest(
     """
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
+    edges = _pin_edges(edges)
     pairs = pairs.select("seed", "target").distinct().cache()
     seeds = pairs.select("seed").distinct()
 
@@ -201,6 +213,7 @@ def dijkstra_paths(
     Returns (seed, target, eids, vids, len, weight) — up to ``limit``
     cheapest paths per pair, ordered by total weight.
     """
+    edges = _pin_edges(edges)
     pairs = pairs.select("seed", "target").distinct().cache()
     seeds = pairs.select("seed").distinct()
 

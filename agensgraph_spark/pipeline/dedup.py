@@ -59,8 +59,16 @@ def minhash_signatures(
     row expressions (the inline array form re-evaluates the shingle
     array per hash function — catastrophic). The aggregation combines
     map-side, so the shuffle carries only per-doc partial minima.
-    Returns (_id, h0..h{n-1})."""
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s"))
+    Returns (_id, h0..h{n-1}).
+
+    The input is hash-repartitioned first: document corpora often
+    arrive as few large files (one Parquet row-group = one task), and
+    the shingle explode multiplies rows ~|text|×, so without the spread
+    the whole corpus hashes inside a handful of tasks."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+            .repartition(spread, "_id")
+            .select("_id", F.explode(shingles(F.col("_t"), k)).alias("_s")))
     return sh.groupBy("_id").agg(
         *[F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -73,23 +81,66 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    min_est: float = 0.0,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
-    candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    candidate pair. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b, distinct.
+
+    Pairs are generated from grouped band-buckets (collect (id, sig)
+    per (band, hash), emit in-bucket combinations) rather than a
+    self-join: the signature pipeline is computed once instead of
+    twice, and the only shuffle is the bucket groupBy. ``max_bucket``
+    caps degenerate buckets (e.g. an empty-string band) so one hot key
+    cannot go quadratic — the standard LSH skew guard.
+
+    ``est_jaccard`` is the signature-agreement estimate (what Spark
+    ML's MinHashLSH thresholds on). Corpora with large near-duplicate
+    clusters produce O(cluster²) candidates; pass ``min_est`` a notch
+    under the final exact threshold so exact verification only runs on
+    plausible pairs."""
+    from pyspark import StorageLevel
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # persist: the signature pipeline (shingle explode + 32-way hash
+    # aggregate) feeds the banding AND both sides of the est join —
+    # without pinning it, lazy evaluation re-runs it three times
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k) \
+        .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
-        "_id",
+        "_id", "_sig",
         F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}").cast("string")
-                                          for r in range(rows_per_band)]))
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)]))
             for b in range(bands)
         ])).alias("_band", "_bhash"),
     )
-    left = banded.select(F.col("_band").alias("band"), F.col("_bhash").alias("bhash"), F.col("_id").alias("id_a"))
-    right = banded.select(F.col("_band").alias("band"), F.col("_bhash").alias("bhash"), F.col("_id").alias("id_b"))
-    pairs = left.join(right, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b").distinct()
+    max_bucket = 10_000
+    buckets = (banded.groupBy("_band", "_bhash")
+               .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+               .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)))
+    pair = F.explode(F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+    ))).alias("_p")
+    pairs = (buckets.select(pair).select("_p.id_a", "_p.id_b").distinct()
+             .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    # signature-agreement estimate, computed after the pair explode so
+    # it distributes across pair rows instead of inside hot bucket tasks
+    est = (F.aggregate(F.zip_with(F.col("_sa"), F.col("_sb"),
+                                  lambda a, b: (a == b).cast("int")),
+                       F.lit(0), lambda acc, v: acc + v)
+           / F.lit(num_hashes)).alias("est_jaccard")
+    out = (pairs
+           .join(F.broadcast(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))), "id_a")
+           .join(F.broadcast(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))), "id_b")
+           .select("id_a", "id_b", est))
+    if min_est > 0:
+        out = out.filter(F.col("est_jaccard") >= min_est)
+    return out
 
 
 def jaccard_char_pairs(
@@ -128,9 +179,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    broadcast_docs: bool = True,
 ) -> DataFrame:
-    """Verify LSH candidate pairs with exact k-shingle Jaccard."""
-    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+    """Verify LSH candidate pairs with exact k-shingle Jaccard.
+
+    The doc→shingle-set side is broadcast when permitted: candidate
+    sets over clustered corpora run to O(cluster²) pairs, and shuffling
+    a ~|text|-element array per pair side dwarfs the intersect cost
+    itself. The unique-doc side is bounded by the corpus (and at 100 TB
+    would be the LSH representatives), so it is the broadcast side."""
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+              .repartition(spread, "_id")
+              .select("_id", shingles(F.col("_t"), k).alias("_sh")))
+    if broadcast_docs:
+        sh = F.broadcast(sh)
     j = (candidates
          .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")
          .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sb")), "id_b"))

@@ -281,7 +281,7 @@ def _q_jaccard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(docs)
+    cands = D.minhash_lsh_candidates(docs, min_est=0.2).select("id_a", "id_b")
     return D.ngram_jaccard_pairs(cands, docs, threshold=0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
