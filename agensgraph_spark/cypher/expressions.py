@@ -557,12 +557,13 @@ class ExprCompiler:
         return TC(F.size(t.col).cast("long"), T.LongType())
 
     def _f_head(self, e: A.FuncCall) -> TC:
+        # head([]) is null in Cypher — try_element_at, not element_at
         t = self.tc(e.args[0])
-        return TC(F.element_at(t.col, 1), t.dtype.elementType if t.is_array() else None)
+        return TC(F.try_element_at(t.col, F.lit(1)), t.dtype.elementType if t.is_array() else None)
 
     def _f_last(self, e: A.FuncCall) -> TC:
         t = self.tc(e.args[0])
-        return TC(F.element_at(t.col, -1), t.dtype.elementType if t.is_array() else None)
+        return TC(F.try_element_at(t.col, F.lit(-1)), t.dtype.elementType if t.is_array() else None)
 
     def _f_tail(self, e: A.FuncCall) -> TC:
         t = self.tc(e.args[0])

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from agensgraph_spark.cypher.compiler import CypherEngine
 from agensgraph_spark.loader import build_tpch_graph, read_table, register_tables
 from agensgraph_spark.pipeline import dedup as D
+from agensgraph_spark.pipeline import multimodal as MM
 from agensgraph_spark.pipeline import similarity as S
 from agensgraph_spark.pipeline import text as TX
 
@@ -147,6 +148,56 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT c_custkey AS ckey, count(o_orderkey) AS n FROM customer "
         "JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey HAVING count(o_orderkey) >= 12",
     ),
+    "cy_allshortest": (
+        "MATCH (s:supplier), (r:region) WHERE s.s_suppkey <= 20 "
+        "MATCH p = allshortestpaths((s)-[:in_nation|in_region*..4]->(r)) "
+        "RETURN s.s_suppkey AS skey, r.r_regionkey AS rkey, length(p) AS hops",
+        "SELECT s_suppkey AS skey, CAST(n_regionkey AS BIGINT) AS rkey, CAST(2 AS BIGINT) AS hops "
+        "FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey <= 20",
+    ),
+    "cy_dijkstra": (
+        "MATCH (o:orders), (t:part) WHERE o.o_orderkey < 100 "
+        "MATCH p = dijkstra((o)-[x:contains]->(t), x.l_quantity, w) "
+        "RETURN o.o_orderkey AS okey, t.p_partkey AS pkey, length(p) AS hops, w AS wt",
+        "SELECT l_orderkey AS okey, l_partkey AS pkey, CAST(1 AS BIGINT) AS hops, "
+        "CAST(min(l_quantity) AS DOUBLE) AS wt FROM lineitem WHERE l_orderkey < 100 "
+        "GROUP BY l_orderkey, l_partkey",
+    ),
+    "cy_list_comp": (
+        "UNWIND range(1, 20) AS x "
+        "WITH x, [y IN range(1, x) WHERE y % 2 = 0 | y * y] AS l "
+        "RETURN x, size(l) AS n, head(l) AS h, last(l) AS t",
+        "SELECT x, CAST(len(l) AS BIGINT) AS n, l[1] AS h, l[-1] AS t FROM ("
+        "  SELECT CAST(range AS BIGINT) AS x,"
+        "         list_transform(list_filter(range(1, CAST(range AS BIGINT) + 1),"
+        "                                    y -> y % 2 = 0), y -> y * y) AS l"
+        "  FROM range(1, 21))",
+    ),
+    "cy_quantifiers": (
+        "UNWIND range(1, 30) AS x WITH x, [x, x + 1, x + 2] AS l "
+        "WHERE all(y IN l WHERE y > 0) AND any(y IN l WHERE y % 5 = 0) "
+        "AND none(y IN l WHERE y > 40) AND NOT single(y IN l WHERE y % 2 = 0) "
+        "RETURN x",
+        "SELECT x FROM (SELECT CAST(range AS BIGINT) AS x FROM range(1, 31)) "
+        "WHERE list_count(list_filter([x, x+1, x+2], y -> y % 5 = 0)) >= 1 "
+        "AND list_count(list_filter([x, x+1, x+2], y -> y > 40)) = 0 "
+        "AND list_count(list_filter([x, x+1, x+2], y -> y % 2 = 0)) <> 1",
+    ),
+    "cy_slice_index": (
+        "UNWIND range(0, 9) AS x WITH collect(x) AS l "
+        "RETURN l[2] AS third, l[1..4] AS mid, l[-2] AS penult, size(l) AS n",
+        "SELECT l[3] AS third, l[2:4] AS mid, l[-2] AS penult, CAST(len(l) AS BIGINT) AS n "
+        "FROM (SELECT list_sort(list(CAST(range AS BIGINT))) AS l FROM range(0, 10))",
+    ),
+    "cy_write_set_roundtrip": (
+        None,  # python-side: write then read back (fresh engine, no cache)
+        "SELECT c_custkey AS ckey, CAST(c_acctbal + 100.0 AS DOUBLE) AS bal "
+        "FROM customer WHERE c_mktsegment = 'BUILDING'",
+    ),
+    "cy_write_delete_roundtrip": (
+        None,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_totalprice <= 400000",
+    ),
     "cy_edge_props": (
         "MATCH (o:orders)-[x:contains]->(p:part) WHERE x.l_returnflag = 'R' AND x.l_quantity >= 49 "
         "RETURN o.o_orderkey AS okey, p.p_partkey AS pkey, x.l_quantity AS qty",
@@ -154,6 +205,30 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "JOIN part ON p_partkey = l_partkey "
         "WHERE l_returnflag = 'R' AND l_quantity >= 49",
     ),
+}
+
+# Write-path round-trips: a FRESH engine (never the cached one) runs a
+# write statement, then reads the mutated snapshot back — the write
+# result is verified against a relational oracle replaying the same
+# transformation on the raw tables.
+
+def _q_write_set_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(spark, build_tpch_graph(spark, sf_dir))
+    eng.cypher("MATCH (c:customer) WHERE c.c_mktsegment = 'BUILDING' "
+               "SET c.c_acctbal = c.c_acctbal + 100.0")
+    return eng.cypher("MATCH (c:customer) WHERE c.c_mktsegment = 'BUILDING' "
+                      "RETURN c.c_custkey AS ckey, c.c_acctbal AS bal")
+
+
+def _q_write_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = CypherEngine(spark, build_tpch_graph(spark, sf_dir))
+    eng.cypher("MATCH (o:orders) WHERE o.o_totalprice > 400000 DETACH DELETE o")
+    return eng.cypher("MATCH (o:orders) RETURN count(*) AS n")
+
+
+GRAPH_PYTHON_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cy_write_set_roundtrip": _q_write_set_roundtrip,
+    "cy_write_delete_roundtrip": _q_write_delete_roundtrip,
 }
 
 # ---------------------------------------------------------------------------
@@ -216,6 +291,76 @@ SQL_QUERIES: dict[str, str] = {
     "sql_exists_semijoin": """
         SELECT c_custkey AS ckey FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 450000)
+    """,
+    "sql_grouping_sets": """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+               COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nk,
+               count(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    "sql_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_orderkey < 1000
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "sql_except": """
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    """,
+    "sql_not_exists_antijoin": """
+        SELECT c_custkey AS ckey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey AND o_totalprice > 400000)
+    """,
+    "sql_correlated_scalar": """
+        SELECT o_orderkey,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) AS n_items
+        FROM orders o WHERE o_orderkey < 2000
+    """,
+    "sql_cte": """
+        WITH big AS (
+            SELECT o_custkey, count(*) AS n FROM orders
+            WHERE o_totalprice > 200000 GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, count(*) AS n_cust, CAST(SUM(n) AS BIGINT) AS n_big_orders
+        FROM customer JOIN big ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "sql_window_analytics": """
+        SELECT o_custkey, o_orderkey,
+               CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_ok,
+               CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_ok,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    "sql_date_ops": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2, 3
+    """,
+    "sql_string_ops": """
+        SELECT p_partkey,
+               upper(substr(p_name, 1, 5)) AS head5,
+               CAST(length(p_name) AS BIGINT) AS nlen,
+               replace(p_brand, 'Brand#', 'B') AS brand_s,
+               CAST(position('o' IN p_name) AS BIGINT) AS first_o
+        FROM part WHERE p_partkey <= 500
+    """,
+    "sql_values_scan": """
+        SELECT t.k AS k, t.v AS v, n_name
+        FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS t(k, v)
+        JOIN nation ON n_nationkey = t.k
     """,
     "sql_events_hourly": """
         SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
@@ -290,6 +435,29 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(read_table(spark, sf_dir, "documents"))
 
 
+def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id", "kind",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.channels").cast("long").alias("channels"),
+        F.col("meta.n_frames").cast("long").alias("n_frames"),
+        F.length("payload").cast("long").alias("payload_bytes"))
+
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
+    return (MM.frame_index(media, every_n=10)
+            .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_sampled")))
+
+
+def _q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents").limit(200))
+    return MM.image_stats(media).select(
+        "media_id", "n_pixels", F.round("mean_value", 4).alias("mean_value"))
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.brute_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
@@ -341,6 +509,20 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter,
                CAST(len(list_distinct(list_concat(a.cs, b.cs))) AS BIGINT) AS uni
         FROM chars a JOIN chars b ON a.doc_id < b.doc_id"""),
+    "mm_media_meta": (_q_mm_media_meta, """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
+               CAST(48 + (doc_id % 6) * 16 AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 240 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        FROM documents"""),
+    "mm_frame_sample": (_q_mm_frame_sample, """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(((doc_id % 240 + 1) + 9) // 10 AS BIGINT) AS n_sampled
+        FROM documents WHERE doc_id % 3 = 2"""),
+    "mm_image_stats": (_q_mm_image_stats, None),  # stub decode kernel; rows-only
     "dedup_minhash_lsh": (_q_minhash_lsh, None),  # xxhash64-based; rows-only
     "dedup_simhash": (_q_simhash, None),          # xxhash64-based; rows-only
     "ann_cosine_topk": (_q_ann_brute, """
@@ -364,7 +546,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for name, (cy, _) in GRAPH_QUERIES.items():
-        out[name] = _cypher(cy)
+        out[name] = GRAPH_PYTHON_QUERIES[name] if cy is None else _cypher(cy)
     for name, sql in SQL_QUERIES.items():
         out[name] = _sparksql(sql)
     for name, (fn, _) in PIPELINE_QUERIES.items():

@@ -1,0 +1,66 @@
+"""Multimodal column plumbing: schemas, mapInPandas batch shape,
+deterministic stub kernels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agensgraph_spark.loader import read_table
+from agensgraph_spark.pipeline import multimodal as MM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synthesize_media(read_table(spark, SF, "documents")).cache()
+
+
+def test_media_schema(media):
+    got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
+    exp = [(f.name, f.dataType.simpleString()) for f in MM.MEDIA_SCHEMA.fields]
+    assert got == exp
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_image_stats_deterministic(media):
+    a = {r["media_id"]: (r["mean_value"], r["n_pixels"]) for r in MM.image_stats(media).collect()}
+    b = {r["media_id"]: (r["mean_value"], r["n_pixels"]) for r in MM.image_stats(media).collect()}
+    assert a == b and len(a) > 0
+    # n_pixels must equal the metadata product — plumbing is real even
+    # though the decode kernel is a stub
+    metas = {r["media_id"]: r["meta"] for r in media.filter("kind = 'image'").collect()}
+    for mid, (_, n_px) in a.items():
+        m = metas[mid]
+        assert n_px == m["width"] * m["height"] * m["channels"]
+
+
+def test_resize_rewrites_meta_and_payload(media):
+    out = MM.resize_images(media, 32, 24)
+    rows = out.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    for r in rows[:5]:
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+        assert len(bytes(r["payload"])) == 32 * 24 * r["meta"]["channels"]
+
+
+def test_frame_index_counts(media):
+    out = MM.frame_index(media, every_n=10)
+    got = {r["media_id"]: r["cnt"] for r in
+           out.groupBy("media_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    exp = {r["media_id"]: (r["meta"]["n_frames"] + 9) // 10 for r in
+           media.filter("kind = 'video'").collect()}
+    assert got == exp
+
+
+def test_extract_features_shape(media):
+    out = MM.extract_features(media.limit(20), dim=16).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"\x89PNG", "png")

@@ -1,0 +1,72 @@
+"""Structured Streaming extension: file-source ingestion, watermarked
+windowed aggregation, graph snapshot append via foreachBatch."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from agensgraph_spark.loader import read_table
+from agensgraph_spark.streaming import (
+    stream_append_label,
+    stream_file_source,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    events = read_table(spark, SF, "events")
+    events.limit(2000).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_file_source(spark, src, schema)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    exp = {(r["ws"], r["event_type"]): r["n"] for r in
+           spark.read.parquet(src)
+           .groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_stream_append_label_snapshot(spark, tmp_path):
+    src = str(tmp_path / "edges_in")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    orders = read_table(spark, SF, "orders").limit(500)
+    orders.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def to_edges(df):
+        return df.select(
+            (F.lit(17 << 48) + F.col("o_orderkey")).alias("id"),
+            (F.lit(1 << 48) + F.col("o_custkey")).alias("start"),
+            (F.lit(4 << 48) + F.col("o_orderkey")).alias("end"),
+        )
+
+    q = stream_append_label(stream_file_source(spark, src, schema),
+                            snap, ckpt, transform=to_edges)
+    q.awaitTermination(120)
+    out = spark.read.parquet(snap)
+    assert out.count() == 500
+    assert set(out.columns) == {"id", "start", "end"}
+
+    # second batch of files lands → incremental pickup from checkpoint
+    orders2 = read_table(spark, SF, "orders").limit(700)
+    orders2.write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    for f in os.listdir(str(tmp_path / "stage2")):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(str(tmp_path / "stage2"), f),
+                      os.path.join(src, "b2_" + f))
+    q2 = stream_append_label(stream_file_source(spark, src, schema),
+                             snap, ckpt, transform=to_edges)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(snap).count() == 500 + 700

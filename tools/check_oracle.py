@@ -24,15 +24,17 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     import datetime
     import math
+    if v is None:
+        return (1, 0)  # nulls sort last, compare equal to each other
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+            return (0, "nan")
+        return (0, round(v, 9))
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
+        return (0, str(v))
     if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
-    return v
+        return (0, tuple(norm_cell(x) for x in v))
+    return (0, v)
 
 
 def norm_rows(cols, rows):
