@@ -66,15 +66,37 @@ class CypherEngine:
         tables: dict[str, DataFrame] | None = None,
         vle_max_hops: int = P.DEFAULT_MAX_HOPS,
     ):
+        from agensgraph_spark.cypher.ddl import GraphStore
         self.spark = spark
-        self.graph = graph
+        self.store = GraphStore()
+        if graph is not None:
+            self.store.graphs[graph.catalog.name] = graph
+            self.store.graph_path = graph.catalog.name
         self.tables = dict(tables or {})
         self.vle_max_hops = vle_max_hops
         self.last_write_stats: dict[str, int] = {
             "insertedvertices": 0, "insertededges": 0,
             "deletedvertices": 0, "deletededges": 0, "updatedproperties": 0}
 
+    @property
+    def graph(self) -> Graph | None:
+        """The current graph (graph_path analog)."""
+        if self.store.graph_path is None:
+            return None
+        return self.store.graphs.get(self.store.graph_path)
+
+    @graph.setter
+    def graph(self, g: Graph | None) -> None:
+        if g is None:
+            return
+        name = self.store.graph_path or g.catalog.name
+        self.store.graphs[name] = g
+        self.store.graph_path = name
+
     def cypher(self, text: str, params: dict | None = None) -> DataFrame:
+        from agensgraph_spark.cypher.ddl import execute_ddl
+        if execute_ddl(self.store, text):
+            return self.spark.createDataFrame([("ok",)], "status string")
         uq = parse_cypher(text)
         has_write = any(isinstance(c, WRITE_CLAUSES)
                         for part in uq.parts for c in part.clauses)
@@ -378,10 +400,17 @@ class QueryCompiler(WriteMixin):
         rbound = self.scope.get(rvar)
 
         # endpoint labid pruning on the edge side (filters reach the
-        # edge Parquet scan through the id's high bits)
+        # edge Parquet scan through the id's high bits); the source
+        # side prunes too when the left var's labels are known — for
+        # multi-source edge labels (unions) this eliminates whole
+        # branches via Parquet min/max on the underlying key
         if right.labels:
             labids = self._labid_set(right.labels, "v", right.only)
             escan = escan.filter(self._labid_pred(F.col(f"{evar}__dst"), labids))
+        lbind = self.scope.get(left_var)
+        if lbind is not None and lbind.labels:
+            labids = self._labid_set(lbind.labels, "v", True)
+            escan = escan.filter(self._labid_pred(F.col(f"{evar}__src"), labids))
 
         self.df = self.df.join(escan, F.col(f"{left_var}__id") == F.col(f"{evar}__src"), "inner")
         self.scope.bind(ebind)

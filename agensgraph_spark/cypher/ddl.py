@@ -1,0 +1,196 @@
+"""Graph DDL statements (reference: gram.y:16677-17050 —
+CREATE/DROP GRAPH, CREATE/DROP VLABEL/ELABEL [INHERITS], CREATE
+PROPERTY INDEX, CREATE CONSTRAINT; commands in
+src/backend/commands/graphcmds.c).
+
+Spark-native shape: DDL mutates the engine's GraphStore (named graphs
+→ GraphCatalog + frames), the metastore replacement for the
+``ag_graph`` / ``ag_label`` system catalogs. Property indexes are
+recorded as no-op hints (Parquet stats + pushdown already serve point
+lookups — SURVEY.md §4.1); constraints are recorded and validated as
+batch jobs (`validate_constraints`) and at write commit, replacing the
+reference's per-row executor checks.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agensgraph_spark.catalog import GraphCatalog
+from agensgraph_spark.graph import Graph
+
+
+@dataclass
+class PropertyIndex:
+    label: str
+    props: list[str]
+    unique: bool = False
+
+
+@dataclass
+class Constraint:
+    label: str
+    kind: str          # 'unique' | 'check'
+    props: list[str] = field(default_factory=list)
+    expr: str | None = None  # raw Cypher expression for 'check'
+
+
+class GraphStore:
+    """Multiple named graphs + the current ``graph_path`` (reference:
+    the graph_path GUC, src/backend/utils/misc/guc.c:4670)."""
+
+    def __init__(self):
+        self.graphs: dict[str, Graph] = {}
+        self.graph_path: str | None = None
+        self.indexes: dict[str, list[PropertyIndex]] = {}
+        self.constraints: dict[str, list[Constraint]] = {}
+
+    # ---- graph management ----
+
+    def create_graph(self, name: str, if_not_exists: bool = False) -> Graph:
+        if name in self.graphs:
+            if if_not_exists:
+                return self.graphs[name]
+            raise ValueError(f"graph {name!r} already exists")
+        g = Graph(GraphCatalog(name))
+        self.graphs[name] = g
+        if self.graph_path is None:
+            self.graph_path = name
+        return g
+
+    def drop_graph(self, name: str, cascade: bool = False, if_exists: bool = False) -> None:
+        g = self.graphs.get(name)
+        if g is None:
+            if if_exists:
+                return
+            raise ValueError(f"graph {name!r} does not exist")
+        if g.catalog.labels and not cascade:
+            raise ValueError(f"graph {name!r} is not empty; use CASCADE")
+        del self.graphs[name]
+        self.indexes.pop(name, None)
+        self.constraints.pop(name, None)
+        if self.graph_path == name:
+            self.graph_path = next(iter(self.graphs), None)
+
+    def current(self) -> Graph:
+        if self.graph_path is None:
+            raise ValueError("no current graph; CREATE GRAPH first or SET graph_path")
+        return self.graphs[self.graph_path]
+
+
+_RE = {
+    "create_graph": re.compile(r"^create\s+graph\s+(if\s+not\s+exists\s+)?(\w+)$", re.I),
+    "drop_graph": re.compile(r"^drop\s+graph\s+(if\s+exists\s+)?(\w+)\s*(cascade)?$", re.I),
+    "set_path": re.compile(r"^set\s+graph_path\s*=\s*(\w+)$", re.I),
+    "create_label": re.compile(
+        r"^create\s+(vlabel|elabel)\s+(if\s+not\s+exists\s+)?(\w+)"
+        r"(?:\s+inherits\s*\(\s*([\w\s,]+?)\s*\))?$", re.I),
+    "drop_label": re.compile(r"^drop\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)$", re.I),
+    "create_index": re.compile(
+        r"^create\s+(unique\s+)?property\s+index\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
+    "create_constraint": re.compile(
+        r"^create\s+constraint\s+(?:\w+\s+)?on\s+(\w+)\s+assert\s+(.+?)(\s+is\s+unique)?$", re.I),
+}
+
+
+def execute_ddl(store: GraphStore, text: str) -> bool:
+    """Try to run ``text`` as a DDL statement against the store.
+    Returns False when the text is not DDL (caller falls through to the
+    query compiler)."""
+    s = re.sub(r"\s+", " ", text.strip()).rstrip(";").strip()
+
+    m = _RE["create_graph"].match(s)
+    if m:
+        store.create_graph(m.group(2), if_not_exists=bool(m.group(1)))
+        return True
+    m = _RE["drop_graph"].match(s)
+    if m:
+        store.drop_graph(m.group(2), cascade=bool(m.group(3)), if_exists=bool(m.group(1)))
+        return True
+    m = _RE["set_path"].match(s)
+    if m:
+        name = m.group(1)
+        if name not in store.graphs:
+            raise ValueError(f"graph {name!r} does not exist")
+        store.graph_path = name
+        return True
+    m = _RE["create_label"].match(s)
+    if m:
+        kind = "v" if m.group(1).lower() == "vlabel" else "e"
+        parents = [p.strip() for p in m.group(4).split(",")] if m.group(4) else []
+        store.current().catalog.create_label(
+            m.group(3), kind, parents=parents, if_not_exists=bool(m.group(2)))
+        return True
+    m = _RE["drop_label"].match(s)
+    if m:
+        g = store.current()
+        name = m.group(3)
+        if name not in g.catalog.labels:
+            if m.group(2):
+                return True
+            raise ValueError(f"label {name!r} does not exist")
+        g.catalog.drop_label(name)
+        g.frames.pop(name, None)
+        return True
+    m = _RE["create_index"].match(s)
+    if m:
+        # no-op planning hint: Parquet column stats + predicate pushdown
+        # already serve property point-lookups (SURVEY.md §4.1)
+        idx = PropertyIndex(m.group(2), [p.strip() for p in m.group(3).split(",")],
+                            unique=bool(m.group(1)))
+        store.indexes.setdefault(store.graph_path, []).append(idx)
+        if idx.unique:
+            store.constraints.setdefault(store.graph_path, []).append(
+                Constraint(idx.label, "unique", idx.props))
+        return True
+    m = _RE["create_constraint"].match(s)
+    if m:
+        label, expr, uniq = m.group(1), m.group(2).strip(), bool(m.group(3))
+        if uniq:
+            props = [p.strip().split(".")[-1] for p in expr.split(",")]
+            con = Constraint(label, "unique", props)
+        else:
+            con = Constraint(label, "check", expr=expr)
+        store.constraints.setdefault(store.graph_path, []).append(con)
+        return True
+    return False
+
+
+def validate_constraints(spark: SparkSession, store: GraphStore,
+                         graph_name: str | None = None) -> list[str]:
+    """Batch constraint validation over current label frames — the
+    snapshot-model replacement for per-row write checks. Returns a list
+    of violation descriptions (empty = all constraints hold)."""
+    name = graph_name or store.graph_path
+    g = store.graphs[name]
+    out: list[str] = []
+    for con in store.constraints.get(name, []):
+        if con.label not in g.frames:
+            continue
+        df: DataFrame = g.frames[con.label]
+        if con.kind == "unique":
+            present = [p for p in con.props if p in df.columns]
+            if len(present) != len(con.props):
+                continue
+            dups = (df.groupBy(*present).count().filter(F.col("count") > 1).limit(1).collect())
+            if dups:
+                out.append(f"unique({', '.join(con.props)}) violated on label {con.label!r}")
+        else:
+            # check constraints run through the Cypher expression layer;
+            # bare property names in the ASSERT expression are projected
+            # into scope first (the reference resolves them against the
+            # label tuple the same way)
+            from agensgraph_spark.cypher.compiler import CypherEngine
+            eng = CypherEngine(spark, g)
+            props = list(g.catalog.labels[con.label].props)
+            proj = ", ".join(f"x.{p} AS {p}" for p in props) or "x.id AS id"
+            bad = eng.cypher(
+                f"MATCH (x:ONLY {con.label}) WITH {proj} "
+                f"WHERE NOT ({con.expr}) RETURN count(*) AS n").collect()[0]["n"]
+            if bad:
+                out.append(f"check ({con.expr}) violated on {bad} rows of label {con.label!r}")
+    return out

@@ -47,8 +47,15 @@ class Graph:
 
     def _stamped(self, label: str) -> DataFrame:
         meta = self.catalog.labels[label]
-        df = self.frames[label]
+        df = self.frames.get(label)
         base = BASE_V_COLS if meta.kind == "v" else BASE_E_COLS
+        if df is None:
+            # label created by DDL but never written: empty scan
+            spark = SparkSession.getActiveSession()
+            ddl = ", ".join(f"{c} long" for c in base)
+            for p, t in meta.props.items():
+                ddl += f", {p} {t}"
+            df = spark.createDataFrame([], schema=ddl)
         cols = [F.col(c) for c in base] + [F.lit(label).alias("label")]
         cols += [F.col(p) for p in meta.props if p in df.columns]
         return df.select(*cols)

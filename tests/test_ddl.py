@@ -1,0 +1,85 @@
+"""Graph DDL surface (reference corpus: cypher_ddl.sql — graphs,
+labels, inheritance, property indexes, constraints; cypher_func.sql —
+labels() over inheritance DAGs)."""
+
+import pytest
+
+from agensgraph_spark.cypher.compiler import CypherEngine
+from agensgraph_spark.cypher.ddl import validate_constraints
+
+
+@pytest.fixture
+def eng(spark):
+    e = CypherEngine(spark)
+    e.cypher("CREATE GRAPH g1")
+    return e
+
+
+def test_create_and_drop_graph(eng):
+    eng.cypher("CREATE GRAPH g2")
+    assert set(eng.store.graphs) == {"g1", "g2"}
+    assert eng.store.graph_path == "g1"
+    eng.cypher("SET graph_path = g2")
+    assert eng.store.graph_path == "g2"
+    eng.cypher("DROP GRAPH g2")
+    assert set(eng.store.graphs) == {"g1"}
+    eng.cypher("CREATE GRAPH IF NOT EXISTS g1")  # no error
+    with pytest.raises(ValueError):
+        eng.cypher("CREATE GRAPH g1")
+
+
+def test_label_ddl_and_inheritance_scan(eng):
+    eng.cypher("CREATE VLABEL animal")
+    eng.cypher("CREATE VLABEL dog INHERITS (animal)")
+    eng.cypher("CREATE (:animal {name: 'generic'}), (:dog {name: 'rex'})")
+    # parent scan sees the child subtree (AgInheritanceDependancy)
+    names = {r["n"] for r in eng.cypher("MATCH (a:animal) RETURN a.name AS n").collect()}
+    assert names == {"generic", "rex"}
+    only = {r["n"] for r in eng.cypher("MATCH (a:ONLY animal) RETURN a.name AS n").collect()}
+    assert only == {"generic"}
+    labels = eng.cypher("MATCH (d:dog) RETURN labels(d) AS l").collect()[0]["l"]
+    assert labels == ["dog", "animal"]
+
+
+def test_empty_label_scans_empty(eng):
+    eng.cypher("CREATE VLABEL ghost")
+    assert eng.cypher("MATCH (gg:ghost) RETURN gg").count() == 0
+
+
+def test_drop_label_behaviors(eng):
+    eng.cypher("CREATE VLABEL a1")
+    eng.cypher("CREATE VLABEL b1 INHERITS (a1)")
+    with pytest.raises(ValueError, match="children"):
+        eng.cypher("DROP VLABEL a1")
+    eng.cypher("DROP VLABEL b1")
+    eng.cypher("DROP VLABEL a1")
+    with pytest.raises(ValueError):
+        eng.cypher("DROP VLABEL a1")
+    eng.cypher("DROP VLABEL IF EXISTS a1")  # no error
+
+
+def test_property_index_is_recorded_noop(eng):
+    eng.cypher("CREATE VLABEL person")
+    eng.cypher("CREATE PROPERTY INDEX ON person (name)")
+    idx = eng.store.indexes["g1"]
+    assert idx[0].label == "person" and idx[0].props == ["name"] and not idx[0].unique
+
+
+def test_unique_constraint_validation(eng, spark):
+    eng.cypher("CREATE VLABEL u1")
+    eng.cypher("CREATE UNIQUE PROPERTY INDEX ON u1 (email)")
+    eng.cypher("CREATE (:u1 {email: 'a@x'}), (:u1 {email: 'b@x'})")
+    assert validate_constraints(spark, eng.store) == []
+    eng.cypher("CREATE (:u1 {email: 'a@x'})")
+    viol = validate_constraints(spark, eng.store)
+    assert len(viol) == 1 and "unique" in viol[0]
+
+
+def test_check_constraint_validation(eng, spark):
+    eng.cypher("CREATE VLABEL acct")
+    eng.cypher("CREATE (:acct {bal: 10}), (:acct {bal: 5})")
+    eng.cypher("CREATE CONSTRAINT ON acct ASSERT bal > 0")
+    assert validate_constraints(spark, eng.store) == []
+    eng.cypher("CREATE (:acct {bal: -3})")
+    viol = validate_constraints(spark, eng.store)
+    assert len(viol) == 1 and "check" in viol[0]
