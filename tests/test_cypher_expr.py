@@ -1,0 +1,165 @@
+"""Expression-semantics parity with the reference corpus
+(cypher_expr.sql: coercion matrix, literals, lists/maps, CASE, IN,
+truthiness; cypher_substring.sql: 0-based substring)."""
+
+import pytest
+
+from agensgraph_spark.catalog import GraphCatalog
+from agensgraph_spark.cypher.compiler import CypherEngine
+from agensgraph_spark.graph import Graph
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return CypherEngine(spark, Graph(GraphCatalog("x")))
+
+
+def one(eng, expr: str):
+    df = eng.cypher(f"RETURN {expr} AS v")
+    return df.collect()[0]["v"]
+
+
+# --- arithmetic coercion matrix (cypher_expr.sql:52-128, jsonb_add
+# semantics cypher_ops.c:25-125) ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("'1' + '1'", "11"),       # string + string → concat
+    ("'1' + 1", "11"),         # string + number → concat
+    ("1 + '1'", "11"),         # number + string → concat
+    ("1 + 1", 2),
+    ("1 - 1", 0),
+    ("2 * 2", 4),
+    ("2 / 2", 1),              # integer division stays integral
+    ("5 / 2", 2),
+    ("2 % 2", 0),
+    ("7 % 3", 1),
+    ("2 ^ 2", 4.0),            # power is double (numeric_power)
+    ("-1", -1),
+    ("3.5 + 1", 4.5),
+    ("5.0 / 2", 2.5),          # float division
+])
+def test_arithmetic(eng, expr, expected):
+    assert one(eng, expr) == expected
+
+
+def test_list_concat(eng):
+    assert one(eng, "[1, 2] + [3]") == [1, 2, 3]
+    assert one(eng, "[1, 2] + 3") == [1, 2, 3]
+
+
+# --- literals (cypher_expr.sql:13-24) ---
+
+def test_int_bounds(eng):
+    assert one(eng, "9223372036854775807") == (1 << 63) - 1
+    assert one(eng, "-9223372036854775808") == -(1 << 63)
+
+
+def test_bool_null(eng):
+    df = eng.cypher("RETURN true AS t, false AS f, null AS n")
+    r = df.collect()[0]
+    assert r["t"] is True and r["f"] is False and r["n"] is None
+
+
+def test_list_and_map_literals(eng):
+    assert one(eng, "[7, 1, 2][1]") == 1
+    assert one(eng, "{i: 7, s: 'x'}.i") == 7
+    assert one(eng, "size([1, 2, 3])") == 3
+
+
+# --- slices / negative indexing (cypher_expr.sql property access) ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("[0, 1, 2, 3][1..3]", [1, 2]),
+    ("[0, 1, 2, 3][-2]", 2),
+    ("[0, 1, 2, 3][..2]", [0, 1]),
+    ("[0, 1, 2, 3][2..]", [2, 3]),
+    ("head([5, 6])", 5),
+    ("last([5, 6])", 6),
+    ("tail([5, 6, 7])", [6, 7]),
+    ("head([])", None),
+])
+def test_list_ops(eng, expr, expected):
+    assert one(eng, expr) == expected
+
+
+# --- 0-based substring (cypher_substring.sql; adjust rule
+# parse_cypher_expr.c:929-962) ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("substring('123', 0, 1)", "1"),
+    ("substring('123', 1, 1)", "2"),
+    ("substring('123', 2, 1)", "3"),
+    ("substring('123', 0)", "123"),
+    ("substring('123', 1)", "23"),
+    ("substring('123', 2)", "3"),
+    ("substring('123', 3)", ""),
+])
+def test_substring_zero_based(eng, expr, expected):
+    assert one(eng, expr) == expected
+
+
+# --- string operators (cypher_dml.sql:1163-1203) ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("'abcdef' STARTS WITH 'abc'", True),
+    ("'abcdef' ENDS WITH 'def'", True),
+    ("'abcdef' CONTAINS 'cd'", True),
+    ("'abcdef' =~ 'a.*f'", True),
+    ("'abcdef' =~ 'a.*e'", False),  # regex is anchored
+    ("toUpper('ab')", "AB"),
+    ("toLower('AB')", "ab"),
+    ("reverse('abc')", "cba"),
+    ("replace('aXbXc', 'X', '-')", "a-b-c"),
+    ("left('abcdef', 2)", "ab"),
+    ("right('abcdef', 2)", "ef"),
+    ("trim('  a  ')", "a"),
+    ("split('a,b,c', ',')", ["a", "b", "c"]),
+])
+def test_string_ops(eng, expr, expected):
+    assert one(eng, expr) == expected
+
+
+# --- CASE / IN / null predicates (cypher_expr.sql:190-270) ---
+
+def test_case_simple_and_searched(eng):
+    assert one(eng, "CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END") == "b"
+    assert one(eng, "CASE WHEN 1 > 2 THEN 'x' ELSE 'y' END") == "y"
+
+
+def test_in_and_null(eng):
+    assert one(eng, "2 IN [1, 2, 3]") is True
+    assert one(eng, "5 IN [1, 2, 3]") is False
+    assert one(eng, "null IS NULL") is True
+    assert one(eng, "1 IS NOT NULL") is True
+
+
+def test_coalesce_and_casts(eng):
+    assert one(eng, "coalesce(null, 'x')") == "x"
+    assert one(eng, "toInteger('42')") == 42
+    assert one(eng, "toFloat('2.5')") == 2.5
+    assert one(eng, "toBoolean('true')") is True
+    assert one(eng, "toString(42)") == "42"
+
+
+# --- math functions (cypher_funcs.c:238-541; log→ln alias
+# parse_cypher_expr.c:894) ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("abs(-3)", 3),
+    ("sign(-7)", -1.0),
+    ("floor(2.7)", 2.0),
+    ("ceil(2.1)", 3.0),
+    ("round(2.5)", 3.0),
+    ("sqrt(9)", 3.0),
+    ("exp(0)", 1.0),
+    ("log(exp(1))", 1.0),      # Cypher log == natural log
+    ("log10(100)", 2.0),
+])
+def test_math(eng, expr, expected):
+    got = one(eng, expr)
+    assert got == pytest.approx(expected)
+
+
+def test_range_fn(eng):
+    assert one(eng, "range(1, 5)") == [1, 2, 3, 4, 5]
+    assert one(eng, "range(0, 10, 3)") == [0, 3, 6, 9]
