@@ -39,13 +39,27 @@ def _maybe_checkpoint(df: DataFrame, k: int, every: int | None) -> DataFrame:
     return df
 
 
-def _pin_edges(edges: DataFrame) -> DataFrame:
+BROADCAST_EDGE_LIMIT = 2_000_000
+
+
+def _pin_edges(edges: DataFrame) -> tuple[DataFrame, bool]:
     """Persist the edge relation: every hop re-joins it, and each
     iteration's isEmpty/cache action would otherwise re-run the whole
     scan lineage (label unions, graphid arithmetic) once per hop.
-    MEMORY_AND_DISK so oversized edge sets spill instead of OOM."""
+    MEMORY_AND_DISK so oversized edge sets spill instead of OOM.
+
+    Returns (edges, small): when the persisted relation is small the
+    caller broadcasts it into every hop join — the frontier then never
+    shuffles on the join key, collapsing each hop to one narrow stage.
+    (Counting is ~free: it is the action that materializes the
+    persist.)"""
     from pyspark import StorageLevel
-    return edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    return edges, edges.count() <= BROADCAST_EDGE_LIMIT
+
+
+def _hop_side(edges: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(edges) if small else edges
 
 
 def vle_expand(
@@ -67,8 +81,9 @@ def vle_expand(
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
     max_hops = min(max_hops, DEFAULT_MAX_HOPS * 4)
+    small = False
     if max_hops > 1:
-        edges = _pin_edges(edges)
+        edges, small = _pin_edges(edges)
 
     frontier = seeds.select(
         F.col("seed"),
@@ -82,7 +97,7 @@ def vle_expand(
         results.append(frontier.select("seed", F.col("cur").alias("dst"), "eids", "vids", "len"))
 
     for k in range(1, max_hops + 1):
-        step = frontier.join(edges, frontier.cur == edges.src, "inner")
+        step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner")
         if unique_edges:
             step = step.filter(~F.array_contains(F.col("eids"), F.col("eid")))
         frontier = step.select(
@@ -95,9 +110,9 @@ def vle_expand(
         frontier = _maybe_checkpoint(frontier, k, checkpoint_every)
         if k >= min_hops:
             results.append(frontier.select("seed", F.col("cur").alias("dst"), "eids", "vids", "len"))
-        # stop early once the frontier drains (cheap at low depth; the
-        # isEmpty action reuses the checkpointed frontier)
-        if k < max_hops and frontier.isEmpty():
+        # stop early once the frontier drains; the isEmpty probe is a
+        # Spark job, so only pay for it when enough depth remains
+        if k < max_hops and (max_hops - k > 2) and frontier.isEmpty():
             break
 
     out = results[0]
@@ -124,7 +139,13 @@ def bfs_shortest(
     """
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
-    edges = _pin_edges(edges)
+    if max_hops <= 3:
+        # shallow bounded search: one VLE expansion + a single min-depth
+        # selection beats per-hop visited-pruning (whose 2-3 shuffles
+        # per hop dominate when the hop budget is this small; path
+        # blowup is bounded by E^3)
+        return _bfs_shortest_shallow(edges, pairs, min_hops, max_hops, all_paths)
+    edges, small = _pin_edges(edges)
     pairs = pairs.select("seed", "target").distinct().cache()
     seeds = pairs.select("seed").distinct()
 
@@ -146,7 +167,7 @@ def bfs_shortest(
         remaining = remaining.join(hit0.select("seed", "target"), ["seed", "target"], "left_anti")
 
     for k in range(1, max_hops + 1):
-        step = frontier.join(edges, frontier.cur == edges.src, "inner") \
+        step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
                        .filter(~F.array_contains(F.col("eids"), F.col("eid")))
         frontier = step.select(
             "seed",
@@ -171,7 +192,10 @@ def bfs_shortest(
         ).select(F.col("f.seed").alias("seed"), F.col("f.cur").alias("target"), "eids", "vids", "len")
         found_parts.append(hit)
         remaining = remaining.join(hit.select("seed", "target").distinct(), ["seed", "target"], "left_anti")
-        if remaining.isEmpty() or frontier.isEmpty():
+        # early-exit checks are Spark actions (a full job each); for
+        # tightly bounded searches the checks cost more than the hops
+        # they might skip — only probe when the remaining depth is deep
+        if k < max_hops and (max_hops - k > 2) and (remaining.isEmpty() or frontier.isEmpty()):
             break
 
     out = None
@@ -197,6 +221,26 @@ def bfs_shortest(
     return out
 
 
+def _bfs_shortest_shallow(
+    edges: DataFrame,
+    pairs: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    all_paths: bool,
+) -> DataFrame:
+    pairs = pairs.select("seed", "target").distinct()
+    exp = vle_expand(edges, pairs.select("seed").distinct(), min_hops, max_hops)
+    hit = exp.join(pairs.withColumnRenamed("seed", "__s"),
+                   (exp.seed == F.col("__s")) & (exp.dst == F.col("target")), "inner") \
+             .select("seed", "target", "eids", "vids", "len")
+    w = Window.partitionBy("seed", "target")
+    hit = hit.withColumn("_min", F.min("len").over(w)).filter(F.col("len") == F.col("_min")).drop("_min")
+    if not all_paths:
+        w2 = Window.partitionBy("seed", "target").orderBy("len", F.col("eids").getItem(0))
+        hit = hit.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") == 1).drop("_rn")
+    return hit
+
+
 def dijkstra_paths(
     edges: DataFrame,
     pairs: DataFrame,
@@ -213,7 +257,7 @@ def dijkstra_paths(
     Returns (seed, target, eids, vids, len, weight) — up to ``limit``
     cheapest paths per pair, ordered by total weight.
     """
-    edges = _pin_edges(edges)
+    edges, small = _pin_edges(edges)
     pairs = pairs.select("seed", "target").distinct().cache()
     seeds = pairs.select("seed").distinct()
 
@@ -229,7 +273,7 @@ def dijkstra_paths(
     frontier = paths
 
     for k in range(1, max_iters + 1):
-        step = frontier.join(edges, frontier.cur == edges.src, "inner") \
+        step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
                        .filter(~F.array_contains(F.col("eids"), F.col("eid"))) \
                        .select(
                            "seed",
