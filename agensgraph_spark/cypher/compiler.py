@@ -141,6 +141,15 @@ class CypherEngine:
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
 
+    def register_cypher_view(self, name: str, text: str, params: dict | None = None) -> DataFrame:
+        """Expose a Cypher result to SQL (reference: Cypher as a SQL
+        subquery, `SELECT * FROM (MATCH ... RETURN ...) t`,
+        cypher_dml.sql:26). The view is lazy — Catalyst collapses it
+        into consuming SQL plans."""
+        df = self.cypher(text, params)
+        df.createOrReplaceTempView(name)
+        return df
+
 
 class QueryCompiler(WriteMixin):
     def __init__(self, engine: CypherEngine, params: dict, graph: Graph | None = None):

@@ -116,6 +116,19 @@ class ExprCompiler:
             raise NotImplementedError(f"expression {type(e).__name__} not supported")
         return meth(e)
 
+    def _c_ScalarSubquery(self, e: A.ScalarSubquery) -> TC:
+        """Uncorrelated SQL scalar subquery: evaluated once against the
+        session catalog (temp views), folded in as a literal — the
+        DataFrame analog of the reference's SubLink-in-Cypher
+        (parse_graph.c:373). Correlated subqueries are not supported."""
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        rows = spark.sql(e.sql).limit(2).collect()
+        if len(rows) > 1:
+            raise ValueError("scalar subquery returned more than one row")
+        val = rows[0][0] if rows else None
+        return TC(F.lit(val))
+
     def _c_Lit(self, e: A.Lit) -> TC:
         v = e.value
         if v is None:

@@ -25,8 +25,9 @@ AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
 
 
 class Parser:
-    def __init__(self, toks: list[Token]):
+    def __init__(self, toks: list[Token], src: str = ""):
         self.toks = toks
+        self.src = src
         self.i = 0
 
     # ---- token helpers ----
@@ -607,6 +608,21 @@ class Parser:
             self.next()
             return A.Var(t.text)
         if t.kind == "(":
+            # SQL scalar subquery in a Cypher expression (reference:
+            # hybrid queries, cypher_dml.sql:50-52, cypher_expr.sql:262)
+            if self.peek(1).kind in ("IDENT", "KEYWORD") and self.peek(1).lower() == "select":
+                start = self.peek(1).pos
+                self.next()
+                depth = 1
+                while depth:
+                    tok = self.next()
+                    if tok.kind == "EOF":
+                        raise ParseError("unterminated SQL subquery")
+                    if tok.kind == "(":
+                        depth += 1
+                    elif tok.kind == ")":
+                        depth -= 1
+                return A.ScalarSubquery(self.src[start:tok.pos])
             # pattern-as-predicate:  (a)-[:T]->(b)  — detect by lookahead
             if self._looks_like_pattern():
                 pat = self.parse_plain_pattern(None)
@@ -695,4 +711,4 @@ class Parser:
 
 
 def parse_cypher(text: str) -> A.UnionQuery:
-    return Parser(tokenize(text)).parse()
+    return Parser(tokenize(text), src=text).parse()

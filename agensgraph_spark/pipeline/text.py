@@ -87,6 +87,35 @@ def sum_cols(cols: list[Column]) -> Column:
     return out
 
 
+# GPT-style pre-tokenization classes: letter runs, digit runs, other
+# non-space runs. RE2/Java-portable (no lookarounds) so the same
+# pattern runs on Spark and any SQL oracle.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace split vs a BPE-ish pre-tokenizer
+    regex (letter/digit/punctuation runs — the usual byte-pair
+    pre-segmentation shape). Counts only; the id→token explode is
+    `tokens()` below."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded (doc_id, pos, token) stream under the BPE-ish
+    pre-tokenizer — the input shape for vocabulary building."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+         .alias("pos", "token"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprints: md5 (engine-portable) +
     xxhash64 (Spark-native 64-bit, used by dedup internals)."""

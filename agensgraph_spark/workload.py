@@ -435,6 +435,42 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(read_table(spark, sf_dir, "documents"))
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_token_count(read_table(spark, sf_dir, "documents"))
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = TX.tokens(read_table(spark, sf_dir, "documents"))
+    return (toks.groupBy(F.lower("token").alias("tok"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("tok")).limit(50))
+
+
+def _q_hybrid_cypher_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher result registered as a SQL view, consumed by spark.sql —
+    the reference's Cypher-as-SQL-subquery form (cypher_dml.sql:26)."""
+    eng = _engine(spark, sf_dir)
+    eng.register_cypher_view(
+        "cy_seg_counts",
+        "MATCH (c:customer)-[:placed]->(o:orders) "
+        "RETURN c.c_mktsegment AS seg, o.o_totalprice AS total")
+    return spark.sql(
+        "SELECT seg, count(*) AS n, "
+        "CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total "
+        "FROM cy_seg_counts GROUP BY seg")
+
+
+def _q_hybrid_sql_in_cypher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar subquery inside a Cypher expression (reference:
+    cypher_expr.sql:262-267)."""
+    register_tables(spark, sf_dir)
+    eng = _engine(spark, sf_dir)
+    return eng.cypher(
+        "MATCH (c:customer) "
+        "WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer) "
+        "RETURN count(*) AS n_above_avg")
+
+
 def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
     return media.select(
@@ -509,6 +545,24 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter,
                CAST(len(list_distinct(list_concat(a.cs, b.cs))) AS BIGINT) AS uni
         FROM chars a JOIN chars b ON a.doc_id < b.doc_id"""),
+    "text_bpe_tokens": (_q_bpe_tokens, r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_tokens_bpe
+        FROM documents"""),
+    "text_vocab_topk": (_q_vocab_topk, r"""
+        SELECT tok, count(*) AS n FROM (
+          SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS tok
+          FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 50"""),
+    "hybrid_cypher_as_view": (_q_hybrid_cypher_sql,
+        "SELECT c_mktsegment AS seg, count(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total "
+        "FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "hybrid_sql_in_cypher": (_q_hybrid_sql_in_cypher,
+        "SELECT count(*) AS n_above_avg FROM customer "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)"),
     "mm_media_meta": (_q_mm_media_meta, """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -163,3 +163,25 @@ def test_math(eng, expr, expected):
 def test_range_fn(eng):
     assert one(eng, "range(1, 5)") == [1, 2, 3, 4, 5]
     assert one(eng, "range(0, 10, 3)") == [0, 3, 6, 9]
+
+
+# --- hybrid SQL <-> Cypher (reference: cypher_dml.sql:26,50-52) ---
+
+def test_sql_scalar_subquery_in_cypher(eng, spark):
+    spark.range(5).selectExpr("id AS v").createOrReplaceTempView("t_hybrid")
+    assert one(eng, "1 + (SELECT max(v) FROM t_hybrid)") == 5
+
+
+def test_sql_subquery_in_create(eng, spark):
+    spark.range(7).createOrReplaceTempView("t_hybrid2")
+    eng.cypher("CREATE (:cfg {n: (SELECT count(*) FROM t_hybrid2)})")
+    assert one(eng, "1") == 1  # engine still healthy
+    got = eng.cypher("MATCH (c:cfg) RETURN c.n AS n").collect()
+    assert [r["n"] for r in got] == [7]
+
+
+def test_cypher_view_consumed_by_sql(eng, spark):
+    eng.cypher("CREATE (:kv {k: 'a', v: 1}), (:kv {k: 'b', v: 2})")
+    eng.register_cypher_view("kv_view", "MATCH (x:kv) RETURN x.k AS k, x.v AS v")
+    rows = spark.sql("SELECT k, v FROM kv_view ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 1), ("b", 2)]
