@@ -104,6 +104,31 @@ class Graph:
         doc = F.to_json(F.struct(*[F.col(p) for p in present])) if present else F.lit("{}")
         return df.withColumn("properties", doc)
 
+    # ---- statistics (reference: ag_graphmeta — per (edge, start-label,
+    # end-label) triple cardinality, src/include/catalog/ag_graphmeta.h:30,
+    # maintained by regather_graphmeta()/write stats) ----
+
+    def edge_stats(self) -> DataFrame:
+        """Edge-count statistics per (edge label, start labid, end
+        labid) — the join-order/costing input the reference keeps in
+        ag_graphmeta. One aggregate over each edge frame; labels are
+        recovered from the ids' high bits so no vertex join happens."""
+        from agensgraph_spark.graphid import labid_col
+        out = None
+        for lbl in self.catalog.elabels():
+            if lbl not in self.frames and self.frames.get(lbl) is None:
+                continue
+            df = self._stamped(lbl).select(
+                F.lit(lbl).alias("edge_label"),
+                labid_col(F.col("start")).alias("start_labid"),
+                labid_col(F.col("end")).alias("end_labid"),
+            )
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            raise ValueError("graph has no edge labels")
+        return (out.groupBy("edge_label", "start_labid", "end_labid")
+                .agg(F.count(F.lit(1)).alias("edgecount")))
+
     # ---- SQL interop (reference: Cypher results usable as SQL relations) ----
 
     def register_views(self, spark: SparkSession, prefix: str | None = None) -> None:
@@ -113,15 +138,19 @@ class Graph:
 
     # ---- persistence: immutable snapshot model ----
 
-    def write_snapshot(self, root: str) -> None:
-        """Write every label as Parquet partitioned for scale: vertices
-        bucket-friendly by id, edges repartitioned by ``start`` so
-        out-edge expansion joins co-locate."""
+    def write_snapshot(self, root: str, partitions: int | None = None) -> None:
+        """Write every label as Parquet laid out for scale: vertex
+        files hash-clustered and sorted by ``id`` (Parquet min/max
+        footers then prune id-range = label/point lookups), edge files
+        clustered by ``start`` and sorted within files so out-edge
+        expansion reads co-located, sorted runs."""
         self.catalog.save(root)
         for lbl, df in self.frames.items():
             meta = self.catalog.labels[lbl]
             path = f"{root}/{self.catalog.name}/{meta.kind}_{lbl}"
-            df.write.mode("overwrite").parquet(path)
+            key = "id" if meta.kind == "v" else "start"
+            out = df.repartition(partitions, key) if partitions else df.repartition(F.col(key))
+            out.sortWithinPartitions(key).write.mode("overwrite").parquet(path)
 
     @classmethod
     def read_snapshot(cls, spark: SparkSession, root: str, name: str) -> "Graph":

@@ -59,6 +59,28 @@ def brute_cosine_topk(
                     F.col("rank").cast("long").alias("rank")))
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥
+    threshold). Exact over a bounded id range (the verification shape);
+    at corpus scale, feed LSH-bucketed candidates (``lsh_cosine_topk``
+    machinery) instead of the bounded self-join."""
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    if max_id is not None:
+        base = base.filter(F.col("_id") < max_id)
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

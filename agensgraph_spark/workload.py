@@ -494,6 +494,40 @@ def _q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_pixels", F.round("mean_value", 4).alias("mean_value"))
 
 
+def _q_graphmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ag_graphmeta analog: per (edge label, start labid, end labid)
+    edge counts (reference: src/include/catalog/ag_graphmeta.h:30)."""
+    return _engine(spark, sf_dir).graph.edge_stats().select(
+        "edge_label",
+        F.col("start_labid").cast("long").alias("start_labid"),
+        F.col("end_labid").cast("long").alias("end_labid"),
+        "edgecount")
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.25, max_id=100)
+
+
+def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming rollup, executed for real through Structured
+    Streaming (file source → watermarked window agg → memory sink,
+    availableNow trigger) — results must equal the batch oracle."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))))
+    from agensgraph_spark.streaming import windowed_event_counts
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("stream_hourly_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_hourly_sink").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type", "n",
+        F.round("total_value", 6).alias("total_value"))
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.brute_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
@@ -556,6 +590,32 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
           SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS tok
           FROM documents)
         GROUP BY tok ORDER BY n DESC, tok LIMIT 50"""),
+    "graphmeta_edge_stats": (_q_graphmeta, """
+        SELECT 'placed' AS edge_label, CAST(1 AS BIGINT) AS start_labid,
+               CAST(4 AS BIGINT) AS end_labid, count(*) AS edgecount FROM orders
+        UNION ALL
+        SELECT 'contains', 4, 3, count(*) FROM lineitem
+        UNION ALL
+        SELECT 'supplies', 2, 3, count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+        UNION ALL
+        SELECT 'in_nation', 1, 5, count(*) FROM customer
+        UNION ALL
+        SELECT 'in_nation', 2, 5, count(*) FROM supplier
+        UNION ALL
+        SELECT 'in_region', 5, 6, count(*) FROM nation"""),
+    "dedup_embedding_cosine": (_q_emb_neardup, """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
+    "stream_events_hourly": (_q_stream_events_hourly, """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+               event_type, count(*) AS n,
+               round(SUM(CAST(value AS DOUBLE)), 6) AS total_value
+        FROM events GROUP BY 1, 2"""),
     "hybrid_cypher_as_view": (_q_hybrid_cypher_sql,
         "SELECT c_mktsegment AS seg, count(*) AS n, "
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total "

@@ -1,0 +1,33 @@
+"""Snapshot persistence round-trip and edge statistics."""
+
+from pyspark.sql import functions as F
+
+from agensgraph_spark.catalog import GraphCatalog
+from agensgraph_spark.cypher.compiler import CypherEngine
+from agensgraph_spark.graph import Graph
+from agensgraph_spark.loader import build_tpch_graph
+
+
+def test_write_read_snapshot_roundtrip(spark, tmp_path):
+    eng = CypherEngine(spark, Graph(GraphCatalog("snap")))
+    eng.cypher("CREATE (:person {name: 'ana'})-[:knows {w: 1}]->(:person {name: 'bob'})")
+    eng.graph.write_snapshot(str(tmp_path), partitions=2)
+
+    g2 = Graph.read_snapshot(spark, str(tmp_path), "snap")
+    assert set(g2.catalog.labels) == {"person", "knows"}
+    eng2 = CypherEngine(spark, g2)
+    got = sorted(r["n"] for r in eng2.cypher("MATCH (p:person) RETURN p.name AS n").collect())
+    assert got == ["ana", "bob"]
+    edge = eng2.cypher("MATCH (a)-[k:knows]->(b) RETURN a.name AS an, b.name AS bn, k.w AS w").collect()
+    assert [(r["an"], r["bn"], r["w"]) for r in edge] == [("ana", "bob", 1)]
+
+
+def test_edge_stats_graphmeta(spark):
+    g = build_tpch_graph(spark, "/root/testdata/sf0.001")
+    stats = {(r["edge_label"], r["start_labid"], r["end_labid"]): r["edgecount"]
+             for r in g.edge_stats().collect()}
+    n_orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    n_cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert stats[("placed", 1, 4)] == n_orders
+    assert stats[("in_nation", 1, 5)] == n_cust
+    assert stats[("in_region", 5, 6)] == 25
