@@ -41,7 +41,7 @@ from agensgraph_spark.cypher.expressions import ExprCompiler, has_agg
 from agensgraph_spark.cypher.parser import parse_cypher
 from agensgraph_spark.cypher.scope import Binding, Scope
 from agensgraph_spark.cypher.writes import WriteContext, WriteMixin
-from agensgraph_spark.graph import Graph
+from agensgraph_spark.graph import Graph, prop_col_name
 from agensgraph_spark.graphid import LOCID_BITS
 from agensgraph_spark.operators import paths as P
 
@@ -77,6 +77,7 @@ class CypherEngine:
         self.last_write_stats: dict[str, int] = {
             "insertedvertices": 0, "insertededges": 0,
             "deletedvertices": 0, "deletededges": 0, "updatedproperties": 0}
+        self.udfs: dict[str, object] = {}
 
     @property
     def graph(self) -> Graph | None:
@@ -141,6 +142,17 @@ class CypherEngine:
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
 
+    def register_function(self, name: str, fn, return_type="string", pandas: bool = False):
+        """Register a Python function under a Cypher-callable name
+        (reference: CREATE FUNCTION in PL/pgSQL / PL/Python, §2.10).
+        ``pandas=True`` wraps an Arrow-batched pandas UDF (the fast
+        path); otherwise a row-at-a-time Python UDF (convenience only —
+        keep off hot paths)."""
+        from pyspark.sql.functions import pandas_udf, udf
+        wrapped = pandas_udf(fn, return_type) if pandas else udf(fn, return_type)
+        self.udfs[name.lower()] = wrapped
+        return wrapped
+
     def register_cypher_view(self, name: str, text: str, params: dict | None = None) -> DataFrame:
         """Expose a Cypher result to SQL (reference: Cypher as a SQL
         subquery, `SELECT * FROM (MATCH ... RETURN ...) t`,
@@ -183,7 +195,8 @@ class QueryCompiler(WriteMixin):
 
     def _ec(self) -> ExprCompiler:
         cat = self.graph.catalog if self.graph is not None else None
-        return ExprCompiler(self.scope, self._schema_map(), cat, self.params)
+        return ExprCompiler(self.scope, self._schema_map(), cat, self.params,
+                            udfs=self.engine.udfs)
 
     def _ensure_df(self) -> DataFrame:
         if self.df is None:
@@ -299,10 +312,10 @@ class QueryCompiler(WriteMixin):
                 pv = self.params.get(val.name) if isinstance(val, A.Param) else None
                 if isinstance(pv, dict):
                     for k2, v2 in pv.items():
-                        df = df.filter(F.col(f"{var}__{k2}").eqNullSafe(F.lit(v2)))
+                        df = df.filter(F.col(f"{var}__{prop_col_name(k2)}").eqNullSafe(F.lit(v2)))
                     continue
                 raise ValueError("node property parameter must be a map")
-            df = df.filter(F.col(f"{var}__{key}") == ec.col(val))
+            df = df.filter(F.col(f"{var}__{prop_col_name(key)}") == ec.col(val))
         return df
 
     # ---------- MATCH ----------

@@ -86,11 +86,13 @@ class ExprCompiler:
         schema: dict[str, T.DataType],
         catalog=None,
         params: dict | None = None,
+        udfs: dict | None = None,
     ):
         self.scope = scope
         self.schema = schema
         self.catalog = catalog
         self.params = params or {}
+        self.udfs = udfs or {}
         self.lambda_vars: dict[str, TC] = {}
 
     # ---- public ----
@@ -170,8 +172,10 @@ class ExprCompiler:
         raise ValueError(f"cannot use {e.name!r} as a value")
 
     def entity_struct(self, b: Binding) -> Column:
+        from agensgraph_spark.graph import prop_display_name
         p = b.var
-        props = F.to_json(F.struct(*[F.col(f"{p}__{x}").alias(x) for x in b.props])) if b.props else F.lit("{}")
+        props = F.to_json(F.struct(*[F.col(f"{p}__{x}").alias(prop_display_name(x))
+                                     for x in b.props])) if b.props else F.lit("{}")
         fields = [F.col(f"{p}__id").alias("id"), F.col(f"{p}__label").alias("label")]
         if b.kind == "edge":
             fields += [F.col(f"{p}__start").alias("start"), F.col(f"{p}__end").alias("end")]
@@ -191,6 +195,13 @@ class ExprCompiler:
         if isinstance(e.base, A.Var) and e.base.name not in self.lambda_vars:
             b = self.scope.get(e.base.name)
             if b is not None and b.kind in ("vertex", "edge", "path", "row"):
+                # a property sharing a base-attribute name is stored
+                # mangled and wins over the attribute (reference: `u.id`
+                # reads the jsonb property; id(u) reads the graphid)
+                from agensgraph_spark.graph import prop_col_name
+                name = f"{e.base.name}__{prop_col_name(e.key)}"
+                if name in self.schema:
+                    return TC(F.col(name), self.schema[name])
                 name = f"{e.base.name}__{e.key}"
                 if name in self.schema:
                     return TC(F.col(name), self.schema[name])
@@ -427,6 +438,10 @@ class ExprCompiler:
         handler = getattr(self, f"_f_{name}", None)
         if handler is not None:
             return handler(e)
+        # user functions (reference: CREATE FUNCTION surface, §2.10)
+        udf_fn = self.udfs.get(name)
+        if udf_fn is not None:
+            return TC(udf_fn(*[self.tc(a).col for a in e.args]), None)
         return self._generic_func(e)
 
     def _agg(self, e: A.FuncCall) -> TC:
@@ -524,7 +539,9 @@ class ExprCompiler:
         if b is not None and b.kind in ("vertex", "edge"):
             if not b.props:
                 return TC(F.lit("{}"), T.StringType())
-            return TC(F.to_json(F.struct(*[F.col(f"{b.var}__{x}").alias(x) for x in b.props])), T.StringType())
+            from agensgraph_spark.graph import prop_display_name
+            return TC(F.to_json(F.struct(*[F.col(f"{b.var}__{x}").alias(prop_display_name(x))
+                                           for x in b.props])), T.StringType())
         return TC(self.tc(e.args[0]).col.getField("properties"), T.StringType())
 
     def _f_keys(self, e: A.FuncCall) -> TC:

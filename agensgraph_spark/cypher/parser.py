@@ -263,10 +263,22 @@ class Parser:
         inner = self.parse_plain_pattern(None)
         weight = weight_var = qual = limit = None
         if kind == "dijkstra":
+            # reference forms (gram.y:18548-18622): dijkstra(chain, w),
+            # dijkstra(chain, w, qual), dijkstra(chain, w, LIMIT n);
+            # extension: a bare identifier third arg binds the path
+            # weight to a variable
             self.expect(",")
             weight = self.parse_expr()
             if self.accept(","):
-                weight_var = self.ident()
+                if self.accept_kw("limit"):
+                    limit = self.parse_expr()
+                elif self.peek().kind == "IDENT" and (
+                        self.peek(1).kind == ")" or self.peek(1).lower() in ("limit", "where")):
+                    weight_var = self.ident()
+                else:
+                    qual = self.parse_expr()
+                    if self.accept(","):
+                        weight_var = self.ident()
             if self.accept_kw("where"):
                 qual = self.parse_expr()
             if self.accept_kw("limit"):

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from agensgraph_spark.cypher import ast as A
 from agensgraph_spark.cypher.scope import Binding
-from agensgraph_spark.graph import Graph
+from agensgraph_spark.graph import Graph, prop_col_name, prop_display_name
 from agensgraph_spark.graphid import LOCID_BITS, LOCID_MASK, graphid_col
 
 DEFAULT_VLABEL = "ag_vertex"
@@ -184,7 +184,7 @@ class WriteMixin:
         labid = cat.labels[label].labid
 
         base = self.wctx.next_locid(label)
-        prop_cols = self._eval_props(node.props)
+        prop_cols = [(prop_col_name(k), col) for k, col in self._eval_props(node.props)]
         id_col = graphid_col(labid, F.lit(base) + F.col("__uid"))
         self.df = self.df.withColumn(f"{var}__id", id_col) \
                          .withColumn(f"{var}__label", F.lit(label))
@@ -196,9 +196,9 @@ class WriteMixin:
             F.col(f"{var}__id").alias("id"),
             *[F.col(f"{var}__{k}").alias(k) for k, _ in prop_cols],
         )
+        types = dict(zip(new_rows.columns, [f.dataType.simpleString() for f in new_rows.schema.fields]))
         self.wctx.ensure_props(label, {
-            k: dict(zip(new_rows.columns, [f.dataType.simpleString() for f in new_rows.schema.fields]))[k]
-            for k, _ in prop_cols})
+            prop_display_name(k): types[k] for k, _ in prop_cols})
         self.wctx.append(label, new_rows)
         self.wctx.advance_locid(label, span)
         n = self.df.count()
@@ -224,7 +224,7 @@ class WriteMixin:
 
         src, dst = (lvar, rvar) if rel.direction == "out" else (rvar, lvar)
         base = self.wctx.next_locid(label)
-        prop_cols = self._eval_props(rel.props)
+        prop_cols = [(prop_col_name(k), col) for k, col in self._eval_props(rel.props)]
         self.df = self.df.withColumn(f"{var}__id", graphid_col(labid, F.lit(base) + F.col("__uid"))) \
                          .withColumn(f"{var}__start", F.col(f"{src}__id")) \
                          .withColumn(f"{var}__end", F.col(f"{dst}__id")) \
@@ -239,9 +239,9 @@ class WriteMixin:
             F.col(f"{var}__end").alias("end"),
             *[F.col(f"{var}__{k}").alias(k) for k, _ in prop_cols],
         )
+        types = dict(zip(new_rows.columns, [f.dataType.simpleString() for f in new_rows.schema.fields]))
         self.wctx.ensure_props(label, {
-            k: dict(zip(new_rows.columns, [f.dataType.simpleString() for f in new_rows.schema.fields]))[k]
-            for k, _ in prop_cols})
+            prop_display_name(k): types[k] for k, _ in prop_cols})
         self.wctx.append(label, new_rows)
         self.wctx.advance_locid(label, span)
         self.wctx.stats.insertededges += self.df.count()
@@ -368,21 +368,21 @@ class WriteMixin:
             raise ValueError(f"cannot SET on {b.kind} variable {var!r}")
         ec = self._ec()
 
-        # assignments: prop -> Column (None = remove)
+        # assignments: mangled prop column -> Column (None = remove)
         assigns: dict[str, Column | None] = {}
         replace_all = False
         for it in items:
             if it.op == "remove":
-                assigns[it.target.key] = None
+                assigns[prop_col_name(it.target.key)] = None
             elif isinstance(it.target, A.Prop):
-                assigns[it.target.key] = ec.col(it.value)
+                assigns[prop_col_name(it.target.key)] = ec.col(it.value)
             else:  # whole-entity SET n = {...} / n += {...}
                 if not isinstance(it.value, A.MapLit):
                     raise ValueError("SET var = expr requires a map literal")
                 if it.op == "set":
                     replace_all = True
                 for k, vcol in self._eval_props(it.value):
-                    assigns[k] = vcol
+                    assigns[prop_col_name(k)] = vcol
         if replace_all:
             for p in b.props:
                 assigns.setdefault(p, None)
@@ -402,7 +402,9 @@ class WriteMixin:
         cat = self.wctx.graph.catalog
         upd_schema = {f.name: f.dataType for f in updates.schema.fields}
         for lbl in b.labels:
-            frame = self.wctx.graph.frames[lbl]
+            frame = self.wctx.graph.frames.get(lbl)
+            if frame is None:
+                continue  # label exists in the hierarchy but holds no rows
             meta = cat.labels[lbl]
             joined = frame.join(F.broadcast(updates) if n_upd < 1_000_000 else updates,
                                 frame["id"] == F.col("__uid_key"), "left")
@@ -412,25 +414,26 @@ class WriteMixin:
                 out_cols += [frame["start"].alias("start"), frame["end"].alias("end")]
             handled = set()
             for p in meta.props:
-                if p in frame.columns:
-                    old = frame[p]
-                elif p in assigns:
+                mc = prop_col_name(p)
+                if mc in frame.columns:
+                    old = frame[mc]
+                elif mc in assigns:
                     old = F.lit(None)
                 else:
                     continue
-                if p in assigns:
-                    handled.add(p)
-                    out_cols.append(F.when(matched, F.col(f"__new_{p}")).otherwise(old).alias(p))
+                if mc in assigns:
+                    handled.add(mc)
+                    out_cols.append(F.when(matched, F.col(f"__new_{mc}")).otherwise(old).alias(mc))
                 else:
-                    out_cols.append(old.alias(p))
-            for p in assigns:
-                if p not in handled and p not in meta.props:
-                    out_cols.append(F.when(matched, F.col(f"__new_{p}")).otherwise(F.lit(None)).alias(p))
+                    out_cols.append(old.alias(mc))
+            for mc in assigns:
+                if mc not in handled and prop_display_name(mc) not in meta.props:
+                    out_cols.append(F.when(matched, F.col(f"__new_{mc}")).otherwise(F.lit(None)).alias(mc))
             self.wctx.replace(lbl, joined.select(*out_cols))
             for p, col in assigns.items():
                 if col is not None:
                     t = upd_schema[f"__new_{p}"].simpleString()
-                    meta.props.setdefault(p, "string" if t == "void" else t)
+                    meta.props.setdefault(prop_display_name(p), "string" if t == "void" else t)
 
         # reflect into the pipeline so later clauses/RETURN see the new
         # values (reference: reflectModifiedProp, nodeModifyGraph.c:46)

@@ -27,6 +27,23 @@ from agensgraph_spark.catalog import GraphCatalog
 BASE_V_COLS = ["id"]
 BASE_E_COLS = ["id", "start", "end"]
 
+# Property names that collide with the base entity columns are stored
+# under a mangled column name. The reference has no such collision (its
+# properties live inside one jsonb column) and its tests use properties
+# literally named `id` (cypher_shortestpath.sql `{id: 1}`), so the flat
+# column scheme must namespace them. Property access prefers the
+# property; `v.id` without an `id` property stays the graphid (the
+# composite-attribute projection, parse_cypher_expr.c:980-995).
+RESERVED_PROPS = ("id", "label", "start", "end")
+
+
+def prop_col_name(p: str) -> str:
+    return f"_p_{p}" if p in RESERVED_PROPS else p
+
+
+def prop_display_name(c: str) -> str:
+    return c[3:] if c.startswith("_p_") and c[3:] in RESERVED_PROPS else c
+
 
 class Graph:
     def __init__(self, catalog: GraphCatalog, frames: dict[str, DataFrame] | None = None):
@@ -57,7 +74,7 @@ class Graph:
                 ddl += f", {p} {t}"
             df = spark.createDataFrame([], schema=ddl)
         cols = [F.col(c) for c in base] + [F.lit(label).alias("label")]
-        cols += [F.col(p) for p in meta.props if p in df.columns]
+        cols += [F.col(prop_col_name(p)) for p in meta.props if prop_col_name(p) in df.columns]
         return df.select(*cols)
 
     def _union(self, labels: Iterable[str]) -> DataFrame:

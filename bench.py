@@ -28,12 +28,17 @@ HEADLINE = [
     "sql_tpch_q5",
     "sql_window_rank",
     "sql_events_hourly",
+    "cy_dijkstra",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_stats",
+    "text_bpe_tokens",
     "lang_id",
     "ann_cosine_topk",
+    "mm_frame_sample",
+    "graphmeta_edge_stats",
 ]
 
 

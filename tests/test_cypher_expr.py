@@ -185,3 +185,22 @@ def test_cypher_view_consumed_by_sql(eng, spark):
     eng.register_cypher_view("kv_view", "MATCH (x:kv) RETURN x.k AS k, x.v AS v")
     rows = spark.sql("SELECT k, v FROM kv_view ORDER BY k").collect()
     assert [(r["k"], r["v"]) for r in rows] == [("a", 1), ("b", 2)]
+
+
+# --- user functions (reference: CREATE FUNCTION, SURVEY.md §2.10) ---
+
+def test_register_python_udf(eng):
+    eng.register_function("shout", lambda s: (s or "") + "!", "string")
+    assert one(eng, "shout('hi')") == "hi!"
+
+
+def test_register_pandas_udf(eng):
+    import pandas as pd
+
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    eng.register_function("double_it", double_it, "long", pandas=True)
+    eng.cypher("CREATE (:num {v: 21})")
+    got = eng.cypher("MATCH (n:num) RETURN double_it(n.v) AS d").collect()
+    assert [r["d"] for r in got] == [42]

@@ -1,0 +1,160 @@
+"""Reference regression fixtures (FIXTURES.md §1-6), built through the
+engine's own DDL + write path, running the reference corpus's semantic
+checks (cypher_dml.sql, cypher_shortestpath.sql, cypher_eager.sql,
+cypher_expr.sql, cypher_func.sql)."""
+
+import pytest
+
+from agensgraph_spark.cypher.compiler import CypherEngine
+
+
+@pytest.fixture
+def eng(spark):
+    e = CypherEngine(spark)
+    e.cypher("CREATE GRAPH fixture")
+    return e
+
+
+# --- §1 agens graph (cypher_dml.sql:46-104) ---
+
+def test_agens_graph_dml(eng, spark):
+    eng.cypher("CREATE (:repo {name: 'agens-graph', year: 2016})")
+    eng.cypher("CREATE (:repo {name: 'agens-graph-jdbc', year: 2016})")
+    eng.cypher("CREATE (:repo {name: 'agens-graph-docs', year: 2016})")
+    eng.cypher("MATCH (a:repo {name: 'agens-graph'}), (b:repo {name: 'agens-graph-jdbc'}) "
+               "CREATE (a)-[:lib {lang: 'java'}]->(b)")
+    eng.cypher("MATCH (a:repo {name: 'agens-graph'}), (b:repo {name: 'agens-graph-docs'}) "
+               "CREATE (a)-[:doc {lang: 'en'}]->(b)")
+    got = eng.cypher("MATCH (a)-[l:lib]->(b) RETURN a.name AS an, l.lang AS lang, b.name AS bn").collect()
+    assert [(r["an"], r["lang"], r["bn"]) for r in got] == \
+        [("agens-graph", "java", "agens-graph-jdbc")]
+
+    # SQL ↔ Cypher interop: property from a SQL scalar subquery
+    spark.createDataFrame([(1996, "PostgreSQL"), (2016, "Graph")],
+                          "year int, event string").createOrReplaceTempView("history")
+    eng.cypher("CREATE (:rel {name: 'agens-graph-v2', "
+               "year: (SELECT year FROM history WHERE event = 'Graph')})")
+    assert eng.cypher("MATCH (r:rel) RETURN r.year AS y").collect()[0]["y"] == 2016
+
+
+# --- §2 sp graph: chain 1→2→...→6 (cypher_shortestpath.sql:26-32) ---
+
+def test_shortestpath_chain(eng):
+    eng.cypher("CREATE VLABEL person")
+    eng.cypher("CREATE ELABEL knows")
+    for i in range(1, 7):
+        eng.cypher(f"CREATE (:person {{id: {i}}})")
+    for i in range(1, 6):
+        eng.cypher(f"MATCH (a:person {{id: {i}}}), (b:person {{id: {i + 1}}}) "
+                   "CREATE (a)-[:knows]->(b)")
+    df = eng.cypher("MATCH (s:person {id: 1}), (t:person {id: 6}) "
+                    "MATCH p = shortestpath((s)-[:knows*..10]->(t)) RETURN length(p) AS hops")
+    assert [r["hops"] for r in df.collect()] == [5]
+    # no path in the reverse direction
+    back = eng.cypher("MATCH (s:person {id: 6}), (t:person {id: 1}) "
+                      "MATCH p = shortestpath((s)-[:knows*..10]->(t)) RETURN length(p) AS hops")
+    assert back.count() == 0
+
+
+def test_allshortestpaths_diamond(eng):
+    eng.cypher("CREATE (:dv {id: 1})")
+    eng.cypher("CREATE (:dv {id: 2})")
+    eng.cypher("CREATE (:dv {id: 3})")
+    eng.cypher("CREATE (:dv {id: 4})")
+    for a, b in [(1, 2), (1, 3), (2, 4), (3, 4)]:
+        eng.cypher(f"MATCH (x:dv {{id: {a}}}), (y:dv {{id: {b}}}) CREATE (x)-[:de]->(y)")
+    df = eng.cypher("MATCH (s:dv {id: 1}), (t:dv {id: 4}) "
+                    "MATCH p = allshortestpaths((s)-[:de*..5]->(t)) RETURN length(p) AS hops")
+    hops = [r["hops"] for r in df.collect()]
+    assert hops == [2, 2]  # both diamond sides
+
+
+# --- §3 dijkstra graph: cheapest ≠ fewest hops
+# (cypher_shortestpath.sql:77-140) ---
+
+@pytest.fixture
+def weighted(eng):
+    for i in range(1, 5):
+        eng.cypher(f"CREATE (:wv {{id: {i}}})")
+
+    def edge(a, b, w):
+        eng.cypher(f"MATCH (x:wv {{id: {a}}}), (y:wv {{id: {b}}}) "
+                   f"CREATE (x)-[:we {{weight: {w}}}]->(y)")
+    edge(1, 4, 10.0)              # direct but expensive
+    edge(1, 2, 1.0); edge(2, 4, 1.5)   # two hops, cheapest (2.5)
+    edge(1, 3, 2.0); edge(3, 4, 2.0)   # two hops, mid (4.0)
+    return eng
+
+
+def test_dijkstra_cheapest_not_fewest(weighted):
+    df = weighted.cypher(
+        "MATCH (s:wv {id: 1}), (t:wv {id: 4}) "
+        "MATCH p = dijkstra((s)-[e:we]->(t), e.weight, w) "
+        "RETURN length(p) AS hops, w AS wt")
+    rows = df.collect()
+    assert [(r["hops"], r["wt"]) for r in rows] == [(2, 2.5)]
+
+
+def test_dijkstra_limit_k_paths(weighted):
+    df = weighted.cypher(
+        "MATCH (s:wv {id: 1}), (t:wv {id: 4}) "
+        "MATCH p = dijkstra((s)-[e:we]->(t), e.weight, w LIMIT 3) "
+        "RETURN length(p) AS hops, w AS wt ORDER BY wt")
+    rows = [(r["hops"], r["wt"]) for r in df.collect()]
+    assert rows == [(2, 2.5), (2, 4.0), (1, 10.0)]
+
+
+def test_dijkstra_edge_qual(weighted):
+    # third-positional qual filters the edge relation before relaxation
+    # (reference form: dijkstra(chain, weight, qual),
+    # cypher_shortestpath.sql:139)
+    df = weighted.cypher(
+        "MATCH (s:wv {id: 1}), (t:wv {id: 4}) "
+        "MATCH p = dijkstra((s)-[e:we]->(t), e.weight, e.weight > 1.8, w) "
+        "RETURN length(p) AS hops, w AS wt")
+    rows = [(r["hops"], r["wt"]) for r in df.collect()]
+    assert rows == [(2, 4.0)]
+
+
+# --- §4 eager_graph: v3 INHERITS (v2) scans + write interactions
+# (cypher_eager.sql:9-15) ---
+
+def test_eager_inheritance_writes(eng):
+    eng.cypher("CREATE VLABEL v1")
+    eng.cypher("CREATE VLABEL v2")
+    eng.cypher("CREATE VLABEL v3 INHERITS (v2)")
+    for i in (1, 2, 3):
+        eng.cypher(f"CREATE (:v1 {{no: {i}}})")
+    # CREATE from MATCH: one v3 row per v1 row
+    eng.cypher("MATCH (a:v1) CREATE (:v3 {no: a.no + 10})")
+    # v2 scan must see v3 rows (label-hierarchy scan)
+    assert eng.cypher("MATCH (x:v2) RETURN x").count() == 3
+    # SET through the parent label updates child rows
+    eng.cypher("MATCH (x:v2) SET x.flag = true")
+    assert eng.cypher("MATCH (x:v3) WHERE x.flag RETURN x").count() == 3
+    # DELETE through the parent clears children
+    eng.cypher("MATCH (x:v2) DELETE x")
+    assert eng.cypher("MATCH (x:v2) RETURN x").count() == 0
+
+
+# --- §5 v0 nested-property fixture (cypher_expr.sql:204-217) ---
+
+def test_nested_property_access(eng):
+    eng.cypher("CREATE (:v0 {o: {i: 7, s: 'str', t: true}, l: [4, 5, 6]})")
+    df = eng.cypher("MATCH (n:v0) RETURN n.o.i AS oi, n.o.s AS os, n.l[1] AS l1, size(n.l) AS ln")
+    r = df.collect()[0]
+    assert (r["oi"], r["os"], r["l1"], r["ln"]) == (7, "str", 5, 3)
+
+
+# --- §6 labels_dag: multi-parent ancestor closure (cypher_func.sql:17-96) ---
+
+def test_labels_multi_parent_dag(eng):
+    eng.cypher("CREATE VLABEL b")
+    eng.cypher("CREATE VLABEL c")
+    eng.cypher("CREATE VLABEL d INHERITS (b, c)")
+    eng.cypher("CREATE (:d {name: 'x'})")
+    labels = eng.cypher("MATCH (n:d) RETURN labels(n) AS l").collect()[0]["l"]
+    assert labels[0] == "d" and set(labels) == {"d", "b", "c"}
+    # scans through either parent see the d row
+    assert eng.cypher("MATCH (n:b) RETURN n").count() == 1
+    assert eng.cypher("MATCH (n:c) RETURN n").count() == 1
