@@ -39,7 +39,8 @@ def _maybe_checkpoint(df: DataFrame, k: int, every: int | None) -> DataFrame:
     return df
 
 
-BROADCAST_EDGE_LIMIT = 2_000_000
+BROADCAST_EDGE_LIMIT = 200_000
+BROADCAST_FRONTIER_LIMIT = 100_000
 
 
 def _pin_edges(edges: DataFrame) -> tuple[DataFrame, bool]:
@@ -271,9 +272,17 @@ def dijkstra_paths(
         F.lit(0.0).alias("weight"),
     ).cache()
     frontier = paths
+    fcount = paths.count()
 
     for k in range(1, max_iters + 1):
-        step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
+        # whichever side is small drives the join strategy: tiny
+        # frontier against a big edge relation → broadcast the frontier
+        # (edges then never shuffle); small edges → broadcast edges
+        if not small and fcount <= BROADCAST_FRONTIER_LIMIT:
+            fside = F.broadcast(frontier)
+        else:
+            fside = frontier
+        step = fside.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
                        .filter(~F.array_contains(F.col("eids"), F.col("eid"))) \
                        .select(
                            "seed",
@@ -294,9 +303,10 @@ def dijkstra_paths(
         frontier = new_paths.join(
             paths.select("seed", "cur", "eids").withColumnRenamed("eids", "_old_eids"),
             ["seed", "cur"], "left_anti",
-        )
+        ).cache()
         paths = new_paths
-        if frontier.isEmpty():
+        fcount = frontier.count()
+        if fcount == 0:
             break
 
     out = paths.join(pairs, (paths.seed == pairs.seed) & (paths.cur == pairs.target)) \

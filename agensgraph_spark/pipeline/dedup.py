@@ -203,6 +203,37 @@ def ngram_jaccard_pairs(
              .filter(F.col("jaccard") >= threshold))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: docs within ``max_hamming`` bits.
+    Banding (pigeonhole: two hashes within k bits agree exactly on at
+    least one of k+1 bands) turns the quadratic scan into a bucket
+    join; the hamming check is one JVM-side bit_count(xor)."""
+    sig = simhash(df, text_col, id_col, bits).persist()
+    width = bits // bands
+    banded = sig.select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_h"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(bands)
+        ])).alias("_band", "_bkey"),
+    )
+    left = banded.select("_band", "_bkey", F.col("_id").alias("id_a"), F.col("_h").alias("ha"))
+    right = banded.select("_band", "_bkey", F.col("_id").alias("id_b"), F.col("_h").alias("hb"))
+    pairs = (left.join(right, ["_band", "_bkey"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+             .distinct())
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash over whitespace tokens: bit j of the hash is the majority
     vote of bit j across token xxhash64s. One explode + one aggregate."""

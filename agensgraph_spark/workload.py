@@ -435,6 +435,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(read_table(spark, sf_dir, "documents"))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_neardup_pairs(read_table(spark, sf_dir, "documents"), max_hamming=4)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_token_count(read_table(spark, sf_dir, "documents"))
 
@@ -639,6 +643,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "mm_image_stats": (_q_mm_image_stats, None),  # stub decode kernel; rows-only
     "dedup_minhash_lsh": (_q_minhash_lsh, None),  # xxhash64-based; rows-only
     "dedup_simhash": (_q_simhash, None),          # xxhash64-based; rows-only
+    "dedup_simhash_pairs": (_q_simhash_pairs, None),  # xxhash64-based; rows-only
     "ann_cosine_topk": (_q_ann_brute, """
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
              c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

