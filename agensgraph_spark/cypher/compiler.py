@@ -312,10 +312,15 @@ class QueryCompiler(WriteMixin):
                 pv = self.params.get(val.name) if isinstance(val, A.Param) else None
                 if isinstance(pv, dict):
                     for k2, v2 in pv.items():
-                        df = df.filter(F.col(f"{var}__{prop_col_name(k2)}").eqNullSafe(F.lit(v2)))
+                        c = f"{var}__{prop_col_name(k2)}"
+                        df = df.filter(F.col(c).eqNullSafe(F.lit(v2))
+                                       if c in df.columns else F.lit(False))
                     continue
                 raise ValueError("node property parameter must be a map")
-            df = df.filter(F.col(f"{var}__{prop_col_name(key)}") == ec.col(val))
+            c = f"{var}__{prop_col_name(key)}"
+            # a property no candidate label carries is null everywhere →
+            # the constraint can never match
+            df = df.filter(F.col(c) == ec.col(val) if c in df.columns else F.lit(False))
         return df
 
     # ---------- MATCH ----------

@@ -455,6 +455,19 @@ class WriteMixin:
             self.df = self._ensure_df()
         pat = m.pattern
 
+        # labels mentioned by the pattern are auto-created (as in the
+        # CREATE path) so the match phase scans them as empty
+        cat = self.wctx.graph.catalog
+        for el in pat.elements:
+            if isinstance(el, A.NodePat):
+                for lbl in el.labels:
+                    if lbl not in cat.labels:
+                        cat.create_vlabel(lbl)
+            elif isinstance(el, A.RelPat):
+                for t in el.types:
+                    if t not in cat.labels:
+                        cat.create_elabel(t)
+
         # 1. try to match the whole pattern against the working graph
         shared = self._pattern_shared_vars([pat])
         sub_av = self._compile_pattern_standalone([pat], None, shared)

@@ -170,3 +170,40 @@ def test_write_stats_dataframe(eng):
     df = eng.cypher("CREATE (:person {name: 'gus'})")
     row = df.collect()[0]
     assert row["insertedvertices"] == 1 and row["insertededges"] == 0
+
+
+# --- multi-write-clause statements (cypher_eager.sql combinations) ---
+
+def test_create_then_set_one_statement(eng):
+    eng.cypher("CREATE (n:combo {v: 1}) SET n.v = n.v + 10")
+    got = rows(eng.cypher("MATCH (n:combo) RETURN n.v AS v"), "v")
+    assert got == [(11,)]
+
+
+def test_match_create_set_returns(eng):
+    df = eng.cypher(
+        "MATCH (p:person) CREATE (s:copycat {of: p.name}) "
+        "SET s.stamp = 7 RETURN s.of AS o, s.stamp AS st")
+    got = sorted((r["o"], r["st"]) for r in df.collect())
+    assert got == [("ana", 7), ("bob", 7), ("cal", 7)]
+
+
+def test_merge_then_create_edge(eng):
+    eng.cypher(
+        "MERGE (hub:hub {name: 'H'}) "
+        "WITH hub MATCH (p:person {name: 'ana'}) CREATE (p)-[:linked]->(hub)")
+    assert eng.cypher("MATCH (:person)-[:linked]->(:hub) RETURN 1").count() == 1
+    # idempotent MERGE re-run adds only the edge
+    eng.cypher(
+        "MERGE (hub:hub {name: 'H'}) "
+        "WITH hub MATCH (p:person {name: 'bob'}) CREATE (p)-[:linked]->(hub)")
+    assert eng.cypher("MATCH (h:hub) RETURN h").count() == 1
+    assert eng.cypher("MATCH (:person)-[:linked]->(:hub) RETURN 1").count() == 2
+
+
+def test_delete_then_create_same_statement(eng):
+    eng.cypher("CREATE (:tmp1 {v: 1}), (:tmp1 {v: 2})")
+    eng.cypher("MATCH (t:tmp1) DELETE t CREATE (:tmp2 {v: t.v * 100})")
+    assert eng.cypher("MATCH (t:tmp1) RETURN t").count() == 0
+    got = rows(eng.cypher("MATCH (t:tmp2) RETURN t.v AS v"), "v")
+    assert got == [(100,), (200,)]

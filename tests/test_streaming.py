@@ -70,3 +70,40 @@ def test_stream_append_label_snapshot(spark, tmp_path):
                              snap, ckpt, transform=to_edges)
     q2.awaitTermination(120)
     assert spark.read.parquet(snap).count() == 500 + 700
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: two bursts per user
+    separated by > gap close one session per burst; final sessions stay
+    open (no watermark flush in availableNow) — we check the closed ones."""
+    import datetime as dt
+
+    from agensgraph_spark.streaming.sessionize import sessionize
+
+    src = str(tmp_path / "sess_in")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, minute, value):
+        return (uid, base + dt.timedelta(minutes=minute), float(value))
+
+    rows = [
+        # user 1: burst A (3 events), 90-min gap, burst B (2 events)
+        ev(1, 0, 1.0), ev(1, 5, 2.0), ev(1, 10, 3.0),
+        ev(1, 100, 4.0), ev(1, 105, 5.0),
+        # user 2: single burst
+        ev(2, 0, 10.0), ev(2, 20, 10.0),
+        # sentinel far in the future advances user clocks past timeouts
+        ev(1, 1000, 0.0), ev(2, 1000, 0.0),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    sess = sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+    assert (1, 3, 6.0) in got       # user 1 burst A closed by burst B
+    assert (1, 2, 9.0) in got       # user 1 burst B closed by sentinel
+    assert (2, 2, 20.0) in got      # user 2 burst closed by sentinel
