@@ -292,6 +292,52 @@ SQL_QUERIES: dict[str, str] = {
         SELECT c_custkey AS ckey FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 450000)
     """,
+    "sql_tpch_q6": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "sql_tpch_q10": """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+    """,
+    "sql_tpch_q12": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    "sql_tpch_q14": """
+        SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "sql_json_props": """
+        SELECT event_type,
+               CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
     "sql_grouping_sets": """
         SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
                COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nk,
@@ -375,6 +421,13 @@ SQL_QUERIES: dict[str, str] = {
 
 # DuckDB-side text tweaks where dialects diverge.
 SQL_ORACLE_OVERRIDES: dict[str, str] = {
+    "sql_json_props": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
     "sql_events_hourly": """
         SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
                CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
