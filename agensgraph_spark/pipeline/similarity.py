@@ -96,6 +96,55 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    ``n_lists`` inverted lists (nearest-centroid assignment); each query
+    scans only its ``n_probe`` closest lists, then exact cosine re-ranks.
+
+    Centroids are random unit directions from a fixed seed — a real
+    deployment would k-means them, but assignment/probing mechanics
+    (the part that must scale) are identical: one narrow pass to tag
+    the corpus (the tag is persistable with the snapshot, so at 100 TB
+    assignment is written once, not recomputed per query), a bucket
+    join in place of the cross product."""
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def centroid_sims(vec: Column) -> Column:
+        return F.array(*[dot(vec, F.array(*[F.lit(float(x)) for x in c])) / norm(vec)
+                         for c in cents])
+
+    def arg_top(sims: Column, n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+        pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n).getField("i")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    c_tag = c.withColumn("_list", arg_top(centroid_sims(F.col("cv")), 1).getItem(0))
+    q_tag = q.withColumn("_list", F.explode(arg_top(centroid_sims(F.col("qv")), n_probe)))
+
+    cand = c_tag.join(F.broadcast(q_tag), "_list") \
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -595,6 +595,11 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (_q_dedup_exact,
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"),
@@ -710,6 +715,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
         FROM ranked WHERE rank <= 5"""),
     "ann_cosine_lsh": (_q_ann_lsh, None),  # approximate; rows-only
+    "ann_cosine_ivf": (_q_ann_ivf, None),  # approximate; rows-only
 }
 
 
