@@ -417,6 +417,129 @@ SQL_QUERIES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2, 3
     """,
+    # TPC-H adaptations to the driver's trimmed schema (no partsupp /
+    # comments / commitdate): q4's lineitem-exists predicate becomes
+    # l_returnflag='R'; q16's supplier link goes through lineitem; q17
+    # rewrites `qty < 0.2*avg(qty)` as exact-integer `5*qty*cnt < sum`
+    # so Spark and DuckDB agree bit-for-bit on the filter.
+    "sql_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "sql_tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY 1, 2, 3
+    """,
+    "sql_tpch_q8": """
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                   n1.n_name AS nation
+            FROM part
+            JOIN lineitem ON l_partkey = p_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON r_regionkey = n2.n_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    "sql_tpch_q9": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "sql_tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    "sql_tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "sql_tpch_q16": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7, 10)
+        GROUP BY 1, 2, 3
+    """,
+    "sql_tpch_q17": """
+        WITH pq AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_price,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pq ON pk = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq
+    """,
+    "sql_tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3, 4
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    """,
+    "sql_tpch_q19": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
 }
 
 # DuckDB-side text tweaks where dialects diverge.
