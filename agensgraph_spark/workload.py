@@ -540,6 +540,34 @@ SQL_QUERIES: dict[str, str] = {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
     """,
+    # Ordered-set aggregates (reference: orderedsetaggs.c — percentile_cont/
+    # disc WITHIN GROUP). DuckDB spells these quantile_cont/disc (override).
+    "sql_percentile": """
+        SELECT o_orderpriority,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS med_price,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p25_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    # LIMIT ... WITH TIES (reference: nodeLimit.c LIMIT_OPTION_WITH_TIES) —
+    # emulated as a RANK window filter, the same rewrite on both engines.
+    "sql_limit_ties": """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM (
+            SELECT o_orderkey, o_totalprice,
+                   RANK() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rnk
+            FROM orders
+        ) t WHERE rnk <= 5
+    """,
+    # WITH RECURSIVE (reference: nodeRecursiveunion.c) — native in Spark 4.
+    "sql_recursive_cte": """
+        WITH RECURSIVE seq(k) AS (
+            SELECT 0
+            UNION ALL
+            SELECT k + 1 FROM seq WHERE k < 24
+        )
+        SELECT CAST(k AS BIGINT) AS nk, n_name,
+               (SELECT count(*) FROM customer WHERE c_nationkey = k) AS n_cust
+        FROM seq JOIN nation ON n_nationkey = k
+    """,
 }
 
 # DuckDB-side text tweaks where dialects diverge.
@@ -559,6 +587,12 @@ SQL_ORACLE_OVERRIDES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2, 3
+    """,
+    "sql_percentile": """
+        SELECT o_orderpriority,
+               CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS med_price,
+               CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS p25_price
+        FROM orders GROUP BY o_orderpriority
     """,
 }
 
