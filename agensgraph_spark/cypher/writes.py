@@ -468,14 +468,50 @@ class WriteMixin:
                     if t not in cat.labels:
                         cat.create_elabel(t)
 
+        # Property constraints referencing pipeline variables (e.g.
+        # `UNWIND ... AS nm MERGE (n:nation {n_name: nm})`) cannot be
+        # evaluated inside the standalone pattern compile — lift them out
+        # of the match pattern and re-apply as per-row join equalities
+        # (the reference matches MERGE's pattern once per input row:
+        # execCypherMerge.c:35). The CREATE branch keeps the original
+        # pattern, so created elements still get the lifted properties.
+        outer_vars = set(self.scope.bindings)
+        lifted: list[tuple[str, str, A.Expr]] = []  # (el_var, prop_key, expr)
+        match_pat = pat
+        if not first and outer_vars:
+            new_elements = []
+            for el in pat.elements:
+                props = getattr(el, "props", None)
+                keep_items = []
+                if props is not None and el.var:
+                    for key, val in props.items:
+                        refs = self._vars_in(val)
+                        if refs & outer_vars:
+                            lifted.append((el.var, key, val))
+                        else:
+                            keep_items.append((key, val))
+                if lifted and props is not None and len(keep_items) < len(props.items):
+                    el = _copy.copy(el)
+                    el.props = A.MapLit(keep_items) if keep_items else None
+                new_elements.append(el)
+            if lifted:
+                match_pat = _copy.copy(pat)
+                match_pat.elements = new_elements
+
         # 1. try to match the whole pattern against the working graph
         shared = self._pattern_shared_vars([pat])
-        sub_av = self._compile_pattern_standalone([pat], None, shared)
+        sub_av = self._compile_pattern_standalone([match_pat], None, shared)
         right, rscope, renames = sub_av
         cond: Column | None = None
         for v, tmp in renames.items():
             c = F.col(f"{v}__id") == F.col(f"{tmp}__id")
             cond = c if cond is None else (cond & c)
+        if lifted:
+            ec = self._ec()
+            for el_var, key, val in lifted:
+                prefix = renames.get(el_var, el_var)
+                c = F.col(f"{prefix}__{prop_col_name(key)}") == ec.col(val)
+                cond = c if cond is None else (cond & c)
         probe_col = next(
             (f"{b.var}__id" for b in rscope.bindings.values()
              if b.var not in renames and b.kind in ("vertex", "edge")),
@@ -499,8 +535,20 @@ class WriteMixin:
         created: DataFrame | None = None
         if missing.take(1):
             sub = self._spawn_subcompiler()
-            key_cols = [f"{v}__id" for v in renames] or None
-            miss_in = missing.dropDuplicates(key_cols) if key_cols else missing.limit(1)
+            key_cols = [f"{v}__id" for v in renames]
+            if lifted:
+                # the creation key includes the lifted outer property
+                # values: one node per distinct value, not one total
+                ec = self._ec()
+                tmp_keys = []
+                for i, (_, _, val) in enumerate(lifted):
+                    missing = missing.withColumn(f"__mergekey_{i}", ec.col(val))
+                    tmp_keys.append(f"__mergekey_{i}")
+                miss_in = missing.dropDuplicates(key_cols + tmp_keys).drop(*tmp_keys)
+            elif key_cols:
+                miss_in = missing.dropDuplicates(key_cols)
+            else:
+                miss_in = missing.limit(1)
             sub.df = miss_in
             sub.scope = self.scope.copy()
             sub.wctx = self.wctx

@@ -198,6 +198,14 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         None,
         "SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_totalprice <= 400000",
     ),
+    "cy_write_merge_roundtrip": (
+        None,  # python-side: MERGE (match + create) then read back
+        "SELECT n_name AS name, CAST(NULL AS BOOLEAN) AS created, "
+        "       CASE WHEN n_name = 'NATION_3' THEN TRUE END AS matched "
+        "FROM nation "
+        "UNION ALL SELECT 'NATION_NEW_A', TRUE, NULL "
+        "UNION ALL SELECT 'NATION_NEW_B', TRUE, NULL",
+    ),
     "cy_edge_props": (
         "MATCH (o:orders)-[x:contains]->(p:part) WHERE x.l_returnflag = 'R' AND x.l_quantity >= 49 "
         "RETURN o.o_orderkey AS okey, p.p_partkey AS pkey, x.l_quantity AS qty",
@@ -226,9 +234,23 @@ def _q_write_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.cypher("MATCH (o:orders) RETURN count(*) AS n")
 
 
+def _q_write_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE match-or-create with ON CREATE / ON MATCH SET
+    (execCypherMerge.c:35 ExecMergeGraph semantics)."""
+    eng = CypherEngine(spark, build_tpch_graph(spark, sf_dir))
+    eng.cypher("UNWIND ['NATION_3', 'NATION_NEW_A', 'NATION_NEW_B'] AS nm "
+               "MERGE (n:nation {n_name: nm}) "
+               "ON CREATE SET n.created = true "
+               "ON MATCH SET n.matched = true")
+    return eng.cypher(
+        "MATCH (n:nation) RETURN n.n_name AS name, "
+        "n.created AS created, n.matched AS matched")
+
+
 GRAPH_PYTHON_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cy_write_set_roundtrip": _q_write_set_roundtrip,
     "cy_write_delete_roundtrip": _q_write_delete_roundtrip,
+    "cy_write_merge_roundtrip": _q_write_merge_roundtrip,
 }
 
 # ---------------------------------------------------------------------------

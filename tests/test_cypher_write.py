@@ -149,6 +149,21 @@ def test_merge_dedups_parallel_duplicates(eng):
     assert eng.cypher("MATCH (p:person {name: 'fay'}) RETURN p").count() == 1
 
 
+def test_merge_prop_from_pipeline_var(eng):
+    # MERGE pattern props may reference the incoming row (per-row
+    # match-or-create: execCypherMerge.c ExecMergeGraph); 'ana' exists,
+    # 'gil'/'hal' are created once each, duplicate 'gil' collapses
+    eng.cypher("UNWIND ['ana', 'gil', 'hal', 'gil'] AS nm "
+               "MERGE (p:person {name: nm}) "
+               "ON CREATE SET p.fresh = true ON MATCH SET p.seen = true")
+    got = rows(eng.cypher("MATCH (p:person) RETURN p.name AS n, p.fresh AS f, p.seen AS s"),
+               "n", "f", "s")
+    assert ("ana", None, True) in got
+    assert ("gil", True, None) in got and ("hal", True, None) in got
+    assert len([r for r in got if r[0] == "gil"]) == 1
+    assert ("bob", None, None) in got
+
+
 def test_eager_create_then_match_sees_writes(eng):
     # cypher_eager.sql: a later clause reads an earlier clause's writes
     df = eng.cypher("CREATE (:flag {v: 7}) WITH 1 AS one MATCH (f:flag) RETURN f.v AS v")
