@@ -618,6 +618,14 @@ class ExprCompiler:
         t = self.tc(e.args[0])
         return TC(F.reverse(t.col), t.dtype)
 
+    def _f_array_join(self, e: A.FuncCall) -> TC:
+        # array_join(list, sep) — Postgres array_to_string analog (the
+        # reference exposes Postgres fns from Cypher). F.array_join needs a
+        # Python-str delimiter, so pull it from the literal AST node.
+        t = self.tc(e.args[0])
+        sep = e.args[1].value if len(e.args) > 1 and isinstance(e.args[1], A.Lit) else ","
+        return TC(F.array_join(t.col.cast("array<string>"), str(sep)), T.StringType())
+
     def _f_exists(self, e: A.FuncCall) -> TC:
         return TC(self.tc(e.args[0]).col.isNotNull(), T.BooleanType())
 

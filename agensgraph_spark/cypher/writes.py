@@ -510,7 +510,14 @@ class WriteMixin:
             ec = self._ec()
             for el_var, key, val in lifted:
                 prefix = renames.get(el_var, el_var)
-                c = F.col(f"{prefix}__{prop_col_name(key)}") == ec.col(val)
+                pcol = f"{prefix}__{prop_col_name(key)}"
+                if pcol in right.columns:
+                    c = F.col(pcol) == ec.col(val)
+                else:
+                    # label frame has no such property column (fresh or
+                    # auto-created label) → nothing can match; every row
+                    # falls through to the create branch
+                    c = F.lit(False)
                 cond = c if cond is None else (cond & c)
         probe_col = next(
             (f"{b.var}__id" for b in rscope.bindings.values()

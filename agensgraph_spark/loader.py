@@ -55,6 +55,12 @@ _VKEY = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS), which a plain Spark 4 session
+    # refuses to read (PARQUET_TYPE_ILLEGAL). Set the legacy conf at runtime
+    # so *any* caller-provided session works, not just our builder's
+    # (session.py sets it at build time; the driver's session doesn't).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong);
@@ -143,9 +149,16 @@ def build_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return g
 
 
-def register_tables(spark: SparkSession, sf_dir: str) -> None:
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings")
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    only: "tuple[str, ...] | None" = None) -> None:
     """Register the raw relational tables as temp views (SQL side of the
-    hybrid engine — the reference runs full SQL beside Cypher)."""
-    for name in ("region", "nation", "customer", "supplier", "part", "orders",
-                 "lineitem", "events", "documents", "embeddings"):
+    hybrid engine — the reference runs full SQL beside Cypher).
+
+    `only` restricts registration to the tables a query actually references,
+    so a problem reading one table can never take down unrelated queries."""
+    for name in (only if only is not None else ALL_TABLES):
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -299,10 +299,13 @@ def dijkstra_paths(
         allp = allp.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit)
         new_paths = allp.drop("_rn")
         new_paths = _maybe_checkpoint(new_paths, k, checkpoint_every).cache()
-        # frontier = rows improved this round (still candidates to extend)
+        # frontier = rows changed this round (still candidates to extend).
+        # Anti-join on full path identity (seed, cur, eids) — NOT just
+        # (seed, cur): a cheaper path to an already-reached vertex must be
+        # re-extended or downstream weights stay stale.
         frontier = new_paths.join(
-            paths.select("seed", "cur", "eids").withColumnRenamed("eids", "_old_eids"),
-            ["seed", "cur"], "left_anti",
+            paths.select("seed", "cur", "eids"),
+            ["seed", "cur", "eids"], "left_anti",
         ).cache()
         paths = new_paths
         fcount = frontier.count()

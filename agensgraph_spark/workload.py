@@ -43,9 +43,19 @@ def _cypher(text: str) -> Callable[[SparkSession, str], DataFrame]:
     return fn
 
 
+def _referenced_tables(sql: str) -> tuple[str, ...]:
+    import re
+
+    from agensgraph_spark.loader import ALL_TABLES
+    words = set(re.findall(r"[a-z_]+", sql.lower()))
+    return tuple(t for t in ALL_TABLES if t in words)
+
+
 def _sparksql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_tables(spark, sf_dir)
+        # Register only the tables this query names — one unreadable table
+        # must not take down unrelated queries.
+        register_tables(spark, sf_dir, only=_referenced_tables(sql))
         return spark.sql(sql)
     return fn
 
@@ -184,9 +194,11 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "AND list_count(list_filter([x, x+1, x+2], y -> y % 2 = 0)) <> 1",
     ),
     "cy_slice_index": (
+        # slice returned as a joined string: the driver's pandas canonicalizer
+        # cannot sort raw list cells (unhashable), so stringify on BOTH sides
         "UNWIND range(0, 9) AS x WITH collect(x) AS l "
-        "RETURN l[2] AS third, l[1..4] AS mid, l[-2] AS penult, size(l) AS n",
-        "SELECT l[3] AS third, l[2:4] AS mid, l[-2] AS penult, CAST(len(l) AS BIGINT) AS n "
+        "RETURN l[2] AS third, array_join(l[1..4], ',') AS mid, l[-2] AS penult, size(l) AS n",
+        "SELECT l[3] AS third, array_to_string(l[2:4], ',') AS mid, l[-2] AS penult, CAST(len(l) AS BIGINT) AS n "
         "FROM (SELECT list_sort(list(CAST(range AS BIGINT))) AS l FROM range(0, 10))",
     ),
     "cy_write_set_roundtrip": (

@@ -104,6 +104,24 @@ def test_dijkstra_limit_k_paths(weighted):
     assert rows == [(2, 2.5), (2, 4.0), (1, 10.0)]
 
 
+def test_dijkstra_reextends_improved_paths(eng):
+    # regression: a cheaper path found to an already-reached vertex must be
+    # re-extended (1->2 direct costs 10, but 1->3->2 costs 2; the best
+    # 1->4 path goes through the improved 2 and costs 3, not 11)
+    for i in range(1, 5):
+        eng.cypher(f"CREATE (:rv {{id: {i}}})")
+
+    def edge(a, b, w):
+        eng.cypher(f"MATCH (x:rv {{id: {a}}}), (y:rv {{id: {b}}}) "
+                   f"CREATE (x)-[:re {{weight: {w}}}]->(y)")
+    edge(1, 2, 10.0); edge(1, 3, 1.0); edge(3, 2, 1.0); edge(2, 4, 1.0)
+    df = eng.cypher(
+        "MATCH (s:rv {id: 1}), (t:rv {id: 4}) "
+        "MATCH p = dijkstra((s)-[e:re]->(t), e.weight, w) "
+        "RETURN length(p) AS hops, w AS wt")
+    assert [(r["hops"], r["wt"]) for r in df.collect()] == [(3, 3.0)]
+
+
 def test_dijkstra_edge_qual(weighted):
     # third-positional qual filters the edge relation before relaxation
     # (reference form: dijkstra(chain, weight, qual),

@@ -32,8 +32,14 @@ def norm_cell(v):
         return (0, round(v, 9))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return (0, str(v))
-    if isinstance(v, list):
-        return (0, tuple(norm_cell(x) for x in v))
+    if isinstance(v, (list, tuple, dict, set)):
+        # The DRIVER's pandas canonicalizer cannot factorize list cells
+        # (TypeError: unhashable type) — treat any container cell as a
+        # failure locally so it never reaches the driver gate. Stringify
+        # (array_join / array_to_string) on both sides instead.
+        raise TypeError(
+            f"container cell {type(v).__name__} in result — driver's "
+            "canonicalizer rejects it; stringify the column on both sides")
     return (0, v)
 
 
@@ -85,8 +91,13 @@ def main(names: list[str]) -> int:
             print(f"FAIL {name}: row count spark={len(srows)} duck={len(drows)}")
             failures += 1
             continue
-        a = norm_rows(scols, srows)
-        b = norm_rows(dcols, drows)
+        try:
+            a = norm_rows(scols, srows)
+            b = norm_rows(dcols, drows)
+        except TypeError as ex:
+            print(f"FAIL {name}: canonicalize error: {ex}")
+            failures += 1
+            continue
         if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: values differ; first diffs: {diffs}")
