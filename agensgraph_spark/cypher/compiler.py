@@ -109,13 +109,14 @@ class CypherEngine:
         for part in uq.parts:
             qc = QueryCompiler(self, params or {})
             dfs.append(qc.compile(part))
+        # Left-associative set-op chain (reference: gram.y:17089-17094):
+        # each non-ALL step dedups the accumulated result ONLY — a later
+        # UNION ALL must keep its duplicates, so no trailing blanket dedup.
         out = dfs[0]
         for i, df in enumerate(dfs[1:]):
             out = out.unionByName(df)
             if not uq.all_flags[i]:
                 out = out.dropDuplicates()
-        if len(dfs) > 1 and not all(uq.all_flags):
-            out = out.dropDuplicates()
         return out
 
     def _execute_write(self, part: A.Query, params: dict) -> DataFrame:
@@ -280,6 +281,21 @@ class QueryCompiler(WriteMixin):
             bwd = df.select(*cols, F.col("end").alias(f"{var}__src"), F.col("start").alias(f"{var}__dst"))
             renamed = fwd.unionByName(bwd)
         return renamed, Binding(var, "edge", labels=lbls, props=props)
+
+    def _expand_labels(self, labels: list[str], only: bool) -> list[str]:
+        """Descendant-expand a label list the way _vertex_scan does.
+        Bindings must ALWAYS carry expanded labels — downstream pruning
+        (`_labid_set(..., only=True)`) treats binding labels as the
+        exact set, so storing a raw parent would silently drop its
+        descendants (inheritance scan semantics, reference:
+        src/backend/commands/graphcmds.c:241-303)."""
+        cat = self.graph.catalog
+        out: list[str] = []
+        for l in labels:
+            for d in ([l] if only else cat.descendants(l)):
+                if d not in out:
+                    out.append(d)
+        return out
 
     def _labid_set(self, labels: list[str], kind: str, only: bool) -> list[int]:
         cat = self.graph.catalog
@@ -462,7 +478,9 @@ class QueryCompiler(WriteMixin):
         # anonymous unconstrained endpoint: the edge's dst IS the vertex
         # id — no join (future-vertex deferral). Bind a light vertex so
         # later pattern parts can still chain from it.
-        self.scope.bind(Binding(rvar, "vertex", labels=right.labels, props=[]))
+        self.scope.bind(Binding(rvar, "vertex",
+                                labels=self._expand_labels(right.labels, right.only),
+                                props=[]))
         self.df = self.df.withColumn(f"{rvar}__id", F.col(f"{evar}__dst")) \
                          .withColumn(f"{rvar}__label", F.lit(None).cast("string"))
         return rvar
@@ -515,7 +533,9 @@ class QueryCompiler(WriteMixin):
             self.df = self.df.join(rscan, F.col(f"{evar}__dst") == F.col(f"{rvar}__id"), "inner")
             self.scope.bind(rbind)
         else:
-            self.scope.bind(Binding(rvar, "vertex", labels=right.labels, props=[]))
+            self.scope.bind(Binding(rvar, "vertex",
+                                    labels=self._expand_labels(right.labels, right.only),
+                                    props=[]))
             self.df = self.df.withColumn(f"{rvar}__id", F.col(f"{evar}__dst")) \
                              .withColumn(f"{rvar}__label", F.lit(None).cast("string"))
         return rvar

@@ -623,7 +623,13 @@ class ExprCompiler:
         # reference exposes Postgres fns from Cypher). F.array_join needs a
         # Python-str delimiter, so pull it from the literal AST node.
         t = self.tc(e.args[0])
-        sep = e.args[1].value if len(e.args) > 1 and isinstance(e.args[1], A.Lit) else ","
+        if len(e.args) > 1:
+            if not isinstance(e.args[1], A.Lit):
+                raise NotImplementedError(
+                    "array_join separator must be a literal string")
+            sep = e.args[1].value
+        else:
+            sep = ","
         return TC(F.array_join(t.col.cast("array<string>"), str(sep)), T.StringType())
 
     def _f_exists(self, e: A.FuncCall) -> TC:

@@ -19,11 +19,13 @@ scale the same change-sets append/overwrite Parquet label snapshots
 
 Id allocation: the reference draws 48-bit locids from a per-graph
 sequence (src/backend/commands/graphcmds.c:79-87 ag_label_seq). Here a
-batch of created elements takes ``next_locid + monotonically_increasing_id()``
-— embarrassingly parallel, unique per batch, no coordination; the
-per-partition id blocks leave gaps exactly like a cached sequence does.
-The input pipeline is checkpointed before minting so ids are stable
-against recomputation.
+batch of created elements takes ``next_locid + dense_uid`` where the
+dense uid is derived from monotonically_increasing_id() plus one tiny
+per-partition row-count aggregate (partition-offset scheme) — still
+embarrassingly parallel and coordination-free, but each statement
+advances the locid by exactly its row count, so repeated CREATEs never
+overflow the 48-bit locid space into labid bits. The input pipeline is
+checkpointed before minting so ids are stable against recomputation.
 """
 
 from __future__ import annotations
@@ -119,10 +121,32 @@ class WriteMixin:
     def _compile_create(self, c: A.Create) -> None:
         self._begin_write()
         df = self._ensure_df()
-        df = df.withColumn("__uid", F.monotonically_increasing_id())
+        # Dense per-batch uids. monotonically_increasing_id() alone
+        # jumps 2^33 between partitions — using its max as the locid
+        # span burns ~2^33 ids per partition per statement and can
+        # overflow the 48-bit locid into labid bits. Instead: the raw
+        # id encodes (partition << 33) | row-in-partition with row
+        # numbers contiguous from 0, so one tiny per-partition count
+        # (rows per partition, never the rows themselves) turns it
+        # into a dense 0..n-1 uid — no global window, no RDD pass.
+        df = df.withColumn("__mid", F.monotonically_increasing_id())
         df = df.localCheckpoint(eager=True)  # pin ids against recompute
-        mx = df.agg(F.max("__uid").alias("m")).collect()[0]["m"]
-        span = (mx or 0) + 1
+        part = F.shiftrightunsigned(F.col("__mid"), 33)
+        counts = sorted(
+            df.groupBy(part.alias("__p")).count().collect(),
+            key=lambda r: r["__p"])
+        offsets: list[tuple[int, int]] = []
+        span = 0
+        for r in counts:
+            offsets.append((r["__p"], span))
+            span += r["count"]
+        off_expr = F.lit(0).cast("long")
+        if offsets:
+            pairs = [x for p, o in offsets for x in (F.lit(p), F.lit(o))]
+            off_expr = F.create_map(*pairs)[part].cast("long")
+        df = df.withColumn(
+            "__uid", off_expr + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+        ).drop("__mid")
         self.df = df
         for pat in c.patterns:
             self._create_pattern(pat, span)
@@ -184,6 +208,10 @@ class WriteMixin:
         labid = cat.labels[label].labid
 
         base = self.wctx.next_locid(label)
+        if base + span - 1 > LOCID_MASK:
+            raise ValueError(
+                f"locid overflow for label {label!r}: base={base} + span={span} "
+                f"exceeds 48-bit locid space")
         prop_cols = [(prop_col_name(k), col) for k, col in self._eval_props(node.props)]
         id_col = graphid_col(labid, F.lit(base) + F.col("__uid"))
         self.df = self.df.withColumn(f"{var}__id", id_col) \
@@ -224,6 +252,10 @@ class WriteMixin:
 
         src, dst = (lvar, rvar) if rel.direction == "out" else (rvar, lvar)
         base = self.wctx.next_locid(label)
+        if base + span - 1 > LOCID_MASK:
+            raise ValueError(
+                f"locid overflow for label {label!r}: base={base} + span={span} "
+                f"exceeds 48-bit locid space")
         prop_cols = [(prop_col_name(k), col) for k, col in self._eval_props(rel.props)]
         self.df = self.df.withColumn(f"{var}__id", graphid_col(labid, F.lit(base) + F.col("__uid"))) \
                          .withColumn(f"{var}__start", F.col(f"{src}__id")) \
@@ -543,29 +575,48 @@ class WriteMixin:
         if missing.take(1):
             sub = self._spawn_subcompiler()
             key_cols = [f"{v}__id" for v in renames]
+            tmp_keys: list[str] = []
             if lifted:
                 # the creation key includes the lifted outer property
                 # values: one node per distinct value, not one total
                 ec = self._ec()
-                tmp_keys = []
                 for i, (_, _, val) in enumerate(lifted):
                     missing = missing.withColumn(f"__mergekey_{i}", ec.col(val))
                     tmp_keys.append(f"__mergekey_{i}")
-                miss_in = missing.dropDuplicates(key_cols + tmp_keys).drop(*tmp_keys)
-            elif key_cols:
-                miss_in = missing.dropDuplicates(key_cols)
-            else:
-                miss_in = missing.limit(1)
+            merge_keys = key_cols + tmp_keys
+            # Create ONE element per distinct merge key, then join the
+            # created bindings back to ALL missing rows: MERGE is
+            # per-input-row match-or-create, so duplicate inputs each
+            # yield an output row bound to the same created element
+            # (reference: execCypherMerge.c:35).
+            miss_in = (missing.dropDuplicates(merge_keys) if merge_keys
+                       else missing.limit(1))
             sub.df = miss_in
             sub.scope = self.scope.copy()
             sub.wctx = self.wctx
             sub._compile_create(A.Create([pat]))
             if m.on_create:
                 sub._compile_set(A.SetClause(m.on_create))
-            created = sub.df
             for v, b in sub.scope.bindings.items():
                 if self.scope.get(v) is None and v not in new_bindings:
                     new_bindings[v] = b
+            new_cols = [c for c in sub.df.columns
+                        if any(c.startswith(f"{v}__") for v in new_bindings)]
+            if merge_keys:
+                rep = sub.df.select(
+                    *[F.col(k).alias(f"__ck_{i}") for i, k in enumerate(merge_keys)],
+                    *new_cols)
+                cond = None
+                for i, k in enumerate(merge_keys):
+                    c = F.col(k).eqNullSafe(F.col(f"__ck_{i}"))
+                    cond = c if cond is None else (cond & c)
+                created = (missing.join(rep, cond, "inner")
+                           .drop(*[f"__ck_{i}" for i in range(len(merge_keys))])
+                           .drop(*tmp_keys))
+            else:
+                # keyless pattern: a single created element fans out to
+                # every missing input row
+                created = missing.crossJoin(F.broadcast(sub.df.select(*new_cols)))
 
         if m.on_match and matched.take(1):
             sub = self._spawn_subcompiler()

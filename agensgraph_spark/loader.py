@@ -154,11 +154,18 @@ ALL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def register_tables(spark: SparkSession, sf_dir: str,
-                    only: "tuple[str, ...] | None" = None) -> None:
+                    only: "tuple[str, ...] | None" = None,
+                    lenient: bool = False) -> None:
     """Register the raw relational tables as temp views (SQL side of the
     hybrid engine — the reference runs full SQL beside Cypher).
 
     `only` restricts registration to the tables a query actually references,
-    so a problem reading one table can never take down unrelated queries."""
+    so a problem reading one table can never take down unrelated queries.
+    `lenient` skips unreadable tables instead of raising — a query that
+    doesn't touch the broken table still runs."""
     for name in (only if only is not None else ALL_TABLES):
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception:
+            if not lenient:
+                raise

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from agensgraph_spark.pipeline.util import maybe_broadcast
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per identical key; report group
@@ -134,9 +136,19 @@ def minhash_lsh_candidates(
                                   lambda a, b: (a == b).cast("int")),
                        F.lit(0), lambda acc, v: acc + v)
            / F.lit(num_hashes)).alias("est_jaccard")
-    out = (pairs
-           .join(F.broadcast(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))), "id_a")
-           .join(F.broadcast(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))), "id_b")
+    # broadcast the signature table ONLY while it provably fits — at
+    # corpus scale it is corpus-sized and an unconditional hint OOMs;
+    # counting is free here because `sig` is persisted and the count
+    # warms the cache the banding reuses
+    n_docs = sig.count()
+    sig_row_bytes = num_hashes * 8 + 32
+    sa = maybe_broadcast(
+        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")),
+        sig_row_bytes, n_rows=n_docs)
+    sb = maybe_broadcast(
+        sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")),
+        sig_row_bytes, n_rows=n_docs)
+    out = (pairs.join(sa, "id_a").join(sb, "id_b")
            .select("id_a", "id_b", est))
     if min_est > 0:
         out = out.filter(F.col("est_jaccard") >= min_est)
@@ -179,20 +191,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
-    broadcast_docs: bool = True,
+    broadcast_docs: bool | None = None,
 ) -> DataFrame:
     """Verify LSH candidate pairs with exact k-shingle Jaccard.
 
-    The doc→shingle-set side is broadcast when permitted: candidate
-    sets over clustered corpora run to O(cluster²) pairs, and shuffling
-    a ~|text|-element array per pair side dwarfs the intersect cost
-    itself. The unique-doc side is bounded by the corpus (and at 100 TB
-    would be the LSH representatives), so it is the broadcast side."""
+    The doc→shingle-set side is broadcast when it fits: candidate sets
+    over clustered corpora run to O(cluster²) pairs, and shuffling a
+    ~|text|-element array per pair side dwarfs the intersect cost
+    itself. ``broadcast_docs=None`` (default) sizes the shingle table
+    from one cheap (count, avg-length) aggregate and hints only under
+    the limit — at corpus scale the table is corpus-sized and a forced
+    broadcast would OOM, so big inputs fall through to AQE's choice."""
     spread = docs.sparkSession.sparkContext.defaultParallelism
     sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
               .repartition(spread, "_id")
               .select("_id", shingles(F.col("_t"), k).alias("_sh")))
-    if broadcast_docs:
+    if broadcast_docs is None:
+        st = docs.agg(F.count(F.lit(1)).alias("n"),
+                      F.avg(F.length(F.col(text_col))).alias("len")).collect()[0]
+        shingle_row_bytes = (st["len"] or 0.0) * (k + 16) + 48
+        sh = maybe_broadcast(sh, shingle_row_bytes, n_rows=st["n"] or 0)
+    elif broadcast_docs:
         sh = F.broadcast(sh)
     j = (candidates
          .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")

@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from agensgraph_spark.pipeline.util import maybe_broadcast
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -75,7 +77,11 @@ def cosine_neardup_pairs(
         base = base.filter(F.col("_id") < max_id)
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    # hint the inner side only while it provably fits — one small
+    # (count, dim) aggregate; past the limit AQE picks the strategy
+    st = base.agg(F.count(F.lit(1)).alias("n"), F.max(F.size("_v")).alias("d")).collect()[0]
+    b = maybe_broadcast(b, (st["d"] or 0) * 8 + 32, n_rows=st["n"] or 0)
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))

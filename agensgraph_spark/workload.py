@@ -48,14 +48,18 @@ def _referenced_tables(sql: str) -> tuple[str, ...]:
 
     from agensgraph_spark.loader import ALL_TABLES
     words = set(re.findall(r"[a-z_]+", sql.lower()))
-    return tuple(t for t in ALL_TABLES if t in words)
+    found = tuple(t for t in ALL_TABLES if t in words)
+    # word-match heuristic: if a query references tables only through
+    # some indirection we can't see, register everything rather than
+    # failing with TABLE_OR_VIEW_NOT_FOUND
+    return found or tuple(ALL_TABLES)
 
 
 def _sparksql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Register only the tables this query names — one unreadable table
         # must not take down unrelated queries.
-        register_tables(spark, sf_dir, only=_referenced_tables(sql))
+        register_tables(spark, sf_dir, only=_referenced_tables(sql), lenient=True)
         return spark.sql(sql)
     return fn
 

@@ -84,6 +84,15 @@ def test_distinct_union(engine):
     assert got.count() == 25
 
 
+def test_mixed_union_union_all_chain(engine):
+    # (a UNION b) UNION ALL c — the trailing ALL branch keeps its
+    # duplicate (reference: gram.y:17089-17094, left-assoc set ops)
+    got = engine.cypher("RETURN 1 AS x UNION RETURN 1 AS x UNION ALL RETURN 1 AS x")
+    assert got.count() == 2
+    got2 = engine.cypher("RETURN 1 AS x UNION ALL RETURN 1 AS x UNION RETURN 1 AS x")
+    assert got2.count() == 1
+
+
 def test_with_where_pipeline(engine):
     got = engine.cypher(
         "MATCH (c:customer)-[:placed]->(o:orders) "

@@ -149,6 +149,34 @@ def test_merge_dedups_parallel_duplicates(eng):
     assert eng.cypher("MATCH (p:person {name: 'fay'}) RETURN p").count() == 1
 
 
+def test_merge_preserves_input_cardinality(eng):
+    # per-row match-or-create (execCypherMerge.c:35): duplicate input
+    # rows each produce an output row bound to the SAME created node
+    df = eng.cypher("UNWIND [1, 1, 2] AS x MERGE (n:tcard {k: x}) "
+                    "RETURN x, n.k AS nk")
+    got = rows(df, "x", "nk")
+    assert got == [(1, 1), (1, 1), (2, 2)]
+    # exactly one node per distinct key was created
+    assert eng.cypher("MATCH (n:tcard) RETURN n").count() == 2
+    # keyless MERGE: one node, still one output row per input row
+    df2 = eng.cypher("UNWIND [1, 2, 3] AS x MERGE (m:tcard2) RETURN x, m.id AS mid")
+    assert df2.count() == 3
+    assert df2.select("mid").distinct().count() == 1
+    assert eng.cypher("MATCH (m:tcard2) RETURN m").count() == 1
+
+
+def test_locid_allocation_dense(eng):
+    # dense per-batch locids: repeated multi-partition CREATEs advance
+    # the locid by exactly the row count, never ~2^33 per partition
+    for _ in range(3):
+        eng.cypher("UNWIND range(1, 40) AS i CREATE (:densev {v: i})")
+    ids = [r["i"] for r in eng.cypher(
+        "MATCH (d:densev) RETURN d.id AS i").collect()]
+    assert len(ids) == 120
+    locids = sorted(i & ((1 << 48) - 1) for i in ids)
+    assert locids == list(range(locids[0], locids[0] + 120))
+
+
 def test_merge_prop_from_pipeline_var(eng):
     # MERGE pattern props may reference the incoming row (per-row
     # match-or-create: execCypherMerge.c ExecMergeGraph); 'ana' exists,

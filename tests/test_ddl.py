@@ -41,6 +41,35 @@ def test_label_ddl_and_inheritance_scan(eng):
     assert labels == ["dog", "animal"]
 
 
+def test_anonymous_labeled_endpoint_inherits(eng):
+    """An anonymous labeled endpoint in the middle of a pattern must
+    expand descendants exactly like a named one — the lightweight
+    Binding stores descendant-expanded labels so downstream src-side
+    labid pruning keeps child-label vertices (reference: inheritance
+    scan semantics, graphcmds.c:241-303; ONLY tests cypher_dml.sql)."""
+    eng.cypher("CREATE VLABEL animal")
+    eng.cypher("CREATE VLABEL dog INHERITS (animal)")
+    eng.cypher("CREATE VLABEL person")
+    eng.cypher("CREATE VLABEL food")
+    eng.cypher("CREATE ELABEL owns")
+    eng.cypher("CREATE ELABEL eats")
+    eng.cypher("CREATE (:person {name: 'ann'})-[:owns]->(:dog {name: 'rex'})")
+    eng.cypher("MATCH (d:dog) CREATE (d)-[:eats]->(:food {name: 'kibble'})")
+    named = eng.cypher(
+        "MATCH (a:person)-[:owns]->(b:animal)-[:eats]->(c:food) "
+        "RETURN a.name AS an, c.name AS cn").collect()
+    anon = eng.cypher(
+        "MATCH (a:person)-[:owns]->(:animal)-[:eats]->(c:food) "
+        "RETURN a.name AS an, c.name AS cn").collect()
+    assert [tuple(r) for r in named] == [("ann", "kibble")]
+    assert [tuple(r) for r in anon] == [("ann", "kibble")]
+    # ONLY on the anonymous endpoint still excludes the child label
+    only = eng.cypher(
+        "MATCH (a:person)-[:owns]->(:ONLY animal)-[:eats]->(c:food) "
+        "RETURN a.name AS an").collect()
+    assert only == []
+
+
 def test_empty_label_scans_empty(eng):
     eng.cypher("CREATE VLABEL ghost")
     assert eng.cypher("MATCH (gg:ghost) RETURN gg").count() == 0

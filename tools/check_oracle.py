@@ -32,10 +32,14 @@ def norm_cell(v):
         return (0, round(v, 9))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return (0, str(v))
-    if isinstance(v, (list, tuple, dict, set)):
-        # The DRIVER's pandas canonicalizer cannot factorize list cells
-        # (TypeError: unhashable type) — treat any container cell as a
-        # failure locally so it never reaches the driver gate. Stringify
+    if isinstance(v, tuple):
+        # hashable container: PySpark Row subclasses tuple (struct
+        # cells), and the driver's pandas factorize accepts it — recurse
+        return (0, tuple(norm_cell(x) for x in v))
+    if isinstance(v, (list, dict, set)):
+        # The DRIVER's pandas canonicalizer cannot factorize unhashable
+        # cells (TypeError: unhashable type) — treat them as a failure
+        # locally so they never reach the driver gate. Stringify
         # (array_join / array_to_string) on both sides instead.
         raise TypeError(
             f"container cell {type(v).__name__} in result — driver's "
