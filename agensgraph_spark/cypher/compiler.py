@@ -172,6 +172,15 @@ class QueryCompiler(WriteMixin):
         self.scope = Scope()
         self.df: DataFrame | None = None
         self.wctx: WriteContext | None = None
+        # Deferred cross joins: comma-separated pattern components stay
+        # out of the pipeline DataFrame until something actually needs
+        # them together. A pathfind over two independent components then
+        # runs on id-only seed/target sets and joins its (small) result
+        # back to each endpoint scan separately — never materializing
+        # the wide endpoint cartesian (the reference's planner likewise
+        # keeps disconnected components as separate FROM items,
+        # parse_graph.c:1464 makeComponents).
+        self._pending: dict[str, DataFrame] = {}
 
     def _begin_write(self) -> None:
         """First write clause: fork the graph into a working copy all
@@ -204,6 +213,17 @@ class QueryCompiler(WriteMixin):
             self.df = self.engine.spark.range(1).select(F.lit(1).alias("__one"))
         return self.df
 
+    def _force(self, vars_needed) -> None:
+        """Merge pending component scans for the given vars into the
+        pipeline DataFrame (the deferred cross join becomes real)."""
+        for v in list(vars_needed):
+            scan = self._pending.pop(v, None)
+            if scan is not None:
+                self.df = scan if self.df is None else self.df.crossJoin(scan)
+
+    def _force_all(self) -> None:
+        self._force(list(self._pending.keys()))
+
     # ---------- top ----------
 
     def compile(self, q: A.Query) -> DataFrame:
@@ -217,15 +237,20 @@ class QueryCompiler(WriteMixin):
             elif isinstance(clause, A.LoadClause):
                 self._compile_load(clause)
             elif isinstance(clause, A.Create):
+                self._force_all()
                 self._compile_create(clause)
             elif isinstance(clause, A.Delete):
+                self._force_all()
                 self._compile_delete(clause)
             elif isinstance(clause, (A.SetClause, A.RemoveClause)):
+                self._force_all()
                 self._compile_set(clause)
             elif isinstance(clause, A.Merge):
+                self._force_all()
                 self._compile_merge(clause)
             else:
                 raise NotImplementedError(type(clause).__name__)
+        self._force_all()
         if self.df is None:
             raise ValueError("query produced no result")
         return self.df
@@ -389,6 +414,10 @@ class QueryCompiler(WriteMixin):
         els = pat.elements
         node = els[0]
         left_var = self._anchor_node(node)
+        if len(els) > 1 or pat.var is not None:
+            # the anchor's id column is consumed immediately (edge join /
+            # path construction) — its component must be in the pipeline
+            self._force([left_var])
         path_vids: list[Column | str] = [left_var]
         path_eids: list[tuple[str, bool]] = []
 
@@ -413,16 +442,27 @@ class QueryCompiler(WriteMixin):
         if existing is not None:
             if existing.kind != "vertex":
                 raise ValueError(f"variable {var!r} already bound as {existing.kind}")
-            # already in pipeline: apply extra label/prop constraints
+            # already bound: apply extra label/prop constraints to
+            # whichever frame currently holds the var (pending scans
+            # take the filter directly — pushdown before any join)
+            pend = var in self._pending
+            target = self._pending[var] if pend else self.df
             if node.labels:
                 labids = self._labid_set(node.labels, "v", node.only)
-                self.df = self.df.filter(self._labid_pred(F.col(f"{var}__id"), labids))
-            self.df = self._prop_filter(var, node.props, self.df)
+                target = target.filter(self._labid_pred(F.col(f"{var}__id"), labids))
+            target = self._prop_filter(var, node.props, target)
+            if pend:
+                self._pending[var] = target
+            else:
+                self.df = target
             return var
         scan, binding = self._vertex_scan(var, node.labels, node.only)
         scan = self._prop_filter(var, node.props, scan)
         self.scope.bind(binding)
-        self.df = scan if self.df is None else self.df.crossJoin(scan)
+        if self.df is None:
+            self.df = scan
+        else:
+            self._pending[var] = scan  # deferred cross join
         return var
 
     def _edge_step(
@@ -464,6 +504,7 @@ class QueryCompiler(WriteMixin):
             # right node already bound: close the cycle with a filter
             if rbound.kind != "vertex":
                 raise ValueError(f"variable {rvar!r} already bound as {rbound.kind}")
+            self._force([rvar])
             self.df = self.df.filter(F.col(f"{evar}__dst") == F.col(f"{rvar}__id"))
             self.df = self._prop_filter(rvar, right.props, self.df)
             return rvar
@@ -520,6 +561,7 @@ class QueryCompiler(WriteMixin):
         rvar = right.var or self.scope.fresh_anon()
         rbound = self.scope.get(rvar)
         if rbound is not None:
+            self._force([rvar])
             self.df = self.df.filter(F.col(f"{evar}__dst") == F.col(f"{rvar}__id"))
             self.df = self._prop_filter(rvar, right.props, self.df)
             return rvar
