@@ -47,6 +47,11 @@ from agensgraph_spark.operators import paths as P
 
 WRITE_CLAUSES = (A.Create, A.Merge, A.SetClause, A.RemoveClause, A.Delete)
 
+# temp-view sequence for hoisted scalar subqueries (unique per process)
+import itertools as _itertools
+
+_SUBQ_IDS = _itertools.count(1)
+
 
 @dataclass
 class EdgeRef:
@@ -65,10 +70,15 @@ class CypherEngine:
         graph: Graph | None = None,
         tables: dict[str, DataFrame] | None = None,
         vle_max_hops: int = P.DEFAULT_MAX_HOPS,
+        broadcast_row_threshold: int = 100_000,
     ):
         from agensgraph_spark.cypher.ddl import GraphStore
         self.spark = spark
         self.store = GraphStore()
+        # rows below which a stats-known label scan broadcasts (~10-20 MB
+        # of wide vertex rows — in line with Spark's default
+        # autoBroadcastJoinThreshold)
+        self.broadcast_row_threshold = broadcast_row_threshold
         if graph is not None:
             self.store.graphs[graph.catalog.name] = graph
             self.store.graph_path = graph.catalog.name
@@ -78,6 +88,9 @@ class CypherEngine:
             "insertedvertices": 0, "insertededges": 0,
             "deletedvertices": 0, "deletededges": 0, "updatedproperties": 0}
         self.udfs: dict[str, object] = {}
+        # names registered via register_aggregate — the projection
+        # compiler treats calls to these as aggregate expressions
+        self.udaf_names: set[str] = set()
 
     @property
     def graph(self) -> Graph | None:
@@ -154,6 +167,29 @@ class CypherEngine:
         self.udfs[name.lower()] = wrapped
         return wrapped
 
+    def register_aggregate(self, name: str, fn, return_type="double"):
+        """Register a custom aggregate usable in Cypher RETURN/WITH
+        (reference: CREATE AGGREGATE sfunc/finalfunc,
+        src/backend/commands/aggregatecmds.c). ``fn`` is
+        pandas.Series -> scalar; it runs as an Arrow-batched GROUPED_AGG
+        pandas UDF — partial batches per partition, merged JVM-side, so
+        the aggregation distributes like any built-in (no driver-side
+        reduction)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _agg(v):
+            return fn(v)
+
+        # real (non-string) annotations make pandas_udf infer GROUPED_AGG
+        # (module-level `from __future__ import annotations` would turn
+        # inline hints into unresolvable strings)
+        _agg.__annotations__ = {"v": pd.Series, "return": float}
+        wrapped = pandas_udf(_agg, return_type)
+        self.udfs[name.lower()] = wrapped
+        self.udaf_names.add(name.lower())
+        return wrapped
+
     def register_cypher_view(self, name: str, text: str, params: dict | None = None) -> DataFrame:
         """Expose a Cypher result to SQL (reference: Cypher as a SQL
         subquery, `SELECT * FROM (MATCH ... RETURN ...) t`,
@@ -181,6 +217,8 @@ class QueryCompiler(WriteMixin):
         # keeps disconnected components as separate FROM items,
         # parse_graph.c:1464 makeComponents).
         self._pending: dict[str, DataFrame] = {}
+        # ScalarSubquery AST node id → hoisted pipeline column name
+        self._subq_cols: dict[int, str] = {}
 
     def _begin_write(self) -> None:
         """First write clause: fork the graph into a working copy all
@@ -206,7 +244,7 @@ class QueryCompiler(WriteMixin):
     def _ec(self) -> ExprCompiler:
         cat = self.graph.catalog if self.graph is not None else None
         return ExprCompiler(self.scope, self._schema_map(), cat, self.params,
-                            udfs=self.engine.udfs)
+                            udfs=self.engine.udfs, subq_cols=self._subq_cols)
 
     def _ensure_df(self) -> DataFrame:
         if self.df is None:
@@ -322,6 +360,23 @@ class QueryCompiler(WriteMixin):
                     out.append(d)
         return out
 
+    def _maybe_broadcast(self, scan: DataFrame, labels: list[str], kind: str) -> DataFrame:
+        """Stats-driven join-side choice (reference: ag_graphmeta feeds
+        the planner's costing, ag_graphmeta.h:30). When the graph has
+        collected label stats and the scanned label set is small, hint a
+        broadcast so the dim side of a hop join never shuffles; without
+        stats the choice is left to AQE's runtime estimates."""
+        g = self.graph
+        counts = g.label_counts() if g is not None else None
+        if counts is None:
+            return scan
+        if not labels:
+            labels = g.catalog.vlabels() if kind == "v" else g.catalog.elabels()
+        total = sum(counts.get(l, 0) for l in labels)
+        if total <= self.engine.broadcast_row_threshold:
+            return F.broadcast(scan)
+        return scan
+
     def _labid_set(self, labels: list[str], kind: str, only: bool) -> list[int]:
         cat = self.graph.catalog
         out: list[int] = []
@@ -384,6 +439,7 @@ class QueryCompiler(WriteMixin):
         """Split top-level conjuncts; pattern predicates become
         semi/anti joins (reference: sublink conversion,
         src/backend/optimizer/plan/subselect.c:1269)."""
+        self._hoist_subqueries([where])
         conjuncts = self._split_and(where)
         plain: list[A.Expr] = []
         for c in conjuncts:
@@ -393,12 +449,31 @@ class QueryCompiler(WriteMixin):
                 self._pattern_semijoin(c.operand.pattern, anti=True)
             else:
                 plain.append(c)
-        if plain:
-            ec = self._ec()
-            pred = None
-            for c in plain:
-                col = ec.bool_col(c)
-                pred = col if pred is None else (pred & col)
+        # pattern predicates NOT at top level (inside OR/NOT/CASE/...)
+        # become hoisted match-count columns
+        self._hoist_pattern_preds(plain)
+        pred = None
+        for c in plain:
+            refs = self._vars_in(c)
+            pend_refs = [v for v in refs if v in self._pending]
+            hoisted = any(isinstance(x, (A.ScalarSubquery, A.PatternPred))
+                          for x in self._iter_expr(c))
+            if len(refs) == 1 and pend_refs and not hoisted:
+                # single-variable conjunct over a deferred component scan:
+                # push the filter onto that scan directly (pre-join
+                # pushdown, mirrors distribute_qual_to_rels)
+                v = pend_refs[0]
+                frame = self._pending[v]
+                ec = ExprCompiler(self.scope,
+                                  {f.name: f.dataType for f in frame.schema.fields},
+                                  self.graph.catalog if self.graph is not None else None,
+                                  self.params, udfs=self.engine.udfs)
+                self._pending[v] = frame.filter(ec.bool_col(c))
+                continue
+            self._force(pend_refs)
+            col = self._ec().bool_col(c)
+            pred = col if pred is None else (pred & col)
+        if pred is not None:
             self.df = self.df.filter(pred)
 
     @staticmethod
@@ -495,6 +570,7 @@ class QueryCompiler(WriteMixin):
             labids = self._labid_set(lbind.labels, "v", True)
             escan = escan.filter(self._labid_pred(F.col(f"{evar}__src"), labids))
 
+        escan = self._maybe_broadcast(escan, ebind.labels or [], "e")
         self.df = self.df.join(escan, F.col(f"{left_var}__id") == F.col(f"{evar}__src"), "inner")
         self.scope.bind(ebind)
         edge_refs.append(EdgeRef(evar, False))
@@ -513,6 +589,7 @@ class QueryCompiler(WriteMixin):
         if need_vertex:
             rscan, rbind = self._vertex_scan(rvar, right.labels, right.only)
             rscan = self._prop_filter(rvar, right.props, rscan)
+            rscan = self._maybe_broadcast(rscan, rbind.labels or [], "v")
             self.df = self.df.join(rscan, F.col(f"{evar}__dst") == F.col(f"{rvar}__id"), "inner")
             self.scope.bind(rbind)
             return rvar
@@ -572,6 +649,7 @@ class QueryCompiler(WriteMixin):
         if need_vertex:
             rscan, rbind = self._vertex_scan(rvar, right.labels, right.only)
             rscan = self._prop_filter(rvar, right.props, rscan)
+            rscan = self._maybe_broadcast(rscan, rbind.labels or [], "v")
             self.df = self.df.join(rscan, F.col(f"{evar}__dst") == F.col(f"{rvar}__id"), "inner")
             self.scope.bind(rbind)
         else:
@@ -602,7 +680,23 @@ class QueryCompiler(WriteMixin):
                               self.graph.catalog, self.params)
             escan = escan.filter(ec.bool_col(pat.qual))
 
-        pairs = self.df.select(F.col(f"{lvar}__id").alias("seed"), F.col(f"{rvar}__id").alias("target"))
+        # Seed/target sets come from each endpoint's OWN frame (pending
+        # component scan or the pipeline), id-only and distinct. Two
+        # disconnected endpoint components thus never materialize a wide
+        # vertex cartesian — the path operator runs on narrow id pairs and
+        # its (small) result is equi-joined back to each endpoint scan
+        # (the reference likewise keeps disconnected components as
+        # separate FROM items, parse_graph.c:1464 makeComponents).
+        lpend = self._pending.get(lvar)
+        rpend = self._pending.get(rvar)
+        lsrc = lpend if lpend is not None else self.df
+        rsrc = rpend if rpend is not None else self.df
+        if lpend is None and rpend is None:
+            pairs = self.df.select(F.col(f"{lvar}__id").alias("seed"),
+                                   F.col(f"{rvar}__id").alias("target")).distinct()
+        else:
+            pairs = (lsrc.select(F.col(f"{lvar}__id").alias("seed")).distinct()
+                     .crossJoin(rsrc.select(F.col(f"{rvar}__id").alias("target")).distinct()))
         pvar = pat.var or self.scope.fresh_anon()
 
         if pat.kind in ("shortestpath", "allshortestpaths"):
@@ -635,12 +729,22 @@ class QueryCompiler(WriteMixin):
             F.col("len").alias(f"{pvar}__len"),
             *[F.col(f"{pvar}__weight") for _ in props],
         )
-        self.df = self.df.join(
-            res,
-            (F.col(f"{lvar}__id") == F.col(f"{pvar}__seed"))
-            & (F.col(f"{rvar}__id") == F.col(f"{pvar}__target")),
-            "inner",
-        )
+        seed_eq = F.col(f"{lvar}__id") == F.col(f"{pvar}__seed")
+        target_eq = F.col(f"{rvar}__id") == F.col(f"{pvar}__target")
+        if lpend is None and rpend is None:
+            self.df = self.df.join(res, seed_eq & target_eq, "inner")
+        elif lpend is None:
+            del self._pending[rvar]
+            self.df = (self.df.join(res, seed_eq, "inner")
+                       .join(rpend, target_eq, "inner"))
+        elif rpend is None:
+            del self._pending[lvar]
+            self.df = (self.df.join(res, target_eq, "inner")
+                       .join(lpend, seed_eq, "inner"))
+        else:
+            del self._pending[lvar], self._pending[rvar]
+            joined = res.join(lpend, seed_eq, "inner").join(rpend, target_eq, "inner")
+            self.df = joined if self.df is None else self.df.crossJoin(joined)
         self.scope.bind(Binding(pvar, "path", props=[f"{pvar}__weight"] if props else []))
         if pat.weight_var is not None:
             self.df = self.df.withColumn(pat.weight_var, F.col(f"{pvar}__weight"))
@@ -711,36 +815,120 @@ class QueryCompiler(WriteMixin):
                     df = df.withColumnRenamed(c, c.replace(v, tmp, 1))
         return df, sub.scope, renames
 
-    def _vars_in(self, e: A.Expr | None) -> set[str]:
-        out: set[str] = set()
+    @staticmethod
+    def _iter_expr(e):
+        """Yield every Expr node in the tree rooted at e."""
+        if not isinstance(e, A.Expr):
+            return
+        yield e
+        kids: list = []
+        for attr in ("left", "right", "operand", "base", "item", "container",
+                     "index", "lo", "hi", "source", "where", "projection", "default"):
+            v = getattr(e, attr, None)
+            if v is not None:
+                kids.append(v)
+        if isinstance(e, (A.BoolOp, A.FuncCall)):
+            kids.extend(e.args)
+        if isinstance(e, A.ListLit):
+            kids.extend(e.items)
+        if isinstance(e, A.MapLit):
+            kids.extend(v for _, v in e.items)
+        if isinstance(e, A.Case):
+            for c, v2 in e.whens:
+                kids.extend((c, v2))
+        for k in kids:
+            yield from QueryCompiler._iter_expr(k)
 
-        def walk(x):
-            if isinstance(x, A.Var):
-                out.add(x.name)
-            elif isinstance(x, A.Expr):
-                for attr in ("left", "right", "operand", "base", "item", "container",
-                             "index", "lo", "hi", "source", "where", "projection", "default"):
-                    v = getattr(x, attr, None)
-                    if v is not None:
-                        walk(v)
-                if isinstance(x, A.BoolOp):
-                    for a in x.args:
-                        walk(a)
-                if isinstance(x, A.FuncCall):
-                    for a in x.args:
-                        walk(a)
-                if isinstance(x, A.ListLit):
-                    for a in x.items:
-                        walk(a)
-                if isinstance(x, A.MapLit):
-                    for _, a in x.items:
-                        walk(a)
-                if isinstance(x, A.Case):
-                    for c, v2 in x.whens:
-                        walk(c)
-                        walk(v2)
-        walk(e)
-        return out
+    def _vars_in(self, e: A.Expr | None) -> set[str]:
+        return {x.name for x in self._iter_expr(e) if isinstance(x, A.Var)}
+
+    def _hoist_subqueries(self, exprs) -> None:
+        """SQL scalar subqueries reachable from WHERE/WITH/RETURN become
+        pipeline columns: the pipeline DataFrame is registered as a temp
+        view and each subquery is attached as `(SELECT ...) AS __subq_N_k`
+        through Spark SQL, so Catalyst plans the usual decorrelated
+        left-joined aggregate — never a driver-side `.collect()`.
+        Correlated references `var.prop` (Cypher variables visible inside
+        the SubLink, reference parse_graph.c:373) are rewritten to the
+        view's flattened columns; a `var.prop` whose prop is not a known
+        property of the binding is left alone (it names a SQL alias
+        belonging to the subquery itself)."""
+        import re as _re
+
+        subs: list[A.ScalarSubquery] = []
+        seen: set[int] = set()
+        for e in exprs:
+            for x in self._iter_expr(e):
+                if isinstance(x, A.ScalarSubquery) and id(x) not in seen:
+                    seen.add(id(x))
+                    subs.append(x)
+        subs = [s for s in subs if id(s) not in self._subq_cols]
+        if not subs:
+            return
+        # correlated references may live in deferred component scans
+        for sq in subs:
+            self._force([v for v in list(self._pending)
+                         if _re.search(rf"\b{_re.escape(v)}\.", sq.sql)])
+        df = self._ensure_df()
+        n = next(_SUBQ_IDS)
+        view = f"__cy_pipe_{n}"
+        df.createOrReplaceTempView(view)
+        items = [f"{view}.*"]
+        for k, sq in enumerate(subs):
+            sql = sq.sql
+            for v, b in sorted(self.scope.bindings.items(), key=lambda kv: -len(kv[0])):
+                props = set(b.props or [])
+
+                def repl(m, v=v, props=props):
+                    return (f"{view}.{v}__{m.group(1)}"
+                            if m.group(1) in props else m.group(0))
+
+                sql = _re.sub(rf"\b{_re.escape(v)}\.(\w+)", repl, sql)
+            col = f"__subq_{n}_{k}"
+            items.append(f"({sql}) AS {col}")
+            self._subq_cols[id(sq)] = col
+        self.df = self.engine.spark.sql(f"SELECT {', '.join(items)} FROM {view}")
+
+    def _hoist_pattern_preds(self, exprs) -> None:
+        """CSP_EXISTS / CSP_SIZE in arbitrary expression position
+        (reference: parsenodes.h:3839-3851; cypher_dml2.sql). The pattern
+        compiles standalone, aggregates to a per-shared-vertex match
+        count, and left-joins back on the shared variables' ids — EXISTS
+        reads count>0, SIZE reads coalesce(count, 0). Top-level WHERE
+        conjuncts never reach here (they take the cheaper semi/anti-join
+        path in _apply_where)."""
+        preds: list[A.PatternPred] = []
+        seen: set[int] = set()
+        for e in exprs:
+            for x in self._iter_expr(e):
+                if isinstance(x, A.PatternPred) and id(x) not in seen \
+                        and id(x) not in self._subq_cols:
+                    seen.add(id(x))
+                    preds.append(x)
+        for pp in preds:
+            shared = self._pattern_shared_vars([pp.pattern])
+            self._force(shared)
+            right, _, renames = self._compile_pattern_standalone([pp.pattern], None, shared)
+            n = next(_SUBQ_IDS)
+            cnt = f"__patq_{n}"
+            if shared:
+                keys = [F.col(f"{renames[v]}__id").alias(f"{cnt}_k{i}")
+                        for i, v in enumerate(shared) if v in renames]
+                agg = right.groupBy(*keys).agg(F.count(F.lit(1)).alias(cnt))
+                cond = None
+                for i, v in enumerate(shared):
+                    if v not in renames:
+                        continue
+                    c = F.col(f"{v}__id") == F.col(f"{cnt}_k{i}")
+                    cond = c if cond is None else (cond & c)
+                self._ensure_df()
+                self.df = (self.df.join(agg, cond, "left")
+                           .drop(*[f"{cnt}_k{i}" for i in range(len(keys))]))
+            else:
+                # disconnected pattern: one global count, a 1-row cross join
+                agg = right.agg(F.count(F.lit(1)).alias(cnt))
+                self.df = self._ensure_df().crossJoin(agg)
+            self._subq_cols[id(pp)] = cnt
 
     def _pattern_shared_vars(self, patterns: list[A.PathPattern]) -> list[str]:
         shared = []
@@ -758,6 +946,7 @@ class QueryCompiler(WriteMixin):
             self._compile_match(A.Match(m.patterns, optional=False, where=m.where))
             return
         shared = self._pattern_shared_vars(m.patterns)
+        self._force(shared)
         right, rscope, renames = self._compile_pattern_standalone(m.patterns, None, shared)
 
         cond: Column | None = None
@@ -787,6 +976,7 @@ class QueryCompiler(WriteMixin):
     def _pattern_semijoin(self, pattern: A.PathPattern, anti: bool) -> None:
         """EXISTS((...)) / NOT EXISTS → left-semi / left-anti join."""
         shared = self._pattern_shared_vars([pattern])
+        self._force(shared)
         right, rscope, renames = self._compile_pattern_standalone([pattern], None, shared)
         cond: Column | None = None
         for v, tmp in renames.items():
@@ -798,6 +988,7 @@ class QueryCompiler(WriteMixin):
     # ---------- UNWIND / LOAD ----------
 
     def _compile_unwind(self, u: A.Unwind) -> None:
+        self._force(self._vars_in(u.expr))
         self._ensure_df()
         ec = self._ec()
         col = ec.col(u.expr)
@@ -833,7 +1024,15 @@ class QueryCompiler(WriteMixin):
         return f"col{idx}"
 
     def _compile_projection(self, proj: A.Projection) -> None:
+        # WITH/RETURN is a cardinality barrier: unreferenced deferred
+        # components still multiply row counts, so they must join in now.
+        self._force_all()
         self._ensure_df()
+        proj_exprs = ([it.expr for it in proj.items]
+                      + [s.expr for s in proj.order]
+                      + ([proj.where] if proj.where is not None else []))
+        self._hoist_subqueries(proj_exprs)
+        self._hoist_pattern_preds(proj_exprs)
         items = self._expand_star_items(proj)
         ec = self._ec()
 
@@ -842,7 +1041,7 @@ class QueryCompiler(WriteMixin):
         agg_cols: list[Column] = []
         new_scope = Scope()
         new_schema_hint: dict[str, A.Expr] = {}
-        any_agg = any(has_agg(it.expr) for it in items)
+        any_agg = any(has_agg(it.expr, self.engine.udaf_names) for it in items)
         passthrough: dict[str, Binding] = {}
 
         for idx, it in enumerate(items):
@@ -863,7 +1062,7 @@ class QueryCompiler(WriteMixin):
             alias = it.alias or self._default_alias(e, idx)
             tc = ec.tc(e)
             col = tc.col.alias(alias)
-            if any_agg and has_agg(e):
+            if any_agg and has_agg(e, self.engine.udaf_names):
                 agg_cols.append(col)
             elif any_agg:
                 key_cols.append(col)

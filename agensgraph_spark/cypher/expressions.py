@@ -36,24 +36,24 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
 
 
-def has_agg(e: A.Expr) -> bool:
+def has_agg(e: A.Expr, extra_aggs: "frozenset[str] | set[str]" = frozenset()) -> bool:
     if isinstance(e, A.FuncCall):
-        if e.name in AGG_NAMES:
+        if e.name in AGG_NAMES or e.name.lower() in extra_aggs:
             return True
-        return any(has_agg(a) for a in e.args)
+        return any(has_agg(a, extra_aggs) for a in e.args)
     for attr in ("left", "right", "operand", "base", "item", "container", "index",
                  "lo", "hi", "source", "where", "projection", "default"):
         v = getattr(e, attr, None)
-        if isinstance(v, A.Expr) and has_agg(v):
+        if isinstance(v, A.Expr) and has_agg(v, extra_aggs):
             return True
     if isinstance(e, A.BoolOp):
-        return any(has_agg(a) for a in e.args)
+        return any(has_agg(a, extra_aggs) for a in e.args)
     if isinstance(e, (A.ListLit,)):
-        return any(has_agg(a) for a in e.items)
+        return any(has_agg(a, extra_aggs) for a in e.items)
     if isinstance(e, A.MapLit):
-        return any(has_agg(v) for _, v in e.items)
+        return any(has_agg(v, extra_aggs) for _, v in e.items)
     if isinstance(e, A.Case):
-        return any(has_agg(c) or has_agg(v) for c, v in e.whens)
+        return any(has_agg(c, extra_aggs) or has_agg(v, extra_aggs) for c, v in e.whens)
     return False
 
 
@@ -87,12 +87,14 @@ class ExprCompiler:
         catalog=None,
         params: dict | None = None,
         udfs: dict | None = None,
+        subq_cols: dict | None = None,
     ):
         self.scope = scope
         self.schema = schema
         self.catalog = catalog
         self.params = params or {}
         self.udfs = udfs or {}
+        self.subq_cols = subq_cols or {}
         self.lambda_vars: dict[str, TC] = {}
 
     # ---- public ----
@@ -119,10 +121,16 @@ class ExprCompiler:
         return meth(e)
 
     def _c_ScalarSubquery(self, e: A.ScalarSubquery) -> TC:
-        """Uncorrelated SQL scalar subquery: evaluated once against the
-        session catalog (temp views), folded in as a literal — the
-        DataFrame analog of the reference's SubLink-in-Cypher
-        (parse_graph.c:373). Correlated subqueries are not supported."""
+        """SQL scalar subquery inside a Cypher expression (reference:
+        SubLink-in-Cypher, parse_graph.c:373; cypher_expr.sql:262-267).
+        The query compiler hoists subqueries reachable from WHERE/RETURN
+        into pipeline columns via Spark SQL (correlated ones become
+        Catalyst's left-joined aggregate) — those resolve here by column.
+        Outside the pipeline (e.g. CREATE property defaults) the subquery
+        must be uncorrelated and folds to a one-row literal."""
+        hoisted = self.subq_cols.get(id(e))
+        if hoisted is not None:
+            return TC(F.col(hoisted))
         from pyspark.sql import SparkSession
         spark = SparkSession.getActiveSession()
         rows = spark.sql(e.sql).limit(2).collect()
@@ -130,6 +138,20 @@ class ExprCompiler:
             raise ValueError("scalar subquery returned more than one row")
         val = rows[0][0] if rows else None
         return TC(F.lit(val))
+
+    def _c_PatternPred(self, e: A.PatternPred) -> TC:
+        """EXISTS(pattern) / SIZE(pattern) in expression position — the
+        query compiler pre-joins a per-row match count column (CSP_EXISTS
+        / CSP_SIZE, reference parsenodes.h:3839-3851); top-level WHERE
+        conjuncts never reach here (semi/anti-join fast path)."""
+        col = self.subq_cols.get(id(e))
+        if col is None:
+            raise NotImplementedError(
+                "pattern predicate not supported in this context (writes)")
+        cnt = F.coalesce(F.col(col), F.lit(0)).cast("long")
+        if e.kind == "size":
+            return TC(cnt, T.LongType())
+        return TC(cnt > 0, T.BooleanType())
 
     def _c_Lit(self, e: A.Lit) -> TC:
         v = e.value

@@ -616,6 +616,17 @@ class Parser:
                 if low in ("shortestpath", "allshortestpaths", "dijkstra"):
                     pat = self.parse_pathfind(low, None)
                     return A.PatternPred(pat, "exists")
+                if low == "size" and self.peek(2).kind == "(":
+                    # size((a)-[:T]->(b)) — pattern match count
+                    # (reference: CSP_SIZE, parsenodes.h:3839-3851)
+                    save = self.i
+                    self.next()
+                    self.next()
+                    if self._looks_like_pattern():
+                        pat = self.parse_plain_pattern(None)
+                        self.expect(")")
+                        return A.PatternPred(pat, "size")
+                    self.i = save  # plain size(expr): re-parse as func call
                 return self.parse_func_call()
             self.next()
             return A.Var(t.text)

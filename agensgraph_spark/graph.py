@@ -49,6 +49,8 @@ class Graph:
     def __init__(self, catalog: GraphCatalog, frames: dict[str, DataFrame] | None = None):
         self.catalog = catalog
         self.frames: dict[str, DataFrame] = dict(frames or {})
+        # driver-side per-label row counts; populated by collect_stats()
+        self._label_counts: dict[str, int] | None = None
 
     # ---- registration ----
 
@@ -124,6 +126,25 @@ class Graph:
     # ---- statistics (reference: ag_graphmeta — per (edge, start-label,
     # end-label) triple cardinality, src/include/catalog/ag_graphmeta.h:30,
     # maintained by regather_graphmeta()/write stats) ----
+
+    def collect_stats(self) -> dict[str, int]:
+        """ANALYZE analog: count rows per label once and cache the counts
+        driver-side. The Cypher compiler consults them to pick broadcast
+        sides for hop joins — the same role ag_graphmeta/pg statistics
+        play in the reference's costing (src/include/catalog/
+        ag_graphmeta.h:30; regather_graphmeta(), graphmeta.c). An explicit
+        action, like ANALYZE: at cluster scale this is one metadata-cheap
+        count job per label, run when the graph snapshot changes."""
+        if self._label_counts is None:
+            self._label_counts = {
+                lbl: self.frames[lbl].count() if lbl in self.frames else 0
+                for lbl in self.catalog.labels
+            }
+        return self._label_counts
+
+    def label_counts(self) -> dict[str, int] | None:
+        """Cached stats, or None when collect_stats() has not run."""
+        return self._label_counts
 
     def edge_stats(self) -> DataFrame:
         """Edge-count statistics per (edge label, start labid, end

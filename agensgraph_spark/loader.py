@@ -55,18 +55,32 @@ _VKEY = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS), which a plain Spark 4 session
-    # refuses to read (PARQUET_TYPE_ILLEGAL). Set the legacy conf at runtime
-    # so *any* caller-provided session works, not just our builder's
-    # (session.py sets it at build time; the driver's session doesn't).
+    # events.parquet has shipped with TIMESTAMP(NANOS) in some generations,
+    # which a plain Spark 4 session refuses to read (PARQUET_TYPE_ILLEGAL).
+    # Set the legacy conf at runtime so *any* caller-provided session works,
+    # not just our builder's (session.py sets it at build time; the driver's
+    # session doesn't).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong);
-        # values are micro-precision so the conversion is exact
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        df = df.withColumn("ts", normalize_event_ts(df.schema["ts"].dataType))
     return df
+
+
+def normalize_event_ts(dt):
+    """`ts` arrives as long nanos (nanosAsLong on a TIMESTAMP(NANOS) file)
+    or as a timestamp type (micros file). Normalize to TIMESTAMP_NTZ: the
+    wall-clock value is what the data means, DuckDB reads the same file as
+    a naive timestamp, and NTZ keeps Spark↔oracle agreement independent of
+    the driver session's timezone."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.LongType):
+        # nano-precision longs carrying micro-precision values — exact
+        return F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast("timestamp_ntz")
+    if isinstance(dt, T.TimestampType):
+        return F.col("ts").cast("timestamp_ntz")
+    return F.col("ts")
 
 
 def tpch_catalog() -> GraphCatalog:

@@ -137,10 +137,11 @@ def minhash_lsh_candidates(
                        F.lit(0), lambda acc, v: acc + v)
            / F.lit(num_hashes)).alias("est_jaccard")
     # broadcast the signature table ONLY while it provably fits — at
-    # corpus scale it is corpus-sized and an unconditional hint OOMs;
-    # counting is free here because `sig` is persisted and the count
-    # warms the cache the banding reuses
-    n_docs = sig.count()
+    # corpus scale it is corpus-sized and an unconditional hint OOMs.
+    # Size from the *source* row count: counting `sig` itself would
+    # materialize the whole shingle+hash pipeline as a separate job,
+    # while df.count() is a cheap (often metadata-only) scan
+    n_docs = df.count()
     sig_row_bytes = num_hashes * 8 + 32
     sa = maybe_broadcast(
         sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")),

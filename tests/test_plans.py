@@ -58,6 +58,60 @@ def test_agg_is_partial_then_final(eng):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_stats_flip_join_to_broadcast(spark):
+    """collect_stats() drives the broadcast side of hop joins
+    (ag_graphmeta-costing analog). With auto-broadcast disabled, only
+    the stats-sourced hint can produce a BroadcastHashJoin — so the
+    same query flips plan shape when stats exist."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = ("MATCH (c:customer)-[:in_nation]->(n:nation) "
+             "RETURN c.c_custkey AS k, n.n_name AS nn")
+        cold = CypherEngine(spark, build_tpch_graph(spark, SF))
+        plan_no_stats = physical(cold.cypher(q))
+        warm = CypherEngine(spark, build_tpch_graph(spark, SF))
+        warm.graph.collect_stats()
+        plan_stats = physical(warm.cypher(q))
+        assert "BroadcastHashJoin" not in plan_no_stats
+        assert "BroadcastHashJoin" in plan_stats
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pathfind_no_endpoint_cartesian(eng):
+    """Disconnected pathfind endpoints must not cross-join the two wide
+    vertex scans — the path operator runs on id-only pairs and results
+    equi-join back to each endpoint scan separately."""
+    df = eng.cypher(
+        "MATCH (c:customer), (r:region) WHERE c.c_custkey < 50 "
+        "MATCH p = shortestpath((c)-[:in_nation|in_region*..3]->(r)) "
+        "RETURN c.c_custkey AS ckey, r.r_regionkey AS rkey, length(p) AS hops")
+    plan = physical(df)
+    # id-only seed×target cross products are fine; a cartesian/BNLJ over
+    # the wide c_name/c_acctbal customer payload is the scale-killer
+    import re as _re
+    bad = [m for m in _re.finditer(r"(CartesianProduct|BroadcastNestedLoopJoin)[^\n]*", plan)
+           if "c_name" in m.group(0) or "c_acctbal" in m.group(0)]
+    assert not bad, bad
+
+
+def test_sample_scan(eng, spark):
+    """SampleScan parity (reference: nodeSamplescan.c:1, TABLESAMPLE):
+    df.sample is the Spark primitive; fraction lands within tolerance
+    and is reproducible for a fixed seed + partitioning."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n = orders.count()
+    s1 = orders.sample(fraction=0.2, seed=7).count()
+    s2 = orders.sample(fraction=0.2, seed=7).count()
+    assert s1 == s2  # deterministic under a fixed seed
+    assert 0.1 * n < s1 < 0.3 * n
+    # SQL surface: TABLESAMPLE clause parses and executes
+    orders.createOrReplaceTempView("__orders_sample_t")
+    st = spark.sql("SELECT * FROM __orders_sample_t TABLESAMPLE (10 PERCENT)").count()
+    assert 0 <= st < n
+
+
 def test_edge_scan_prunes_unused_union_branch(eng, spark):
     # in_nation unions customer+supplier edge sources; a supplier-anchored
     # pattern pushes a labid range on src that lands on the underlying
