@@ -83,6 +83,9 @@ class GraphCatalog:
             while self._next_labid in {m.labid for m in self.labels.values()}:
                 self._next_labid += 1
             labid = self._next_labid
+        from agensgraph_spark.graphid import LABID_MAX
+        if not 0 <= labid <= LABID_MAX:
+            raise ValueError(f"labid out of range (0..{LABID_MAX}): {labid}")
         meta = LabelMeta(name=name, labid=labid, kind=kind, parents=list(parents or []), props=dict(props or {}))
         self.labels[name] = meta
         return meta

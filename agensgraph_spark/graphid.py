@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 LOCID_BITS = 48
 LOCID_MASK = (1 << LOCID_BITS) - 1
-LABID_MAX = (1 << 16) - 1
+# The reference packs labid into 16 bits of a uint64
+# (graph.h:18-39). Spark's LongType is SIGNED, so a labid >= 2^15
+# would set the sign bit and break id ordering (labid-range pruning
+# relies on gid order being label-major). We therefore cap labid at
+# 15 bits — 32767 labels per graph, far beyond practical use.
+LABID_MAX = (1 << 15) - 1
 
 
 def make_graphid(labid: int, locid: int) -> int:

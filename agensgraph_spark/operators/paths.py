@@ -292,7 +292,11 @@ def dijkstra_paths(
                            (F.col("len") + 1).alias("len"),
                            (F.col("weight") + F.col("w")).alias("weight"),
                        )
+        # pin the hop join: isEmpty, the rank union, and the frontier
+        # count below would otherwise each recompute it from scratch
+        step = step.persist()
         if step.isEmpty():
+            step.unpersist()
             break
         allp = paths.unionByName(step)
         w = Window.partitionBy("seed", "cur").orderBy(F.col("weight").asc(), F.col("len").asc())

@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from agensgraph_spark.pipeline.util import maybe_broadcast
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -39,13 +38,41 @@ def shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
+# Universal-hash MinHash family over the Mersenne prime 2^31-1 (the
+# same construction Spark ML's MinHashLSH uses): h_i(s) =
+# (a_i * (xxhash64(s) mod p) + b_i) mod p with 31-bit coefficients, so
+# every product fits a long under ANSI arithmetic. One O(len) string
+# hash per shingle instead of num_hashes of them — string hashing
+# dominates signature cost, so this is a several-fold cut with the same
+# collision-probability guarantees.
+_MH_PRIME = (1 << 31) - 1
+
+
+def _mh_params(num_hashes: int) -> "list[tuple[int, int]]":
+    params = []
+    x = 0x9E3779B9
+    for _ in range(num_hashes):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        a = x % (_MH_PRIME - 1) + 1
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        b = x % _MH_PRIME
+        params.append((a, b))
+    return params
+
+
+def _mh_derive(h: Column, a: int, b: int) -> Column:
+    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
     """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, i). Pure column expression — no shuffle."""
-    sh = shingles(text, k)
+    the prime-field affine hash of xxhash64(shingle). Pure column
+    expression — no shuffle."""
+    sh = F.transform(shingles(text, k),
+                     lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(sh, lambda h: _mh_derive(h, a, b)))
+        for a, b in _mh_params(num_hashes)
     ])
 
 
@@ -56,24 +83,33 @@ def minhash_signatures(
     num_hashes: int = 32,
     k: int = 5,
 ) -> DataFrame:
-    """MinHash signatures via explode → hash → min-aggregate: each
-    shingle is materialized once and hashed ``num_hashes`` times as flat
-    row expressions (the inline array form re-evaluates the shingle
-    array per hash function — catastrophic). The aggregation combines
-    map-side, so the shuffle carries only per-doc partial minima.
-    Returns (_id, h0..h{n-1}).
+    """MinHash signatures as pure per-row column expressions: the
+    shingle array is string-hashed ONCE into an intermediate `_hs`
+    projection, then every signature slot is an `array_min` over a
+    cheap affine transform of `_hs`. Two stacked projections matter:
+    CollapseProject declines to inline a non-cheap expression referenced
+    ``num_hashes`` times, so `_hs` is evaluated once per row in codegen.
 
-    The input is hash-repartitioned first: document corpora often
-    arrive as few large files (one Parquet row-group = one task), and
-    the shingle explode multiplies rows ~|text|×, so without the spread
-    the whole corpus hashes inside a handful of tasks."""
+    No explode, no aggregation — the signature stage is map-only after
+    one narrow (id, text) spread: document corpora often arrive as few
+    Parquet files, and without the repartition the whole per-row hash
+    work (and everything downstream) lands on a handful of tasks.
+    Returns (_id, h0..h{n-1})."""
+
+    def deriver(a: int, b: int):
+        return lambda h: _mh_derive(h, a, b)
+
     spread = df.sparkSession.sparkContext.defaultParallelism
-    sh = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    hs = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
             .repartition(spread, "_id")
-            .select("_id", F.explode(shingles(F.col("_t"), k)).alias("_s")))
-    return sh.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    )
+            .select(
+                "_id",
+                F.transform(shingles(F.col("_t"), k),
+                            lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))).alias("_hs")))
+    return hs.select(
+        "_id",
+        *[F.array_min(F.transform("_hs", deriver(a, b))).alias(f"h{i}")
+          for i, (a, b) in enumerate(_mh_params(num_hashes))])
 
 
 def minhash_lsh_candidates(
@@ -89,26 +125,23 @@ def minhash_lsh_candidates(
     candidate pair. Returns (id_a, id_b, est_jaccard) with
     id_a < id_b, distinct.
 
-    Pairs are generated from grouped band-buckets (collect (id, sig)
-    per (band, hash), emit in-bucket combinations) rather than a
-    self-join: the signature pipeline is computed once instead of
-    twice, and the only shuffle is the bucket groupBy. ``max_bucket``
-    caps degenerate buckets (e.g. an empty-string band) so one hot key
-    cannot go quadratic — the standard LSH skew guard.
+    Pairs are generated from grouped band-buckets — collect
+    (id, signature) per (band, hash), emit in-bucket combinations —
+    rather than a self-join. Because the bucket payload carries both
+    signatures, the agreement estimate ``est_jaccard`` (what Spark ML's
+    MinHashLSH thresholds on) is computed INLINE at pair emission: no
+    signature re-join, no broadcast, and the signature pipeline runs
+    exactly once. The only shuffles are the bucket groupBy and the
+    pair-dedup aggregate (narrow (long, long, double) rows).
+    ``max_bucket`` caps degenerate buckets (e.g. an empty-string band)
+    so one hot key cannot go quadratic — the standard LSH skew guard.
 
-    ``est_jaccard`` is the signature-agreement estimate (what Spark
-    ML's MinHashLSH thresholds on). Corpora with large near-duplicate
-    clusters produce O(cluster²) candidates; pass ``min_est`` a notch
-    under the final exact threshold so exact verification only runs on
-    plausible pairs."""
-    from pyspark import StorageLevel
+    Corpora with large near-duplicate clusters produce O(cluster²)
+    candidates; pass ``min_est`` a notch under the final exact
+    threshold so exact verification only runs on plausible pairs."""
     rows_per_band = num_hashes // bands
-    # persist: the signature pipeline (shingle explode + 32-way hash
-    # aggregate) feeds the banding AND both sides of the est join —
-    # without pinning it, lazy evaluation re-runs it three times
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k) \
-        .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
     banded = sig.select(
         "_id", "_sig",
         F.posexplode(F.array(*[
@@ -120,37 +153,26 @@ def minhash_lsh_candidates(
     )
     max_bucket = 10_000
     buckets = (banded.groupBy("_band", "_bhash")
-               .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-               .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)))
+               .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
+               .filter((F.size("_ms") >= 2) & (F.size("_ms") <= max_bucket)))
+
+    def pair_est(x, y):
+        matches = F.aggregate(
+            F.zip_with(x["_sig"], y["_sig"], lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, v: acc + v)
+        return F.struct(x["_id"].alias("id_a"), y["_id"].alias("id_b"),
+                        (matches / F.lit(num_hashes)).alias("est"))
+
     pair = F.explode(F.flatten(F.transform(
-        F.col("_ids"),
+        F.col("_ms"),
         lambda x, i: F.transform(
-            F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            F.slice(F.col("_ms"), i + F.lit(2), F.size(F.col("_ms"))),
+            lambda y: pair_est(x, y)),
     ))).alias("_p")
-    pairs = (buckets.select(pair).select("_p.id_a", "_p.id_b").distinct()
-             .repartition(df.sparkSession.sparkContext.defaultParallelism))
-    # signature-agreement estimate, computed after the pair explode so
-    # it distributes across pair rows instead of inside hot bucket tasks
-    est = (F.aggregate(F.zip_with(F.col("_sa"), F.col("_sb"),
-                                  lambda a, b: (a == b).cast("int")),
-                       F.lit(0), lambda acc, v: acc + v)
-           / F.lit(num_hashes)).alias("est_jaccard")
-    # broadcast the signature table ONLY while it provably fits — at
-    # corpus scale it is corpus-sized and an unconditional hint OOMs.
-    # Size from the *source* row count: counting `sig` itself would
-    # materialize the whole shingle+hash pipeline as a separate job,
-    # while df.count() is a cheap (often metadata-only) scan
-    n_docs = df.count()
-    sig_row_bytes = num_hashes * 8 + 32
-    sa = maybe_broadcast(
-        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")),
-        sig_row_bytes, n_rows=n_docs)
-    sb = maybe_broadcast(
-        sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")),
-        sig_row_bytes, n_rows=n_docs)
-    out = (pairs.join(sa, "id_a").join(sb, "id_b")
-           .select("id_a", "id_b", est))
+    out = (buckets.select(pair)
+           .select("_p.id_a", "_p.id_b", "_p.est")
+           .groupBy("id_a", "id_b")
+           .agg(F.max("est").alias("est_jaccard")))
     if min_est > 0:
         out = out.filter(F.col("est_jaccard") >= min_est)
     return out
@@ -196,23 +218,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify LSH candidate pairs with exact k-shingle Jaccard.
 
-    The doc→shingle-set side is broadcast when it fits: candidate sets
-    over clustered corpora run to O(cluster²) pairs, and shuffling a
-    ~|text|-element array per pair side dwarfs the intersect cost
-    itself. ``broadcast_docs=None`` (default) sizes the shingle table
-    from one cheap (count, avg-length) aggregate and hints only under
-    the limit — at corpus scale the table is corpus-sized and a forced
-    broadcast would OOM, so big inputs fall through to AQE's choice."""
+    Only documents that appear in a candidate pair ever get shingled:
+    the doc table is first semi-joined to the candidate id set, so the
+    corpus-sized side is never shuffled or broadcast wholesale. The id
+    set and the reduced shingle table are both candidate-bounded — AQE
+    sees their runtime sizes and broadcasts them on its own, which is
+    exactly the scale-safe plan (a forced full-table broadcast OOMs at
+    corpus scale; a full-table shuffle to serve a few thousand pairs is
+    the opposite failure). ``broadcast_docs=True`` forces the hint on
+    the (already reduced) shingle table for plan comparisons."""
     spread = docs.sparkSession.sparkContext.defaultParallelism
+    ids = (candidates.select(F.col("id_a").alias("_id"))
+           .unionByName(candidates.select(F.col("id_b").alias("_id")))
+           .distinct())
+    # shingle sets are compared as xxhash64 longs, not 5-char strings:
+    # set sizes are preserved (collisions are ~n²/2⁶⁴, negligible) and
+    # long-array intersection is several times cheaper than string-array
     sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+              .join(ids, "_id", "left_semi")
               .repartition(spread, "_id")
-              .select("_id", shingles(F.col("_t"), k).alias("_sh")))
-    if broadcast_docs is None:
-        st = docs.agg(F.count(F.lit(1)).alias("n"),
-                      F.avg(F.length(F.col(text_col))).alias("len")).collect()[0]
-        shingle_row_bytes = (st["len"] or 0.0) * (k + 16) + 48
-        sh = maybe_broadcast(sh, shingle_row_bytes, n_rows=st["n"] or 0)
-    elif broadcast_docs:
+              .select("_id", F.transform(shingles(F.col("_t"), k),
+                                         lambda s: F.xxhash64(s)).alias("_sh")))
+    if broadcast_docs:
         sh = F.broadcast(sh)
     j = (candidates
          .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")

@@ -611,6 +611,37 @@ SQL_QUERIES: dict[str, str] = {
             FROM orders
         ) t WHERE rnk <= 5
     """,
+    # Window GROUPS frame mode (reference: gram.y:14728 opt_frame_clause).
+    # Spark has no GROUPS syntax; the exact emulation is RANGE over
+    # DENSE_RANK of the ORDER key — peer groups collapse to consecutive
+    # integers, so RANGE n PRECEDING/FOLLOWING on the rank spans exactly
+    # the n preceding/following peer GROUPS. EXCLUDE CURRENT ROW is the
+    # frame sum minus the row's own value. DuckDB runs native GROUPS.
+    "sql_window_groups": """
+        WITH t AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS dr
+            FROM orders WHERE o_custkey < 100
+        )
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY dr
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY dr
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                    - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS grp_sum_excl
+        FROM t
+    """,
+    # TableFuncScan (reference: nodeTableFuncscan.c — XMLTABLE analog):
+    # JSON document -> rows via from_json + explode.
+    "sql_json_table": """
+        SELECT k, count(*) AS n FROM (
+            SELECT explode(map_keys(from_json(props, 'map<string,string>'))) AS k
+            FROM events
+        ) GROUP BY k
+    """,
     # SampleScan (reference: nodeSamplescan.c:1, TABLESAMPLE). Spark's
     # native `TABLESAMPLE (n PERCENT)` / df.sample is partition-layout
     # dependent even with a seed, so the GATED variant uses md5-systematic
@@ -664,6 +695,13 @@ SQL_ORACLE_OVERRIDES: dict[str, str] = {
         FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
+    # sql_window_groups: no override — DuckDB lacks GROUPS mode too, so
+    # the oracle runs the identical dense_rank RANGE emulation text.
+    "sql_json_table": """
+        SELECT k, count(*) AS n FROM (
+            SELECT unnest(json_keys(props)) AS k FROM events
+        ) GROUP BY k
+    """,
 }
 
 # ---------------------------------------------------------------------------
@@ -706,7 +744,15 @@ def _q_jaccard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(docs, min_est=0.2).select("id_a", "id_b")
+    # min_est one sigma under the exact threshold (σ≈sqrt(.4*.6/32)≈.087):
+    # templated corpora produce enormous est>=0.2 candidate sets, and the
+    # exact-shingle verify is the expensive stage — prefilter tightly.
+    # persist: the verify stage reads the candidate set three times
+    # (id semi-join + both pair-join sides) — unpinned, each read would
+    # re-run the whole banding pipeline. Candidates are est-filtered and
+    # bucket-capped, so the pin is bounded at any corpus size.
+    cands = (D.minhash_lsh_candidates(docs, min_est=0.3)
+             .select("id_a", "id_b").persist())
     return D.ngram_jaccard_pairs(cands, docs, threshold=0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
