@@ -112,6 +112,44 @@ def test_sample_scan(eng, spark):
     assert 0 <= st < n
 
 
+def test_bucketed_join_no_exchange(eng, spark):
+    """Bucketed label snapshots joined on the bucket key must not
+    shuffle either side — the co-located hop-join layout for 100 TB."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng.graph.write_bucketed(spark, buckets=8, prefix="pt")
+        v = spark.table("pt_b_customer")
+        e = spark.table("pt_b_placed")
+        j = e.join(v, e.start == v.id)
+        plan = physical(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cypher_hop_join_on_bucketed_graph(eng, spark):
+    """A Cypher 1-hop pattern over a bucketed graph joins
+    edge.start ⋈ vertex.id without shuffling the co-located sides."""
+    from agensgraph_spark.graph import Graph
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng.graph.write_bucketed(spark, buckets=8, prefix="pt2")
+        g = Graph.read_bucketed(spark, eng.graph.catalog, prefix="pt2")
+        beng = CypherEngine(spark, g)
+        df = beng.cypher(
+            "MATCH (c:customer)-[:placed]->() RETURN c.c_custkey AS k")
+        plan = physical(df)
+        # projection-only query over the bucketed pair: the whole plan
+        # must be exchange-free
+        assert "Exchange" not in plan, plan
+        assert df.count() == spark.table("pt2_b_placed").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_edge_scan_prunes_unused_union_branch(eng, spark):
     # in_nation unions customer+supplier edge sources; a supplier-anchored
     # pattern pushes a labid range on src that lands on the underlying
