@@ -272,13 +272,17 @@ def dijkstra_paths(
         F.lit(0.0).alias("weight"),
     ).cache()
     frontier = paths
-    fcount = paths.count()
+    # frontier size is unknown until the loop's own count at the end of
+    # each round — spending a dedicated job up front costs more than the
+    # first-iteration broadcast hint could save, so iteration 1 leaves
+    # the strategy to AQE and later rounds use the tracked count
+    fcount: int | None = None
 
     for k in range(1, max_iters + 1):
         # whichever side is small drives the join strategy: tiny
         # frontier against a big edge relation → broadcast the frontier
         # (edges then never shuffle); small edges → broadcast edges
-        if not small and fcount <= BROADCAST_FRONTIER_LIMIT:
+        if not small and fcount is not None and fcount <= BROADCAST_FRONTIER_LIMIT:
             fside = F.broadcast(frontier)
         else:
             fside = frontier

@@ -29,3 +29,28 @@ def maybe_broadcast(
     if n_rows * est_row_bytes <= limit_bytes:
         return F.broadcast(df)
     return df
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a random salt in
+    [0, salt), the small side is replicated ``salt`` times, and the
+    join key becomes (key, salt) — a single hot key's rows then spread
+    over ``salt`` reducer partitions instead of one straggler task.
+
+    AQE's skew-join split (on by default in our sessions) handles most
+    skew at runtime; explicit salting is for the cases AQE cannot fix —
+    a hot key inside an aggregation-feeding join, or a first-stage
+    shuffle whose skew AQE only discovers after the straggler ran.
+    The random salt is per-row and needs no seed: replication on the
+    small side makes every salt value a valid partner, so results are
+    exactly the unsalted join's."""
+    salted_big = big.withColumn("__salt", (F.rand() * salt).cast("int"))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -35,3 +35,18 @@ def test_ngram_jaccard_auto_matches_forced_broadcast(spark):
     a = sorted(tuple(r) for r in auto.collect())
     b = sorted(tuple(r) for r in forced.collect())
     assert a == b and len(a) > 0
+
+
+def test_salted_join_matches_unsalted(spark):
+    """Skew salting must be a pure physical rewrite: same rows out."""
+    from agensgraph_spark.pipeline.util import salted_join
+    from pyspark.sql import functions as F
+    # skewed big side: 90% of rows share key 0
+    big = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("v"))
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w"))
+    got = salted_join(big, small, "k").groupBy("k").count()
+    exp = big.join(small, "k").groupBy("k").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
