@@ -94,12 +94,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign bits packed into one long per 64 planes
-    (here n_planes <= 32 → a single long)."""
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        sig = sig + (d > 0).cast("long") * F.lit(1 << j)
-    return sig
+    (here n_planes <= 32 → a single long). The plane matrix is ONE
+    nested-array literal — building it per-element (n_planes × dim
+    Literal nodes) makes Catalyst analysis and whole-stage codegen the
+    dominant cost, megabytes of generated code for a cheap kernel."""
+    pm = F.lit([[float(x) for x in p] for p in planes])
+    dots = F.transform(pm, lambda p: dot(vec, p))
+    idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
+    # 2^j via pow (shiftleft needs a literal shift amount); exact for
+    # j <= 52 in double arithmetic, and n_planes <= 32 here
+    bits = F.zip_with(dots, idx,
+                      lambda d, j: (d > 0).cast("long") * F.pow(F.lit(2.0), j).cast("long"))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def ivf_cosine_topk(
@@ -128,8 +134,10 @@ def ivf_cosine_topk(
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     def centroid_sims(vec: Column) -> Column:
-        return F.array(*[dot(vec, F.array(*[F.lit(float(x)) for x in c])) / norm(vec)
-                         for c in cents])
+        # one nested-array literal for the centroid matrix (see
+        # lsh_signature: per-element literals explode codegen size)
+        cm = F.lit([[float(x) for x in c] for c in cents])
+        return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
 
     def arg_top(sims: Column, n: int) -> Column:
         idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
@@ -170,14 +178,20 @@ def lsh_cosine_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
 
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=42 + t)
-        cb = c.select("neighbor_id", lsh_signature(F.col("cv"), planes).alias("sig"))
-        qb = q.select("query_id", lsh_signature(F.col("qv"), planes).alias("sig"))
-        pairs = cb.join(F.broadcast(qb), "sig").select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct().filter(F.col("query_id") != F.col("neighbor_id"))
+    # all tables' signatures in ONE pass: (table, sig) via posexplode,
+    # single equi-join on the pair — n_tables separate join branches
+    # would multiply both the shuffle count and the (large) codegen of
+    # the signature expressions by n_tables
+    def all_sigs(vec: Column) -> Column:
+        return F.array(*[
+            lsh_signature(vec, _hyperplanes(dim, n_planes, seed=42 + t))
+            for t in range(n_tables)])
+
+    cb = c.select("neighbor_id", F.posexplode(all_sigs(F.col("cv"))).alias("_t", "sig"))
+    qb = q.select("query_id", F.posexplode(all_sigs(F.col("qv"))).alias("_t", "sig"))
+    cand = (cb.join(F.broadcast(qb), ["_t", "sig"])
+            .select("query_id", "neighbor_id")
+            .distinct().filter(F.col("query_id") != F.col("neighbor_id")))
 
     scored = (cand.join(q, "query_id").join(c, "neighbor_id")
               .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
