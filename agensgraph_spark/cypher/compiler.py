@@ -190,6 +190,27 @@ class CypherEngine:
         self.udaf_names.add(name.lower())
         return wrapped
 
+    def prepare(self, text: str):
+        """PREPARE/EXECUTE analog (reference: gram.y:11055 — Cypher in
+        PREPARE with $n parameters, cypher_expr.sql:30-38): returns a
+        callable; positional args bind $1, $2, ..., keyword args bind
+        named $params. Each call compiles with the bound values."""
+        def run(*args, **kwargs) -> DataFrame:
+            params = {str(i + 1): v for i, v in enumerate(args)}
+            params.update(kwargs)
+            return self.cypher(text, params)
+        return run
+
+    def explain(self, text: str, params: dict | None = None,
+                mode: str = "formatted") -> str:
+        """EXPLAIN for Cypher statements (reference: gram.y:11021 —
+        EXPLAIN CypherStmt): returns Catalyst's plan description for the
+        compiled DataFrame without executing it. Modes: simple,
+        extended, codegen, cost, formatted."""
+        df = self.cypher(text, params)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(jmode)
+
     def register_cypher_view(self, name: str, text: str, params: dict | None = None) -> DataFrame:
         """Expose a Cypher result to SQL (reference: Cypher as a SQL
         subquery, `SELECT * FROM (MATCH ... RETURN ...) t`,

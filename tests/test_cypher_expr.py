@@ -218,3 +218,20 @@ def test_registered_udaf_grouped(engine):
     out = got.collect()
     assert len(out) == 3
     assert all(r["p"] > 0 for r in out)
+
+
+def test_prepare_positional_params(engine):
+    """PREPARE/EXECUTE with $n (reference: cypher_expr.sql:30-38)."""
+    q = engine.prepare(
+        "MATCH (o:orders) WHERE o.o_orderkey < $1 AND o.o_totalprice > $2 "
+        "RETURN count(*) AS n")
+    n_small = q(100, 0.0).collect()[0]["n"]
+    n_big = q(1000, 0.0).collect()[0]["n"]
+    assert 0 < n_small < n_big
+
+
+def test_explain_returns_plan(engine):
+    """EXPLAIN CypherStmt (reference: gram.y:11021)."""
+    plan = engine.explain(
+        "MATCH (c:customer)-[:placed]->(o:orders) RETURN c.c_custkey AS k")
+    assert "Physical Plan" in plan and "parquet" in plan.lower()
