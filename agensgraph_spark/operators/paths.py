@@ -258,7 +258,14 @@ def dijkstra_paths(
     Returns (seed, target, eids, vids, len, weight) — up to ``limit``
     cheapest paths per pair, ordered by total weight.
     """
-    edges, small = _pin_edges(edges)
+    # Edge pinning is deferred until the loop proves it will iterate:
+    # for bounded searches that drain in one hop (a common dijkstra
+    # shape — single-relation patterns), paying a full materialize+count
+    # of the edge relation up front costs more than the two raw scans
+    # the first round needs. From iteration 2 on, every hop re-joins the
+    # relation and the persist pays for itself.
+    small = False
+    pinned = False
     pairs = pairs.select("seed", "target").distinct().cache()
     seeds = pairs.select("seed").distinct()
 
@@ -279,6 +286,11 @@ def dijkstra_paths(
     fcount: int | None = None
 
     for k in range(1, max_iters + 1):
+        # two raw scans (hop 1 + hop 2's drain probe) are cheaper than
+        # an eager materialize+count, so pinning starts at depth 3
+        if k == 3 and not pinned:
+            edges, small = _pin_edges(edges)
+            pinned = True
         # whichever side is small drives the join strategy: tiny
         # frontier against a big edge relation → broadcast the frontier
         # (edges then never shuffle); small edges → broadcast edges
