@@ -67,20 +67,30 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_id: int | None = None,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥
     threshold). Exact over a bounded id range (the verification shape);
     at corpus scale, feed LSH-bucketed candidates (``lsh_cosine_topk``
-    machinery) instead of the bounded self-join."""
+    machinery) instead of the bounded self-join.
+
+    No driver-side probes: the broadcast decision uses the caller's
+    ``n_rows``/``dim`` when given, else the ``max_id`` bound (ids are
+    non-negative and unique, so the filtered side holds at most
+    ``max_id`` rows) with a conservative 1024-dim estimate. With no
+    bound at all the hint is omitted and AQE picks the strategy from
+    runtime statistics — an extra Spark job per call is never worth a
+    hint AQE would choose anyway."""
     base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     if max_id is not None:
         base = base.filter(F.col("_id") < max_id)
+        if n_rows is None:
+            n_rows = max_id
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    # hint the inner side only while it provably fits — one small
-    # (count, dim) aggregate; past the limit AQE picks the strategy
-    st = base.agg(F.count(F.lit(1)).alias("n"), F.max(F.size("_v")).alias("d")).collect()[0]
-    b = maybe_broadcast(b, (st["d"] or 0) * 8 + 32, n_rows=st["n"] or 0)
+    if n_rows is not None:
+        b = maybe_broadcast(b, (dim or 1024) * 8 + 32, n_rows=n_rows)
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
@@ -117,6 +127,7 @@ def ivf_cosine_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions the corpus into
     ``n_lists`` inverted lists (nearest-centroid assignment); each query
@@ -127,8 +138,13 @@ def ivf_cosine_topk(
     (the part that must scale) are identical: one narrow pass to tag
     the corpus (the tag is persistable with the snapshot, so at 100 TB
     assignment is written once, not recomputed per query), a bucket
-    join in place of the cross product."""
-    dim = len(corpus.select(vec_col).first()[0])
+    join in place of the cross product.
+
+    ``dim`` should be passed by callers that know the embedding width
+    (it is a dataset constant) — the ``first()`` fallback costs one
+    driver-side Spark job per call."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_lists, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)

@@ -869,9 +869,25 @@ def _q_graphmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edgecount")
 
 
+# Embedding width is a dataset constant — probe it once per (session,
+# sf_dir) instead of once per ANN/near-dup call (each probe is a whole
+# driver-side Spark job before any real work; the per-call version
+# measurably regressed dedup_embedding_cosine in BENCH_r04).
+_EMB_DIM: dict[str, int] = {}
+
+
+def _emb_dim(emb: DataFrame, sf_dir: str) -> int:
+    d = _EMB_DIM.get(sf_dir)
+    if d is None:
+        d = emb.select(F.size("embedding")).first()[0]
+        _EMB_DIM[sf_dir] = d
+    return d
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(emb, threshold=0.25, max_id=100)
+    return S.cosine_neardup_pairs(emb, threshold=0.25, max_id=100,
+                                  dim=_emb_dim(emb, sf_dir))
 
 
 def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,12 +922,88 @@ def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5,
+                             dim=_emb_dim(emb, sf_dir))
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return S.ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5,
+                             dim=_emb_dim(emb, sf_dir))
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB replay of TX.lang_id (pipeline/text.py): per-language
+    stopword-hit counting via the same length/replace arithmetic, argmax
+    with ties to the earliest language in LANG_MARKERS order (the Spark
+    fold only swaps on strictly-greater, so the winner is the FIRST
+    language attaining the maximum)."""
+    scores = []
+    for lang, words in TX.LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, ' {w} ', ''))) // {len(w) + 2}"
+            for w in words)
+        scores.append((lang, f"s_{lang}", f"CAST({terms} AS BIGINT) AS s_{lang}"))
+    g = f"greatest({', '.join(c for _, c, _ in scores)})"
+    first_max = " ".join(
+        f"WHEN {col} = {g} THEN '{lang}'" for lang, col, _ in scores[:-1])
+    return f"""
+        WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        sc AS (SELECT doc_id, {', '.join(e for _, _, e in scores)} FROM s)
+        SELECT doc_id,
+               CASE WHEN {g} > 0 THEN
+                    CASE {first_max} ELSE '{scores[-1][0]}' END
+               ELSE 'unk' END AS lang_pred,
+               {g} AS lang_hits
+        FROM sc"""
+
+
+def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
+                k: int = 5, seed: int = 42) -> str:
+    """DuckDB replay of S.ivf_cosine_topk: the SAME seeded centroid
+    matrix (numpy default_rng(42), unit-normalized) embedded as a
+    VALUES literal; nearest-centroid assignment / n_probe probing via
+    list_dot_product (dividing by the per-row norm cannot change a
+    per-row argmax), exact cosine re-rank via list_cosine_similarity.
+    Tie order mirrors Spark's reverse(array_sort(struct(s, i))): score
+    DESC then index DESC. dim=64 is the testdata embedding width at
+    every SF (TESTDATA.md); a width change would fail the gate loudly."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+        WITH cents(li, cv) AS (VALUES {rows}),
+        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c_tag AS (
+          SELECT vec_id AS neighbor_id, li AS _list FROM (
+            SELECT c.vec_id, cents.li,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.li DESC) AS rn
+            FROM corpus c CROSS JOIN cents) WHERE rn = 1),
+        q_tag AS (
+          SELECT vec_id AS query_id, li AS _list FROM (
+            SELECT q.vec_id, cents.li,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, cents.cv) DESC, cents.li DESC) AS rn
+            FROM corpus q CROSS JOIN cents WHERE q.vec_id < 20) WHERE rn <= {n_probe}),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+                 list_cosine_similarity(qv.v, cv.v) AS cos_sim
+          FROM c_tag c JOIN q_tag q USING (_list)
+          JOIN corpus qv ON qv.vec_id = q.query_id
+          JOIN corpus cv ON cv.vec_id = c.neighbor_id
+          WHERE q.query_id <> c.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= {k}"""
 
 
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
@@ -928,7 +1020,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
                CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
         FROM documents"""),
-    "lang_id": (_q_lang_id, None),  # heuristic vote; verified by pytest, rows-only here
+    "lang_id": (_q_lang_id, _lang_id_oracle()),
     "fingerprint_md5": (_q_fingerprint,
         "SELECT doc_id, md5(text) AS md5 FROM documents"),
     "quality_score": (_q_quality, r"""
@@ -1020,9 +1112,12 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(((doc_id % 240 + 1) + 9) // 10 AS BIGINT) AS n_sampled
         FROM documents WHERE doc_id % 3 = 2"""),
     "mm_image_stats": (_q_mm_image_stats, None),  # stub decode kernel; rows-only
-    "dedup_minhash_lsh": (_q_minhash_lsh, None),  # xxhash64-based; rows-only
-    "dedup_simhash": (_q_simhash, None),          # xxhash64-based; rows-only
-    "dedup_simhash_pairs": (_q_simhash_pairs, None),  # xxhash64-based; rows-only
+    # xxhash64-based (not DuckDB-expressible): exact pure-Python
+    # differential oracles live in tests/test_differential_dedup.py
+    # (independent XXH64 + full pipeline replay); rows-only here.
+    "dedup_minhash_lsh": (_q_minhash_lsh, None),
+    "dedup_simhash": (_q_simhash, None),
+    "dedup_simhash_pairs": (_q_simhash_pairs, None),
     "ann_cosine_topk": (_q_ann_brute, """
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
              c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -1036,7 +1131,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
         FROM ranked WHERE rank <= 5"""),
     "ann_cosine_lsh": (_q_ann_lsh, None),  # approximate; rows-only
-    "ann_cosine_ivf": (_q_ann_ivf, None),  # approximate; rows-only
+    "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
 }
 
 

@@ -1,0 +1,220 @@
+"""Differential testing for the hash-based dedup operators: the full
+MinHash-LSH candidate pipeline and SimHash are replayed in pure Python
+(including an independent XXH64 implementation, tests/_xxh64.py) and
+compared EXACTLY against the Spark implementations — the same oracle
+strategy the path operators get in test_differential.py. These two
+operators are xxhash64-based and therefore not DuckDB-expressible, so
+this suite is their correctness gate."""
+
+import random
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from _xxh64 import xxh64_signed
+from agensgraph_spark.pipeline import dedup as D
+
+_P = (1 << 31) - 1
+_U64 = (1 << 64) - 1
+
+
+# --- pure-Python mirrors (independent reimplementation, incl. the
+# coefficient LCG — nothing imported from agensgraph_spark.pipeline) ---
+
+def mh_params(num_hashes: int):
+    params = []
+    x = 0x9E3779B9
+    for _ in range(num_hashes):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        a = x % (_P - 1) + 1
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        b = x % _P
+        params.append((a, b))
+    return params
+
+
+def py_shingles(text: str, k: int = 5):
+    t = text.lower()
+    m = max(len(t) - k + 1, 1)
+    seen, out = set(), []
+    for i in range(m):
+        s = t[i:i + k]
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def py_signature(text: str, params, k: int = 5):
+    hs = [xxh64_signed(s) % _P for s in py_shingles(text, k)]
+    return [min((h * a + b) % _P for h in hs) for a, b in params]
+
+
+def py_band_hashes(sig, bands: int = 8):
+    rows = len(sig) // bands
+    return [xxh64_signed(",".join(str(sig[b * rows + r]) for r in range(rows)))
+            for b in range(bands)]
+
+
+def py_lsh_candidates(docs, num_hashes=32, bands=8, k=5, min_est=0.0,
+                      max_bucket=10_000):
+    params = mh_params(num_hashes)
+    sigs = {did: py_signature(t, params, k) for did, t in docs}
+    buckets = defaultdict(list)
+    for did, _ in docs:
+        for b, bh in enumerate(py_band_hashes(sigs[did], bands)):
+            buckets[(b, bh)].append(did)
+    est: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        if not (2 <= len(members) <= max_bucket):
+            continue
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b_ in ms[i + 1:]:
+                m = sum(1 for x, y in zip(sigs[a], sigs[b_]) if x == y)
+                e = m / num_hashes
+                est[(a, b_)] = max(est.get((a, b_), 0.0), e)
+    return {p: e for p, e in est.items() if e >= min_est}
+
+
+def py_exact_jaccard(docs, pairs, k=5, threshold=0.5):
+    hset = {did: {xxh64_signed(s) for s in py_shingles(t, k)} for did, t in docs}
+    out = {}
+    for a, b in pairs:
+        inter = len(hset[a] & hset[b])
+        uni = len(hset[a] | hset[b])
+        j = inter / uni
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def py_simhash(text: str, bits: int = 32) -> int:
+    toks = re.split(r"\s+", text.strip().lower())
+    hs = [xxh64_signed(t) & _U64 for t in toks]
+    n = len(hs)
+    sim = 0
+    for j in range(bits):
+        if 2 * sum((h >> j) & 1 for h in hs) > n:
+            sim |= 1 << j
+    return sim
+
+
+def py_simhash_pairs(docs, max_hamming=3, bands=4, bits=32):
+    sims = {did: py_simhash(t, bits) for did, t in docs}
+    width = bits // bands
+    buckets = defaultdict(list)
+    for did, _ in docs:
+        for b in range(bands):
+            buckets[(b, (sims[did] >> (b * width)) & ((1 << width) - 1))].append(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            for b_ in ms[i + 1:]:
+                ham = bin(sims[a] ^ sims[b_]).count("1")
+                if ham <= max_hamming:
+                    pairs.add((a, b_, ham))
+    return pairs
+
+
+# --- synthetic near-duplicate corpus (seeded) ---
+
+_VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+          "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+          "red green blue amber violet copper silver golden "
+          "river mountain valley forest desert harbor island meadow").split()
+
+
+def make_corpus(n_base=18, variants=3, seed=7):
+    rng = random.Random(seed)
+    docs, did = [], 0
+    for _ in range(n_base):
+        base = [rng.choice(_VOCAB) for _ in range(40)]
+        docs.append((did, " ".join(base)))
+        did += 1
+        for _ in range(variants):
+            words = list(base)
+            for _ in range(rng.randrange(1, 4)):
+                words[rng.randrange(len(words))] = rng.choice(_VOCAB)
+            docs.append((did, " ".join(words)))
+            did += 1
+    return docs
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_minhash_signatures_match_python(spark):
+    docs = make_corpus(n_base=6, variants=2)
+    got = {r["_id"]: [r[f"h{i}"] for i in range(32)]
+           for r in D.minhash_signatures(_docs_df(spark, docs)).collect()}
+    params = mh_params(32)
+    exp = {did: py_signature(t, params) for did, t in docs}
+    assert got == exp
+
+
+def test_minhash_lsh_pipeline_matches_python(spark):
+    """The exact gated-query pipeline (workload._q_minhash_lsh):
+    banding candidates (min_est=0.3) -> exact shingle-Jaccard >= 0.4.
+    Both the surviving pair set and the (IEEE-identical) jaccard values
+    must match the pure-Python replay exactly."""
+    docs = make_corpus()
+    df = _docs_df(spark, docs)
+    cands = D.minhash_lsh_candidates(df, min_est=0.3).select("id_a", "id_b")
+    out = D.ngram_jaccard_pairs(cands, df, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+
+    py_cands = py_lsh_candidates(docs, min_est=0.3)
+    exp = py_exact_jaccard(docs, py_cands.keys(), threshold=0.4)
+    assert got == exp
+    assert len(got) >= 10  # the corpus must actually exercise the pipeline
+
+
+def test_minhash_candidate_estimates_match_python(spark):
+    docs = make_corpus(n_base=8, variants=2)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in D.minhash_lsh_candidates(_docs_df(spark, docs)).collect()}
+    exp = py_lsh_candidates(docs)
+    assert got == exp
+
+
+def test_simhash_matches_python(spark):
+    docs = make_corpus(n_base=6, variants=2)
+    got = {r["doc_id"]: r["simhash"]
+           for r in D.simhash(_docs_df(spark, docs)).collect()}
+    exp = {did: py_simhash(t) for did, t in docs}
+    assert got == exp
+
+
+def test_simhash_pairs_match_python(spark):
+    docs = make_corpus()
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in D.simhash_neardup_pairs(_docs_df(spark, docs), max_hamming=4).collect()}
+    exp = py_simhash_pairs(docs, max_hamming=4)
+    assert got == exp
+    assert len(got) >= 5
+
+
+def test_simhash_real_documents_match_python(spark):
+    """Same differential on the driver's real documents table
+    (sf0.001) — the corpus the gated dedup_simhash query runs on."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    exp = {did: py_simhash(t) for did, t in rows}
+    assert got == exp
+
+
+def test_minhash_real_documents_match_python(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    got = {r["_id"]: [r[f"h{i}"] for i in range(32)]
+           for r in D.minhash_signatures(df).collect()}
+    params = mh_params(32)
+    exp = {did: py_signature(t, params) for did, t in rows}
+    assert got == exp
