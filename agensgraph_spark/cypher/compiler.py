@@ -206,8 +206,26 @@ class CypherEngine:
         """EXPLAIN for Cypher statements (reference: gram.y:11021 —
         EXPLAIN CypherStmt): returns Catalyst's plan description for the
         compiled DataFrame without executing it. Modes: simple,
-        extended, codegen, cost, formatted."""
-        df = self.cypher(text, params)
+        extended, codegen, cost, formatted.
+
+        Write statements are compiled through the same pipeline but the
+        working graph is NOT committed — EXPLAIN CREATE/SET/DELETE shows
+        the plan of the trailing projection/stats frame and leaves the
+        graph untouched. DDL is rejected (the reference likewise has no
+        EXPLAIN for utility statements)."""
+        from agensgraph_spark.cypher.ddl import is_ddl
+        if is_ddl(text):
+            raise ValueError("EXPLAIN of DDL statements is not supported")
+        uq = parse_cypher(text)
+        has_write = any(isinstance(c, WRITE_CLAUSES)
+                        for part in uq.parts for c in part.clauses)
+        if has_write:
+            if len(uq.parts) > 1:
+                raise ValueError("write statements cannot combine with UNION")
+            qc = QueryCompiler(self, params or {})
+            df = qc.compile(uq.parts[0])  # no commit: engine graph unchanged
+        else:
+            df = self.cypher(text, params)
         jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         return df._jdf.queryExecution().explainString(jmode)
 
@@ -229,6 +247,7 @@ class QueryCompiler(WriteMixin):
         self.scope = Scope()
         self.df: DataFrame | None = None
         self.wctx: WriteContext | None = None
+        self.fold_reversed = False  # stats-driven chain reorder applied
         # Deferred cross joins: comma-separated pattern components stay
         # out of the pipeline DataFrame until something actually needs
         # them together. A pathfind over two independent components then
@@ -460,6 +479,7 @@ class QueryCompiler(WriteMixin):
         """Split top-level conjuncts; pattern predicates become
         semi/anti joins (reference: sublink conversion,
         src/backend/optimizer/plan/subselect.c:1269)."""
+        self._materialize_path_composites([where])
         self._hoist_subqueries([where])
         conjuncts = self._split_and(where)
         plain: list[A.Expr] = []
@@ -506,8 +526,71 @@ class QueryCompiler(WriteMixin):
             return out
         return [e]
 
+    def _hop_estimate(self, rel: A.RelPat, lnode: A.NodePat, rnode: A.NodePat) -> int | None:
+        """Estimated matching-edge cardinality for one hop from the
+        cached ag_graphmeta-style triples (reference costing input:
+        src/include/catalog/ag_graphmeta.h:30). None without stats."""
+        triples = self.graph.edge_triples() if self.graph is not None else None
+        if triples is None:
+            return None
+        cat = self.graph.catalog
+        etypes: set[str] = set()
+        for t in (rel.types or cat.elabels()):
+            etypes.update(cat.descendants(t) if not rel.only else [t])
+        start_ids = set(self._labid_set(lnode.labels, "v", lnode.only)) if lnode.labels else None
+        end_ids = set(self._labid_set(rnode.labels, "v", rnode.only)) if rnode.labels else None
+        if rel.direction == "in":
+            start_ids, end_ids = end_ids, start_ids
+        total = 0
+        for lbl, s, e, c in triples:
+            if lbl not in etypes:
+                continue
+            fwd = ((start_ids is None or s in start_ids)
+                   and (end_ids is None or e in end_ids))
+            if fwd:
+                total += c
+            if rel.direction == "undir":
+                bwd = ((start_ids is None or e in start_ids)
+                       and (end_ids is None or s in end_ids))
+                if bwd:
+                    total += c
+        return total
+
+    _FLIP_DIR = {"out": "in", "in": "out", "undir": "undir"}
+
+    def _maybe_reverse_elements(self, pat: A.PathPattern, els: list) -> list:
+        """Stats-driven fold order for chain patterns: when the LAST
+        hop's edge-triple cardinality is decisively smaller than the
+        first's, fold the pattern from the other end (reverse the chain,
+        flipping each hop's direction) so the first join materializes
+        the small hop — the greedy seed choice the reference's planner
+        makes from ag_graphmeta cardinalities. Only plain, fixed-length,
+        unbound-path chains reorder; semantics are unchanged (the same
+        joins apply in the opposite order). Records the decision in
+        ``self.fold_reversed`` for plan tests."""
+        if (pat.var is not None or pat.kind != "plain" or len(els) < 5
+                or any(isinstance(r, A.RelPat) and r.varlen for r in els)):
+            return els
+        first = self._hop_estimate(els[1], els[0], els[2])
+        last = self._hop_estimate(els[-2], els[-3], els[-1])
+        if first is None or last is None:
+            return els
+        # keep a user-anchored selective start (props on the anchor)
+        if els[0].props is not None and els[-1].props is None:
+            return els
+        if last * 2 >= first:
+            return els
+        import dataclasses
+        rev = []
+        for el in reversed(els):
+            if isinstance(el, A.RelPat):
+                el = dataclasses.replace(el, direction=self._FLIP_DIR[el.direction])
+            rev.append(el)
+        self.fold_reversed = True
+        return rev
+
     def _fold_pattern(self, pat: A.PathPattern, edge_refs: list[EdgeRef]) -> None:
-        els = pat.elements
+        els = self._maybe_reverse_elements(pat, pat.elements)
         node = els[0]
         left_var = self._anchor_node(node)
         if len(els) > 1 or pat.var is not None:
@@ -771,6 +854,61 @@ class QueryCompiler(WriteMixin):
             self.df = self.df.withColumn(pat.weight_var, F.col(f"{pvar}__weight"))
             self.scope.bind(Binding(pat.weight_var, "value"))
 
+    def _materialize_path_composites(self, exprs: list) -> None:
+        """nodes(p)/relationships(p) must return full vertex/edge
+        composites, not bare id arrays (reference: makeGraphpathDatum,
+        src/backend/utils/adt/graph.c:1259; pg_proc.dat:11656-11719
+        return _vertex/_edge arrays). The expression compiler cannot
+        join, so pre-join here: the DISTINCT path id-arrays posexplode,
+        equi-join the label-union composite relation, and re-collect in
+        path order as ``array<struct<id,label[,start,end],properties>>``
+        columns the expression layer then reads. Join strategy is left
+        to Catalyst/AQE — the distinct-key side is bounded by distinct
+        paths, the composite side by the graph."""
+        if self.graph is None or self.df is None:
+            return
+        wanted: set[tuple[str, str]] = set()
+        for e in exprs:
+            if e is None:
+                continue
+            for x in self._iter_expr(e):
+                if isinstance(x, A.FuncCall) and x.args and isinstance(x.args[0], A.Var):
+                    nm = x.name.lower()
+                    if nm not in ("nodes", "vertices", "relationships", "edges"):
+                        continue
+                    b = self.scope.get(x.args[0].name)
+                    if b is not None and b.kind == "path":
+                        wanted.add((x.args[0].name,
+                                    "v" if nm in ("nodes", "vertices") else "e"))
+        for pvar, kind in sorted(wanted):
+            col_name = f"{pvar}__{'vnodes' if kind == 'v' else 'enodes'}"
+            if col_name in self.df.columns:
+                continue
+            if kind == "v":
+                ids = F.col(f"{pvar}__vids")
+                if f"{pvar}__seed" in self.df.columns:
+                    # VLE/pathfind vid arrays exclude the seed; the
+                    # reference's graphpath includes the start vertex
+                    ids = F.concat(F.array(F.col(f"{pvar}__seed")), ids)
+                comp = self.graph.vertex_composites()
+                fields = ["id", "label", "properties"]
+            else:
+                ids = F.col(f"{pvar}__eids")
+                comp = self.graph.edge_composites()
+                fields = ["id", "label", "start", "end", "properties"]
+            # prefix the composite columns: the relation derives from the
+            # same label scans already in the pipeline (self-join)
+            comp = comp.select(*[F.col(f).alias(f"__c_{f}") for f in fields])
+            keys = self.df.select(ids.alias("__pkey")).distinct()
+            ex = keys.select("__pkey", F.posexplode("__pkey").alias("__pos", "__pid"))
+            jn = ex.join(comp, F.col("__pid") == F.col("__c_id"), "left")
+            item = F.struct(*[F.col(f"__c_{f}").alias(f) for f in fields])
+            coll = (jn.groupBy("__pkey")
+                    .agg(F.array_sort(F.collect_list(F.struct(F.col("__pos").alias("p"),
+                                                              item.alias("x"))))
+                         .getField("x").alias(col_name)))
+            self.df = self.df.join(coll, ids == coll["__pkey"], "left").drop("__pkey")
+
     def _edge_uniqueness(self, refs: list[EdgeRef]) -> None:
         """Pairwise edge-distinctness within one MATCH (reference:
         addQualUniqueEdges parse_graph.c:2972)."""
@@ -895,16 +1033,31 @@ class QueryCompiler(WriteMixin):
         view = f"__cy_pipe_{n}"
         df.createOrReplaceTempView(view)
         items = [f"{view}.*"]
+        def sub_outside_quotes(pattern: str, repl, sql: str) -> str:
+            # never rewrite inside string literals / quoted identifiers
+            parts = _re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", sql)
+            return "".join(p if i % 2 else _re.sub(pattern, repl, p)
+                           for i, p in enumerate(parts))
+
         for k, sq in enumerate(subs):
             sql = sq.sql
             for v, b in sorted(self.scope.bindings.items(), key=lambda kv: -len(kv[0])):
                 props = set(b.props or [])
+                if not props:
+                    continue
+                # a subquery-local relation alias shadowing a Cypher
+                # variable would make `v.prop` ambiguous — refuse rather
+                # than silently rewrite the subquery's own reference
+                if _re.search(rf"\b(?:from|join|as)\s+{_re.escape(v)}\b", sql, _re.I):
+                    raise ValueError(
+                        f"SQL subquery aliases a relation as {v!r}, which "
+                        "shadows a Cypher variable — rename one of them")
 
                 def repl(m, v=v, props=props):
                     return (f"{view}.{v}__{m.group(1)}"
                             if m.group(1) in props else m.group(0))
 
-                sql = _re.sub(rf"\b{_re.escape(v)}\.(\w+)", repl, sql)
+                sql = sub_outside_quotes(rf"\b{_re.escape(v)}\.(\w+)", repl, sql)
             col = f"__subq_{n}_{k}"
             items.append(f"({sql}) AS {col}")
             self._subq_cols[id(sq)] = col
@@ -1054,6 +1207,7 @@ class QueryCompiler(WriteMixin):
                       + ([proj.where] if proj.where is not None else []))
         self._hoist_subqueries(proj_exprs)
         self._hoist_pattern_preds(proj_exprs)
+        self._materialize_path_composites(proj_exprs)
         items = self._expand_star_items(proj)
         ec = self._ec()
 

@@ -97,6 +97,14 @@ _RE = {
 }
 
 
+def is_ddl(text: str) -> bool:
+    """True when ``text`` would be handled by execute_ddl — a dry check
+    with no side effects (used by EXPLAIN to reject utility statements
+    the way the reference does)."""
+    s = re.sub(r"\s+", " ", text.strip()).rstrip(";").strip()
+    return any(p.match(s) for p in _RE.values())
+
+
 def execute_ddl(store: GraphStore, text: str) -> bool:
     """Try to run ``text`` as a DDL statement against the store.
     Returns False when the text is not DDL (caller falls through to the

@@ -234,7 +234,16 @@ class ExprCompiler:
         base = self.tc(e.base)
         if isinstance(base.dtype, T.StructType):
             fld = next((f for f in base.dtype.fields if f.name == e.key), None)
-            return TC(base.col.getField(e.key), fld.dataType if fld else None)
+            if fld is not None:
+                return TC(base.col.getField(e.key), fld.dataType)
+            # entity composite (id/label/properties struct, e.g. an
+            # element of nodes(p)): missing keys read the JSON document,
+            # mirroring the reference's jsonb access (values surface as
+            # strings — jsonb parity)
+            if any(f.name == "properties" for f in base.dtype.fields):
+                return TC(F.get_json_object(base.col.getField("properties"),
+                                            f"$.{e.key}"), T.StringType())
+            return TC(base.col.getField(e.key), None)
         if isinstance(base.dtype, T.MapType):
             return TC(base.col.getItem(e.key), base.dtype.valueType)
         # unknown / JSON string document
@@ -253,6 +262,11 @@ class ExprCompiler:
             return TC(F.element_at(base.col, idx.col), base.dtype.valueType)
         if isinstance(base.dtype, T.StructType):
             return TC(base.col.getField(e.index.value if isinstance(e.index, A.Lit) else None), None)
+        if isinstance(e.index, A.Lit) and isinstance(e.index.value, str):
+            # n['props']['k'] over a JSON document property (reference:
+            # CypherAccessExpr jsonb path, execExprInterp.c:1882)
+            return TC(F.get_json_object(base.col.cast("string"), f"$.{e.index.value}"),
+                      T.StringType())
         return TC(F.get_json_object(base.col.cast("string"), f"$[{e.index.value}]")
                   if isinstance(e.index, A.Lit) and isinstance(e.index.value, int)
                   else F.element_at(base.col, idx.col + 1), None)
@@ -591,11 +605,24 @@ class ExprCompiler:
         return TC(F.length(t.col.cast("string")).cast("long"), T.LongType())
 
     def _f_nodes(self, e: A.FuncCall) -> TC:
+        """Vertex composites of the path (reference: makeGraphpathDatum
+        graph.c:1259 — _vertex array). The query compiler pre-joins the
+        composite column (``__vnodes``) for pipeline contexts; where it
+        is absent (write clauses, expression-only contexts) the bare id
+        array is a documented fallback."""
+        if isinstance(e.args[0], A.Var):
+            name = f"{e.args[0].name}__vnodes"
+            if name in self.schema:
+                return TC(F.col(name), self.schema[name])
         return TC(self._path_col(e.args[0], "vids"), T.ArrayType(T.LongType()))
 
     _f_vertices = _f_nodes
 
     def _f_relationships(self, e: A.FuncCall) -> TC:
+        if isinstance(e.args[0], A.Var):
+            name = f"{e.args[0].name}__enodes"
+            if name in self.schema:
+                return TC(F.col(name), self.schema[name])
         return TC(self._path_col(e.args[0], "eids"), T.ArrayType(T.LongType()))
 
     _f_edges = _f_relationships

@@ -51,6 +51,9 @@ class Graph:
         self.frames: dict[str, DataFrame] = dict(frames or {})
         # driver-side per-label row counts; populated by collect_stats()
         self._label_counts: dict[str, int] | None = None
+        # (edge_label, start_labid, end_labid, count) triples —
+        # populated by collect_edge_stats()
+        self._edge_triples: list[tuple[str, int, int, int]] | None = None
 
     # ---- registration ----
 
@@ -123,6 +126,27 @@ class Graph:
         doc = F.to_json(F.struct(*[F.col(p) for p in present])) if present else F.lit("{}")
         return df.withColumn("properties", doc)
 
+    def vertex_composites(self) -> DataFrame:
+        """(id, label, properties) over every vertex label — the lookup
+        relation for path composites (reference: makeGraphpathDatum,
+        src/backend/utils/adt/graph.c:1259 builds _vertex arrays).
+        ``to_json`` drops the nulls the cross-label union introduces, so
+        each row's document carries exactly its own label's properties."""
+        df = self.vertices()
+        props = [c for c in df.columns if c not in ("id", "label")]
+        doc = (F.to_json(F.struct(*[F.col(c).alias(prop_display_name(c)) for c in props]))
+               if props else F.lit("{}"))
+        return df.select("id", "label", doc.alias("properties"))
+
+    def edge_composites(self) -> DataFrame:
+        """(id, label, start, end, properties) over every edge label —
+        the _edge-array analog of ``vertex_composites``."""
+        df = self.edges()
+        props = [c for c in df.columns if c not in ("id", "label", "start", "end")]
+        doc = (F.to_json(F.struct(*[F.col(c).alias(prop_display_name(c)) for c in props]))
+               if props else F.lit("{}"))
+        return df.select("id", "label", "start", "end", doc.alias("properties"))
+
     # ---- statistics (reference: ag_graphmeta — per (edge, start-label,
     # end-label) triple cardinality, src/include/catalog/ag_graphmeta.h:30,
     # maintained by regather_graphmeta()/write stats) ----
@@ -145,6 +169,23 @@ class Graph:
     def label_counts(self) -> dict[str, int] | None:
         """Cached stats, or None when collect_stats() has not run."""
         return self._label_counts
+
+    def collect_edge_stats(self) -> list[tuple[str, int, int, int]]:
+        """Materialize ``edge_stats()`` driver-side — the full
+        ag_graphmeta analog (per-(edge, start-label, end-label) triple
+        cardinalities). One aggregate job, cached; the Cypher compiler
+        consults the triples to pick multi-hop fold order (the
+        reference's costing input, src/include/catalog/
+        ag_graphmeta.h:30)."""
+        if self._edge_triples is None:
+            self._edge_triples = [
+                (r["edge_label"], r["start_labid"], r["end_labid"], r["edgecount"])
+                for r in self.edge_stats().collect()]
+        return self._edge_triples
+
+    def edge_triples(self) -> "list[tuple[str, int, int, int]] | None":
+        """Cached triples, or None when collect_edge_stats() has not run."""
+        return self._edge_triples
 
     def edge_stats(self) -> DataFrame:
         """Edge-count statistics per (edge label, start labid, end

@@ -62,6 +62,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session doesn't).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP→NTZ casts (normalize_event_ts) and date extraction render
+    # through the session timezone; DuckDB oracles read the same files as
+    # naive UTC wall-clock values. Pin the session to UTC so results from
+    # arbitrary caller sessions (the driver's) match the oracle — same
+    # runtime-conf pattern as nanosAsLong above.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", normalize_event_ts(df.schema["ts"].dataType))

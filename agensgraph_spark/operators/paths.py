@@ -12,12 +12,21 @@ per-path edge-uniqueness enforced by ``array_contains`` filters — the
 DataFrame analog of the reference's per-path visited set.
 
 Scale notes:
-- the edge relation is reused every hop → callers should cache it;
+- the edge relation is pinned for the duration of the loop and
+  released on exit;
 - path-array columns grow O(depth); lineage is cut with
   ``localCheckpoint`` every ``checkpoint_every`` hops;
 - frontiers are pruned per hop (shortest-path keeps only the cheapest
   row per (seed, vertex)), so frontier size is bounded by reachable
-  vertices, not path count.
+  vertices, not path count;
+- **iteration state is generational**: each round materializes the new
+  generation, then retires the superseded one (GraphX-Pregel style).
+  A 30-iteration run holds O(1) pinned frames, not O(iterations).
+  Retired generations can in principle be needed again if a healthy
+  executor drops a MEMORY_AND_DISK block of the live generation — that
+  does not happen short of executor loss, which already invalidates
+  ``localCheckpoint`` lineage (its documented tradeoff; a reliable
+  checkpoint dir is the production answer).
 
 Edge input convention: a DataFrame with columns
 ``src, dst, eid`` (+ ``w`` for Dijkstra) — already direction-normalized
@@ -27,8 +36,12 @@ genEdgeUnion parse_graph.c:2100).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 DEFAULT_MAX_HOPS = 12
 
@@ -63,6 +76,19 @@ def _hop_side(edges: DataFrame, small: bool) -> DataFrame:
     return F.broadcast(edges) if small else edges
 
 
+def _unpersist(*dfs: DataFrame | None) -> None:
+    """Retire superseded cached generations (non-blocking). Safe on
+    frames that were never persisted; localCheckpoint storage is
+    RDD-level (not in the CacheManager) and is reclaimed by the
+    ContextCleaner once the superseded frame is unreferenced."""
+    for df in dfs:
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # pragma: no cover - defensive
+                pass
+
+
 def vle_expand(
     edges: DataFrame,
     seeds: DataFrame,
@@ -78,12 +104,23 @@ def vle_expand(
     every path with len in [min_hops, max_hops]; vids includes interior
     + final vertices but not the seed. Zero-length rows (min_hops=0)
     pair each seed with itself and empty arrays.
+
+    When the edge relation is pinned (max_hops > 1), the result is
+    materialized once (localCheckpoint) before returning so the pin can
+    be released — the returned frame holds the expansion and no longer
+    references the edge relation.
     """
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
-    max_hops = min(max_hops, DEFAULT_MAX_HOPS * 4)
+    hop_cap = DEFAULT_MAX_HOPS * 4
+    if max_hops > hop_cap:
+        log.warning(
+            "vle_expand: max_hops=%d clamped to %d — paths longer than "
+            "%d hops are NOT returned", max_hops, hop_cap, hop_cap)
+        max_hops = hop_cap
     small = False
-    if max_hops > 1:
+    pinned = max_hops > 1
+    if pinned:
         edges, small = _pin_edges(edges)
 
     frontier = seeds.select(
@@ -119,6 +156,11 @@ def vle_expand(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if pinned:
+        # materialize the expansion once, then release the edge pin:
+        # the checkpointed result no longer references the relation
+        out = out.localCheckpoint(eager=True)
+        _unpersist(edges)
     return out
 
 
@@ -128,7 +170,7 @@ def bfs_shortest(
     min_hops: int,
     max_hops: int | None,
     all_paths: bool = False,
-    checkpoint_every: int | None = 6,
+    checkpoint_every: int | None = None,  # kept for API compat; unused
 ) -> DataFrame:
     """Unweighted shortest path(s) between bound endpoint pairs.
 
@@ -137,6 +179,14 @@ def bfs_shortest(
     [min_hops, max_hops] at which target is reached from seed;
     all_paths=False keeps one arbitrary shortest path (reference
     SHORTESTPATH), True keeps every shortest path (ALLSHORTESTPATHS).
+
+    Every generation (frontier / visited / accumulated hits) is an
+    eagerly localCheckpointed frame: each round's plan references only
+    materialized RDDs, never the recurrence history. Without this the
+    logical tree grows Fibonacci-fashion (frontier_k references paths
+    of BOTH prior generations) and analysis + recompute go exponential
+    past ~5 iterations. Superseded generations hold no CacheManager
+    entries; their RDD blocks are reclaimed by the ContextCleaner.
     """
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
@@ -156,21 +206,21 @@ def bfs_shortest(
         F.array().cast("array<long>").alias("eids"),
         F.array().cast("array<long>").alias("vids"),
         F.lit(0).cast("long").alias("len"),
-    )
-    found_parts = []
+    ).localCheckpoint(eager=True)
+    found: DataFrame | None = None  # accumulated hits, checkpointed
     remaining = pairs
     visited = frontier.select("seed", "cur")  # vertices seen at depth <= k
 
     if min_hops == 0:
         hit0 = frontier.join(remaining, (frontier.seed == remaining.seed) & (frontier.cur == remaining.target)) \
                        .select(frontier.seed, F.col("cur").alias("target"), "eids", "vids", "len")
-        found_parts.append(hit0)
-        remaining = remaining.join(hit0.select("seed", "target"), ["seed", "target"], "left_anti")
+        found = hit0.localCheckpoint(eager=True)
+        remaining = pairs.join(found.select("seed", "target"), ["seed", "target"], "left_anti")
 
     for k in range(1, max_hops + 1):
         step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
                        .filter(~F.array_contains(F.col("eids"), F.col("eid")))
-        frontier = step.select(
+        nxt = step.select(
             "seed",
             F.col("dst").alias("cur"),
             F.concat(F.col("eids"), F.array(F.col("eid"))).alias("eids"),
@@ -179,36 +229,48 @@ def bfs_shortest(
         )
         # BFS pruning: a path reaching a vertex already seen at an
         # earlier depth cannot be (part of) a shortest path
-        frontier = frontier.join(visited, ["seed", "cur"], "left_anti")
+        nxt = nxt.join(visited, ["seed", "cur"], "left_anti")
         if not all_paths:
             # one representative path per (seed, vertex)
             w = Window.partitionBy("seed", "cur").orderBy(F.col("eids").getItem(0))
-            frontier = frontier.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        frontier = _maybe_checkpoint(frontier, k, checkpoint_every).cache()
-        visited = visited.unionByName(frontier.select("seed", "cur").distinct()).cache()
+            nxt = nxt.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        frontier = nxt.localCheckpoint(eager=True)
+        # visited checkpoints per round: a lazy union would re-run every
+        # prior generation's distinct in each round's anti-join (O(k²)
+        # shuffles); the narrow (seed, cur) checkpoint is one small job
+        visited = visited.unionByName(frontier.select("seed", "cur").distinct()) \
+                         .localCheckpoint(eager=True)
 
         hit = frontier.alias("f").join(
             remaining.alias("r"),
             (F.col("f.seed") == F.col("r.seed")) & (F.col("f.cur") == F.col("r.target")),
         ).select(F.col("f.seed").alias("seed"), F.col("f.cur").alias("target"), "eids", "vids", "len")
-        found_parts.append(hit)
-        remaining = remaining.join(hit.select("seed", "target").distinct(), ["seed", "target"], "left_anti")
-        # early-exit checks are Spark actions (a full job each); for
-        # tightly bounded searches the checks cost more than the hops
-        # they might skip — only probe when the remaining depth is deep
-        if k < max_hops and (max_hops - k > 2) and (remaining.isEmpty() or frontier.isEmpty()):
+        # fold this round's hits into the accumulated (checkpointed)
+        # result — the output never references iteration state
+        found = (hit if found is None else found.unionByName(hit)) \
+            .localCheckpoint(eager=True)
+        # remaining re-derives from (pairs ∖ found) each round: its
+        # lineage stays two frames deep instead of accumulating
+        # references to every retired frontier generation
+        remaining = pairs.join(found.select("seed", "target").distinct(),
+                               ["seed", "target"], "left_anti")
+        # early-exit probes: frontier.isEmpty is ~free on the
+        # checkpointed frame; the remaining probe is one anti-join job —
+        # only probe when real depth remains
+        if k < max_hops and frontier.isEmpty():
+            break
+        if k < max_hops and (max_hops - k > 2) and remaining.isEmpty():
             break
 
-    out = None
-    for p in found_parts:
-        out = p if out is None else out.unionByName(p)
-    if out is None:
+    _unpersist(pairs, edges)
+    if found is None or not found.take(1):
         return pairs.limit(0).select(
             F.col("seed"), F.col("target"),
             F.array().cast("array<long>").alias("eids"),
             F.array().cast("array<long>").alias("vids"),
             F.lit(0).cast("long").alias("len"),
         )
+    out = found
     if min_hops > 0:
         out = out.filter(F.col("len") >= min_hops)
     # keep only the minimal depth per pair (a pair found at depth k is
@@ -247,7 +309,7 @@ def dijkstra_paths(
     pairs: DataFrame,
     max_iters: int = 30,
     limit: int = 1,
-    checkpoint_every: int | None = 5,
+    checkpoint_every: int | None = None,  # kept for API compat; unused
 ) -> DataFrame:
     """Cheapest path(s) by edge weight: Bellman-Ford-style iterative
     relaxation until no distance improves (reference: nodeDijkstra.c —
@@ -257,6 +319,19 @@ def dijkstra_paths(
     edges: (src, dst, eid, w double). pairs: (seed, target).
     Returns (seed, target, eids, vids, len, weight) — up to ``limit``
     cheapest paths per pair, ordered by total weight.
+
+    Generation management is hybrid. The relaxation recurrence
+    references BOTH prior generations (new_frontier = new_paths ∖
+    paths), so the logical tree grows Fibonacci-fashion — anything
+    short of lineage truncation turns analysis + recompute exponential
+    past ~5 iterations (measured: a 15-edge chain never finished under
+    a pure cache() scheme). But truncation costs one eager job per
+    frame, which shows up on the common 1-3 round searches. So rounds
+    1-3 run the cheap cache() scheme (tree depth ≤3 is harmless) and
+    from round 4 every generation is an eagerly localCheckpointed
+    frame (flat plan, O(1) live state); the early cached generations
+    are retired as soon as the first checkpoint truncates the lineage,
+    and at exit only the final generation stays pinned.
     """
     # Edge pinning is deferred until the loop proves it will iterate:
     # for bounded searches that drain in one hop (a common dijkstra
@@ -277,13 +352,16 @@ def dijkstra_paths(
         F.array().cast("array<long>").alias("vids"),
         F.lit(0).cast("long").alias("len"),
         F.lit(0.0).alias("weight"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     frontier = paths
     # frontier size is unknown until the loop's own count at the end of
     # each round — spending a dedicated job up front costs more than the
     # first-iteration broadcast hint could save, so iteration 1 leaves
     # the strategy to AQE and later rounds use the tracked count
     fcount: int | None = None
+
+    cp_from = 4  # first round that truncates lineage per generation
+    early_gens: list[DataFrame] = []  # cache()-era frames to retire
 
     for k in range(1, max_iters + 1):
         # two raw scans (hop 1 + hop 2's drain probe) are cheaper than
@@ -308,32 +386,65 @@ def dijkstra_paths(
                            (F.col("len") + 1).alias("len"),
                            (F.col("weight") + F.col("w")).alias("weight"),
                        )
-        # pin the hop join: isEmpty, the rank union, and the frontier
-        # count below would otherwise each recompute it from scratch
-        step = step.persist()
-        if step.isEmpty():
-            step.unpersist()
-            break
+        if k < cp_from:
+            # cheap early rounds: pin the hop join so isEmpty / rank /
+            # count read it once, cache the new generation lazily
+            step = step.persist()
+            if step.isEmpty():
+                _unpersist(step)
+                fcount = 0
+                break
+            early_gens.append(step)
         allp = paths.unionByName(step)
         w = Window.partitionBy("seed", "cur").orderBy(F.col("weight").asc(), F.col("len").asc())
         allp = allp.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit)
         new_paths = allp.drop("_rn")
-        new_paths = _maybe_checkpoint(new_paths, k, checkpoint_every).cache()
         # frontier = rows changed this round (still candidates to extend).
         # Anti-join on full path identity (seed, cur, eids) — NOT just
         # (seed, cur): a cheaper path to an already-reached vertex must be
         # re-extended or downstream weights stay stale.
-        frontier = new_paths.join(
-            paths.select("seed", "cur", "eids"),
-            ["seed", "cur", "eids"], "left_anti",
-        ).cache()
-        paths = new_paths
-        fcount = frontier.count()
+        if k < cp_from:
+            new_paths = new_paths.cache()
+            new_frontier = new_paths.join(
+                paths.select("seed", "cur", "eids"),
+                ["seed", "cur", "eids"], "left_anti",
+            ).cache()
+            early_gens += [new_paths, new_frontier]
+        else:
+            # one checkpoint job materializes the whole round (hop join
+            # + rank); the anti-join then reads stored blocks only
+            new_paths = new_paths.localCheckpoint(eager=True)
+            new_frontier = new_paths.join(
+                paths.select("seed", "cur", "eids"),
+                ["seed", "cur", "eids"], "left_anti",
+            ).localCheckpoint(eager=True)
+        fcount = new_frontier.count()
+        paths, frontier = new_paths, new_frontier
+        if k >= cp_from and early_gens:
+            # lineage is truncated at this round's checkpoints — the
+            # cache()-era generations can no longer be re-referenced
+            _unpersist(*early_gens)
+            early_gens = []
         if fcount == 0:
             break
 
+    if fcount is not None and fcount > 0:
+        log.warning(
+            "dijkstra_paths: stopped at max_iters=%d with %d frontier "
+            "rows still relaxing — longer cheapest paths may be missing",
+            max_iters, fcount)
     out = paths.join(pairs, (paths.seed == pairs.seed) & (paths.cur == pairs.target)) \
                .select(paths.seed, F.col("cur").alias("target"), "eids", "vids", "len", "weight") \
                .filter(F.col("len") > 0)
     w = Window.partitionBy("seed", "target").orderBy(F.col("weight").asc(), F.col("len").asc())
-    return out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit).drop("_rn")
+    out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit).drop("_rn")
+    # the result references only the final generation (checkpointed,
+    # or cached when the search converged within the cache()-era
+    # rounds); retire every superseded early generation and the loop's
+    # remaining pins (the pair set re-derives from the caller's frame
+    # in one small shuffle if the lazy result is consumed later)
+    _unpersist(*[g for g in early_gens if g is not paths])
+    _unpersist(pairs)
+    if pinned:
+        _unpersist(edges)
+    return out

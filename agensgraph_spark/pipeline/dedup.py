@@ -15,8 +15,47 @@ array ops) — deterministic, JVM-side, no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import logging
+import threading
+
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _warn_async(obs: Observation, metric: str, message: str) -> None:
+    """Surface an observed metric as a warning once the query runs.
+    The JVM-side ``Observation.getAsJava`` blocks until the first
+    action touches the observed node — a daemon thread waits on it so
+    the warning costs no extra Spark job and fires even though the
+    operator is lazy. If the query never executes the thread parks
+    harmlessly. The metric is read through the JVM ``getAsJava`` map:
+    for some query shapes the Python-side ``Observation.get`` fails in
+    row conversion (toPyRow asserts a schema the metrics row lacks).
+
+    Known limitation (Spark 4.1, verified empirically): when AQE plans
+    two or more shuffle stages ABOVE the CollectMetrics node, the
+    completed query reports an EMPTY metrics map — the observation
+    fires but the value is lost. The watcher then logs that the audit
+    was unavailable instead of staying silent; ``lsh_skew_stats``
+    is the deterministic audit path.
+    """
+    def _watch() -> None:
+        try:
+            jmap = obs._jo.getAsJava()
+            if metric not in jmap:
+                log.info(
+                    "observed metric %s unavailable (AQE dropped "
+                    "CollectMetrics above 2+ shuffle stages) — run "
+                    "lsh_skew_stats() to audit the skew cap", metric)
+                return
+            v = jmap.get(metric)
+            if v:
+                log.warning(message, v)
+        except Exception:  # pragma: no cover - session teardown races
+            pass
+    threading.Thread(target=_watch, daemon=True, name=f"obs-{metric}").start()
 
 
 
@@ -120,6 +159,8 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k: int = 5,
     min_est: float = 0.0,
+    max_bucket: int = 10_000,
+    audit_cap: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair. Returns (id_a, id_b, est_jaccard) with
@@ -151,10 +192,31 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ])).alias("_band", "_bhash"),
     )
-    max_bucket = 10_000
-    buckets = (banded.groupBy("_band", "_bhash")
+    grouped = (banded.groupBy("_band", "_bhash")
                .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
-               .filter((F.size("_ms") >= 2) & (F.size("_ms") <= max_bucket)))
+               .filter(F.size("_ms") >= 2))
+    # The skew cap must never be SILENT. Two tiers:
+    # - always: announce the active cap + the audit path (free,
+    #   driver-side);
+    # - audit_cap=True: count dropped buckets inside the normal job
+    #   (CollectMetrics, no extra Spark job) and WARN with the number.
+    #   Opt-in because CollectMetrics is a whole-stage-codegen barrier
+    #   right where the wide signature rows feed the pair-explosion
+    #   expression — measured ~2x on the banding stage at sf0.1.
+    if audit_cap:
+        obs = Observation()
+        grouped = grouped.observe(
+            obs, F.sum((F.size("_ms") > max_bucket).cast("long")).alias("dropped_buckets"))
+        _warn_async(obs, "dropped_buckets",
+                    "minhash_lsh_candidates: dropped %s bucket(s) larger than "
+                    f"max_bucket={max_bucket} — a near-duplicate mega-cluster "
+                    "may produce no candidate pairs")
+    else:
+        log.info(
+            "minhash_lsh_candidates: skew cap max_bucket=%d active — "
+            "oversized buckets are dropped; pass audit_cap=True or run "
+            "lsh_skew_stats() to count them", max_bucket)
+    buckets = grouped.filter(F.size("_ms") <= max_bucket)
 
     def pair_est(x, y):
         matches = F.aggregate(
@@ -176,6 +238,41 @@ def minhash_lsh_candidates(
     if min_est > 0:
         out = out.filter(F.col("est_jaccard") >= min_est)
     return out
+
+
+def lsh_skew_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Deterministic audit for the LSH skew cap: per-band bucket-size
+    distribution and how many buckets ``minhash_lsh_candidates`` (same
+    parameters) would drop. One aggregate job over the banding stream —
+    run it when the in-band Observation warning was unavailable (AQE)
+    or before committing to a parameter choice on a new corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k) \
+        .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("_band", "_bhash"),
+    )
+    sizes = banded.groupBy("_band", "_bhash").agg(F.count(F.lit(1)).alias("_n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("_n") >= 2).cast("long")).alias("n_pairable"),
+        F.sum((F.col("_n") > max_bucket).cast("long")).alias("n_dropped"),
+        F.max("_n").alias("max_bucket_size"),
+    )
 
 
 def jaccard_char_pairs(

@@ -46,10 +46,18 @@ def salted_join(
     skew at runtime; explicit salting is for the cases AQE cannot fix —
     a hot key inside an aggregation-feeding join, or a first-stage
     shuffle whose skew AQE only discovers after the straggler ran.
-    The random salt is per-row and needs no seed: replication on the
-    small side makes every salt value a valid partner, so results are
-    exactly the unsalted join's."""
-    salted_big = big.withColumn("__salt", (F.rand() * salt).cast("int"))
+    Replication on the small side makes every salt value a valid
+    partner, so results are exactly the unsalted join's — but ONLY for
+    join types that never emit unmatched small-side rows: a right/full
+    outer join would surface each replicated small-side row ``salt``
+    times. The salt is seeded so task retries re-derive the same value.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            "small-side rows (replicated salt copies) — use the plain "
+            "join for right/full outer")
+    salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = salted_big.join(replicated, [key, "__salt"], how)

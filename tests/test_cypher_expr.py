@@ -235,3 +235,34 @@ def test_explain_returns_plan(engine):
     plan = engine.explain(
         "MATCH (c:customer)-[:placed]->(o:orders) RETURN c.c_custkey AS k")
     assert "Physical Plan" in plan and "parquet" in plan.lower()
+
+
+def test_nested_json_property_access(spark, engine):
+    """CypherAccessExpr jsonb traversal (reference:
+    execExprInterp.c:1882): dot chains and string-bracket access over
+    JSON document columns, arbitrarily deep."""
+    import json
+    spark.createDataFrame(
+        [(1, '{"a": {"b": 7}, "tags": ["x", "y"]}')],
+        "i long, doc string").createOrReplaceTempView("njdoc")
+    df = engine.cypher(
+        "LOAD FROM njdoc AS d "
+        "RETURN d.i AS i, toInteger(d.doc.a.b) AS ab, "
+        "d['doc']['a'] AS aobj, d.doc.tags[1] AS tag1")
+    r = df.collect()[0]
+    assert r["i"] == 1 and r["ab"] == 7
+    assert json.loads(r["aobj"]) == {"b": 7}
+    assert r["tag1"] == "y"
+
+
+def test_explain_write_does_not_mutate(engine, spark):
+    """EXPLAIN of a write statement must not commit the mutation
+    (docstring contract; was a bug: the old path ran the write)."""
+    before = engine.cypher("MATCH (n:nation) RETURN count(*) AS n").collect()[0]["n"]
+    plan = engine.explain("MATCH (n:nation) WHERE n.n_nationkey = 0 SET n.flag = 1")
+    assert "Physical Plan" in plan
+    after = engine.cypher("MATCH (n:nation) RETURN count(*) AS n").collect()[0]["n"]
+    assert after == before
+    got = engine.cypher(
+        "MATCH (n:nation) WHERE n.n_nationkey = 0 RETURN n.flag AS f").collect()
+    assert got[0]["f"] is None  # SET not applied

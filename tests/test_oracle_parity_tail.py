@@ -1,0 +1,59 @@
+"""External verification for the registry TAIL.
+
+The driver's correctness gate checks only the FIRST 50 registry
+entries (workload.PRIORITY_50). Every oracle-backed entry displaced
+beyond the cap is verified HERE against DuckDB at sf0.001 with the
+same column/row/value comparison the driver applies — so a regression
+in a displaced query still fails CI, and the displaced set is explicit
+(this module's parametrization) rather than silently uncovered."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from check_oracle import TABLES, norm_rows  # noqa: E402
+
+from agensgraph_spark import workload  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_ALL_Q = workload.all_queries()
+_ALL_O = workload.all_oracles()
+TAIL_WITH_ORACLE = [n for n in list(_ALL_Q)[50:] if n in _ALL_O]
+TAIL_NO_ORACLE = [n for n in list(_ALL_Q)[50:] if n not in _ALL_O]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def test_tail_coverage_accounted_for():
+    """Every no-oracle tail entry must be one of the known xxhash64/
+    stub cases covered by pytest differentials — nothing silently
+    unverified."""
+    known = {"dedup_simhash_pairs",  # tests/test_differential_dedup.py
+             "ann_cosine_lsh",       # approximate; signature path covered
+                                     # by test_differential_dedup + ivf oracle
+             "mm_image_stats"}       # stub decode kernel (documented)
+    assert set(TAIL_NO_ORACLE) <= known, TAIL_NO_ORACLE
+
+
+@pytest.mark.parametrize("name", TAIL_WITH_ORACLE)
+def test_tail_query_matches_oracle(spark, duck, name):
+    sdf = _ALL_Q[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(_ALL_O[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert norm_rows(scols, srows) == norm_rows(dcols, drows)

@@ -150,6 +150,59 @@ def test_cypher_hop_join_on_bucketed_graph(eng, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_edge_triple_stats_flip_fold_order(spark):
+    """Multi-hop fold order consults the ag_graphmeta-style edge-triple
+    cardinalities (reference: ag_graphmeta.h:30): a chain whose LAST hop
+    is far more selective folds from the other end — and only when the
+    stats exist. Results must be identical either way."""
+    from agensgraph_spark.catalog import GraphCatalog
+    from agensgraph_spark.cypher.compiler import QueryCompiler
+    from agensgraph_spark.cypher.parser import parse_cypher
+    from agensgraph_spark.graph import Graph
+    from agensgraph_spark.graphid import make_graphid
+
+    cat = GraphCatalog("skewg")
+    cat.create_vlabel("a", labid=1, props={"k": "bigint"})
+    cat.create_vlabel("b", labid=2, props={"k": "bigint"})
+    cat.create_vlabel("c", labid=3, props={"k": "bigint"})
+    cat.create_elabel("e_big", labid=17)
+    cat.create_elabel("e_small", labid=18)
+    g = Graph(cat)
+    nb, nc = 20, 2
+    g.set_label_df("a", spark.createDataFrame(
+        [(make_graphid(1, i + 1), i) for i in range(100)], "id long, k long"))
+    g.set_label_df("b", spark.createDataFrame(
+        [(make_graphid(2, i + 1), i) for i in range(nb)], "id long, k long"))
+    g.set_label_df("c", spark.createDataFrame(
+        [(make_graphid(3, i + 1), i) for i in range(nc)], "id long, k long"))
+    g.set_label_df("e_big", spark.createDataFrame(
+        [(make_graphid(17, i + 1), make_graphid(1, i % 100 + 1), make_graphid(2, i % nb + 1))
+         for i in range(400)], "id long, start long, end long"))
+    g.set_label_df("e_small", spark.createDataFrame(
+        [(make_graphid(18, i + 1), make_graphid(2, i + 1), make_graphid(3, i % nc + 1))
+         for i in range(3)], "id long, start long, end long"))
+
+    q = ("MATCH (x:a)-[:e_big]->(y:b)-[:e_small]->(z:c) "
+         "RETURN x.k AS xk, z.k AS zk")
+    part = parse_cypher(q).parts[0]
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng2 = CypherEngine(spark, g)
+
+    qc_cold = QueryCompiler(eng2, {})
+    df_cold = qc_cold.compile(part)
+    assert qc_cold.fold_reversed is False  # no stats -> written order
+
+    g.collect_edge_stats()
+    part2 = parse_cypher(q).parts[0]
+    qc_warm = QueryCompiler(eng2, {})
+    df_warm = qc_warm.compile(part2)
+    assert qc_warm.fold_reversed is True  # e_small (3) << e_big (400)
+
+    rows_cold = sorted((r["xk"], r["zk"]) for r in df_cold.collect())
+    rows_warm = sorted((r["xk"], r["zk"]) for r in df_warm.collect())
+    assert rows_cold == rows_warm and len(rows_warm) > 0
+
+
 def test_edge_scan_prunes_unused_union_branch(eng, spark):
     # in_nation unions customer+supplier edge sources; a supplier-anchored
     # pattern pushes a labid range on src that lands on the underlying
