@@ -116,6 +116,50 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (Schleimer/
+    Wilkerson/Aiken, SIGMOD'03 — the MOSS scheme): hash every k-gram of
+    the lowercased text, slide a window of ``window`` consecutive
+    hashes, keep each window's minimum; the distinct selected hashes
+    are the document's fingerprints. Guarantee: documents sharing any
+    substring of length >= window + k - 1 share a fingerprint.
+
+    Hashes are md5 prefixes compared lexicographically — identical in
+    any engine, so a SQL oracle can replay the selection exactly. Pure
+    column expressions (one map-side pass, no shuffle); returns a
+    per-document summary (count / min / max fingerprint) — the join
+    shape for fingerprint-based candidate generation is the same
+    banding join the MinHash pipeline uses."""
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+                        lambda i: t.substr(i, F.lit(k)))
+    hs = F.transform(grams, lambda g: F.substring(F.md5(g.cast("binary")), 1, 16))
+    # stacked projections: expressions referenced inside array lambdas
+    # are NOT common-subexpression-eliminated across lambda boundaries —
+    # inlining `hs` into the window transform would recompute the whole
+    # k-gram hash array once PER WINDOW (O(n²) md5 calls per document;
+    # measured 140s vs ~2s on the 500-doc sf0.01 corpus). Materializing
+    # each stage as a column keeps every stage O(n) per row.
+    staged = df.select(F.col(id_col), hs.alias("_hs"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_hs") - window + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j, window)))
+    staged = staged.select(F.col(id_col), F.array_distinct(wins).alias("_fps"))
+    return staged.select(
+        F.col(id_col),
+        F.size("_fps").cast("long").alias("n_fingerprints"),
+        F.array_min("_fps").alias("min_fp"),
+        F.array_max("_fps").alias("max_fp"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprints: md5 (engine-portable) +
     xxhash64 (Spark-native 64-bit, used by dedup internals)."""

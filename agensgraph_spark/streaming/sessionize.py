@@ -47,7 +47,7 @@ def sessionize(
                 "n_events": n, "total_value": total,
             }])
             return
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="stable")
         ts_ms = rows[ts_col].astype("int64") // 1_000_000
         vals = rows[value_col].astype("float64")
         closed = []

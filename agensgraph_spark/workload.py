@@ -756,6 +756,10 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(read_table(spark, sf_dir, "documents"))
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
 def _q_jaccard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_char_pairs(read_table(spark, sf_dir, "documents"), max_id=40)
 
@@ -948,6 +952,61 @@ def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"))
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator for real: gap sessionization
+    via applyInPandasWithState (streaming/sessionize.py), driven through
+    Structured Streaming with availableNow. Emits sessions closed by a
+    later event (in-data gap) plus sessions timed out under the final
+    watermark — the batch oracle replays exactly that set with a
+    lag-gap window query."""
+    from agensgraph_spark.loader import normalize_event_ts
+    from agensgraph_spark.streaming.sessionize import sessionize
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = stream.withColumn(
+        "ts", normalize_event_ts(raw_schema["ts"].dataType).cast("timestamp"))
+    sess = sessionize(stream, gap_seconds=1800)
+    q = (sess.writeStream.format("memory").queryName("stream_sess_sink")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_sess_sink").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("se"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"))
+
+
+_SESSIONIZE_ORACLE = """
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    a AS (
+      SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+             count(*) AS n_events,
+             round(SUM(CAST(value AS DOUBLE) ORDER BY ts), 6) AS total_value
+      FROM s GROUP BY user_id, sid),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT a.user_id AS user_id,
+           strftime(st, '%Y-%m-%d %H:%M:%S') AS ss,
+           strftime(en, '%Y-%m-%d %H:%M:%S') AS se,
+           n_events, total_value
+    FROM a, wm
+    WHERE sid < (SELECT max(sid) FROM s WHERE s.user_id = a.user_id)
+       OR epoch_ms(en) + 1800000 < epoch_ms(w)
+"""
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.brute_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
@@ -1056,6 +1115,23 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "lang_id": (_q_lang_id, _lang_id_oracle()),
     "fingerprint_md5": (_q_fingerprint,
         "SELECT doc_id, md5(text) AS md5 FROM documents"),
+    # winnowing rolling-hash fingerprints (SIGMOD'03) — md5-prefix
+    # hashes make the window-min selection engine-portable, so DuckDB
+    # replays the full pipeline exactly
+    "text_winnow_fingerprints": (_q_winnow, """
+        SELECT doc_id,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               list_aggregate(fps, 'min') AS min_fp,
+               list_aggregate(fps, 'max') AS max_fp
+        FROM (
+          SELECT doc_id, list_distinct(
+            list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                           j -> list_aggregate(hs[j : j + 3], 'min'))) AS fps
+          FROM (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                  i -> substr(md5(substring(lower(text), i, 8)), 1, 16)) AS hs
+            FROM documents))"""),
     "quality_score": (_q_quality, r"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
@@ -1112,6 +1188,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         WHERE a.vec_id < 100 AND b.vec_id < 100
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
+    "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_events_hourly": (_q_stream_events_hourly, """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
                event_type, count(*) AS n,
