@@ -102,6 +102,48 @@ class GraphCatalog:
             raise ValueError(f"label {name!r} has children {children}; drop them first")
         del self.labels[name]
 
+    # ---- ALTER VLABEL/ELABEL (reference: gram.y:16784-16915 — the
+    # logical subset; owner/tablespace/storage options are heap-table
+    # concerns with no analog over immutable Parquet snapshots) ----
+
+    def rename_label(self, old: str, new: str) -> None:
+        """ALTER VLABEL/ELABEL ... RENAME TO: the labid (and therefore
+        every graphid) is stable across the rename — only the catalog
+        name and child parent-references change."""
+        if old not in self.labels:
+            raise ValueError(f"label {old!r} does not exist")
+        if new in self.labels:
+            raise ValueError(f"label {new!r} already exists")
+        # rebuild preserving registration order (descendants() relies on it)
+        renamed = {}
+        for k, m in self.labels.items():
+            if k == old:
+                m.name = new
+                k = new
+            m.parents = [new if p == old else p for p in m.parents]
+            renamed[k] = m
+        self.labels = renamed
+
+    def set_inherit(self, child: str, parent: str, add: bool = True) -> None:
+        """ALTER ... INHERIT / NO INHERIT parent."""
+        meta = self.labels.get(child)
+        if meta is None:
+            raise ValueError(f"label {child!r} does not exist")
+        pmeta = self.labels.get(parent)
+        if pmeta is None:
+            raise ValueError(f"parent label {parent!r} does not exist")
+        if add:
+            if pmeta.kind != meta.kind:
+                raise ValueError(f"parent {parent!r} has kind {pmeta.kind!r}")
+            if child == parent or child in [parent] + self.ancestors(parent):
+                raise ValueError(f"INHERIT {parent!r} would create a cycle")
+            if parent not in meta.parents:
+                meta.parents.append(parent)
+        else:
+            if parent not in meta.parents:
+                raise ValueError(f"label {child!r} does not inherit {parent!r}")
+            meta.parents.remove(parent)
+
     # ---- inheritance (reference: label scan includes subtree unless ONLY) ----
 
     def descendants(self, name: str) -> list[str]:

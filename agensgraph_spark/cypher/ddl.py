@@ -90,6 +90,12 @@ _RE = {
         r"^create\s+(vlabel|elabel)\s+(if\s+not\s+exists\s+)?(\w+)"
         r"(?:\s+inherits\s*\(\s*([\w\s,]+?)\s*\))?$", re.I),
     "drop_label": re.compile(r"^drop\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)$", re.I),
+    # ALTER VLABEL/ELABEL (gram.y:16784-16915): logical subset —
+    # RENAME TO / [NO] INHERIT; storage options are n/a by design
+    "alter_rename": re.compile(
+        r"^alter\s+(vlabel|elabel)\s+(\w+)\s+rename\s+to\s+(\w+)$", re.I),
+    "alter_inherit": re.compile(
+        r"^alter\s+(vlabel|elabel)\s+(\w+)\s+(no\s+)?inherit\s+(\w+)$", re.I),
     "create_index": re.compile(
         r"^create\s+(unique\s+)?property\s+index\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
     "create_constraint": re.compile(
@@ -143,6 +149,32 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
             raise ValueError(f"label {name!r} does not exist")
         g.catalog.drop_label(name)
         g.frames.pop(name, None)
+        return True
+    m = _RE["alter_rename"].match(s)
+    if m:
+        g = store.current()
+        kind = "v" if m.group(1).lower() == "vlabel" else "e"
+        old, new = m.group(2), m.group(3)
+        meta = g.catalog.labels.get(old)
+        if meta is None or meta.kind != kind:
+            raise ValueError(f"{m.group(1).lower()} {old!r} does not exist")
+        g.catalog.rename_label(old, new)
+        if old in g.frames:
+            g.frames[new] = g.frames.pop(old)
+        for coll in (store.indexes.get(store.graph_path, []),
+                     store.constraints.get(store.graph_path, [])):
+            for item in coll:
+                if item.label == old:
+                    item.label = new
+        return True
+    m = _RE["alter_inherit"].match(s)
+    if m:
+        g = store.current()
+        kind = "v" if m.group(1).lower() == "vlabel" else "e"
+        meta = g.catalog.labels.get(m.group(2))
+        if meta is None or meta.kind != kind:
+            raise ValueError(f"{m.group(1).lower()} {m.group(2)!r} does not exist")
+        g.catalog.set_inherit(m.group(2), m.group(4), add=not m.group(3))
         return True
     m = _RE["create_index"].match(s)
     if m:

@@ -112,3 +112,40 @@ def test_check_constraint_validation(eng, spark):
     eng.cypher("CREATE (:acct {bal: -3})")
     viol = validate_constraints(spark, eng.store)
     assert len(viol) == 1 and "check" in viol[0]
+
+
+def test_alter_label_rename(eng):
+    """ALTER VLABEL ... RENAME TO (gram.y:16784): data survives under
+    the new name, graphids are stable, old name is gone."""
+    eng.cypher("CREATE VLABEL renme")
+    eng.cypher("CREATE (:renme {k: 1}), (:renme {k: 2})")
+    before = {r["i"] for r in eng.cypher(
+        "MATCH (x:renme) RETURN id(x) AS i").collect()}
+    eng.cypher("ALTER VLABEL renme RENAME TO renamed")
+    after = {r["i"] for r in eng.cypher(
+        "MATCH (x:renamed) RETURN id(x) AS i").collect()}
+    assert after == before and len(after) == 2
+    import pytest as _pt
+    with _pt.raises(Exception):
+        eng.cypher("MATCH (x:renme) RETURN x.k AS k").collect()
+
+
+def test_alter_label_inherit(eng):
+    """ALTER VLABEL ... [NO] INHERIT: the inheritance scan follows the
+    altered hierarchy (graphcmds.c AgInheritanceDependancy)."""
+    eng.cypher("CREATE VLABEL animal")
+    eng.cypher("CREATE VLABEL dog2")
+    eng.cypher("CREATE (:animal {k: 1}), (:dog2 {k: 2})")
+    assert eng.cypher("MATCH (x:animal) RETURN count(*) AS n").collect()[0]["n"] == 1
+    eng.cypher("ALTER VLABEL dog2 INHERIT animal")
+    assert eng.cypher("MATCH (x:animal) RETURN count(*) AS n").collect()[0]["n"] == 2
+    eng.cypher("ALTER VLABEL dog2 NO INHERIT animal")
+    assert eng.cypher("MATCH (x:animal) RETURN count(*) AS n").collect()[0]["n"] == 1
+
+
+def test_alter_inherit_rejects_cycle(eng):
+    eng.cypher("CREATE VLABEL ca")
+    eng.cypher("CREATE VLABEL cb INHERITS (ca)")
+    import pytest as _pt
+    with _pt.raises(Exception, match="cycle"):
+        eng.cypher("ALTER VLABEL ca INHERIT cb")
