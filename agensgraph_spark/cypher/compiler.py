@@ -806,8 +806,16 @@ class QueryCompiler(WriteMixin):
         if pat.kind in ("shortestpath", "allshortestpaths"):
             edges = escan.select(F.col(f"{evar}__src").alias("src"), F.col(f"{evar}__dst").alias("dst"),
                                  F.col(f"{evar}__id").alias("eid"))
+            # a non-varlen rel in shortestpath is EXACTLY one hop
+            # (cypher_shortestpath2.sql "No Labels": only adjacent pairs
+            # match), while varlen without bounds defaults to the engine
+            # cap; dijkstra below relaxes unbounded regardless
+            # (nodeDijkstra.c ignores the rel's hop count)
             minh = rel.minhops if rel.varlen and rel.minhops is not None else 1
-            maxh = rel.maxhops if rel.varlen and rel.maxhops is not None else self.engine.vle_max_hops
+            if rel.varlen:
+                maxh = rel.maxhops if rel.maxhops is not None else self.engine.vle_max_hops
+            else:
+                maxh = 1
             res = P.bfs_shortest(edges, pairs, minh, maxh, all_paths=(pat.kind == "allshortestpaths"))
             props = []
         else:  # dijkstra

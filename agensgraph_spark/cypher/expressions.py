@@ -234,15 +234,22 @@ class ExprCompiler:
         base = self.tc(e.base)
         if isinstance(base.dtype, T.StructType):
             fld = next((f for f in base.dtype.fields if f.name == e.key), None)
+            is_composite = any(f.name == "properties" for f in base.dtype.fields)
+            if is_composite and e.key != "properties":
+                # entity composite (id/label[/start/end]/properties
+                # struct, e.g. an element of nodes(p)): the JSON document
+                # is consulted FIRST — a property sharing a base-attribute
+                # name wins over the attribute, falling back to the
+                # attribute when absent (reference resolution order,
+                # parse_cypher_expr.c:980-995); values surface as strings
+                # (jsonb parity)
+                jp = F.get_json_object(base.col.getField("properties"), f"$.{e.key}")
+                if fld is not None:
+                    return TC(F.coalesce(jp, base.col.getField(e.key).cast("string")),
+                              T.StringType())
+                return TC(jp, T.StringType())
             if fld is not None:
                 return TC(base.col.getField(e.key), fld.dataType)
-            # entity composite (id/label/properties struct, e.g. an
-            # element of nodes(p)): missing keys read the JSON document,
-            # mirroring the reference's jsonb access (values surface as
-            # strings — jsonb parity)
-            if any(f.name == "properties" for f in base.dtype.fields):
-                return TC(F.get_json_object(base.col.getField("properties"),
-                                            f"$.{e.key}"), T.StringType())
             return TC(base.col.getField(e.key), None)
         if isinstance(base.dtype, T.MapType):
             return TC(base.col.getItem(e.key), base.dtype.valueType)
@@ -742,12 +749,19 @@ class ExprCompiler:
 
     def _f_substring(self, e: A.FuncCall) -> TC:
         """Cypher substring is 0-based (reference:
-        parse_cypher_expr.c:929-962 adjusts the start index)."""
+        parse_cypher_expr.c:929-962 adjusts the start index). A
+        negative start clips the WINDOW, not just the start: with an
+        explicit length the window is [start, start+length) intersected
+        with the string (so substring('123', -1, 1) = '' — AG246,
+        cypher_substring.sql); without a length it reads to the end."""
         s = self.tc(e.args[0]).col.cast("string")
-        start = self.tc(e.args[1]).col.cast("int") + 1
+        start0 = self.tc(e.args[1]).col.cast("int")
+        begin = F.greatest(start0, F.lit(0)) + 1
         if len(e.args) > 2:
-            return TC(s.substr(start, self.tc(e.args[2]).col.cast("int")), T.StringType())
-        return TC(s.substr(start, F.length(s)), T.StringType())
+            ln = self.tc(e.args[2]).col.cast("int")
+            eff = F.greatest(ln + F.least(start0, F.lit(0)), F.lit(0))
+            return TC(s.substr(begin, eff), T.StringType())
+        return TC(s.substr(begin, F.length(s)), T.StringType())
 
     # math -------------------------------------------------------------
 

@@ -652,6 +652,35 @@ SQL_QUERIES: dict[str, str] = {
                     - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS grp_sum_excl
         FROM t
     """,
+    # Window EXCLUDE GROUP / EXCLUDE TIES (reference: gram.y:14728
+    # opt_window_exclusion_clause). Spark has no EXCLUDE syntax; the
+    # exact emulation subtracts the peer-group window from the frame:
+    #   EXCLUDE GROUP = frame_sum - peer_sum   (NULL when frame==group)
+    #   EXCLUDE TIES  = frame_sum - peer_sum + own value
+    # The DuckDB oracle runs NATIVE EXCLUDE, proving equivalence.
+    "sql_window_exclude": """
+        WITH t AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS dr
+            FROM orders WHERE o_custkey < 100
+        ), w AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                       (PARTITION BY o_custkey ORDER BY dr
+                        RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fsum,
+                   COUNT(*) OVER (PARTITION BY o_custkey ORDER BY dr
+                        RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fcnt,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                       (PARTITION BY o_custkey, dr) AS gsum,
+                   COUNT(*) OVER (PARTITION BY o_custkey, dr) AS gcnt
+            FROM t)
+        SELECT o_custkey, o_orderkey,
+               CAST(CASE WHEN fcnt = gcnt THEN NULL ELSE fsum - gsum END AS DOUBLE) AS excl_group,
+               CAST(fsum - gsum + p AS DOUBLE) AS excl_ties
+        FROM w
+    """,
     # TableFuncScan (reference: nodeTableFuncscan.c — XMLTABLE analog):
     # JSON document -> rows via from_json + explode.
     "sql_json_table": """
@@ -712,6 +741,26 @@ SQL_ORACLE_OVERRIDES: dict[str, str] = {
         SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
         FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    # sql_window_exclude: the oracle uses DuckDB's NATIVE window
+    # EXCLUDE modes — the emulation must reproduce them exactly.
+    "sql_window_exclude": """
+        WITH t AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS dr
+            FROM orders WHERE o_custkey < 100
+        )
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY dr
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                     EXCLUDE GROUP) AS DOUBLE) AS excl_group,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY dr
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                     EXCLUDE TIES) AS DOUBLE) AS excl_ties
+        FROM t
     """,
     # sql_window_groups: no override — DuckDB lacks GROUPS mode too, so
     # the oracle runs the identical dense_rank RANGE emulation text.

@@ -176,3 +176,86 @@ def test_labels_multi_parent_dag(eng):
     # scans through either parent see the d row
     assert eng.cypher("MATCH (n:b) RETURN n").count() == 1
     assert eng.cypher("MATCH (n:c) RETURN n").count() == 1
+
+
+# --- substring semantics (cypher_substring.sql, AG246) ---
+
+def test_substring_matrix(eng):
+    """Cypher substring is 0-based; a negative start clips the WINDOW
+    (reference expected outputs, cypher_substring.sql)."""
+    cases2 = {-1: "123", 0: "123", 1: "23", 2: "3", 3: ""}
+    cases3 = {-1: "", 0: "1", 1: "2", 2: "3", 3: ""}
+    for start, exp in cases2.items():
+        got = eng.cypher(f"RETURN substring('123', {start}) AS s").collect()[0]["s"]
+        assert got == exp, (start, got, exp)
+    for start, exp in cases3.items():
+        got = eng.cypher(f"RETURN substring('123', {start}, 1) AS s").collect()[0]["s"]
+        assert got == exp, (start, got, exp)
+    # hybrid: SQL scalar subquery inside Cypher substring
+    got = eng.cypher(
+        "RETURN substring((SELECT substring('12345', 2, 3)), 1, 1) AS s").collect()[0]["s"]
+    assert got == "3"
+
+
+# --- non-varlen shortestpath = exactly one hop (cypher_shortestpath2.sql
+# "No Labels": the unforked chain matches only adjacent pairs) ---
+
+def test_shortestpath_nonvarlen_is_single_hop(eng):
+    eng.cypher("CREATE VLABEL s2")
+    eng.cypher("CREATE ELABEL e2")
+    for i in range(1, 6):
+        eng.cypher(f"CREATE (:s2 {{id: {i}}})")
+    for i in range(1, 5):
+        eng.cypher(f"MATCH (a:s2 {{id: {i}}}), (b:s2 {{id: {i+1}}}) "
+                   "CREATE (a)-[:e2]->(b)")
+    df = eng.cypher("MATCH (a:s2), (c:s2) "
+                    "MATCH shortestpath((a)-[:e2]->(c)) "
+                    "RETURN a.id AS a, c.id AS c ORDER BY a, c")
+    got = [(r["a"], r["c"]) for r in df.collect()]
+    assert got == [(1, 2), (2, 3), (3, 4), (4, 5)]  # adjacent only
+
+
+# --- weighted dijkstra graph (cypher_shortestpath.sql:76-213) ---
+
+_DIJ_EDGES = [(0, 4, 3), (0, 1, 7), (0, 5, 10), (4, 6, 5), (4, 3, 11),
+              (4, 1, 2), (1, 3, 10), (1, 2, 4), (1, 5, 6), (5, 3, 9),
+              (6, 3, 4), (2, 3, 2)]
+
+
+def _dij_graph(eng):
+    eng.cypher("CREATE VLABEL dv2")
+    eng.cypher("CREATE ELABEL de2")
+    for i in range(7):
+        eng.cypher(f"CREATE (:dv2 {{id: {i}}})")
+    for a, b, w in _DIJ_EDGES:
+        eng.cypher(f"MATCH (x:dv2 {{id: {a}}}), (y:dv2 {{id: {b}}}) "
+                   f"CREATE (x)-[:de2 {{weight: {w}}}]->(y)")
+
+
+def _path_ids(eng, row):
+    return row
+
+
+def test_dijkstra_reference_graph(eng):
+    """Non-varlen dijkstra relaxes to arbitrary depth (nodeDijkstra.c):
+    cheapest 0->3 is 0,4,1,2,3 with weight 11 (reference expected
+    output, cypher_shortestpath.out:178-184); with an e.weight >= 5
+    qual only 0,1,3 (weight 17, cypher_shortestpath.out:219-224). The
+    id projection goes through nodes(p) composites — the id PROPERTY
+    wins over the graphid attribute (parse_cypher_expr.c:980-995)."""
+    _dij_graph(eng)
+    df = eng.cypher(
+        "MATCH (v1:dv2 {id: 0}), (v2:dv2 {id: 3}) "
+        "MATCH p = dijkstra((v1)-[e:de2]->(v2), e.weight, w) "
+        "RETURN array_join([x IN nodes(p) | x.id], ',') AS ids, w AS wt")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["ids"] == "0,4,1,2,3" and rows[0]["wt"] == 11.0
+
+    df = eng.cypher(
+        "MATCH (v1:dv2 {id: 0}), (v2:dv2 {id: 3}) "
+        "MATCH p = dijkstra((v1)-[e:de2]->(v2), e.weight, e.weight >= 5, w) "
+        "RETURN array_join([x IN nodes(p) | x.id], ',') AS ids, w AS wt")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["ids"] == "0,1,3" and rows[0]["wt"] == 17.0
