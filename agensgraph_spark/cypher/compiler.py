@@ -735,7 +735,7 @@ class QueryCompiler(WriteMixin):
             F.col("len").alias(f"{evar}__len"),
         )
         self.df = self.df.join(vle, F.col(f"{left_var}__id") == F.col(f"{evar}__seed"), "inner")
-        self.scope.bind(Binding(evar, "path"))
+        self.scope.bind(Binding(evar, "path", rel_array=True))
         edge_refs.append(EdgeRef(evar, True))
         path_eids.append((evar, True))
 
@@ -876,18 +876,35 @@ class QueryCompiler(WriteMixin):
         if self.graph is None or self.df is None:
             return
         wanted: set[tuple[str, str]] = set()
+        # Var nodes consumed directly by path-aware functions resolve to
+        # flat path columns (length/size) — no composite needed there
+        skip: set[int] = set()
         for e in exprs:
             if e is None:
                 continue
             for x in self._iter_expr(e):
                 if isinstance(x, A.FuncCall) and x.args and isinstance(x.args[0], A.Var):
                     nm = x.name.lower()
+                    if nm in ("length", "size"):
+                        skip.add(id(x.args[0]))
+                        continue
                     if nm not in ("nodes", "vertices", "relationships", "edges"):
                         continue
                     b = self.scope.get(x.args[0].name)
                     if b is not None and b.kind == "path":
+                        skip.add(id(x.args[0]))
                         wanted.add((x.args[0].name,
                                     "v" if nm in ("nodes", "vertices") else "e"))
+        for e in exprs:
+            if e is None:
+                continue
+            for x in self._iter_expr(e):
+                # a varlen rel var in any other expression position is
+                # the edge list — materialize its composites
+                if isinstance(x, A.Var) and id(x) not in skip:
+                    b = self.scope.get(x.name)
+                    if b is not None and b.kind == "path" and b.rel_array:
+                        wanted.add((x.name, "e"))
         for pvar, kind in sorted(wanted):
             col_name = f"{pvar}__{'vnodes' if kind == 'v' else 'enodes'}"
             if col_name in self.df.columns:
@@ -1215,7 +1232,10 @@ class QueryCompiler(WriteMixin):
                       + ([proj.where] if proj.where is not None else []))
         self._hoist_subqueries(proj_exprs)
         self._hoist_pattern_preds(proj_exprs)
-        self._materialize_path_composites(proj_exprs)
+        # top-level bare vars pass through as flat columns — only vars
+        # INSIDE larger expressions can need composite materialization
+        self._materialize_path_composites(
+            [x for x in proj_exprs if not isinstance(x, A.Var)])
         items = self._expand_star_items(proj)
         ec = self._ec()
 

@@ -188,6 +188,15 @@ class ExprCompiler:
             return TC(F.struct(*flds), dts)
         if b.kind == "path":
             p = e.name
+            if b.rel_array:
+                # a varlen rel var IS the edge list in expression
+                # position (cypher_dml2.sql AGV2-26/29): composites when
+                # the query compiler materialized them, bare ids as the
+                # non-pipeline fallback
+                name = f"{p}__enodes"
+                if name in self.schema:
+                    return TC(F.col(name), self.schema[name])
+                return TC(F.col(f"{p}__eids"), T.ArrayType(T.LongType()))
             return TC(F.struct(F.col(f"{p}__vids").alias("vids"),
                                F.col(f"{p}__eids").alias("eids"),
                                F.col(f"{p}__len").alias("len")), None)
@@ -237,17 +246,15 @@ class ExprCompiler:
             is_composite = any(f.name == "properties" for f in base.dtype.fields)
             if is_composite and e.key != "properties":
                 # entity composite (id/label[/start/end]/properties
-                # struct, e.g. an element of nodes(p)): the JSON document
-                # is consulted FIRST — a property sharing a base-attribute
-                # name wins over the attribute, falling back to the
-                # attribute when absent (reference resolution order,
-                # parse_cypher_expr.c:980-995); values surface as strings
-                # (jsonb parity)
-                jp = F.get_json_object(base.col.getField("properties"), f"$.{e.key}")
-                if fld is not None:
-                    return TC(F.coalesce(jp, base.col.getField(e.key).cast("string")),
-                              T.StringType())
-                return TC(jp, T.StringType())
+                # struct, e.g. an element of nodes(p)): property access
+                # reads ONLY the JSON document — `x.id` is the id
+                # PROPERTY and is NULL when absent, never the graphid
+                # (reference: cypher_dml2.sql AGV2-29, `all(x in r where
+                # x.id is null)` matches the property-less edge); the
+                # attributes are reached via id()/label()/start()/end().
+                # Values surface as strings (jsonb parity).
+                return TC(F.get_json_object(base.col.getField("properties"),
+                                            f"$.{e.key}"), T.StringType())
             if fld is not None:
                 return TC(base.col.getField(e.key), fld.dataType)
             return TC(base.col.getField(e.key), None)
@@ -530,7 +537,8 @@ class ExprCompiler:
     # entity functions ------------------------------------------------
 
     def _entity_binding(self, arg: A.Expr) -> Binding | None:
-        if isinstance(arg, A.Var):
+        # lambda variables shadow pipeline bindings (x IN nodes(p) | ...)
+        if isinstance(arg, A.Var) and arg.name not in self.lambda_vars:
             return self.scope.get(arg.name)
         return None
 

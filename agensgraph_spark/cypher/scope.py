@@ -27,6 +27,10 @@ class Binding:
     kind: str  # 'vertex' | 'edge' | 'value' | 'path'
     labels: list[str] = field(default_factory=list)  # candidate concrete labels
     props: list[str] = field(default_factory=list)   # property column suffixes
+    # a varlen REL variable (-[r:T*]->) binds as 'path' for column
+    # layout, but in expression position it IS the edge list
+    # (reference: cypher_dml2.sql AGV2-26/29 — head(e), all(x IN r ...))
+    rel_array: bool = False
 
     def cols(self) -> list[str]:
         p = self.var

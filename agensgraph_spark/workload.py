@@ -247,9 +247,9 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "MATCH (c:customer), (r:region) WHERE c.c_custkey < 30 "
         "MATCH p = shortestpath((c)-[:in_nation|in_region*..3]->(r)) "
         "RETURN c.c_custkey AS ckey, "
-        "array_join([x IN nodes(p) | x.label], ',') AS lbls, "
+        "array_join([x IN nodes(p) | label(x)], ',') AS lbls, "
         "array_join([x IN nodes(p) | coalesce(x.n_name, x.r_name, x.c_name)], ',') AS names, "
-        "array_join([x IN relationships(p) | x.label], ',') AS elbls",
+        "array_join([x IN relationships(p) | label(x)], ',') AS elbls",
         "SELECT c_custkey AS ckey, 'customer,nation,region' AS lbls, "
         "c_name || ',' || n_name || ',' || r_name AS names, "
         "'in_nation,in_region' AS elbls "

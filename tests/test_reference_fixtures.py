@@ -259,3 +259,121 @@ def test_dijkstra_reference_graph(eng):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["ids"] == "0,1,3" and rows[0]["wt"] == 17.0
+
+
+# --- varlen rel vars ARE edge lists (cypher_dml2.sql AGV2-26/29) ---
+
+def test_quantifier_over_rel_array(eng):
+    """all(x IN r WHERE x.id IS NULL): property access on the edge
+    composites; the property-less edge matches, the one with an id
+    property does not (cypher_dml2.out:41-48)."""
+    eng.cypher("CREATE VLABEL dv1")
+    eng.cypher("CREATE ELABEL de1")
+    eng.cypher("CREATE (a:dv1 {id: 1}) CREATE (b:dv1 {id: 2}) "
+               "CREATE (a)-[r:de1 {text: 'text'}]->(b)")
+    eng.cypher("CREATE (a:dv1 {id: 3}) CREATE (b:dv1 {id: 4}) "
+               "CREATE (a)-[r:de1 {id: 5, text: 'text'}]->(b)")
+    n = eng.cypher(
+        "MATCH p = (n1)-[r:de1*1..1]->(n2) "
+        "WHERE all(x IN r WHERE x.id IS NULL) "
+        "RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 1
+    n2 = eng.cypher(
+        "MATCH p = (n1)-[r:de1*1..1]->(n2) "
+        "WHERE all(x IN r WHERE x.text IS NOT NULL) "
+        "RETURN count(*) AS n").collect()[0]["n"]
+    assert n2 == 2
+
+
+def test_head_tail_last_over_rel_array(eng):
+    """head/tail/last over a varlen rel var (cypher_dml2.out AGV2-26):
+    elements are edge composites in traversal order."""
+    eng.cypher("CREATE VLABEL hv")
+    eng.cypher("CREATE ELABEL he")
+    for i in range(4):
+        eng.cypher(f"CREATE (:hv {{id: {i}}})")
+    for i in range(3):
+        eng.cypher(f"MATCH (a:hv {{id: {i}}}), (b:hv {{id: {i+1}}}) "
+                   f"CREATE (a)-[:he {{val: {i + 1}}}]->(b)")
+    df = eng.cypher(
+        "MATCH (n:hv {id: 0})-[e:he*3..3]->(m) "
+        "RETURN head(e).val AS h, last(e).val AS l, size(tail(e)) AS nt")
+    r = df.collect()[0]
+    assert (r["h"], r["l"], r["nt"]) == ("1", "3", 2)  # jsonb strings
+
+
+def test_quantifiers_over_nodes_composites(eng):
+    """all/none over nodes(p) with property access
+    (cypher_dml2.sql:77-119 person graph)."""
+    eng.cypher("CREATE (a:person2 {name: 'Alice', age: 51}), "
+               "(c:person2 {name: 'Charlie', age: 53}), "
+               "(d:person2 {name: 'Bob', age: 25}), "
+               "(e:person2 {name: 'Daniel', age: 54}), "
+               "(a)-[:knows2]->(c), (a)-[:knows2]->(d), "
+               "(c)-[:knows2]->(e), (d)-[:knows2]->(e)")
+    # all(: only the path through Charlie keeps every age > 30
+    df = eng.cypher(
+        "MATCH p = (a)-[:knows2*1..3]->(b) "
+        "WHERE a.name = 'Alice' AND b.name = 'Daniel' "
+        "AND all(x IN nodes(p) WHERE toInteger(x.age) > 30) "
+        "RETURN array_join([x IN nodes(p) | x.age], ',') AS ages")
+    assert [r["ages"] for r in df.collect()] == ["51,53,54"]
+    # none(: exclude paths touching Bob (age 25)
+    df2 = eng.cypher(
+        "MATCH p = (a)-[:knows2*1..3]->(b) "
+        "WHERE a.name = 'Alice' "
+        "AND none(x IN nodes(p) WHERE toInteger(x.age) = 25) "
+        "RETURN count(*) AS n")
+    assert df2.collect()[0]["n"] == 2  # Alice->Charlie, Alice->Charlie->Daniel
+
+
+def test_isempty_forms(eng):
+    """isEmpty over string property and properties() map
+    (cypher_dml2.sql:96-118)."""
+    eng.cypher("CREATE (:ie {name: 'x', eyes: ''}), (:ie {name: 'y', eyes: 'blue'})")
+    got = eng.cypher("MATCH (n:ie) WHERE isEmpty(n.eyes) RETURN n.name AS nm").collect()
+    assert [r["nm"] for r in got] == ["x"]
+    got2 = eng.cypher(
+        "MATCH (n:ie) WHERE NOT isEmpty(properties(n)) RETURN count(*) AS n").collect()
+    assert got2[0]["n"] == 2
+
+
+def test_labels_complex_dag_exact_order(eng):
+    """The 10-label diamond-inheritance DAG from cypher_func.sql:96-118;
+    labels() must reproduce the reference's exact closure order
+    (cypher_func.out: nearest-first BFS over parents)."""
+    eng.cypher("CREATE VLABEL la")
+    eng.cypher("CREATE VLABEL lb")
+    eng.cypher("CREATE VLABEL lc INHERITS (la)")
+    eng.cypher("CREATE VLABEL ld INHERITS (la, lb)")
+    eng.cypher("CREATE VLABEL le INHERITS (ld)")
+    eng.cypher("CREATE VLABEL lf INHERITS (la)")
+    eng.cypher("CREATE VLABEL lg INHERITS (le, lf)")
+    eng.cypher("CREATE VLABEL lh INHERITS (lc, lg)")
+    eng.cypher("CREATE VLABEL li INHERITS (lg)")
+    eng.cypher("CREATE VLABEL lj INHERITS (lh, li)")
+    for n in "abcdefghij":
+        eng.cypher(f"CREATE (:l{n} {{name: '{n}'}})")
+    got = {r["nm"]: r["ls"] for r in eng.cypher(
+        "MATCH (n) WHERE n.name IS NOT NULL "
+        "RETURN n.name AS nm, labels(n) AS ls").collect()}
+    exp = {
+        "a": ["la"], "b": ["lb"], "c": ["lc", "la"],
+        "d": ["ld", "la", "lb"], "e": ["le", "ld", "la", "lb"],
+        "f": ["lf", "la"],
+        "g": ["lg", "le", "lf", "ld", "la", "lb"],
+        "h": ["lh", "lc", "lg", "la", "le", "lf", "ld", "lb"],
+        "i": ["li", "lg", "le", "lf", "ld", "la", "lb"],
+        "j": ["lj", "lh", "li", "lc", "lg", "la", "le", "lf", "ld", "lb"],
+    }
+    assert got == exp
+
+
+def test_log_is_natural_log(eng):
+    """AG249: Cypher log() == ln(), log10() is base 10
+    (cypher_func.sql:124-147)."""
+    import math
+    r = eng.cypher("RETURN log(10) AS l, ln(10) AS n, log10(10) AS t").collect()[0]
+    assert abs(r["l"] - math.log(10)) < 1e-12
+    assert r["l"] == r["n"]
+    assert abs(r["t"] - 1.0) < 1e-12
