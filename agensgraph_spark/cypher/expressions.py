@@ -268,10 +268,12 @@ class ExprCompiler:
         idx = self.tc(e.index)
         if base.is_array():
             elem = base.dtype.elementType
-            # Cypher is 0-based with negative wrap; element_at is 1-based
+            # Cypher is 0-based with negative wrap; element_at is
+            # 1-based, and out-of-range access yields NULL (jsonb
+            # semantics) — try_element_at, never an ANSI error
             i = idx.col.cast("int")
             pos = F.when(i >= 0, i + 1).otherwise(i)
-            return TC(F.element_at(base.col, pos), elem)
+            return TC(F.try_element_at(base.col, pos), elem)
         if isinstance(base.dtype, T.MapType):
             return TC(F.element_at(base.col, idx.col), base.dtype.valueType)
         if isinstance(base.dtype, T.StructType):
@@ -283,7 +285,7 @@ class ExprCompiler:
                       T.StringType())
         return TC(F.get_json_object(base.col.cast("string"), f"$[{e.index.value}]")
                   if isinstance(e.index, A.Lit) and isinstance(e.index.value, int)
-                  else F.element_at(base.col, idx.col + 1), None)
+                  else F.try_element_at(base.col, idx.col + 1), None)
 
     def _c_Slice(self, e: A.Slice) -> TC:
         base = self.tc(e.base)

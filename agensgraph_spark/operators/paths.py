@@ -157,6 +157,11 @@ def vle_expand(
     for r in results[1:]:
         out = out.unionByName(r)
     if pinned:
+        # the per-depth union stacks every hop's partitioning — cap the
+        # task count before materializing (coalesce is narrow; a no-op
+        # when the plan is already at or below the target)
+        spread = out.sparkSession.sparkContext.defaultParallelism
+        out = out.coalesce(2 * spread)
         # materialize the expansion once, then release the edge pin:
         # the checkpointed result no longer references the relation
         out = out.localCheckpoint(eager=True)
@@ -246,8 +251,10 @@ def bfs_shortest(
             (F.col("f.seed") == F.col("r.seed")) & (F.col("f.cur") == F.col("r.target")),
         ).select(F.col("f.seed").alias("seed"), F.col("f.cur").alias("target"), "eids", "vids", "len")
         # fold this round's hits into the accumulated (checkpointed)
-        # result — the output never references iteration state
+        # result — the output never references iteration state; coalesce
+        # caps the union's per-round partition stacking (narrow op)
         found = (hit if found is None else found.unionByName(hit)) \
+            .coalesce(frontier.sparkSession.sparkContext.defaultParallelism) \
             .localCheckpoint(eager=True)
         # remaining re-derives from (pairs ∖ found) each round: its
         # lineage stays two frames deep instead of accumulating

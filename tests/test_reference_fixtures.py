@@ -377,3 +377,118 @@ def test_log_is_natural_log(eng):
     assert abs(r["l"] - math.log(10)) < 1e-12
     assert r["l"] == r["n"]
     assert abs(r["t"] - 1.0) < 1e-12
+
+
+# --- VLE hop-range matrix on the 9-chain (cypher_dml.sql:281-344) ---
+
+@pytest.fixture
+def time_chain(eng):
+    eng.cypher("CREATE VLABEL time")
+    eng.cypher("CREATE ELABEL goes")
+    for i in range(1, 10):
+        eng.cypher(f"CREATE (:time {{sec: {i}}})")
+    for i in range(1, 9):
+        eng.cypher(f"MATCH (a:time {{sec: {i}}}), (b:time {{sec: {i+1}}}) "
+                   "CREATE (a)-[:goes]->(b)")
+    return eng
+
+
+def _vle(eng, spec):
+    df = eng.cypher(
+        f"MATCH (a:time)-[x:goes{spec}]->(b:time) "
+        "RETURN a.sec AS a, length(x) AS x, b.sec AS b ORDER BY a, b")
+    return [(r["a"], r["x"], r["b"]) for r in df.collect()]
+
+
+def test_vle_hop_ranges(time_chain):
+    eng = time_chain
+    assert _vle(eng, "*3") == [(a, 3, a + 3) for a in range(1, 7)]
+    # zero length: each vertex pairs with itself
+    assert _vle(eng, "*0") == [(a, 0, a) for a in range(1, 10)]
+    assert _vle(eng, "*0..1") == sorted(
+        [(a, 0, a) for a in range(1, 10)] + [(a, 1, a + 1) for a in range(1, 9)],
+        key=lambda t: (t[0], t[2]))
+    assert _vle(eng, "*..1") == [(a, 1, a + 1) for a in range(1, 9)]
+    assert _vle(eng, "*3..6") == sorted(
+        [(a, n, a + n) for n in (3, 4, 5, 6) for a in range(1, 10 - n)],
+        key=lambda t: (t[0], t[2]))
+
+
+def test_vle_chained_segments(time_chain):
+    """x*2 then y then z*2 — both the one-pattern and the chained-MATCH
+    forms, and the fully reversed direction (cypher_dml.sql:318-341)."""
+    eng = time_chain
+    q1 = ("MATCH (a:time)-[x:goes*2]->(b:time)-[y:goes]->(c:time)-[z:goes*2]->(d:time) "
+          "RETURN a.sec AS a, b.sec AS b, c.sec AS c, d.sec AS d ORDER BY a")
+    q2 = ("MATCH (a:time)-[x:goes*2]->(b:time) MATCH (b)-[y:goes]->(c:time) "
+          "MATCH (c)-[z:goes*2]->(d:time) "
+          "RETURN a.sec AS a, b.sec AS b, c.sec AS c, d.sec AS d ORDER BY a")
+    q3 = ("MATCH (d:time)<-[z:goes*2]-(c:time)<-[y:goes]-(b:time)<-[x:goes*2]-(a:time) "
+          "RETURN a.sec AS a, b.sec AS b, c.sec AS c, d.sec AS d ORDER BY a")
+    exp = [(a, a + 2, a + 3, a + 5) for a in range(1, 5)]
+    for q in (q1, q2, q3):
+        got = [(r["a"], r["b"], r["c"], r["d"]) for r in eng.cypher(q).collect()]
+        assert got == exp, q
+
+
+def test_vle_undirected_zero_to_two(time_chain):
+    """39 rows exactly as the reference expects (cypher_dml.out): per
+    vertex itself at 0 hops, neighbors at 1, distance-2 at 2 — NO
+    bounce-backs (a 2-hop return would reuse the single connecting
+    edge, which per-path edge-uniqueness forbids)."""
+    got = _vle_undir(time_chain)
+    exp = []
+    for a in range(1, 10):
+        exp.append((a, 0, a))
+        for b in (a - 1, a + 1):
+            if 1 <= b <= 9:
+                exp.append((a, 1, b))
+        for b in (a - 2, a + 2):
+            if 1 <= b <= 9:
+                exp.append((a, 2, b))
+    assert sorted(got) == sorted(exp) and len(got) == 39
+
+
+def _vle_undir(eng):
+    df = eng.cypher(
+        "MATCH (a:time)-[x:goes*0..2]-(b:time) "
+        "RETURN a.sec AS a, length(x) AS x, b.sec AS b")
+    return [(r["a"], r["x"], r["b"]) for r in df.collect()]
+
+
+def test_varlen_create_rejected(eng):
+    with pytest.raises(Exception):
+        eng.cypher("CREATE (:t1 {sec: 9})-[:g1*1..2]->(:t1 {sec: 10})")
+
+
+# --- edge uniqueness on an undirected 2-cycle (cypher_dml.sql:787-800) ---
+
+def test_uniqueness_undirected_two_cycle(eng):
+    eng.cypher("CREATE ELABEL rel")
+    eng.cypher("CREATE (s:un {id: 1})-[:rel {p: 'a'}]->(:un {id: 2})"
+               "-[:rel {p: 'b'}]->(s)")
+    df = eng.cypher(
+        "MATCH (s:un)-[r1:rel]-(m:un)-[r2:rel]-(x:un) "
+        "RETURN s.id AS s, r1.p AS r1, m.id AS m, r2.p AS r2, x.id AS x "
+        "ORDER BY s, r1, m, r2, x")
+    got = [(r["s"], r["r1"], r["m"], r["r2"], r["x"]) for r in df.collect()]
+    assert got == [(1, "a", 2, "b", 1), (1, "b", 2, "a", 1),
+                   (2, "a", 1, "b", 2), (2, "b", 1, "a", 2)]
+
+
+def test_vle_zero_length_path_composites(time_chain):
+    """p over *0: nodes(p)[0] is the vertex composite, index 1 and the
+    relationship list are NULL/absent (cypher_dml.out 'VLE with graph
+    path')."""
+    eng = time_chain
+    df = eng.cypher(
+        "MATCH p = (t:time)-[:goes*0]->(:time) "
+        "RETURN properties(nodes(p)[0]) AS first, "
+        "nodes(p)[1] IS NULL AS no_second, "
+        "relationships(p)[0] IS NULL AS no_rel ORDER BY first")
+    rows = df.collect()
+    assert len(rows) == 9
+    import json
+    firsts = sorted(json.loads(r["first"])["sec"] for r in rows)
+    assert firsts == list(range(1, 10))
+    assert all(r["no_second"] and r["no_rel"] for r in rows)
