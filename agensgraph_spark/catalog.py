@@ -159,19 +159,24 @@ class GraphCatalog:
         return out
 
     def ancestors(self, name: str) -> list[str]:
-        """Full ancestor closure (the reference's labels(v) result set),
-        nearest-first, excluding the base label."""
+        """Full ancestor closure (the reference's labels(v) result),
+        excluding the base label: breadth-first over the inheritance
+        DAG, each level deduped against nearer levels and ordered by
+        labid (creation order) WITHIN the level — verified against
+        cypher_func.out's complex fixtures (e.g. `l INHERITS (i,j,k,g)`
+        lists g before i,j,k because g was created first)."""
         seen: list[str] = []
-        stack = [name]
-        while stack:
-            cur = stack.pop(0)
-            meta = self.labels.get(cur)
+        queue = [name]
+        while queue:
+            meta = self.labels.get(queue.pop(0))
             if meta is None:
                 continue
-            for p in meta.parents:
+            for p in sorted(meta.parents,
+                            key=lambda n: self.labels[n].labid
+                            if n in self.labels else 1 << 30):
                 if p not in seen:
                     seen.append(p)
-                    stack.append(p)
+                    queue.append(p)
         return seen
 
     def vlabels(self) -> list[str]:

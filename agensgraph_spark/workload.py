@@ -612,6 +612,107 @@ SQL_QUERIES: dict[str, str] = {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
     """,
+    # q2/q11/q20/q21/q22 complete the 22-query TPC-H suite on the trimmed
+    # schema (no partsupp/commitdate/phone): each preserves the original's
+    # PLAN SHAPE — q2's correlated-min subquery, q11's scalar-subquery
+    # HAVING threshold, q20's nested-IN over grouped aggregates, q21's
+    # EXISTS + NOT-EXISTS double correlation with inequality, q22's
+    # avg-threshold + anti-join. supplycost is the min extended price a
+    # (part, supplier) pair ever shipped at, playing partsupp's role.
+    "sql_tpch_q2": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+               p_partkey, p_brand, CAST(supplycost AS DOUBLE) AS supplycost
+        FROM part
+        JOIN ps ON p_partkey = ps.l_partkey
+        JOIN supplier ON s_suppkey = ps.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size <= 5 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND supplycost = (
+              SELECT MIN(ps2.supplycost)
+              FROM ps ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "sql_tpch_q11": """
+        WITH nval AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM nval
+        WHERE value > (SELECT SUM(value) * 0.001 FROM nval)
+        ORDER BY value DESC, l_partkey
+    """,
+    "sql_tpch_q20": """
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+        ), tot AS (
+            SELECT l_partkey AS tk, SUM(qty) AS totqty FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM shipped
+            JOIN tot ON tk = l_partkey
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND qty > 0.3 * totqty)
+        ORDER BY s_name
+    """,
+    "sql_tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    "sql_tpch_q22": """
+        SELECT cntrycode, count(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        FROM (
+            SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+                   CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey
+            FROM customer
+            WHERE c_nationkey IN (10, 11, 12, 13, 14, 15, 16)
+              AND CAST(c_acctbal AS DECIMAL(18,2))
+                  * (SELECT count(*) FROM customer
+                     WHERE c_acctbal > 0.00 AND c_nationkey IN (10, 11, 12, 13, 14, 15, 16))
+                  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+                     WHERE c_acctbal > 0.00 AND c_nationkey IN (10, 11, 12, 13, 14, 15, 16))
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ) GROUP BY cntrycode ORDER BY cntrycode
+    """,
     # Ordered-set aggregates (reference: orderedsetaggs.c — percentile_cont/
     # disc WITHIN GROUP). DuckDB spells these quantile_cont/disc (override).
     "sql_percentile": """

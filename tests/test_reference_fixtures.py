@@ -492,3 +492,73 @@ def test_vle_zero_length_path_composites(time_chain):
     firsts = sorted(json.loads(r["first"])["sec"] for r in rows)
     assert firsts == list(range(1, 10))
     assert all(r["no_second"] and r["no_rel"] for r in rows)
+
+
+# --- §7 vertex_labels: labels() ancestor closure ordering
+#     (cypher_func.sql:1-123 / cypher_func.out:1-120) ---
+
+def _mk_inherit_graph(eng, decls):
+    for line in decls:
+        eng.cypher(f"CREATE VLABEL {line}")
+    for name in [d.split()[0] for d in decls]:
+        eng.cypher(f"CREATE (:{name} {{name: '{name}'}})")
+    df = eng.cypher("MATCH (n) RETURN n.name AS name, label(n) AS lbl, "
+                    "array_join(labels(n), ',') AS lbls")
+    return {r["name"]: (r["lbl"], r["lbls"]) for r in df.collect()}
+
+
+def test_labels_simple(eng):
+    """labels(n) = own label + BFS ancestor closure, each level ordered
+    by labid (cypher_func.out:38-45: d INHERITS (b,c) → [d,b,c,a])."""
+    got = _mk_inherit_graph(eng, ["a", "b", "c INHERITS (a)", "d INHERITS (b, c)"])
+    assert got == {"a": ("a", "a"), "b": ("b", "b"),
+                   "c": ("c", "c,a"), "d": ("d", "d,b,c,a")}
+
+
+def test_labels_complex1(eng):
+    """cypher_func.out complex test 1: multi-parent DAG; the creation
+    (labid) order wins within a BFS level — l INHERITS (i,j,k,g) lists
+    g first because g predates i,j,k."""
+    got = _mk_inherit_graph(eng, [
+        "a", "b INHERITS (a)", "c", "d", "e INHERITS (b, c)", "f", "g",
+        "h INHERITS (d)", "i INHERITS (d)", "j INHERITS (d)",
+        "k INHERITS (e, f, g)", "l INHERITS (i, j, k, g)"])
+    assert got["b"] == ("b", "b,a")
+    assert got["e"] == ("e", "e,b,c,a")
+    assert got["k"] == ("k", "k,e,f,g,b,c,a")
+    assert got["l"] == ("l", "l,g,i,j,k,d,e,f,b,c,a")
+
+
+def test_labels_complex2(eng):
+    """cypher_func.out complex test 2: an ancestor reachable at two
+    depths sits at its NEAREST level only (a via c at level 2 beats a
+    via f at level 3 for h)."""
+    got = _mk_inherit_graph(eng, [
+        "a", "b", "c INHERITS (a)", "d INHERITS (a, b)", "e INHERITS (d)",
+        "f INHERITS (a)", "g INHERITS (e, f)", "h INHERITS (c, g)",
+        "i INHERITS (g)", "j INHERITS (h, i)"])
+    assert got["d"] == ("d", "d,a,b")
+    assert got["g"] == ("g", "g,e,f,d,a,b")
+    assert got["h"] == ("h", "h,c,g,a,e,f,d,b")
+    assert got["i"] == ("i", "i,g,e,f,d,a,b")
+    assert got["j"] == ("j", "j,h,i,c,g,a,e,f,d,b")
+
+
+def test_log_is_natural_log(eng):
+    """AG249 (cypher_func.sql:125-147): Cypher log() == ln(), log10 is
+    decimal; radians() on a stored 0 property returns 0.0."""
+    import math
+    eng.cypher("CREATE VLABEL numbers")
+    eng.cypher("CREATE (:numbers {string: '10', numeric: 10})")
+    r = eng.cypher("MATCH (u:numbers) RETURN log(u.numeric) AS lg, "
+                   "ln(u.numeric) AS lnv, log10(u.numeric) AS l10").collect()[0]
+    assert r["lg"] == pytest.approx(math.log(10))
+    assert r["lnv"] == pytest.approx(math.log(10))
+    assert r["l10"] == pytest.approx(1.0)
+    r2 = eng.cypher("RETURN log(10) AS lg, log10(10) AS l10").collect()[0]
+    assert r2["lg"] == pytest.approx(math.log(10))
+    assert r2["l10"] == pytest.approx(1.0)
+    eng.cypher("CREATE (:numbers {name: 'arc 0', degree: 0})")
+    r3 = eng.cypher("MATCH (v:numbers) WHERE v.degree IS NOT NULL "
+                    "RETURN radians(v.degree) AS rad").collect()
+    assert [x["rad"] for x in r3] == [0.0]
