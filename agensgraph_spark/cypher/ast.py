@@ -161,6 +161,15 @@ class ScalarSubquery(Expr):
     sql: str
 
 
+@dataclass
+class PathFindExpr(Expr):
+    """shortestpath()/allshortestpaths() in EXPRESSION position over
+    already-bound endpoints (cypher_shortestpath2.sql:334-339): yields
+    the path value (or NULL) per outer row, preserving cardinality —
+    allshortestpaths yields the array of tied paths."""
+    pattern: "PathPattern"
+
+
 # ---------- patterns ----------
 
 @dataclass

@@ -493,6 +493,7 @@ class QueryCompiler(WriteMixin):
         # pattern predicates NOT at top level (inside OR/NOT/CASE/...)
         # become hoisted match-count columns
         self._hoist_pattern_preds(plain)
+        self._hoist_path_exprs(plain)
         pred = None
         for c in plain:
             refs = self._vars_in(c)
@@ -1129,6 +1130,79 @@ class QueryCompiler(WriteMixin):
                 self.df = self._ensure_df().crossJoin(agg)
             self._subq_cols[id(pp)] = cnt
 
+    def _hoist_path_exprs(self, exprs) -> None:
+        """shortestpath()/allshortestpaths() in EXPRESSION position
+        (cypher_shortestpath2.sql:334-339): the pathfind runs over the
+        DISTINCT bound endpoint id pairs and LEFT-joins back, so every
+        outer row survives — unreachable pairs carry NULL, exactly the
+        reference's scalar-position semantics (vs the MATCH form's
+        filtering inner join). allshortestpaths yields the sorted array
+        of tied paths (PostgreSQL array-of-graphpath output)."""
+        import agensgraph_spark.operators.paths as P
+
+        pfs: list[A.PathFindExpr] = []
+        seen: set[int] = set()
+        for e in exprs:
+            for x in self._iter_expr(e):
+                if isinstance(x, A.PathFindExpr) and id(x) not in seen \
+                        and id(x) not in self._subq_cols:
+                    seen.add(id(x))
+                    pfs.append(x)
+        for pf in pfs:
+            pat = pf.pattern
+            if len(pat.elements) != 3:
+                raise NotImplementedError(
+                    "expression-position pathfind must be (a)-[...]->(b)")
+            lnode, rel, rnode = pat.elements
+            lvar, rvar = lnode.var, rnode.var
+            for v in (lvar, rvar):
+                if v is None or self.scope.get(v) is None:
+                    raise ValueError(
+                        "expression-position shortestpath needs BOTH "
+                        "endpoints bound by an earlier MATCH (reference "
+                        "evaluates it over existing vertex rows)")
+            self._force([v for v in (lvar, rvar) if v in self._pending])
+            df = self._ensure_df()
+            pairs = df.select(F.col(f"{lvar}__id").alias("seed"),
+                              F.col(f"{rvar}__id").alias("target")).distinct()
+            evar = rel.var or "_e"
+            escan, _ = self._edge_scan(evar, rel.types, rel.only, rel.direction)
+            escan = self._prop_filter(evar, rel.props, escan)
+            edges = escan.select(F.col(f"{evar}__src").alias("src"),
+                                 F.col(f"{evar}__dst").alias("dst"),
+                                 F.col(f"{evar}__id").alias("eid"))
+            minh = rel.minhops if rel.varlen and rel.minhops is not None else 1
+            if rel.varlen:
+                maxh = rel.maxhops if rel.maxhops is not None else self.engine.vle_max_hops
+            else:
+                maxh = 1  # non-varlen = exactly one hop
+            allp = pat.kind == "allshortestpaths"
+            res = P.bfs_shortest(edges, pairs, minh, maxh, all_paths=allp)
+            n = next(_SUBQ_IDS)
+            pvar = f"__pf_{n}"
+            if allp:
+                res = res.groupBy("seed", "target").agg(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("len"), F.col("vids"), F.col("eids"))
+                    )).alias(f"{pvar}__plist"))
+            else:
+                res = res.select("seed", "target",
+                                 F.col("vids").alias(f"{pvar}__vids"),
+                                 F.col("eids").alias(f"{pvar}__eids"),
+                                 F.col("len").alias(f"{pvar}__len"))
+            res = res.withColumnRenamed("seed", f"{pvar}__seed") \
+                     .withColumnRenamed("target", f"{pvar}__target")
+            self.df = df.join(
+                res,
+                (F.col(f"{lvar}__id") == F.col(f"{pvar}__seed"))
+                & (F.col(f"{rvar}__id") == F.col(f"{pvar}__target")),
+                "left").drop(f"{pvar}__target")
+            # __seed stays: vid arrays exclude the start vertex and the
+            # projection layer prepends it (makeGraphpathDatum order)
+            if not allp:
+                self.scope.bind(Binding(pvar, "path", props=[]))
+            self._subq_cols[id(pf)] = pvar
+
     def _pattern_shared_vars(self, patterns: list[A.PathPattern]) -> list[str]:
         shared = []
         for pat in patterns:
@@ -1232,6 +1306,7 @@ class QueryCompiler(WriteMixin):
                       + ([proj.where] if proj.where is not None else []))
         self._hoist_subqueries(proj_exprs)
         self._hoist_pattern_preds(proj_exprs)
+        self._hoist_path_exprs(proj_exprs)
         # top-level bare vars pass through as flat columns — only vars
         # INSIDE larger expressions can need composite materialization
         self._materialize_path_composites(

@@ -139,6 +139,25 @@ class ExprCompiler:
         val = rows[0][0] if rows else None
         return TC(F.lit(val))
 
+    def _c_PathFindExpr(self, e: "A.PathFindExpr") -> TC:
+        """Hoisted expression-position pathfind: project the left-joined
+        path columns (struct for shortestpath, array of tied paths for
+        allshortestpaths; NULL when unreachable)."""
+        pvar = self.subq_cols.get(id(e))
+        if pvar is None:
+            raise ValueError(
+                "expression-position shortestpath is supported in "
+                "RETURN/WITH/WHERE over bound endpoints only")
+        pl = f"{pvar}__plist"
+        if pl in self.schema:
+            return TC(F.col(pl), self.schema.get(pl))
+        vids = F.concat(F.array(F.col(f"{pvar}__seed")), F.col(f"{pvar}__vids"))
+        st = F.struct(vids.alias("vids"),
+                      F.col(f"{pvar}__eids").alias("eids"),
+                      F.col(f"{pvar}__len").alias("len"))
+        # unreachable pair → NULL path, not a struct of NULLs
+        return TC(F.when(F.col(f"{pvar}__len").isNotNull(), st), None)
+
     def _c_PatternPred(self, e: A.PatternPred) -> TC:
         """EXISTS(pattern) / SIZE(pattern) in expression position — the
         query compiler pre-joins a per-row match count column (CSP_EXISTS
@@ -603,19 +622,28 @@ class ExprCompiler:
 
     # path functions ---------------------------------------------------
 
-    def _path_col(self, arg: A.Expr, suffix: str) -> Column:
+    def _path_var(self, arg: A.Expr) -> str | None:
+        """Resolve a path-valued arg to its column prefix: a bound path
+        variable, or a hoisted expression-position pathfind."""
         if isinstance(arg, A.Var):
             b = self.scope.get(arg.name)
             if b is not None and b.kind == "path":
-                return F.col(f"{arg.name}__{suffix}")
+                return arg.name
+        if isinstance(arg, A.PathFindExpr):
+            return self.subq_cols.get(id(arg))
+        return None
+
+    def _path_col(self, arg: A.Expr, suffix: str) -> Column:
+        p = self._path_var(arg)
+        if p is not None:
+            return F.col(f"{p}__{suffix}")
         raise ValueError("expected a path variable")
 
     def _f_length(self, e: A.FuncCall) -> TC:
         arg = e.args[0]
-        if isinstance(arg, A.Var):
-            b = self.scope.get(arg.name)
-            if b is not None and b.kind == "path":
-                return TC(F.col(f"{arg.name}__len"), T.LongType())
+        p = self._path_var(arg)
+        if p is not None:
+            return TC(F.col(f"{p}__len"), T.LongType())
         t = self.tc(arg)
         if t.is_array():
             return TC(F.size(t.col).cast("long"), T.LongType())
@@ -627,19 +655,21 @@ class ExprCompiler:
         composite column (``__vnodes``) for pipeline contexts; where it
         is absent (write clauses, expression-only contexts) the bare id
         array is a documented fallback."""
-        if isinstance(e.args[0], A.Var):
-            name = f"{e.args[0].name}__vnodes"
-            if name in self.schema:
-                return TC(F.col(name), self.schema[name])
-        return TC(self._path_col(e.args[0], "vids"), T.ArrayType(T.LongType()))
+        p = self._path_var(e.args[0])
+        if p is not None and f"{p}__vnodes" in self.schema:
+            return TC(F.col(f"{p}__vnodes"), self.schema[f"{p}__vnodes"])
+        ids = self._path_col(e.args[0], "vids")
+        if p is not None and f"{p}__seed" in self.schema:
+            # vid arrays exclude the start vertex; graphpath includes it
+            ids = F.concat(F.array(F.col(f"{p}__seed")), ids)
+        return TC(ids, T.ArrayType(T.LongType()))
 
     _f_vertices = _f_nodes
 
     def _f_relationships(self, e: A.FuncCall) -> TC:
-        if isinstance(e.args[0], A.Var):
-            name = f"{e.args[0].name}__enodes"
-            if name in self.schema:
-                return TC(F.col(name), self.schema[name])
+        p = self._path_var(e.args[0])
+        if p is not None and f"{p}__enodes" in self.schema:
+            return TC(F.col(f"{p}__enodes"), self.schema[f"{p}__enodes"])
         return TC(self._path_col(e.args[0], "eids"), T.ArrayType(T.LongType()))
 
     _f_edges = _f_relationships

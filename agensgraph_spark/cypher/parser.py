@@ -359,9 +359,9 @@ class Parser:
             self.expect("]")
         right = self.next()
         if right.kind == "->":
-            if direction == "in":
-                raise ParseError(f"double-headed arrow at {right.pos}")
-            direction = "out"
+            # <-[..]-> collapses to undirected: the reference ORs both
+            # direction bits then resets to DIR_NONE (gram.y:18670-18675)
+            direction = "undir" if direction == "in" else "out"
         elif right.kind == "-":
             direction = direction or "undir"
         else:
@@ -613,7 +613,13 @@ class Parser:
         if t.kind == "IDENT":
             if self.peek(1).kind == "(":
                 low = t.lower()
-                if low in ("shortestpath", "allshortestpaths", "dijkstra"):
+                if low in ("shortestpath", "allshortestpaths"):
+                    # expression-position pathfind returns the path value
+                    # (NULL when unreachable), NOT a boolean
+                    # (cypher_shortestpath2.sql:334-339)
+                    pat = self.parse_pathfind(low, None)
+                    return A.PathFindExpr(pat)
+                if low == "dijkstra":
                     pat = self.parse_pathfind(low, None)
                     return A.PatternPred(pat, "exists")
                 if low == "size" and self.peek(2).kind == "(":

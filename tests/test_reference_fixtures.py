@@ -562,3 +562,81 @@ def test_log_is_natural_log(eng):
     r3 = eng.cypher("MATCH (v:numbers) WHERE v.degree IS NOT NULL "
                     "RETURN radians(v.degree) AS rad").collect()
     assert [x["rad"] for x in r3] == [0.0]
+
+
+# --- §8 expression-position pathfind + both-arrow direction
+#     (cypher_shortestpath2.sql:298-339) ---
+
+@pytest.fixture
+def sp_chain(eng):
+    """Unforked chain 1→2→3 plus orphan 9 (cypher_shortestpath2.sql
+    'Unforked'/'Orphan' reduced)."""
+    for i in (1, 2, 3, 9):
+        eng.cypher(f"CREATE (:n {{id: {i}}})")
+    for a, b in ((1, 2), (2, 3)):
+        eng.cypher(f"MATCH (x:n {{id: {a}}}), (y:n {{id: {b}}}) "
+                   "CREATE (x)-[:e]->(y)")
+    return eng
+
+
+def test_pathfind_expression_position(sp_chain):
+    """RETURN shortestpath((a)-[...]->(b)) preserves outer cardinality:
+    unreachable pairs yield NULL, reachable ones the path value
+    (cypher_shortestpath2.out:334-336 — all 4 o-pair rows survive)."""
+    df = sp_chain.cypher(
+        "MATCH (a:n), (b:n) WHERE a.id IN [1, 9] AND b.id IN [3, 9] "
+        "RETURN a.id AS aid, b.id AS bid, "
+        "length(shortestpath((a)-[:e*]->(b))) AS hops, "
+        "size(nodes(shortestpath((a)-[:e*]->(b)))) AS nv, "
+        "shortestpath((a)-[:e*]->(b)) IS NULL AS nopath "
+        "ORDER BY aid, bid")
+    got = [(r["aid"], r["bid"], r["hops"], r["nv"], r["nopath"])
+           for r in df.collect()]
+    assert got == [(1, 3, 2, 3, False), (1, 9, None, None, True),
+                   (9, 3, None, None, True), (9, 9, None, None, True)]
+
+
+def test_pathfind_expression_nonvarlen_one_hop(sp_chain):
+    """Non-varlen shortestpath((a)-[:e]->(b)) in expression position is
+    EXACTLY one hop: only adjacent pairs get a path
+    (cypher_shortestpath2.out:334 — all NULL for orphan o-pairs)."""
+    df = sp_chain.cypher(
+        "MATCH (a:n), (b:n) WHERE a.id <= 3 AND b.id <= 3 "
+        "RETURN a.id AS aid, b.id AS bid, "
+        "length(shortestpath((a)-[:e]->(b))) AS hops ORDER BY aid, bid")
+    got = {(r["aid"], r["bid"]): r["hops"] for r in df.collect()}
+    assert len(got) == 9
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 3)] is None and got[(1, 1)] is None
+
+
+def test_allshortestpaths_expression_position(eng):
+    """allshortestpaths in expression position returns the ARRAY of
+    tied paths per row (PostgreSQL array-of-graphpath output,
+    cypher_shortestpath2.out:337-339); NULL when unreachable."""
+    # diamond: 1→2→4, 1→3→4 (two tied 2-hop paths)
+    for i in (1, 2, 3, 4):
+        eng.cypher(f"CREATE (:d {{id: {i}}})")
+    for a, b in ((1, 2), (1, 3), (2, 4), (3, 4)):
+        eng.cypher(f"MATCH (x:d {{id: {a}}}), (y:d {{id: {b}}}) "
+                   "CREATE (x)-[:e]->(y)")
+    df = eng.cypher(
+        "MATCH (a:d {id: 1}), (b:d) WHERE b.id IN [4, 1] "
+        "RETURN b.id AS bid, size(allshortestpaths((a)-[:e*]->(b))) AS np "
+        "ORDER BY bid")
+    got = [(r["bid"], r["np"]) for r in df.collect()]
+    assert got == [(1, None), (4, 2)]
+
+
+def test_both_arrow_is_undirected(sp_chain):
+    """<-[..]-> collapses to an undirected pattern: the reference ORs
+    both direction bits then resets to DIR_NONE (gram.y:18670-18675);
+    <-[:e*]-> therefore matches the same rows as -[:e*]-."""
+    undir = sp_chain.cypher(
+        "MATCH (a:n {id: 3}), (b:n {id: 1}) "
+        "MATCH p = shortestpath((a)<-[:e*1..]->(b)) RETURN length(p) AS l")
+    assert [r["l"] for r in undir.collect()] == [2]
+    dash = sp_chain.cypher(
+        "MATCH (a:n {id: 3}), (b:n {id: 1}) "
+        "MATCH p = shortestpath((a)-[:e*1..]-(b)) RETURN length(p) AS l")
+    assert [r["l"] for r in dash.collect()] == [2]
