@@ -1192,10 +1192,14 @@ class QueryCompiler(WriteMixin):
                                  F.col("len").alias(f"{pvar}__len"))
             res = res.withColumnRenamed("seed", f"{pvar}__seed") \
                      .withColumnRenamed("target", f"{pvar}__target")
-            self.df = df.join(
-                res,
-                (F.col(f"{lvar}__id") == F.col(f"{pvar}__seed"))
-                & (F.col(f"{rvar}__id") == F.col(f"{pvar}__target")),
+            # qualified join: res's plan embeds a projection OF the
+            # pipeline (the id-pair seed set), so unqualified column
+            # refs would be ambiguous self-join attributes
+            lalias, ralias = f"__pfl_{n}", f"__pfr_{n}"
+            self.df = df.alias(lalias).join(
+                res.alias(ralias),
+                (F.col(f"{lalias}.{lvar}__id") == F.col(f"{ralias}.{pvar}__seed"))
+                & (F.col(f"{lalias}.{rvar}__id") == F.col(f"{ralias}.{pvar}__target")),
                 "left").drop(f"{pvar}__target")
             # __seed stays: vid arrays exclude the start vertex and the
             # projection layer prepends it (makeGraphpathDatum order)

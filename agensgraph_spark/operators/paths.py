@@ -203,8 +203,29 @@ def bfs_shortest(
         return _bfs_shortest_shallow(edges, pairs, min_hops, max_hops, all_paths)
     edges, small = _pin_edges(edges)
     pairs = pairs.select("seed", "target").distinct().cache()
-    seeds = pairs.select("seed").distinct()
+    pairs_pin = pairs  # unpersist handle (pairs may be narrowed below)
 
+    zero: DataFrame | None = None
+    if min_hops == 0:
+        # a zero-hop path exists iff seed == target — two plain filters,
+        # no self-join (joining pairs back against pairs-derived frames
+        # trips Spark's ambiguous-attribute handling on the cached
+        # relation); the satisfied pairs leave the search set entirely
+        zero = pairs.filter(F.col("seed") == F.col("target")).select(
+            "seed", "target",
+            F.array().cast("array<long>").alias("eids"),
+            F.array().cast("array<long>").alias("vids"),
+            F.lit(0).cast("long").alias("len"))
+        # narrow via anti-join, NOT filter(seed != target): a filter
+        # constraint propagates through the loop's hit joins (even
+        # across localCheckpoint, which preserves constraints) and
+        # Spark's UnionBase.rewriteConstraints crashes on attributes
+        # the hit projection dropped; anti-join output carries only the
+        # left child's constraints
+        pairs = pairs.join(zero.select("seed", "target"),
+                           ["seed", "target"], "left_anti")
+
+    seeds = pairs.select("seed").distinct()
     frontier = seeds.select(
         F.col("seed"),
         F.col("seed").alias("cur"),
@@ -215,12 +236,6 @@ def bfs_shortest(
     found: DataFrame | None = None  # accumulated hits, checkpointed
     remaining = pairs
     visited = frontier.select("seed", "cur")  # vertices seen at depth <= k
-
-    if min_hops == 0:
-        hit0 = frontier.join(remaining, (frontier.seed == remaining.seed) & (frontier.cur == remaining.target)) \
-                       .select(frontier.seed, F.col("cur").alias("target"), "eids", "vids", "len")
-        found = hit0.localCheckpoint(eager=True)
-        remaining = pairs.join(found.select("seed", "target"), ["seed", "target"], "left_anti")
 
     for k in range(1, max_hops + 1):
         step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
@@ -269,7 +284,11 @@ def bfs_shortest(
         if k < max_hops and (max_hops - k > 2) and remaining.isEmpty():
             break
 
-    _unpersist(pairs, edges)
+    _unpersist(pairs_pin, edges)
+    if zero is not None:
+        # zero-length hits merge at the end: depth 0 beats any loop
+        # depth, and seed==target pairs never entered the loop's search
+        found = zero if found is None else found.unionByName(zero)
     if found is None or not found.take(1):
         return pairs.limit(0).select(
             F.col("seed"), F.col("target"),
@@ -306,7 +325,10 @@ def _bfs_shortest_shallow(
     w = Window.partitionBy("seed", "target")
     hit = hit.withColumn("_min", F.min("len").over(w)).filter(F.col("len") == F.col("_min")).drop("_min")
     if not all_paths:
-        w2 = Window.partitionBy("seed", "target").orderBy("len", F.col("eids").getItem(0))
+        # try_element_at: a zero-length path (min_hops=0, seed==target)
+        # has an EMPTY eids array — getItem(0) would raise under ANSI
+        w2 = Window.partitionBy("seed", "target").orderBy(
+            "len", F.try_element_at(F.col("eids"), F.lit(1)))
         hit = hit.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") == 1).drop("_rn")
     return hit
 

@@ -640,3 +640,30 @@ def test_both_arrow_is_undirected(sp_chain):
         "MATCH (a:n {id: 3}), (b:n {id: 1}) "
         "MATCH p = shortestpath((a)-[:e*1..]-(b)) RETURN length(p) AS l")
     assert [r["l"] for r in dash.collect()] == [2]
+
+
+def test_shortestpath_zero_hop(eng):
+    """*0.. zero-length semantics (cypher_shortestpath2.sql:298-305):
+    same-vertex pairs get a zero-length path; distinct unconnected
+    pairs get none; *1.. never matches same-vertex without a cycle."""
+    eng.cypher("CREATE ELABEL e")
+    for i in (1, 2):
+        eng.cypher(f"CREATE (:o {{id: {i}}})")
+    z = eng.cypher("MATCH (a:o {id: 1}), (b:o {id: 1}) "
+                   "MATCH p = shortestpath((a)-[:e*0..]->(b)) "
+                   "RETURN length(p) AS l")
+    assert [r["l"] for r in z.collect()] == [0]
+    n1 = eng.cypher("MATCH (a:o {id: 1}), (b:o {id: 1}) "
+                    "MATCH p = shortestpath((a)-[:e*1..]->(b)) "
+                    "RETURN length(p) AS l")
+    assert n1.count() == 0
+    n2 = eng.cypher("MATCH (a:o {id: 1}), (b:o {id: 2}) "
+                    "MATCH p = shortestpath((a)-[:e*0..]->(b)) "
+                    "RETURN length(p) AS l")
+    assert n2.count() == 0
+    # expression position, same semantics via NULL
+    e0 = eng.cypher("MATCH (a:o), (b:o) "
+                    "RETURN a.id AS x, b.id AS y, "
+                    "length(shortestpath((a)-[:e*0..]->(b))) AS l ORDER BY x, y")
+    got = [(r["x"], r["y"], r["l"]) for r in e0.collect()]
+    assert got == [(1, 1, 0), (1, 2, None), (2, 1, None), (2, 2, 0)]
