@@ -502,6 +502,7 @@ def _mk_inherit_graph(eng, decls):
         eng.cypher(f"CREATE VLABEL {line}")
     for name in [d.split()[0] for d in decls]:
         eng.cypher(f"CREATE (:{name} {{name: '{name}'}})")
+    # (per-label CREATEs are unavoidable: each targets a distinct label)
     df = eng.cypher("MATCH (n) RETURN n.name AS name, label(n) AS lbl, "
                     "array_join(labels(n), ',') AS lbls")
     return {r["name"]: (r["lbl"], r["lbls"]) for r in df.collect()}
@@ -571,11 +572,10 @@ def test_log_is_natural_log(eng):
 def sp_chain(eng):
     """Unforked chain 1→2→3 plus orphan 9 (cypher_shortestpath2.sql
     'Unforked'/'Orphan' reduced)."""
-    for i in (1, 2, 3, 9):
-        eng.cypher(f"CREATE (:n {{id: {i}}})")
-    for a, b in ((1, 2), (2, 3)):
-        eng.cypher(f"MATCH (x:n {{id: {a}}}), (y:n {{id: {b}}}) "
-                   "CREATE (x)-[:e]->(y)")
+    eng.cypher("UNWIND [1, 2, 3, 9] AS i CREATE (:n {id: i})")
+    eng.cypher("UNWIND [[1, 2], [2, 3]] AS ab "
+               "MATCH (x:n), (y:n) WHERE x.id = ab[0] AND y.id = ab[1] "
+               "CREATE (x)-[:e]->(y)")
     return eng
 
 
@@ -615,11 +615,10 @@ def test_allshortestpaths_expression_position(eng):
     tied paths per row (PostgreSQL array-of-graphpath output,
     cypher_shortestpath2.out:337-339); NULL when unreachable."""
     # diamond: 1→2→4, 1→3→4 (two tied 2-hop paths)
-    for i in (1, 2, 3, 4):
-        eng.cypher(f"CREATE (:d {{id: {i}}})")
-    for a, b in ((1, 2), (1, 3), (2, 4), (3, 4)):
-        eng.cypher(f"MATCH (x:d {{id: {a}}}), (y:d {{id: {b}}}) "
-                   "CREATE (x)-[:e]->(y)")
+    eng.cypher("UNWIND [1, 2, 3, 4] AS i CREATE (:d {id: i})")
+    eng.cypher("UNWIND [[1, 2], [1, 3], [2, 4], [3, 4]] AS ab "
+               "MATCH (x:d), (y:d) WHERE x.id = ab[0] AND y.id = ab[1] "
+               "CREATE (x)-[:e]->(y)")
     df = eng.cypher(
         "MATCH (a:d {id: 1}), (b:d) WHERE b.id IN [4, 1] "
         "RETURN b.id AS bid, size(allshortestpaths((a)-[:e*]->(b))) AS np "
@@ -647,8 +646,7 @@ def test_shortestpath_zero_hop(eng):
     same-vertex pairs get a zero-length path; distinct unconnected
     pairs get none; *1.. never matches same-vertex without a cycle."""
     eng.cypher("CREATE ELABEL e")
-    for i in (1, 2):
-        eng.cypher(f"CREATE (:o {{id: {i}}})")
+    eng.cypher("UNWIND [1, 2] AS i CREATE (:o {id: i})")
     z = eng.cypher("MATCH (a:o {id: 1}), (b:o {id: 1}) "
                    "MATCH p = shortestpath((a)-[:e*0..]->(b)) "
                    "RETURN length(p) AS l")
