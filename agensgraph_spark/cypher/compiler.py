@@ -257,6 +257,12 @@ class QueryCompiler(WriteMixin):
         # keeps disconnected components as separate FROM items,
         # parse_graph.c:1464 makeComponents).
         self._pending: dict[str, DataFrame] = {}
+        # MATCH prop-map entries whose value references OUTER pipeline
+        # variables (`UNWIND ... AS i MATCH (x:n {id: i})`): they cannot
+        # filter the standalone scan; applied as pipeline filters after
+        # the pattern folds (reference evaluates prop constraints with
+        # the full query scope visible, parse_graph.c)
+        self._deferred_props: list[tuple[str, str, A.Expr]] = []
         # ScalarSubquery AST node id → hoisted pipeline column name
         self._subq_cols: dict[int, str] = {}
 
@@ -453,11 +459,28 @@ class QueryCompiler(WriteMixin):
                                        if c in df.columns else F.lit(False))
                     continue
                 raise ValueError("node property parameter must be a map")
+            outer = {v for v in self._vars_in(val)
+                     if v != var and self.scope.get(v) is not None}
+            if outer:
+                # value references outer pipeline vars — not resolvable
+                # against the scan; defer to the pipeline frame
+                self._deferred_props.append((var, key, val))
+                continue
             c = f"{var}__{prop_col_name(key)}"
             # a property no candidate label carries is null everywhere →
             # the constraint can never match
             df = df.filter(F.col(c) == ec.col(val) if c in df.columns else F.lit(False))
         return df
+
+    def _apply_deferred_props(self) -> None:
+        while self._deferred_props:
+            var, key, val = self._deferred_props.pop(0)
+            need = [v for v in {var} | self._vars_in(val) if v in self._pending]
+            self._force(need)
+            ec = self._ec()
+            c = f"{var}__{prop_col_name(key)}"
+            self.df = self.df.filter(
+                F.col(c) == ec.col(val) if c in self.df.columns else F.lit(False))
 
     # ---------- MATCH ----------
 
@@ -472,6 +495,7 @@ class QueryCompiler(WriteMixin):
             else:
                 self._fold_pathfind(pat)
         self._edge_uniqueness(edge_refs)
+        self._apply_deferred_props()
         if m.where is not None:
             self._apply_where(m.where)
 

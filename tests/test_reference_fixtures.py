@@ -665,3 +665,19 @@ def test_shortestpath_zero_hop(eng):
                     "length(shortestpath((a)-[:e*0..]->(b))) AS l ORDER BY x, y")
     got = [(r["x"], r["y"], r["l"]) for r in e0.collect()]
     assert got == [(1, 1, 0), (1, 2, None), (2, 1, None), (2, 2, 0)]
+
+
+def test_match_prop_map_pipeline_correlation(eng):
+    """A MATCH prop map may reference outer pipeline variables
+    (`UNWIND ... AS i MATCH (x:n {id: i})`) — the reference evaluates
+    property constraints with the full query scope visible; the engine
+    lifts them to pipeline filters (Catalyst plans the equality as an
+    equi-join, not a filtered cartesian)."""
+    eng.cypher("UNWIND [1, 2, 3] AS i CREATE (:pm {id: i, sq: i * i})")
+    df = eng.cypher("UNWIND [1, 3] AS want "
+                    "MATCH (x:pm {id: want}) RETURN x.sq AS sq ORDER BY sq")
+    assert [r["sq"] for r in df.collect()] == [1, 9]
+    # correlation against an earlier MATCH binding
+    df2 = eng.cypher("MATCH (a:pm {id: 1}) MATCH (b:pm {id: a.id + 1}) "
+                     "RETURN b.sq AS sq")
+    assert [r["sq"] for r in df2.collect()] == [4]
