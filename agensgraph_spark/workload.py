@@ -161,6 +161,18 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT c_custkey AS ckey, CAST(n_regionkey AS BIGINT) AS rkey, CAST(2 AS BIGINT) AS hops "
         "FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 50",
     ),
+    "cy_sp_expr": (
+        # expression-position shortestpath (cypher_shortestpath2.sql:334):
+        # outer cardinality preserved, NULL when unreachable — every
+        # customer reaches exactly one of the 5 regions in 2 hops
+        "MATCH (c:customer), (r:region) WHERE c.c_custkey < 40 "
+        "RETURN c.c_custkey AS ckey, r.r_regionkey AS rkey, "
+        "length(shortestpath((c)-[:in_nation|in_region*..3]->(r))) AS hops",
+        "SELECT c_custkey AS ckey, CAST(r_regionkey AS BIGINT) AS rkey, "
+        "CASE WHEN n_regionkey = r_regionkey THEN CAST(2 AS BIGINT) END AS hops "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+        "CROSS JOIN region WHERE c_custkey < 40",
+    ),
     "cy_multi_hop_region": (
         "MATCH (s:supplier)-[:in_nation]->(n:nation)-[:in_region]->(r:region) "
         "WHERE r.r_name = 'ASIA' RETURN s.s_suppkey AS skey, n.n_name AS nname",
