@@ -89,7 +89,8 @@ _RE = {
     "create_label": re.compile(
         r"^create\s+(vlabel|elabel)\s+(if\s+not\s+exists\s+)?(\w+)"
         r"(?:\s+inherits\s*\(\s*([\w\s,]+?)\s*\))?$", re.I),
-    "drop_label": re.compile(r"^drop\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)$", re.I),
+    "drop_label": re.compile(
+        r"^drop\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)(\s+cascade)?$", re.I),
     # ALTER VLABEL/ELABEL (gram.y:16784-16915): logical subset —
     # RENAME TO / [NO] INHERIT; storage options are n/a by design
     "alter_rename": re.compile(

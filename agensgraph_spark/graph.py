@@ -208,6 +208,24 @@ class Graph:
         return (out.groupBy("edge_label", "start_labid", "end_labid")
                 .agg(F.count(F.lit(1)).alias("edgecount")))
 
+    def graphmeta_view(self) -> DataFrame:
+        """The reference's ``ag_graphmeta_view`` (graphmeta.sql:16):
+        edge stats with labids resolved to NAMES through the live
+        catalog. Inner-map semantics — rows whose endpoint label was
+        dropped vanish from the view, exactly as the reference's view
+        joins ag_graphmeta against ag_label."""
+        stats = self.edge_stats()
+        pairs = []
+        for m in self.catalog.labels.values():
+            if m.kind == "v":
+                pairs += [F.lit(int(m.labid)), F.lit(m.name)]
+        name_of = F.create_map(*pairs) if pairs else F.create_map()
+        return (stats
+                .withColumn("start", F.element_at(name_of, F.col("start_labid").cast("int")))
+                .withColumn("end", F.element_at(name_of, F.col("end_labid").cast("int")))
+                .filter(F.col("start").isNotNull() & F.col("end").isNotNull())
+                .select("start", F.col("edge_label").alias("edge"), "end", "edgecount"))
+
     # ---- SQL interop (reference: Cypher results usable as SQL relations) ----
 
     def register_views(self, spark: SparkSession, prefix: str | None = None) -> None:

@@ -681,3 +681,46 @@ def test_match_prop_map_pipeline_correlation(eng):
     df2 = eng.cypher("MATCH (a:pm {id: 1}) MATCH (b:pm {id: a.id + 1}) "
                      "RETURN b.sq AS sq")
     assert [r["sq"] for r in df2.collect()] == [4]
+
+
+# --- §9 ag_graphmeta view parity (graphmeta.sql, graphmeta.out) ---
+
+def test_graphmeta_view_dml_sequence(eng):
+    """Replays graphmeta.sql's DML sequence and checks the
+    ag_graphmeta_view analog after every step against graphmeta.out's
+    expected tables. Our stats derive from the live edge frames (always
+    consistent) instead of incremental counters; transactions and
+    savepoints are n/a by design (batch snapshots)."""
+    def view():
+        return [tuple(r) for r in
+                eng.graph.graphmeta_view().orderBy("start", "edge", "end").collect()]
+
+    eng.cypher("CREATE (:human)-[:know]->(:human {age: 1})")
+    eng.cypher("MERGE (:human)-[:know]->(:human {age: 2})")  # no match → create
+    eng.cypher("MERGE (:human)-[:know]->(:human {age: 3})")
+    eng.cypher("CREATE (:dog)-[:follow]->(:human)")
+    eng.cypher("CREATE (:dog)-[:likes]->(:dog)")
+    assert view() == [("dog", "follow", "human", 1), ("dog", "likes", "dog", 1),
+                      ("human", "know", "human", 3)]  # graphmeta.out:13-18
+
+    for _ in range(3):
+        eng.cypher("CREATE (:human)-[:know]->(:human)-[:follow]->(:human)"
+                   "-[:hate]->(:human)-[:love]->(:human)")
+    assert view() == [("dog", "follow", "human", 1), ("dog", "likes", "dog", 1),
+                      ("human", "follow", "human", 3), ("human", "hate", "human", 3),
+                      ("human", "know", "human", 6), ("human", "love", "human", 3)]
+
+    eng.cypher("CREATE (:human)-[:know]->(:human)-[:know]->(:human)"
+               "-[:know]->(:human)-[:know]->(:human)")
+    assert ("human", "know", "human", 10) in view()  # graphmeta.out:40-46
+
+    eng.cypher("MATCH (a)-[r:love]->(b) DELETE r")
+    got = view()
+    assert not any(t[1] == "love" for t in got)  # graphmeta.out:50-58
+    assert ("human", "know", "human", 10) in got
+
+    eng.cypher("DROP ELABEL hate CASCADE")
+    assert not any(t[1] == "hate" for t in view())  # graphmeta.out:62-69
+
+    eng.cypher("DROP VLABEL human CASCADE")
+    assert view() == [("dog", "likes", "dog", 1)]  # graphmeta.out:73-77
