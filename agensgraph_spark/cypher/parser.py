@@ -317,6 +317,12 @@ class Parser:
         elif self.peek().kind == "PARAM":
             p = self.next()
             props = A.MapLit([("__param__", A.Param(p.text))])
+        elif self.peek().kind == "=":
+            # whole-map assignment `(:v2 =properties(a))` — the node's
+            # property map IS the expression (cypher_eager.sql:48;
+            # gram.y cypher_prop_map_opt '=' expression)
+            self.next()
+            props = A.MapLit([("__copy__", self.parse_expr())])
         self.expect(")")
         return A.NodePat(var, labels, props, only=only)
 

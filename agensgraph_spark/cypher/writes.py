@@ -187,6 +187,29 @@ class WriteMixin:
                 for k2, v2 in pv.items():
                     out.append((k2, F.lit(v2)))
                 continue
+            if key == "__copy__":
+                # whole-map assignment: keys must be statically known —
+                # properties(var) expands to the binding's columns, a map
+                # literal to its entries (cypher_eager.sql:48 CREATE-SET)
+                from agensgraph_spark.graph import prop_display_name
+                if (isinstance(val, A.FuncCall)
+                        and val.name.lower() in ("properties",)
+                        and len(val.args) == 1 and isinstance(val.args[0], A.Var)):
+                    src = val.args[0].name
+                    b = self.scope.get(src)
+                    if b is None or b.kind not in ("vertex", "edge"):
+                        raise ValueError(
+                            f"properties({src}) needs a bound vertex/edge")
+                    for p in b.props:
+                        out.append((prop_display_name(p), F.col(f"{src}__{p}")))
+                    continue
+                if isinstance(val, A.MapLit):
+                    for k2, v2 in val.items:
+                        out.append((k2, ec.col(v2)))
+                    continue
+                raise NotImplementedError(
+                    "whole-map property assignment supports properties(var) "
+                    "and map literals (flat typed columns need static keys)")
             out.append((key, ec.col(val)))
         return out
 

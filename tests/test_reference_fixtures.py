@@ -724,3 +724,81 @@ def test_graphmeta_view_dml_sequence(eng):
 
     eng.cypher("DROP VLABEL human CASCADE")
     assert view() == [("dog", "likes", "dog", 1)]  # graphmeta.out:73-77
+
+
+# --- §10 eager-plan write sequences (cypher_eager.sql / cypher_eager.out) ---
+
+@pytest.fixture
+def eager_graph(eng):
+    for v in ("v1", "v2"):
+        eng.cypher(f"CREATE VLABEL {v}")
+    eng.cypher("CREATE VLABEL v3 INHERITS (v2)")
+    eng.cypher("UNWIND [1, 2, 3] AS i CREATE (:v1 {no: i})")
+    return eng
+
+
+def _v2view(eng):
+    return [tuple(r) for r in eng.cypher(
+        "MATCH (a:v2) RETURN label(a) AS l, a.no AS no ORDER BY l, no").collect()]
+
+
+def test_eager_create_create(eager_graph):
+    """cypher_eager.out:24-37: later CREATE clauses see earlier ones'
+    input cardinality, not their outputs."""
+    eng = eager_graph
+    eng.cypher("MATCH (a:v1) CREATE (b:v3 {no: a.no}) CREATE (c:v2 {no: a.no + 2})")
+    assert _v2view(eng) == [("v2", 3), ("v2", 4), ("v2", 5),
+                            ("v3", 1), ("v3", 2), ("v3", 3)]
+
+
+def test_eager_create_set_copyprops(eager_graph):
+    """cypher_eager.out:56-71: `(:v3 =properties(a))` copies a's map;
+    the trailing SET mutates the SOURCE rows only — the copies keep the
+    pre-SET values (eager materialization)."""
+    eng = eager_graph
+    eng.cypher("MATCH (a:v1) CREATE (:v2 =properties(a))")
+    eng.cypher("MATCH (a:v2) CREATE (:v3 =properties(a)) SET a.no = a.no + 1")
+    assert _v2view(eng) == [("v2", 2), ("v2", 3), ("v2", 4),
+                            ("v3", 1), ("v3", 2), ("v3", 3)]
+
+
+def test_eager_create_delete(eager_graph):
+    """cypher_eager.out:74-86: CREATE copies survive the DELETE of
+    their source rows within the same statement."""
+    eng = eager_graph
+    eng.cypher("MATCH (a:v1) CREATE (:v2 =properties(a))")
+    eng.cypher("MATCH (a:v2) CREATE (:v3 =properties(a)) DELETE a")
+    assert _v2view(eng) == [("v3", 1), ("v3", 2), ("v3", 3)]
+
+
+def test_eager_merge_create(eager_graph):
+    """cypher_eager.out:89-103."""
+    eng = eager_graph
+    eng.cypher("MATCH (a:v1) MERGE (b:v2 {no: a.no}) CREATE (c:v3 {no: a.no + 2})")
+    assert _v2view(eng) == [("v2", 1), ("v2", 2), ("v2", 3),
+                            ("v3", 3), ("v3", 4), ("v3", 5)]
+
+
+def test_eager_merge_merge_inheritance_visibility(eager_graph):
+    """cypher_eager.out:106-124: the second MERGE's match scans v2's
+    inheritance subtree INCLUDING rows the first MERGE just created —
+    (c:v2 {no: 3}) matches the new v3:3, so only v2:4 and v2:5 appear."""
+    eng = eager_graph
+    eng.cypher("MATCH (a:v1) MERGE (b:v3 {no: a.no}) MERGE (c:v2 {no: a.no + 2})")
+    assert _v2view(eng) == [("v2", 4), ("v2", 5),
+                            ("v3", 1), ("v3", 2), ("v3", 3)]
+
+
+@pytest.mark.xfail(reason="per-input-row sequential MERGE accumulation "
+                   "(ON MATCH SET cnt = cnt + 1 observing earlier rows of "
+                   "the SAME statement, cypher_eager.out:144-156) is OLTP "
+                   "row-at-a-time execution — batch snapshot writes apply "
+                   "SET once per statement; documented deviation "
+                   "(BASELINE.md: transactional updates re-imagined as "
+                   "batch)", strict=True)
+def test_eager_merge_set_merge_sequential(eager_graph):
+    eng = eager_graph
+    out = eng.cypher("MATCH (:v1) MERGE (a:v2 {no: 1}) "
+                     "ON MATCH SET a.cnt = a.cnt + 1 ON CREATE SET a.cnt = 0 "
+                     "MERGE (b:v2 {cnt: 2}) RETURN a = b AS eq")
+    assert [r["eq"] for r in out.collect()] == [True, True, True]
