@@ -431,12 +431,16 @@ class WriteMixin:
                 assigns[prop_col_name(it.target.key)] = None
             elif isinstance(it.target, A.Prop):
                 assigns[prop_col_name(it.target.key)] = ec.col(it.value)
-            else:  # whole-entity SET n = {...} / n += {...}
-                if not isinstance(it.value, A.MapLit):
-                    raise ValueError("SET var = expr requires a map literal")
+            else:  # whole-entity SET n = {...} / n = properties(m) / n += ...
+                val = it.value
+                if not isinstance(val, A.MapLit):
+                    # SET n = properties(m) copies another binding's map
+                    # (execCypherSet.c whole-jsonb assignment); wrap so
+                    # _eval_props expands it to static columns
+                    val = A.MapLit([("__copy__", val)])
                 if it.op == "set":
                     replace_all = True
-                for k, vcol in self._eval_props(it.value):
+                for k, vcol in self._eval_props(val):
                     assigns[prop_col_name(k)] = vcol
         if replace_all:
             for p in b.props:

@@ -250,3 +250,22 @@ def test_delete_then_create_same_statement(eng):
     assert eng.cypher("MATCH (t:tmp1) RETURN t").count() == 0
     got = rows(eng.cypher("MATCH (t:tmp2) RETURN t.v AS v"), "v")
     assert got == [(100,), (200,)]
+
+
+def test_set_whole_map_from_properties(spark):
+    """SET n = properties(m) replaces the whole map (reference:
+    execCypherSet.c whole-jsonb assignment; cypher_eager.sql uses the
+    same form in CREATE); += merges, preserving unmentioned keys."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH setmap")
+    eng.cypher("UNWIND [1, 2] AS i CREATE (:sa {x: i, y: i * 10})")
+    eng.cypher("UNWIND [1, 2] AS i CREATE (:sb {x: i * 100, q: i})")
+    eng.cypher("MATCH (m:sa {x: 1}), (n:sb {x: 100}) SET n = properties(m)")
+    got = [tuple(r) for r in eng.cypher(
+        "MATCH (n:sb) RETURN n.x AS x, n.y AS y, n.q AS q ORDER BY x").collect()]
+    assert got == [(1, 10, None), (200, None, 2)]   # q erased by replace
+    eng.cypher("MATCH (m:sa {x: 2}), (n:sb {x: 200}) SET n += properties(m)")
+    got2 = [tuple(r) for r in eng.cypher(
+        "MATCH (n:sb) RETURN n.x AS x, n.y AS y, n.q AS q ORDER BY x").collect()]
+    assert got2 == [(1, 10, None), (2, 20, 2)]      # += keeps q
