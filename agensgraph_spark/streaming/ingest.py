@@ -65,6 +65,30 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: turns at-least-once delivery into
+    an exactly-once record set. First arrival of each key wins and is
+    emitted immediately; later duplicates are filtered against state.
+
+    When ``keys`` includes the event-time column, plain dropDuplicates
+    state expires with the watermark; otherwise use Spark's
+    dropDuplicatesWithinWatermark so the seen-set stays bounded — the
+    required shape for delivery-dedup at 100 TB, where an unbounded
+    global seen-set cannot fit in state."""
+    from pyspark.sql import types as T
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    wm = events.withWatermark(ts_col, watermark)
+    if ts_col in keys:
+        return wm.dropDuplicates(keys)
+    return wm.dropDuplicatesWithinWatermark(keys)
+
+
 def stream_append_label(
     stream_df: DataFrame,
     snapshot_dir: str,

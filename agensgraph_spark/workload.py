@@ -1114,6 +1114,29 @@ def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup for real: at-least-once delivery becomes an
+    exactly-once key set via dropDuplicatesWithinWatermark (bounded
+    state). Emits the retained (user, type, hour) keys — a SET, so the
+    first-arrival nondeterminism of dedup never reaches the compare."""
+    from agensgraph_spark.loader import normalize_event_ts
+    from agensgraph_spark.streaming import stream_dedup
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = stream.withColumn(
+        "ts", normalize_event_ts(raw_schema["ts"].dataType).cast("timestamp"))
+    stream = stream.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    ded = stream_dedup(stream, ["user_id", "event_type", "hour"], watermark="2 hours")
+    out = ded.select("user_id", "event_type",
+                     F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hr"))
+    q = (out.writeStream.format("memory").queryName("stream_dedup_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_dedup_sink")
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator for real: gap sessionization
     via applyInPandasWithState (streaming/sessionize.py), driven through
@@ -1351,6 +1374,11 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
+    "stream_dedup": (_q_stream_dedup, """
+        SELECT DISTINCT user_id, event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr
+        FROM events
+    """),
     "stream_events_hourly": (_q_stream_events_hourly, """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
                event_type, count(*) AS n,
