@@ -725,6 +725,31 @@ SQL_QUERIES: dict[str, str] = {
                               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         ) GROUP BY cntrycode ORDER BY cntrycode
     """,
+    # DISTINCT ON (PostgreSQL extension the reference inherits,
+    # gram.y distinct_clause): first row per group in ORDER BY order —
+    # emulated with row_number; the DuckDB oracle runs NATIVE
+    # DISTINCT ON (see SQL_ORACLE_OVERRIDES), proving equivalence.
+    "sql_distinct_on": """
+        SELECT c_nationkey, c_custkey, bal FROM (
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+                   CAST(c_acctbal AS DOUBLE) AS bal,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer) t WHERE rn = 1
+        ORDER BY c_nationkey
+    """,
+    # LATERAL subquery (reference: PostgreSQL LATERAL, gram.y
+    # joined_table) — per-row dependent top-k; the same text runs on
+    # Spark (Catalyst DecorrelateInnerQuery plans a ranked join) and
+    # DuckDB.
+    "sql_lateral_topk": """
+        SELECT c_custkey, o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey < 200
+    """,
     # Ordered-set aggregates (reference: orderedsetaggs.c — percentile_cont/
     # disc WITHIN GROUP). DuckDB spells these quantile_cont/disc (override).
     "sql_percentile": """
@@ -828,6 +853,13 @@ SQL_QUERIES: dict[str, str] = {
 
 # DuckDB-side text tweaks where dialects diverge.
 SQL_ORACLE_OVERRIDES: dict[str, str] = {
+    # native DISTINCT ON on the oracle side vs our window emulation
+    "sql_distinct_on": """
+        SELECT DISTINCT ON (c_nationkey)
+               CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """,
     "sql_json_props": """
         SELECT event_type,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
