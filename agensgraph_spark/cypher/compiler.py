@@ -522,7 +522,8 @@ class QueryCompiler(WriteMixin):
         for c in plain:
             refs = self._vars_in(c)
             pend_refs = [v for v in refs if v in self._pending]
-            hoisted = any(isinstance(x, (A.ScalarSubquery, A.PatternPred))
+            hoisted = any(isinstance(x, (A.ScalarSubquery, A.PatternPred,
+                                         A.PathFindExpr))
                           for x in self._iter_expr(c))
             if len(refs) == 1 and pend_refs and not hoisted:
                 # single-variable conjunct over a deferred component scan:
@@ -1172,6 +1173,7 @@ class QueryCompiler(WriteMixin):
                         and id(x) not in self._subq_cols:
                     seen.add(id(x))
                     pfs.append(x)
+        done: dict[tuple, str] = {}
         for pf in pfs:
             pat = pf.pattern
             if len(pat.elements) != 3:
@@ -1179,6 +1181,14 @@ class QueryCompiler(WriteMixin):
                     "expression-position pathfind must be (a)-[...]->(b)")
             lnode, rel, rnode = pat.elements
             lvar, rvar = lnode.var, rnode.var
+            # structurally identical pathfinds in one projection (e.g.
+            # length(shortestpath(p)) AND nodes(shortestpath(p))) share
+            # one BFS run and one joined column set
+            key = (pat.kind, lvar, rvar, tuple(rel.types), rel.direction,
+                   rel.varlen, rel.minhops, rel.maxhops, rel.only)
+            if rel.props is None and key in done:
+                self._subq_cols[id(pf)] = done[key]
+                continue
             for v in (lvar, rvar):
                 if v is None or self.scope.get(v) is None:
                     raise ValueError(
@@ -1230,6 +1240,8 @@ class QueryCompiler(WriteMixin):
             if not allp:
                 self.scope.bind(Binding(pvar, "path", props=[]))
             self._subq_cols[id(pf)] = pvar
+            if rel.props is None:
+                done[key] = pvar
 
     def _pattern_shared_vars(self, patterns: list[A.PathPattern]) -> list[str]:
         shared = []
