@@ -909,6 +909,17 @@ class QueryCompiler(WriteMixin):
             if e is None:
                 continue
             for x in self._iter_expr(e):
+                if isinstance(x, A.FuncCall) and x.args \
+                        and isinstance(x.args[0], A.PathFindExpr):
+                    # hoisted expression-position pathfind: join the
+                    # composites onto its left-joined path columns too
+                    nm = x.name.lower()
+                    if nm in ("nodes", "vertices", "relationships", "edges"):
+                        pvar = self._subq_cols.get(id(x.args[0]))
+                        if pvar is not None and self.scope.get(pvar) is not None:
+                            wanted.add((pvar,
+                                        "v" if nm in ("nodes", "vertices") else "e"))
+                    continue
                 if isinstance(x, A.FuncCall) and x.args and isinstance(x.args[0], A.Var):
                     nm = x.name.lower()
                     if nm in ("length", "size"):

@@ -802,3 +802,17 @@ def test_eager_merge_set_merge_sequential(eager_graph):
                      "ON MATCH SET a.cnt = a.cnt + 1 ON CREATE SET a.cnt = 0 "
                      "MERGE (b:v2 {cnt: 2}) RETURN a = b AS eq")
     assert [r["eq"] for r in out.collect()] == [True, True, True]
+
+
+def test_pathfind_expression_composites(sp_chain):
+    """Composites project through nodes()/relationships() of an
+    EXPRESSION-position shortestpath (ids(nodes(shortestpath(...))) in
+    cypher_shortestpath2.sql:344-347); NULL rows stay NULL."""
+    df = sp_chain.cypher(
+        "MATCH (a:n {id: 1}), (b:n) WHERE b.id IN [3, 9] "
+        "RETURN b.id AS bid, "
+        "array_join([x IN nodes(shortestpath((a)-[:e*]->(b))) "
+        "| toString(x.id)], ',') AS ids "
+        "ORDER BY bid")
+    assert [(r["bid"], r["ids"]) for r in df.collect()] == \
+        [(3, "1,2,3"), (9, None)]
