@@ -215,3 +215,29 @@ def test_edge_scan_prunes_unused_union_branch(eng, spark):
     rows = df.count()
     sup = spark.read.parquet(f"{SF}/supplier.parquet").count()
     assert rows == sup
+
+
+def test_lateral_topk_no_cartesian(spark):
+    """sql_lateral_topk: Catalyst decorrelates the LATERAL dependent
+    top-k into a ranked join — never a cartesian over customers."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["sql_lateral_topk"](spark, SF)
+    plan = physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sp_expr_left_join_no_cartesian(spark):
+    """cy_sp_expr: the expression-position shortestpath LEFT-joins the
+    pathfind result back to the pipeline on ids — the only cross join
+    is the endpoint id-pair SEED SET (narrow), never the wide rows."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["cy_sp_expr"](spark, SF)
+    plan = physical(df)
+    # wide-row products would surface as a cartesian over non-id columns
+    for frag in re.findall(r"CartesianProduct.*", plan):
+        assert "c_name" not in frag and "c_mktsegment" not in frag
+    rows = df.count()
+    # cardinality preserved: customers(<40) x 5 regions
+    assert rows == spark.read.parquet(f"{SF}/customer.parquet") \
+        .filter(F.col("c_custkey") < 40).count() * 5
