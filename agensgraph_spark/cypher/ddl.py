@@ -48,6 +48,10 @@ class GraphStore:
         self.graph_path: str | None = None
         self.indexes: dict[str, list[PropertyIndex]] = {}
         self.constraints: dict[str, list[Constraint]] = {}
+        # COMMENT ON {GRAPH|VLABEL|ELABEL} metadata (pg_description
+        # analog); keyed (kind, name) within the current graph for
+        # labels, ('graph', name) for graphs
+        self.comments: dict[tuple[str, str], str] = {}
 
     # ---- graph management ----
 
@@ -76,6 +80,25 @@ class GraphStore:
         if self.graph_path == name:
             self.graph_path = next(iter(self.graphs), None)
 
+    def rename_graph(self, old: str, new: str) -> None:
+        """ALTER GRAPH old RENAME TO new (cypher_ddl.sql:30; the
+        reference renames the backing schema + ag_graph row). Ownership
+        and tablespace clauses are storage-level — n/a by design."""
+        if old not in self.graphs:
+            raise ValueError(f"graph {old!r} does not exist")
+        if new in self.graphs:
+            raise ValueError(f"graph {new!r} already exists")
+        g = self.graphs.pop(old)
+        g.catalog.name = new
+        self.graphs[new] = g
+        for coll in (self.indexes, self.constraints):
+            if old in coll:
+                coll[new] = coll.pop(old)
+        if ("graph", old) in self.comments:
+            self.comments[("graph", new)] = self.comments.pop(("graph", old))
+        if self.graph_path == old:
+            self.graph_path = new
+
     def current(self) -> Graph:
         if self.graph_path is None:
             raise ValueError("no current graph; CREATE GRAPH first or SET graph_path")
@@ -101,6 +124,12 @@ _RE = {
         r"^create\s+(unique\s+)?property\s+index\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
     "create_constraint": re.compile(
         r"^create\s+constraint\s+(?:\w+\s+)?on\s+(\w+)\s+assert\s+(.+?)(\s+is\s+unique)?$", re.I),
+    "alter_graph_rename": re.compile(
+        r"^alter\s+graph\s+(\w+)\s+rename\s+to\s+(\w+)$", re.I),
+    # COMMENT ON GRAPH/VLABEL/ELABEL (cypher_ddl.sql:121-122)
+    "comment_on": re.compile(
+        r"^comment\s+on\s+(graph|vlabel|elabel)\s+(\w+)\s+is\s+"
+        r"(?:'((?:[^']|'')*)'|(null))$", re.I),
 }
 
 
@@ -125,6 +154,26 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
     m = _RE["drop_graph"].match(s)
     if m:
         store.drop_graph(m.group(2), cascade=bool(m.group(3)), if_exists=bool(m.group(1)))
+        return True
+    m = _RE["alter_graph_rename"].match(s)
+    if m:
+        store.rename_graph(m.group(1), m.group(2))
+        return True
+    m = _RE["comment_on"].match(s)
+    if m:
+        kind, name = m.group(1).lower(), m.group(2)
+        if kind == "graph":
+            if name not in store.graphs:
+                raise ValueError(f"graph {name!r} does not exist")
+        else:
+            meta = store.current().catalog.labels.get(name)
+            want = "v" if kind == "vlabel" else "e"
+            if meta is None or meta.kind != want:
+                raise ValueError(f"{kind} {name!r} does not exist")
+        if m.group(4):  # IS NULL removes the comment
+            store.comments.pop((kind, name), None)
+        else:
+            store.comments[(kind, name)] = m.group(3).replace("''", "'")
         return True
     m = _RE["set_path"].match(s)
     if m:

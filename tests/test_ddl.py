@@ -149,3 +149,39 @@ def test_alter_inherit_rejects_cycle(eng):
     import pytest as _pt
     with _pt.raises(Exception, match="cycle"):
         eng.cypher("ALTER VLABEL ca INHERIT cb")
+
+
+def test_alter_graph_rename(spark):
+    """ALTER GRAPH ... RENAME TO (cypher_ddl.sql:30-32): data, path,
+    and metadata follow the new name."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH rn_a")
+    eng.cypher("CREATE VLABEL rv")
+    eng.cypher("CREATE (:rv {x: 1})")
+    eng.cypher("ALTER GRAPH rn_a RENAME TO rn_b")
+    assert eng.store.graph_path == "rn_b"
+    assert [r["x"] for r in eng.cypher("MATCH (n:rv) RETURN n.x AS x").collect()] == [1]
+    eng.cypher("ALTER GRAPH rn_b RENAME TO rn_a")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        eng.cypher("ALTER GRAPH nope RENAME TO x")
+
+
+def test_comment_on(spark):
+    """COMMENT ON GRAPH/VLABEL/ELABEL (cypher_ddl.sql:121-122) records
+    pg_description-style metadata; IS NULL removes it."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH cmt")
+    eng.cypher("CREATE VLABEL cv")
+    eng.cypher("COMMENT ON GRAPH cmt IS 'a graph for regression tests'")
+    eng.cypher("COMMENT ON VLABEL cv IS 'it''s a label'")
+    assert eng.store.comments[("graph", "cmt")] == "a graph for regression tests"
+    assert eng.store.comments[("vlabel", "cv")] == "it's a label"
+    eng.cypher("COMMENT ON VLABEL cv IS NULL")
+    assert ("vlabel", "cv") not in eng.store.comments
+    # SET graph_path still routes (regression for the dispatch chain)
+    eng.cypher("CREATE GRAPH cmt2")
+    eng.cypher("SET graph_path = cmt")
+    assert eng.store.graph_path == "cmt"
