@@ -356,10 +356,35 @@ class ExprCompiler:
         t = self.tc(e.operand)
         return TC(-t.col if e.op == "-" else t.col, t.dtype)
 
+    _GRAPHID_FNS = ("id", "start", "end", "startnode", "endnode")
+
+    def _graphid_lit(self, other: A.Expr) -> Column | None:
+        """'labid.locid' string/float literals coerce to graphid when
+        compared against an id-valued side (cypher_dml.sql:1204-1218:
+        id(n) = '1.1', id(n) > 1.1 — the reference's numeric/text →
+        graphid casts, graph.h graphid_in)."""
+        import re as _re
+        if isinstance(other, A.Lit) and isinstance(other.value, (str, float)):
+            m = _re.fullmatch(r"(\d+)\.(\d+)", str(other.value))
+            if m:
+                from agensgraph_spark.graphid import make_graphid
+                return F.lit(make_graphid(int(m.group(1)), int(m.group(2))))
+        return None
+
+    def _is_graphid_expr(self, x: A.Expr) -> bool:
+        if self.entity_id(x) is not None:
+            return True
+        return (isinstance(x, A.FuncCall)
+                and x.name.lower() in self._GRAPHID_FNS)
+
     def _c_Cmp(self, e: A.Cmp) -> TC:
         lid, rid = self.entity_id(e.left), self.entity_id(e.right)
         if lid is not None and rid is not None:
             l, r = TC(lid, T.LongType()), TC(rid, T.LongType())
+        elif self._is_graphid_expr(e.left) and (g := self._graphid_lit(e.right)) is not None:
+            l, r = self.tc(e.left), TC(g, T.LongType())
+        elif self._is_graphid_expr(e.right) and (g := self._graphid_lit(e.left)) is not None:
+            l, r = TC(g, T.LongType()), self.tc(e.right)
         else:
             l, r = self.tc(e.left), self.tc(e.right)
         ops: dict[str, Callable[[Column, Column], Column]] = {

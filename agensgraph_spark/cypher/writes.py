@@ -203,6 +203,15 @@ class WriteMixin:
                     for p in b.props:
                         out.append((prop_display_name(p), F.col(f"{src}__{p}")))
                     continue
+                if isinstance(val, A.Var):
+                    # CREATE (=r): a bare row/entity binding's columns
+                    # become the map (implicit LOAD, cypher_dml.sql:1228)
+                    b = self.scope.get(val.name)
+                    if b is not None and b.kind in ("row", "vertex", "edge") and b.props:
+                        for p in b.props:
+                            out.append((prop_display_name(p),
+                                        F.col(f"{val.name}__{p}")))
+                        continue
                 if isinstance(val, A.MapLit):
                     for k2, v2 in val.items:
                         out.append((k2, ec.col(v2)))

@@ -816,3 +816,28 @@ def test_pathfind_expression_composites(sp_chain):
         "ORDER BY bid")
     assert [(r["bid"], r["ids"]) for r in df.collect()] == \
         [(3, "1,2,3"), (9, None)]
+
+
+def test_graphid_literal_comparison(eng, spark):
+    """'labid.locid' string/float literals coerce to graphid against an
+    id-valued side (cypher_dml.sql:1204-1218; graphid_in graph.h)."""
+    eng.cypher("CREATE ()")
+    eng.cypher("CREATE ()")
+    def c(cond):
+        return eng.cypher(f"MATCH (n) WHERE {cond} RETURN count(*) AS c") \
+                  .collect()[0]["c"]
+    assert c("id(n) = '1.1'") == 1
+    assert c("id(n) > 1.1") == 1
+    assert c("id(n) <= 1.2") == 2
+    assert c("id(n) <> 1.1") == 1
+
+
+def test_implicit_load_whole_row(eng, spark):
+    """LOAD FROM table AS r CREATE (=r): the row's columns become the
+    vertex's property map (cypher_dml.sql:1221-1232 implicit load)."""
+    spark.createDataFrame([(1, "one"), (2, "two")], "id int, name string") \
+         .createOrReplaceTempView("ext_rows")
+    eng.cypher("LOAD FROM ext_rows AS r CREATE (:loaded =r)")
+    got = [tuple(r) for r in eng.cypher(
+        "MATCH (n:loaded) RETURN n.id AS i, n.name AS nm ORDER BY i").collect()]
+    assert got == [(1, "one"), (2, "two")]
