@@ -96,6 +96,11 @@ class ExprCompiler:
         self.udfs = udfs or {}
         self.subq_cols = subq_cols or {}
         self.lambda_vars: dict[str, TC] = {}
+        # SET-clause sequential visibility: within one comma list, a
+        # later assignment's RHS reads EARLIER assignments' values
+        # (cypher_dml.out: SET a.age = 11, a.age = a.age + 1 → 12);
+        # the write compiler installs pending columns here
+        self.col_overrides: dict[str, Column] = {}
 
     # ---- public ----
 
@@ -250,6 +255,8 @@ class ExprCompiler:
                 # reads the jsonb property; id(u) reads the graphid)
                 from agensgraph_spark.graph import prop_col_name
                 name = f"{e.base.name}__{prop_col_name(e.key)}"
+                if name in self.col_overrides:
+                    return TC(self.col_overrides[name], self.schema.get(name))
                 if name in self.schema:
                     return TC(F.col(name), self.schema[name])
                 name = f"{e.base.name}__{e.key}"

@@ -438,10 +438,21 @@ class WriteMixin:
         for it in items:
             if it.op == "remove":
                 assigns[prop_col_name(it.target.key)] = None
+                ec.col_overrides[f"{var}__{prop_col_name(it.target.key)}"] = F.lit(None)
             elif isinstance(it.target, A.Prop):
-                assigns[prop_col_name(it.target.key)] = ec.col(it.value)
+                if it.op == "add":
+                    # reference: += exists for the whole map only
+                    raise ValueError("+= operator on a property is not allowed")
+                col = ec.col(it.value)
+                assigns[prop_col_name(it.target.key)] = col
+                # later items in the same SET list read this value
+                ec.col_overrides[f"{var}__{prop_col_name(it.target.key)}"] = col
             else:  # whole-entity SET n = {...} / n = properties(m) / n += ...
                 val = it.value
+                if isinstance(val, A.Lit) and val.value is None:
+                    raise ValueError(
+                        "cannot set property map to NULL — use {} to "
+                        "remove all properties")
                 if not isinstance(val, A.MapLit):
                     # SET n = properties(m) copies another binding's map
                     # (execCypherSet.c whole-jsonb assignment); wrap so

@@ -841,3 +841,40 @@ def test_implicit_load_whole_row(eng, spark):
     got = [tuple(r) for r in eng.cypher(
         "MATCH (n:loaded) RETURN n.id AS i, n.name AS nm ORDER BY i").collect()]
     assert got == [(1, "one"), (2, "two")]
+
+
+# --- §11 SET micro-semantics (cypher_dml.sql:824-965 / cypher_dml.out) ---
+
+def test_set_sequential_visibility(eng):
+    """Within one SET list AND across SET clauses, later assignments
+    read earlier ones (cypher_dml.out: SET a.age = 11, a.age = a.age+1
+    → 12; the swap form does NOT swap — both end at 2)."""
+    eng.cypher("CREATE (:t1 {age: 10})")
+    eng.cypher("MATCH (a:t1) SET a.age = 11, a.age = a.age + 1")
+    assert eng.cypher("MATCH (a:t1) RETURN a.age AS x").collect()[0]["x"] == 12
+
+    eng.cypher("CREATE (:t2 {age: 10})")
+    eng.cypher("MATCH (a:t2) SET a.age = 11 SET a.age = a.age + 1")
+    assert eng.cypher("MATCH (a:t2) RETURN a.age AS x").collect()[0]["x"] == 12
+
+    eng.cypher("CREATE (:t3 {age: 1})-[:rel]->(:t3 {age: 2})")
+    eng.cypher("MATCH (a:t3)-[]->(b:t3) "
+               "SET a.age = a.age + 1, b.age = a.age + b.age")
+    assert sorted(r["x"] for r in eng.cypher(
+        "MATCH (n:t3) RETURN n.age AS x").collect()) == [2, 4]
+
+    eng.cypher("CREATE (:t4 {val: 1})-[:rel]->(:t4 {val: 2})")
+    eng.cypher("MATCH (a:t4)-[]->(b:t4) SET a.val = b.val, b.val = a.val")
+    assert sorted(r["x"] for r in eng.cypher(
+        "MATCH (n:t4) RETURN n.val AS x").collect()) == [2, 2]
+
+
+def test_set_error_parity(eng):
+    """cypher_dml.out error cases: SET map to NULL and += on a single
+    property are rejected."""
+    eng.cypher("CREATE (:te {name: 'x'})")
+    for q in ["MATCH (a:te) SET a = NULL",
+              "MATCH (a:te) SET a += NULL",
+              "MATCH (a:te) SET a.name += 'someone'"]:
+        with pytest.raises(ValueError):
+            eng.cypher(q)
