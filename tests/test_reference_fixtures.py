@@ -878,3 +878,33 @@ def test_set_error_parity(eng):
               "MATCH (a:te) SET a.name += 'someone'"]:
         with pytest.raises(ValueError):
             eng.cypher(q)
+
+
+def test_null_property_semantics(eng):
+    """cypher_dml.out 'working with NULL': a NULL-valued property is
+    absent from properties(), a {k: NULL} prop-map match yields no
+    rows, IS NULL reads the missing key, SET k = NULL removes it."""
+    import json
+    eng.cypher("CREATE VLABEL person")
+    eng.cypher("CREATE (:person {name: 'bitnine', age: NULL})")
+    p = eng.cypher("MATCH (a:person {name: 'bitnine'}) "
+                   "RETURN properties(a) AS a").collect()[0]["a"]
+    assert json.loads(p) == {"name": "bitnine"}
+    assert eng.cypher("MATCH (a:person {age: NULL}) RETURN a").count() == 0
+    assert eng.cypher("MATCH (a:person) WHERE a.age IS NULL RETURN a").count() == 1
+    eng.cypher("CREATE (:person {name: 'agens', key1: 1, key2: 2})")
+    eng.cypher("MATCH (a:person {name: 'agens'}) SET a.key1 = NULL")
+    p2 = eng.cypher("MATCH (a:person {name: 'agens'}) "
+                    "RETURN properties(a) AS p").collect()[0]["p"]
+    assert json.loads(p2) == {"name": "agens", "key2": 2}
+
+
+def test_delete_null_object_noop(eng):
+    """DELETE of a NULL entity (unmatched OPTIONAL MATCH) is a no-op,
+    and repeating it stays a no-op (cypher_dml.sql:670-682)."""
+    eng.cypher("CREATE ({name: 'agensgraph'})-[:made_by]->({name: 'bitnine'})")
+    for _ in range(2):
+        eng.cypher("MATCH (a {name: 'agensgraph'}), (g {name: 'bitnine'}) "
+                   "OPTIONAL MATCH (a)-[r:made_by]-(g) DELETE r")
+    assert eng.cypher("MATCH (n) RETURN n").count() == 2
+    assert eng.cypher("MATCH ()-[r]->() RETURN r").count() == 0
