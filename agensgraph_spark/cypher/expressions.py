@@ -637,6 +637,11 @@ class ExprCompiler:
 
     _f_startnode = _f_start
     _f_endnode = _f_end
+    # start_vertex/end_vertex (reference cypher_funcs.c returns the
+    # vertex composite; here the graphid — DELETE and id-comparisons
+    # consume it, property projection should MATCH the endpoint)
+    _f_start_vertex = _f_start
+    _f_end_vertex = _f_end
 
     def _f_properties(self, e: A.FuncCall) -> TC:
         b = self._entity_binding(e.args[0])

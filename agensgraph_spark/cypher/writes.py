@@ -325,7 +325,20 @@ class WriteMixin:
         e_victims: list[DataFrame] = []
         for e in d.exprs:
             if not isinstance(e, A.Var):
-                raise ValueError("DELETE takes bound variables")
+                # entity-valued EXPRESSION: vertices(p)[i],
+                # start_vertex(r)/end_vertex(r) — delete by its id
+                # (cypher_dml.sql:658-662); kind from the expression root
+                kind = self._delete_expr_kind(e)
+                ec = self._ec()
+                t = ec.tc(e)
+                import pyspark.sql.types as _T
+                col = t.col
+                if isinstance(t.dtype, _T.StructType) and any(
+                        f.name == "id" for f in t.dtype.fields):
+                    col = col.getField("id")
+                victims = self.df.select(col.cast("long").alias("id"))                                  .where(F.col("id").isNotNull()).distinct()
+                (v_victims if kind == "v" else e_victims).append(victims)
+                continue
             b = self.scope.require(e.name)
             if b.kind == "vertex":
                 v_victims.append(self.df.select(F.col(f"{e.name}__id").alias("id")).distinct())
@@ -383,6 +396,22 @@ class WriteMixin:
                               f["id"] == F.col("__eid"), "left_anti").localCheckpoint(eager=True)
                 self.wctx.stats.deletededges += f.count() - keep.count()
                 self.wctx.replace(lbl, keep)
+
+    def _delete_expr_kind(self, e: A.Expr) -> str:
+        """'v' or 'e' for an entity-valued DELETE expression."""
+        x = e
+        if isinstance(x, A.Index):
+            x = x.base
+        if isinstance(x, A.FuncCall):
+            nm = x.name.lower()
+            if nm in ("nodes", "vertices", "start_vertex", "end_vertex",
+                      "startnode", "endnode"):
+                return "v"
+            if nm in ("relationships", "edges"):
+                return "e"
+        raise ValueError(
+            "DELETE takes bound variables or entity-valued expressions "
+            "(vertices(p)[i], start_vertex(r), ...)")
 
     @staticmethod
     def _union_ids(dfs: list[DataFrame]) -> DataFrame | None:

@@ -908,3 +908,18 @@ def test_delete_null_object_noop(eng):
                    "OPTIONAL MATCH (a)-[r:made_by]-(g) DELETE r")
     assert eng.cypher("MATCH (n) RETURN n").count() == 2
     assert eng.cypher("MATCH ()-[r]->() RETURN r").count() == 0
+
+
+def test_delete_entity_expressions(eng):
+    """DETACH DELETE accepts entity-valued expressions — an indexed
+    path vertex and end_vertex(edge) (cypher_dml.sql:658-662; indexing
+    is Cypher 0-based here vs the out-file's SQL 1-based arrays)."""
+    eng.cypher("CREATE (:repo {name: 'a'})-[:lib]->(:repo {name: 'b'})")
+    eng.cypher("CREATE (:repo {name: 'c'})-[:doc]->(:repo {name: 'd'})")
+    eng.cypher("MATCH p=()-[:lib]->() DETACH DELETE (vertices(p))[0]")
+    assert [r["n"] for r in eng.cypher(
+        "MATCH (x:repo) RETURN x.name AS n ORDER BY n").collect()] == ["b", "c", "d"]
+    eng.cypher("MATCH ()-[a:doc]->() DETACH DELETE end_vertex(a)")
+    assert [r["n"] for r in eng.cypher(
+        "MATCH (x:repo) RETURN x.name AS n ORDER BY n").collect()] == ["b", "c"]
+    assert eng.cypher("MATCH ()-[r]->() RETURN r").count() == 0
