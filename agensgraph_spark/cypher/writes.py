@@ -562,6 +562,21 @@ class WriteMixin:
         if first:
             self.df = self._ensure_df()
         pat = m.pattern
+        # Undirected MERGE rels: the MATCH phase scans both orientations
+        # (the pattern compiler's genEdgeUnion path); when nothing
+        # matches, the CREATE phase instantiates left→right — the
+        # reference's behavior (cypher_dml.out 'unspecified direction':
+        # startnode is the left endpoint). Normalize the CREATE copy.
+        if any(isinstance(el, A.RelPat) and el.direction == "undir"
+               for el in pat.elements):
+            import dataclasses as _dc
+            pat = _dc.replace(pat, elements=[
+                _dc.replace(el, direction="out")
+                if isinstance(el, A.RelPat) and el.direction == "undir" else el
+                for el in pat.elements])
+            pat_match = m.pattern  # undirected: both orientations match
+        else:
+            pat_match = pat
 
         # labels mentioned by the pattern are auto-created (as in the
         # CREATE path) so the match phase scans them as empty
@@ -585,10 +600,10 @@ class WriteMixin:
         # pattern, so created elements still get the lifted properties.
         outer_vars = set(self.scope.bindings)
         lifted: list[tuple[str, str, A.Expr]] = []  # (el_var, prop_key, expr)
-        match_pat = pat
+        match_pat = pat_match
         if not first and outer_vars:
             new_elements = []
-            for el in pat.elements:
+            for el in pat_match.elements:
                 props = getattr(el, "props", None)
                 keep_items = []
                 if props is not None and el.var:
@@ -603,7 +618,7 @@ class WriteMixin:
                     el.props = A.MapLit(keep_items) if keep_items else None
                 new_elements.append(el)
             if lifted:
-                match_pat = _copy.copy(pat)
+                match_pat = _copy.copy(pat_match)
                 match_pat.elements = new_elements
 
         # 1. try to match the whole pattern against the working graph

@@ -923,3 +923,17 @@ def test_delete_entity_expressions(eng):
     assert [r["n"] for r in eng.cypher(
         "MATCH (x:repo) RETURN x.name AS n ORDER BY n").collect()] == ["b", "c"]
     assert eng.cypher("MATCH ()-[r]->() RETURN r").count() == 0
+
+
+def test_merge_unspecified_direction(eng):
+    """cypher_dml.out 'unspecified direction': undirected MERGE matches
+    EITHER orientation; the create branch instantiates left→right
+    (startnode = left endpoint)."""
+    eng.cypher("CREATE (:m {id: 2}), (:m {id: 1})")
+    eng.cypher("MATCH (a:m {id: 2}), (b:m {id: 1}) MERGE (a)-[r:e1]-(b)")
+    got = [tuple(r) for r in eng.cypher(
+        "MATCH (x:m)-[:e1]->(y:m) RETURN x.id AS s, y.id AS e").collect()]
+    assert got == [(2, 1)]
+    # reversed endpoints MATCH the existing edge — no second create
+    eng.cypher("MATCH (a:m {id: 1}), (b:m {id: 2}) MERGE (a)-[r:e1]-(b)")
+    assert eng.cypher("MATCH ()-[r:e1]->() RETURN r").count() == 1
