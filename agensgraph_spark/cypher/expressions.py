@@ -247,6 +247,14 @@ class ExprCompiler:
         return None
 
     def _c_Prop(self, e: A.Prop) -> TC:
+        if isinstance(e.base, A.FuncCall) and e.base.name.lower() == "unnest":
+            # unnest(arr).k — Spark generators cannot nest inside other
+            # expressions, so push the access INSIDE the array first:
+            # unnest([x IN arr | x.k]) (reference SRF projection,
+            # cypher_dml.sql:1242 unnest(nodes(p)).id)
+            v = "__unnest_x"
+            lc = A.ListComp(v, e.base.args[0], None, A.Prop(A.Var(v), e.key))
+            return self.tc(A.FuncCall("unnest", [lc]))
         if isinstance(e.base, A.Var) and e.base.name not in self.lambda_vars:
             b = self.scope.get(e.base.name)
             if b is not None and b.kind in ("vertex", "edge", "path", "row"):
@@ -712,6 +720,15 @@ class ExprCompiler:
     _f_edges = _f_relationships
 
     # scalar / list functions -----------------------------------------
+
+    def _f_unnest(self, e: A.FuncCall) -> TC:
+        """SQL unnest as a Cypher SRF (cypher_dml.sql:1242): expands
+        the array into rows. Spark allows ONE generator per projection
+        and only at top level — the same constraint PostgreSQL puts on
+        SRFs in unrelated positions."""
+        t = self.tc(e.args[0])
+        el = t.dtype.elementType if t.is_array() else None
+        return TC(F.explode(t.col), el)
 
     def _f_size(self, e: A.FuncCall) -> TC:
         t = self.tc(e.args[0])

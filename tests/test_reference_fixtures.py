@@ -937,3 +937,16 @@ def test_merge_unspecified_direction(eng):
     # reversed endpoints MATCH the existing edge — no second create
     eng.cypher("MATCH (a:m {id: 1}), (b:m {id: 2}) MERGE (a)-[r:e1]-(b)")
     assert eng.cypher("MATCH ()-[r:e1]->() RETURN r").count() == 1
+
+
+def test_unnest_srf(eng):
+    """unnest() as a Cypher SRF (cypher_dml.sql:1242 SRF block):
+    expands an array into rows; unnest(nodes(p)).k projects a property
+    through the expansion (access pushed inside the array — Spark
+    allows one generator per projection, top-level only)."""
+    eng.cypher("CREATE (:sv {id: 1})-[:se]->(:sv {id: 2})")
+    out = eng.cypher("MATCH p=(:sv)-[:se]->(:sv) "
+                     "RETURN toInteger(unnest(nodes(p)).id) AS i")
+    assert sorted(r["i"] for r in out.collect()) == [1, 2]
+    out2 = eng.cypher("RETURN unnest([10, 20, 30]) AS x")
+    assert sorted(r["x"] for r in out2.collect()) == [10, 20, 30]
