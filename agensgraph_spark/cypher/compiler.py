@@ -1166,6 +1166,61 @@ class QueryCompiler(WriteMixin):
                 self.df = self._ensure_df().crossJoin(agg)
             self._subq_cols[id(pp)] = cnt
 
+    def _pull_up_unnest(self, e: A.Expr) -> A.Expr:
+        """SRF pull-up (reference: PostgreSQL hoists set-returning
+        functions out of arbitrary target-list positions): Spark allows
+        a generator only at the TOP of a projection, so any expression
+        wrapping unnest(arr) is pushed inside the array first —
+        E(unnest(arr)) becomes unnest([x IN arr | E(x)])."""
+        target = None
+        for x in self._iter_expr(e):
+            if isinstance(x, A.FuncCall) and x.name.lower() == "unnest":
+                target = x
+                break
+        if target is None or target is e:
+            return e
+        v = "__srf_x"
+        replaced = self._replace_expr(e, target, A.Var(v))
+        return A.FuncCall("unnest",
+                          [A.ListComp(v, target.args[0], None, replaced)])
+
+    def _replace_expr(self, root, target, repl):
+        """Copy-on-write AST substitution of one node (by identity)."""
+        import copy as _copy
+        import dataclasses as _dc
+        if root is target:
+            return repl
+        if not isinstance(root, A.Expr) or not _dc.is_dataclass(root):
+            return root
+        new = _copy.copy(root)
+        changed = False
+        for f in _dc.fields(root):
+            val = getattr(root, f.name)
+            if isinstance(val, A.Expr):
+                nv = self._replace_expr(val, target, repl)
+                if nv is not val:
+                    setattr(new, f.name, nv)
+                    changed = True
+            elif isinstance(val, list):
+                nl = []
+                dirty = False
+                for item in val:
+                    if isinstance(item, A.Expr):
+                        ni = self._replace_expr(item, target, repl)
+                        dirty |= ni is not item
+                        nl.append(ni)
+                    elif (isinstance(item, tuple) and len(item) == 2
+                          and isinstance(item[1], A.Expr)):
+                        ni = (item[0], self._replace_expr(item[1], target, repl))
+                        dirty |= ni[1] is not item[1]
+                        nl.append(ni)
+                    else:
+                        nl.append(item)
+                if dirty:
+                    setattr(new, f.name, nl)
+                    changed = True
+        return new if changed else root
+
     def _hoist_path_exprs(self, exprs) -> None:
         """shortestpath()/allshortestpaths() in EXPRESSION position
         (cypher_shortestpath2.sql:334-339): the pathfind runs over the
@@ -1363,6 +1418,9 @@ class QueryCompiler(WriteMixin):
         self._materialize_path_composites(
             [x for x in proj_exprs if not isinstance(x, A.Var)])
         items = self._expand_star_items(proj)
+        for it in items:
+            if it.expr is not None:
+                it.expr = self._pull_up_unnest(it.expr)
         ec = self._ec()
 
         out_cols: list[Column] = []       # final select/agg columns
