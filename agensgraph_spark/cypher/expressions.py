@@ -192,8 +192,21 @@ class ExprCompiler:
     def _c_Param(self, e: A.Param) -> TC:
         if e.name not in self.params:
             raise ValueError(f"missing parameter ${e.name}")
-        return self._c_Lit(A.Lit(self.params[e.name])) if not isinstance(self.params[e.name], (list, dict)) \
-            else TC(F.lit(self.params[e.name]))
+        v = self.params[e.name]
+        if not isinstance(v, (list, dict)):
+            return self._c_Lit(A.Lit(v))
+        return TC(self._py_lit(v))
+
+    @classmethod
+    def _py_lit(cls, v) -> Column:
+        """Structured parameter values → literal columns: dicts become
+        structs (field access via .k), lists arrays — the jsonb
+        parameter shapes of PREPARE t(_jsonb) (cypher_dml.sql:1369)."""
+        if isinstance(v, dict):
+            return F.struct(*[cls._py_lit(x).alias(str(k)) for k, x in v.items()])
+        if isinstance(v, (list, tuple)):
+            return F.array(*[cls._py_lit(x) for x in v])
+        return F.lit(v)
 
     def _c_Var(self, e: A.Var) -> TC:
         if e.name in self.lambda_vars:

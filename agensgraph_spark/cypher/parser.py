@@ -291,7 +291,31 @@ class Parser:
         return inner
 
     def parse_plain_pattern(self, var: str | None) -> A.PathPattern:
-        elements: list = [self.parse_node()]
+        # parenthesized path pattern `((u)-[..]->(v))` (reference
+        # grammar nests cypher_path in parens; cypher_dml.sql:1394
+        # AG-254 fixtures use this form). Backtrack if the outer paren
+        # turns out to be a plain node.
+        if self.peek().kind == "(" and self.peek(1).kind == "(":
+            save = self.i
+            self.next()
+            try:
+                elements: list = [self.parse_node()]
+                while self.peek().kind in ("-", "<-"):
+                    rel = self.parse_rel()
+                    elements.append(rel)
+                    elements.append(self.parse_node())
+                self.expect(")")
+                if len(elements) > 1:
+                    # a rel chain may continue after the group
+                    while self.peek().kind in ("-", "<-"):
+                        rel = self.parse_rel()
+                        elements.append(rel)
+                        elements.append(self.parse_node())
+                    return A.PathPattern(var, elements)
+                self.i = save  # `((n))`-style: re-parse as a plain node
+            except ParseError:
+                self.i = save
+        elements = [self.parse_node()]
         while self.peek().kind in ("-", "<-"):
             rel = self.parse_rel()
             node = self.parse_node()

@@ -950,3 +950,33 @@ def test_unnest_srf(eng):
     assert sorted(r["i"] for r in out.collect()) == [1, 2]
     out2 = eng.cypher("RETURN unnest([10, 20, 30]) AS x")
     assert sorted(r["x"] for r in out2.collect()) == [10, 20, 30]
+
+
+def test_vle_parenthesized_pattern_limits(eng):
+    """AG-254 (cypher_dml.sql:1375-1410): parenthesized path patterns
+    `((u)-[*0..3]->(v))` with LIMIT over VLE — the reference's crash
+    regression; row-set sizes 22 (*0..3) and 18 (*..3) on the
+    5-edge asterisk graph."""
+    eng.cypher("CREATE (:vx {name: 'A'}), (:vx {name: 'B'}), "
+               "(:vx {name: 'Q'}), (:vx {name: 'X'})")
+    for s, t in [("A", "B"), ("Q", "A"), ("B", "Q"), ("A", "X"), ("X", "B")]:
+        eng.cypher(f"MATCH (s:vx {{name: '{s}'}}), (t:vx {{name: '{t}'}}) "
+                   "MERGE (s)-[:ed]->(t)")
+    q22 = "MATCH p=((u:vx)-[:ed*0..3]->(v:vx)) RETURN p"
+    q18 = "MATCH p=((u:vx)-[:ed*..3]->(v:vx)) RETURN p"
+    assert eng.cypher(q22).count() == 22
+    assert eng.cypher(q18).count() == 18
+    for lim in (0, 1, 4, 5):
+        assert eng.cypher(f"{q22} LIMIT {lim}").count() == min(lim, 22)
+        assert eng.cypher(f"{q18} LIMIT {lim}").count() == min(lim, 18)
+    assert eng.cypher("MATCH p=((u:vx {name: 'A'})-[:ed*]->(v:vx {name: 'B'})) "
+                      "RETURN p LIMIT 4").count() == 4
+
+
+def test_unwind_structured_params(eng):
+    """PREPARE t(_jsonb) AS UNWIND $1 ... (cypher_dml.sql:1369-1371):
+    list-of-map parameters become struct/array literals; chained
+    UNWINDs drill into nested arrays."""
+    run = eng.prepare("UNWIND $1 AS i UNWIND i.a AS j UNWIND j AS k RETURN k")
+    rows = run([{"a": [[1, 2], [3, 4]]}, {"a": [[5, 6], [7, 8]]}]).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 5, 6, 7, 8]
