@@ -142,8 +142,16 @@ class CypherEngine:
         returns_rows = part.clauses and isinstance(part.clauses[-1], A.Projection)
         df = qc.compile(part)
         if qc.wctx is not None:
+            # cap partitions BEFORE materializing: a create pipeline
+            # carries the scanned frame's partitioning, so the committed
+            # union would otherwise DOUBLE its partition count on every
+            # statement (128 → 256 → 512 ... measured exponential
+            # per-statement slowdown). coalesce is narrow; a no-op when
+            # already at or below the target.
+            spread = self.spark.sparkContext.defaultParallelism
             for lbl in qc.wctx.touched:
-                qc.wctx.graph.frames[lbl] = qc.wctx.graph.frames[lbl].localCheckpoint(eager=True)
+                qc.wctx.graph.frames[lbl] = qc.wctx.graph.frames[lbl] \
+                    .coalesce(spread).localCheckpoint(eager=True)
             self.graph = qc.wctx.graph
             self.last_write_stats = qc.wctx.stats.as_dict()
         if returns_rows:

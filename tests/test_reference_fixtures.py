@@ -980,3 +980,29 @@ def test_unwind_structured_params(eng):
     run = eng.prepare("UNWIND $1 AS i UNWIND i.a AS j UNWIND j AS k RETURN k")
     rows = run([{"a": [[1, 2], [3, 4]]}, {"a": [[5, 6], [7, 8]]}]).collect()
     assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_vle_tree_expansion_ag154(eng):
+    """AG-154/CS-34 (cypher_dml.sql:512-537): unbounded VLE over a
+    3-level tree returns every path prefix regardless of scan strategy
+    — lengths 1×1, 2×3, 3×7."""
+    eng.cypher("CREATE ({id: 1})-[:rel]->({id: 11})")
+    for parent, kids in [(11, (111, 112, 113)), (111, (1111, 1112, 1113)),
+                         (112, (1121, 1122)), (113, (1131, 1132))]:
+        for k in kids:
+            eng.cypher(f"MATCH (a {{id: {parent}}}) CREATE (a)-[:rel]->({{id: {k}}})")
+    out = eng.cypher("MATCH ({id: 1})-[r:rel*]->() "
+                     "RETURN length(r) AS len ORDER BY len")
+    assert [r["len"] for r in out.collect()] == [1] + [2] * 3 + [3] * 7
+
+
+def test_vle_mixed_elabels_ag216(eng):
+    """AG-216/216a (cypher_dml.sql:540-561): untyped VLE crosses edge
+    labels; *3 over the e1/e2/e3 tree yields all 8 leaf paths."""
+    eng.cypher("CREATE (:w1)-[:f]->(:w2)-[:f]->(:w3)")
+    assert eng.cypher("MATCH p=(:w1)-[*]->(:w3) RETURN p").count() == 1
+    eng.cypher("CREATE (n:x1)-[:e1]->(:x2 {lv: 1}), (n)-[:e1]->(:x2 {lv: 1})")
+    eng.cypher("MATCH (n:x2) WHERE n.lv = 1 "
+               "CREATE (n)-[:e2]->(:x2 {lv: 2}), (n)-[:e2]->(:x2 {lv: 2})")
+    eng.cypher("MATCH (n:x2 {lv: 2}) CREATE (n)-[:e3]->(:x3), (n)-[:e3]->(:x3)")
+    assert eng.cypher("MATCH p=(:x1)-[*3]->() RETURN p").count() == 8
