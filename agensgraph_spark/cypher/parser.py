@@ -336,6 +336,13 @@ class Parser:
             if self.accept_kw("only"):
                 only = True
             labels.append(self.ident())
+        if self.peek().kind == "KEYWORD" and self.peek().lower() == "only":
+            # canonical reference form: label BEFORE the modifier
+            # (gram.y:18643-18651 — bare ONLY without a label errors)
+            self.next()
+            if not labels:
+                raise ParseError("ONLY must have one label preceding it")
+            only = True
         if self.peek().kind == "{":
             props = self.parse_map_literal()
         elif self.peek().kind == "PARAM":
@@ -371,6 +378,11 @@ class Parser:
                 while self.accept("|"):
                     self.accept(":")
                     types.append(self.ident())
+            if self.peek().kind == "KEYWORD" and self.peek().lower() == "only":
+                self.next()
+                if not types:
+                    raise ParseError("ONLY must have one label preceding it")
+                only = True
             if self.accept("*"):
                 varlen = True
                 if self.peek().kind == "INT":

@@ -1006,3 +1006,30 @@ def test_vle_mixed_elabels_ag216(eng):
                "CREATE (n)-[:e2]->(:x2 {lv: 2}), (n)-[:e2]->(:x2 {lv: 2})")
     eng.cypher("MATCH (n:x2 {lv: 2}) CREATE (n)-[:e3]->(:x3), (n)-[:e3]->(:x3)")
     assert eng.cypher("MATCH p=(:x1)-[*3]->() RETURN p").count() == 8
+
+
+def test_match_only_modifier_matrix(eng):
+    """MATCH ONLY (cypher_dml.sql:173-219): trailing ONLY excludes the
+    inheritance subtree for vertices AND edges; bare ONLY without a
+    label is the reference's error (gram.y:18643-18651)."""
+    eng.cypher("CREATE VLABEL ol1")
+    eng.cypher("CREATE VLABEL ol2 INHERITS (ol1)")
+    eng.cypher("CREATE VLABEL ol3 INHERITS (ol2)")
+    eng.cypher("CREATE ELABEL oe1")
+    eng.cypher("CREATE ELABEL oe2 INHERITS (oe1)")
+    for i in (1, 2, 3):
+        eng.cypher(f"CREATE (:ol{i} {{id: {i}}})")
+    eng.cypher("MATCH (a {id: 1}), (b {id: 2}) CREATE (a)-[:oe1]->(b)")
+    eng.cypher("MATCH (a {id: 1}), (b {id: 3}) CREATE (a)-[:oe2]->(b)")
+
+    def ids(q):
+        return sorted(r["i"] for r in eng.cypher(q).collect())
+    assert ids("MATCH (n:ol1) RETURN n.id AS i") == [1, 2, 3]
+    assert ids("MATCH (n:ol2) RETURN n.id AS i") == [2, 3]
+    assert ids("MATCH (n:ol1 ONLY) RETURN n.id AS i") == [1]
+    assert ids("MATCH (n:ol2 ONLY) RETURN n.id AS i") == [2]
+    assert eng.cypher("MATCH ()-[r:oe1]->() RETURN r").count() == 2
+    assert eng.cypher("MATCH ()-[r:oe1 ONLY]->() RETURN r").count() == 1
+    for bad in ["MATCH (n ONLY) RETURN n", "MATCH ()-[r ONLY]->() RETURN r"]:
+        with pytest.raises(Exception, match="ONLY must have one label"):
+            eng.cypher(bad)
