@@ -1033,3 +1033,25 @@ def test_match_only_modifier_matrix(eng):
     for bad in ["MATCH (n ONLY) RETURN n", "MATCH ()-[r ONLY]->() RETURN r"]:
         with pytest.raises(Exception, match="ONLY must have one label"):
             eng.cypher(bad)
+
+
+def test_delete_multi_victim_variants(eng):
+    """AG-160/AG-138/AG-2/AG-159 delete shapes (cypher_dml.sql:689-784):
+    sequential DELETE clauses, mixed vertex+edge victims in one clause,
+    DELETE of a path variable, and repeated DELETE of the same var all
+    leave an empty graph."""
+    def counts():
+        return (eng.cypher("MATCH () RETURN count(*) AS c").collect()[0]["c"],
+                eng.cypher("MATCH ()-[]->() RETURN count(*) AS c").collect()[0]["c"])
+    eng.cypher("CREATE ({name: 'l'})-[:AG160]->({name: 'r'})")
+    eng.cypher("MATCH (a)-[r:AG160]->(b) DELETE r DELETE a, b")
+    assert counts() == (0, 0)
+    eng.cypher("CREATE ()-[:rel]->()-[:rel]->()")
+    eng.cypher("MATCH (a)-[r:rel]->(b) DELETE a, b, r")
+    assert counts() == (0, 0)
+    eng.cypher("CREATE ()-[:rel]->()-[:rel]->()")
+    eng.cypher("MATCH p = ()-[:rel]->() DELETE p")
+    assert counts() == (0, 0)
+    eng.cypher("CREATE (:v1)")
+    eng.cypher("MATCH (a:v1) DELETE a DETACH DELETE a DELETE a")
+    assert counts() == (0, 0)
