@@ -1328,10 +1328,12 @@ class QueryCompiler(WriteMixin):
 
     def _compile_optional_match(self, m: A.Match) -> None:
         if self.df is None:
-            # OPTIONAL MATCH as first clause behaves like MATCH-or-null;
-            # compile as plain match (single-row null case not needed)
-            self._compile_match(A.Match(m.patterns, optional=False, where=m.where))
-            return
+            # OPTIONAL MATCH as the FIRST clause: an unmatched pattern
+            # still yields ONE all-NULL row (cypher_dml.out:
+            # `OPTIONAL MATCH (n {name:'unknown'}) RETURN n.name` → one
+            # NULL) — left-join the matches onto a one-row seed
+            self.df = self.engine.spark.range(1).select(
+                F.lit(1).alias("__omseed"))
         shared = self._pattern_shared_vars(m.patterns)
         self._force(shared)
         right, rscope, renames = self._compile_pattern_standalone(m.patterns, None, shared)
@@ -1355,7 +1357,8 @@ class QueryCompiler(WriteMixin):
             cond = wcol if cond is None else (cond & wcol)
 
         self.df = self.df.join(right, cond if cond is not None else F.lit(True), "left")
-        self.df = self.df.drop(*[c for tmp in renames.values() for c in right.columns if c.startswith(f"{tmp}__")])
+        self.df = self.df.drop("__omseed",
+                               *[c for tmp in renames.values() for c in right.columns if c.startswith(f"{tmp}__")])
         for v, b in rscope.bindings.items():
             if v not in renames and self.scope.get(v) is None:
                 self.scope.bind(b)

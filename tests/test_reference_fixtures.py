@@ -1055,3 +1055,21 @@ def test_delete_multi_victim_variants(eng):
     eng.cypher("CREATE (:v1)")
     eng.cypher("MATCH (a:v1) DELETE a DETACH DELETE a DELETE a")
     assert counts() == (0, 0)
+
+
+def test_optional_match_first_clause_null_row(eng):
+    """OPTIONAL MATCH as the FIRST clause yields one all-NULL row when
+    nothing matches (cypher_dml.out:241-281), and the NULL binding
+    flows through WITH and later MATCH clauses."""
+    eng.cypher("CREATE (:person {name: 'someone'})-[:knows]->"
+               "(:person {name: 'somebody'})")
+    r1 = eng.cypher("OPTIONAL MATCH (n:person {name: 'unknown'}) "
+                    "RETURN n.name AS nm").collect()
+    assert [t["nm"] for t in r1] == [None]
+    r2 = eng.cypher("OPTIONAL MATCH (n:person {name: 'unknown'}) "
+                    "WITH n MATCH (m:person {name: 'someone'}) "
+                    "RETURN n.name AS nn, m.name AS mn").collect()
+    assert [(t["nn"], t["mn"]) for t in r2] == [(None, "someone")]
+    r3 = eng.cypher("OPTIONAL MATCH (n:person) RETURN n.name AS nm "
+                    "ORDER BY nm").collect()
+    assert [t["nm"] for t in r3] == ["somebody", "someone"]
