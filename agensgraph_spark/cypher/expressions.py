@@ -480,7 +480,11 @@ class ExprCompiler:
         dtypes = {str(i.dtype) for i in items if i.dtype is not None and not isinstance(i.dtype, T.NullType)}
         elem = items[0].dtype if len(dtypes) == 1 else None
         if not items:
-            return TC(F.array().cast("array<long>"), T.ArrayType(T.LongType()))
+            # untyped empty list: element type stays NULL so a later
+            # union/comparison coerces it to the OTHER side's type
+            # (jsonb arrays are heterogeneous; [] must mix with any) —
+            # the write layer pins stored null-arrays to array<string>
+            return TC(F.array(), T.ArrayType(T.NullType()))
         if elem is None:
             return TC(F.array(*[i.col.cast("string") for i in items]), T.ArrayType(T.StringType()))
         return TC(F.array(*[i.col for i in items]), T.ArrayType(elem))

@@ -90,11 +90,31 @@ class WriteContext:
 
     # ---- frame mutation ----
 
+    @staticmethod
+    def _pin_null_arrays(df: DataFrame, types: dict | None = None) -> DataFrame:
+        """array<null> columns (empty-list literals) adopt the existing
+        frame's element type, or array<string> when the frame has none —
+        NullType columns cannot reach Parquet and would make union
+        coercion direction-dependent."""
+        import pyspark.sql.types as _T
+        for f in df.schema.fields:
+            if isinstance(f.dataType, _T.ArrayType) \
+                    and isinstance(f.dataType.elementType, _T.NullType):
+                tgt = (types or {}).get(f.name)
+                if not isinstance(tgt, _T.ArrayType):
+                    tgt = _T.ArrayType(_T.StringType())
+                df = df.withColumn(f.name, F.col(f.name).cast(tgt))
+        return df
+
     def append(self, label: str, new_rows: DataFrame) -> None:
         cur = self.graph.frames.get(label)
         if cur is None:
-            self.graph.frames[label] = new_rows
+            self.graph.frames[label] = self._pin_null_arrays(new_rows)
         else:
+            cur_types = {f.name: f.dataType for f in cur.schema.fields}
+            new_rows = self._pin_null_arrays(new_rows, cur_types)
+            new_types = {f.name: f.dataType for f in new_rows.schema.fields}
+            cur = self._pin_null_arrays(cur, new_types)
             self.graph.frames[label] = cur.unionByName(new_rows, allowMissingColumns=True)
         self.touched.add(label)
 

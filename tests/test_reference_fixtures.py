@@ -1073,3 +1073,22 @@ def test_optional_match_first_clause_null_row(eng):
     r3 = eng.cypher("OPTIONAL MATCH (n:person) RETURN n.name AS nm "
                     "ORDER BY nm").collect()
     assert [t["nm"] for t in r3] == ["somebody", "someone"]
+
+
+def test_empty_list_property_heterogeneous(eng):
+    """AGV2/isEmpty fixtures (cypher_dml2.sql:94-113): an empty-list
+    literal must coexist with typed list properties of other rows —
+    jsonb arrays are heterogeneous; the empty literal stays untyped
+    until the frame pins it."""
+    eng.cypher("CREATE (:p {name: 'a', liked_colors: ['red'], eyes: ''}), "
+               "(:p {name: 'b', liked_colors: []})")
+    r = eng.cypher("MATCH (n:p) WHERE NOT isEmpty(n.liked_colors) "
+                   "RETURN n.name AS x").collect()
+    assert [t["x"] for t in r] == ["a"]
+    r2 = eng.cypher("MATCH (n:p) WHERE isEmpty(n.eyes) RETURN n.name AS x").collect()
+    assert [t["x"] for t in r2] == ["a"]
+    eng.cypher("CREATE (:q {xs: []})")
+    eng.cypher("CREATE (:q {xs: [1, 2]})")
+    got = sorted(str(t["xs"]) for t in
+                 eng.cypher("MATCH (n:q) RETURN n.xs AS xs").collect())
+    assert got == ["[1, 2]", "[]"] or got == ["['1', '2']", "[]"]
