@@ -1092,3 +1092,24 @@ def test_empty_list_property_heterogeneous(eng):
     got = sorted(str(t["xs"]) for t in
                  eng.cypher("MATCH (n:q) RETURN n.xs AS xs").collect())
     assert got == ["[1, 2]", "[]"] or got == ["['1', '2']", "[]"]
+
+
+def test_merge_with_match_merge_chain_589(eng):
+    """#589 (cypher_dml2.sql:201-219): read clauses may follow update
+    clauses — MERGE → WITH → MATCH → MERGE builds the edge."""
+    eng.cypher("CREATE (n:another {id: 593})")
+    eng.cypher("MERGE (n:main {id: 593}) ON CREATE SET n.id = 593 "
+               "WITH n MATCH (g:another) WHERE g.id = 593 "
+               "MERGE (g)-[:main2]->(n)")
+    assert eng.cypher("MATCH ()-[e:main2]->() RETURN e").count() == 1
+    assert [r["i"] for r in eng.cypher(
+        "MATCH (g:main) RETURN g.id AS i").collect()] == [593]
+
+
+def test_self_loop_pattern_599(eng):
+    """#599 (cypher_dml2.sql:223-239): a repeated variable pattern
+    (a)-[]-(a) matches the self-loop in both orientations — 2 rows."""
+    eng.cypher("CREATE (:sl {id: 9})")
+    eng.cypher("MATCH (s:sl {id: 9}) CREATE (s)-[:e1]->(s)")
+    assert [r["i"] for r in eng.cypher(
+        "MATCH (a:sl)-[]-(a) RETURN a.id AS i").collect()] == [9, 9]
