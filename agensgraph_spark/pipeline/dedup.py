@@ -180,11 +180,39 @@ def minhash_lsh_candidates(
     Corpora with large near-duplicate clusters produce O(cluster²)
     candidates; pass ``min_est`` a notch under the final exact
     threshold so exact verification only runs on plausible pairs."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k) \
         .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
+    return _candidates_from_sigs(sig, num_hashes, bands, min_est,
+                                 max_bucket, audit_cap)
+
+
+def _candidates_from_sigs(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    min_est: float,
+    max_bucket: int,
+    audit_cap: bool,
+) -> DataFrame:
+    """Banding + in-bucket pair emission over a (_id, _sig) frame —
+    the shared back half of ``minhash_lsh_candidates`` and
+    ``minhash_neardup_pairs``.
+
+    Buckets carry BARE ids: the band groupBy shuffles (band, bhash, id)
+    rows and collect_list aggregates longs, not 32-slot signature
+    structs — carrying the signatures into the buckets to compute the
+    agreement estimate inline measured ~4x slower at sf0.1 (wide
+    ObjectHashAggregate payload + a per-raw-pair zip_with allocation).
+    The estimate is instead computed once per DISTINCT pair by joining
+    the (tiny, persisted) signature frame back on both ids — est is a
+    pair property, independent of which bucket surfaced the pair, so
+    distinct-then-join equals the inline max(est) dedup exactly."""
+    rows_per_band = num_hashes // bands
+    # (id, num_hashes longs) — bounded at any corpus scale; serves the
+    # banding branch and both est-join probes
+    sig = sig.persist()
     banded = sig.select(
-        "_id", "_sig",
+        "_id",
         F.posexplode(F.array(*[
             F.xxhash64(F.concat_ws(",", *[
                 F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
@@ -193,7 +221,7 @@ def minhash_lsh_candidates(
         ])).alias("_band", "_bhash"),
     )
     grouped = (banded.groupBy("_band", "_bhash")
-               .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
+               .agg(F.array_sort(F.collect_list("_id")).alias("_ms"))
                .filter(F.size("_ms") >= 2))
     # The skew cap must never be SILENT. Two tiers:
     # - always: announce the active cap + the audit path (free,
@@ -217,27 +245,99 @@ def minhash_lsh_candidates(
             "oversized buckets are dropped; pass audit_cap=True or run "
             "lsh_skew_stats() to count them", max_bucket)
     buckets = grouped.filter(F.size("_ms") <= max_bucket)
-
-    def pair_est(x, y):
-        matches = F.aggregate(
-            F.zip_with(x["_sig"], y["_sig"], lambda a, b: (a == b).cast("int")),
-            F.lit(0), lambda acc, v: acc + v)
-        return F.struct(x["_id"].alias("id_a"), y["_id"].alias("id_b"),
-                        (matches / F.lit(num_hashes)).alias("est"))
-
     pair = F.explode(F.flatten(F.transform(
         F.col("_ms"),
         lambda x, i: F.transform(
             F.slice(F.col("_ms"), i + F.lit(2), F.size(F.col("_ms"))),
-            lambda y: pair_est(x, y)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
     ))).alias("_p")
-    out = (buckets.select(pair)
-           .select("_p.id_a", "_p.id_b", "_p.est")
-           .groupBy("id_a", "id_b")
-           .agg(F.max("est").alias("est_jaccard")))
+    pairs = (buckets.select(pair)
+             .select("_p.id_a", "_p.id_b")
+             .distinct())
+    matches = F.aggregate(
+        F.zip_with("_siga", "_sigb", lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    out = (pairs
+           .join(sig.select(F.col("_id").alias("id_a"),
+                            F.col("_sig").alias("_siga")), "id_a")
+           .join(sig.select(F.col("_id").alias("id_b"),
+                            F.col("_sig").alias("_sigb")), "id_b")
+           .select("id_a", "id_b",
+                   (matches / F.lit(num_hashes)).alias("est_jaccard")))
     if min_est > 0:
         out = out.filter(F.col("est_jaccard") >= min_est)
     return out
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    min_est: float = 0.0,
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+    audit_cap: bool = False,
+) -> DataFrame:
+    """Fused MinHash-LSH near-dup pipeline: candidate generation plus
+    exact k-shingle verification. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= ``threshold`` — exactly the composition
+    of ``minhash_lsh_candidates`` + ``ngram_jaccard_pairs`` with the
+    same parameters (asserted by the pure-Python differential oracle in
+    tests/test_differential_dedup.py), restructured for cost:
+
+    - Union cardinality is ``|A|+|B|-|A∩B|`` over the (distinct)
+      shingle-hash arrays — ``array_union`` materializes a
+      corpus-width array per pair just to take its size, roughly
+      doubling verify cost.
+    - Signatures derive from the same hash family: pmod into the prime
+      field is applied on top of the raw xxhash64 shingle hash, so the
+      candidate set is bit-identical to ``minhash_lsh_candidates``.
+
+    Scale shape: exactly two shingle-hash passes over the corpus — one
+    map-only pass feeding the signature frame (persisted inside
+    ``_candidates_from_sigs``: num_hashes longs per doc, bounded at any
+    scale), and one CANDIDATE-BOUNDED pass feeding the verify join
+    (persisted; at corpus scale candidates are rare, so re-hashing the
+    few candidate docs beats pinning corpus-wide shingle sets).
+    Banding shuffles narrow (band, bhash, id) rows, pair dedup
+    shuffles (long, long) rows, and nothing is unconditionally
+    broadcast — AQE picks broadcast sides from runtime sizes."""
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def hashed(frame: DataFrame) -> DataFrame:
+        # repartition BEFORE hashing: document corpora often arrive as
+        # a handful of parquet files, and hashed at scan width a few
+        # tasks would do all the shingling work
+        return (frame.repartition(spread, "_id")
+                .select("_id", F.transform(shingles(F.col("_t"), k),
+                                           lambda s: F.xxhash64(s)).alias("_sh")))
+
+    def deriver(a: int, b: int):
+        return lambda h: _mh_derive(F.pmod(h, F.lit(_MH_PRIME)), a, b)
+
+    sig = hashed(base).select("_id", F.array(*[
+        F.array_min(F.transform("_sh", deriver(a, b)))
+        for a, b in _mh_params(num_hashes)]).alias("_sig"))
+    cands = (_candidates_from_sigs(sig, num_hashes, bands, min_est,
+                                   max_bucket, audit_cap)
+             .select("id_a", "id_b").persist())
+    ids = (cands.select(F.col("id_a").alias("_id"))
+           .unionByName(cands.select(F.col("id_b").alias("_id")))
+           .distinct())
+    # candidate-bounded second hash pass, persisted: one computation
+    # serves both sides of the pair join
+    sh = hashed(base.join(ids, "_id", "left_semi")).persist()
+    j = (cands
+         .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")
+         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sb")), "id_b"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    uni = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (j.select("id_a", "id_b", (inter / uni).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
 
 
 def lsh_skew_stats(
@@ -342,7 +442,10 @@ def ngram_jaccard_pairs(
          .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")
          .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sb")), "id_b"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    uni = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    # |A∪B| = |A|+|B|-|A∩B| over the distinct shingle arrays:
+    # array_union would materialize a corpus-width array per pair
+    # just to take its size (~2x the verify stage's cost)
+    uni = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (j.select("id_a", "id_b", (inter / uni).alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))
 

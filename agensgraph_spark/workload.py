@@ -963,13 +963,11 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_est one sigma under the exact threshold (σ≈sqrt(.4*.6/32)≈.087):
     # templated corpora produce enormous est>=0.2 candidate sets, and the
     # exact-shingle verify is the expensive stage — prefilter tightly.
-    # persist: the verify stage reads the candidate set three times
-    # (id semi-join + both pair-join sides) — unpinned, each read would
-    # re-run the whole banding pipeline. Candidates are est-filtered and
-    # bucket-capped, so the pin is bounded at any corpus size.
-    cands = (D.minhash_lsh_candidates(docs, min_est=0.3)
-             .select("id_a", "id_b").persist())
-    return D.ngram_jaccard_pairs(cands, docs, threshold=0.4).select(
+    # The fused pipeline shares one shingle-hash scan between the
+    # signature and verify stages (output identical to the two-stage
+    # minhash_lsh_candidates + ngram_jaccard_pairs composition,
+    # asserted in tests/test_differential_dedup.py).
+    return D.minhash_neardup_pairs(docs, min_est=0.3, threshold=0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
