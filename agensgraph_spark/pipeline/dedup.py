@@ -497,3 +497,78 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         bit = (F.col(f"_b{j}") * 2 > F.col("_n")).cast("long") * F.lit(1 << j)
         sim = bit if sim is None else sim + bit
     return bit_sums.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected near-duplicate pair
+    graph — the canonicalization step of fuzzy dedup: every doc in a
+    component keeps the component's minimum id as its label, so
+    "keep one representative per near-dup cluster" is a filter on
+    ``id == component``.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels, converging in
+    O(component diameter) rounds — near-dup clusters are dense and
+    shallow, so a handful of rounds closes them. Per round: one
+    edge-to-label equi-join + min aggregate (both shuffles on narrow
+    (long, long) rows) and a driver-side convergence count, the same
+    iterate-persist-unpersist generational pattern as the path
+    operators (operators/paths.py): the previous generation is
+    unpersisted as soon as the next materializes, so at most two label
+    frames are ever pinned. The symmetric edge list is persisted for
+    the loop and released before returning; the returned frame is
+    localCheckpoint-materialized so it holds no reference to the pins.
+
+    ``nodes`` (optional, single id column) widens the universe:
+    unpaired ids come back as singleton components of themselves.
+    Returns (id, component). Hitting ``max_iters`` before convergence
+    WARNS and returns the partially-converged labels (no silent cap).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (sym.unionByName(
+                sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    base = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        base = base.unionByName(nodes.toDF("id")).distinct()
+    # localCheckpoint (eager), not persist: the label frame feeds the
+    # next generation TWICE (propagation join + label update), so an
+    # un-truncated lineage doubles every round and the analyzer blows
+    # up long before the executors do — checkpointing pins a
+    # generation-sized RDD and keeps the plan constant-size (same
+    # pattern as operators/paths.py)
+    lab = base.select("id", F.col("id").alias("component")).localCheckpoint()
+    converged = False
+    for _ in range(max_iters):
+        nbr = (edges
+               .join(lab.select(F.col("id").alias("src"),
+                                F.col("component").alias("_nc")), "src")
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.min("_nc").alias("_m")))
+        # least() ignores NULLs, so unpaired nodes keep their label
+        new = (lab.join(nbr, "id", "left")
+               .select("id", F.col("component").alias("_old"),
+                       F.least("component", "_m").alias("component"))
+               .localCheckpoint())
+        changed = new.filter(F.col("component") != F.col("_old")).count()
+        lab = new  # superseded checkpoint storage is freed on GC
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        log.warning(
+            "connected_components: max_iters=%d reached before "
+            "convergence — labels of very long chains may not be fully "
+            "propagated", max_iters)
+    out = lab.select("id", "component").localCheckpoint()
+    edges.unpersist(blocking=False)
+    return out

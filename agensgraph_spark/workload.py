@@ -1119,6 +1119,42 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   dim=_emb_dim(emb, sf_dir))
 
 
+def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup canonicalization: connected components over the
+    embedding-cosine near-dup pair graph; every doc keeps its
+    component's min id and the representative is flagged. Singletons
+    (no near-dup partner) are their own component."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_pairs(emb, threshold=0.25, max_id=100,
+                                   dim=_emb_dim(emb, sf_dir))
+    nodes = emb.filter(F.col("vec_id") < 100).select("vec_id")
+    cc = D.connected_components(pairs.select("id_a", "id_b"), nodes=nodes)
+    return cc.select(F.col("id").alias("vec_id"),
+                     F.col("component").alias("cluster_id"),
+                     (F.col("id") == F.col("component")).alias("is_canonical"))
+
+
+_DEDUP_CLUSTER_ORACLE = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.25
+    ), edges AS (
+        SELECT ida AS src, idb AS dst FROM pairs
+        UNION ALL
+        SELECT idb, ida FROM pairs
+    ), reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 100
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS vec_id, min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id"""
+
+
 def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming rollup, executed for real through Structured
     Streaming (file source → watermarked window agg → memory sink,
@@ -1403,6 +1439,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         WHERE a.vec_id < 100 AND b.vec_id < 100
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
+    "dedup_cluster": (_q_dedup_cluster, _DEDUP_CLUSTER_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
         SELECT DISTINCT user_id, event_type,

@@ -218,3 +218,58 @@ def test_minhash_real_documents_match_python(spark):
     params = mh_params(32)
     exp = {did: py_signature(t, params) for did, t in rows}
     assert got == exp
+
+
+# --- connected components (fuzzy-dedup canonicalization) ---
+
+def py_components(pairs, nodes):
+    """Union-find oracle: min id per component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_match_union_find(spark):
+    """Random graph with chains, triangles, and singletons — chains
+    exercise multi-round label propagation."""
+    import random
+    rng = random.Random(7)
+    nodes = list(range(120))
+    pairs = set()
+    # a long chain (worst case for propagation), two cliques, random edges
+    for i in range(30):
+        pairs.add((i, i + 1))
+    for grp in ([50, 51, 52, 53], [60, 61, 62]):
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    pairs.add((i, j))
+    for _ in range(25):
+        a, b = rng.sample(range(70, 110), 2)
+        pairs.add((min(a, b), max(a, b)))
+    pdf = spark.createDataFrame(sorted(pairs), ["id_a", "id_b"])
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    got = {r["id"]: r["component"]
+           for r in D.connected_components(pdf, nodes=ndf).collect()}
+    assert got == py_components(sorted(pairs), nodes)
+
+
+def test_connected_components_warns_on_max_iters(spark, caplog):
+    """A 10-chain cannot converge in 2 rounds — the truncation must be
+    loud (no silent caps)."""
+    import logging
+    pairs = [(i, i + 1) for i in range(10)]
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    with caplog.at_level(logging.WARNING, logger="agensgraph_spark.pipeline.dedup"):
+        D.connected_components(pdf, max_iters=2).collect()
+    assert any("max_iters" in r.message for r in caplog.records)
