@@ -1,0 +1,56 @@
+"""Deterministic sampling for training-data mixes.
+
+Hash-systematic sampling: a row is kept when a fixed-width hex prefix
+of md5(key) falls below the stratum's threshold. Unlike
+``DataFrame.sample``/``sampleBy`` (partition-layout-dependent even
+with a seed), the decision is a pure function of the row's key — the
+sample is reproducible across engines, partitionings, and re-runs,
+which is what a dataset card for a 100-TB training mix needs. Map-only:
+no shuffle, no state, trivially scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_W = 4          # 4 hex chars => rate granularity 1/65536
+_HEX_SPACE = 16 ** _HEX_W
+
+
+def rate_threshold(rate: float) -> str:
+    """Lowercase fixed-width hex threshold for a keep-rate in [0, 1];
+    lexicographic comparison on fixed-width lowercase hex equals the
+    numeric comparison, so the same literal works in any SQL engine."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = int(rate * _HEX_SPACE)
+    if n >= _HEX_SPACE:
+        return "g"  # sorts after every hex digit: keep everything
+    return format(n, f"0{_HEX_W}x")
+
+
+def keyed_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep ~rate of rows, decided by md5(key) prefix."""
+    return df.filter(_prefix(key_col) < F.lit(rate_threshold(rate)))
+
+
+def mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the 'data mixing' step of
+    a training pipeline (e.g. keep 100% of wiki, 10% of crawl).
+    Strata absent from ``rates`` get ``default_rate``."""
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(rate_threshold(rate))).otherwise(thr)
+    return df.filter(_prefix(key_col) < thr)
+
+
+def _prefix(key_col: str) -> Column:
+    return F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_W)

@@ -169,3 +169,48 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(t.cast("binary")).alias("md5"),
         F.xxhash64(t).alias("xxh64"),
     )
+
+
+def heuristic_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_ttr_bp: int = 2_000,
+    max_digit_bp: int = 2_000,
+) -> DataFrame:
+    """Gopher/C4-style document quality gate for training-data
+    pipelines: length window, type-token ratio (repetition filter —
+    'batch batch batch' collapses it), digit-character fraction, and
+    boilerplate flags (brace => code/markup, 'lorem ipsum' =>
+    placeholder). Ratios are integer basis points so the signals are
+    engine-exact; the verdict and every signal are returned so the
+    gate doubles as an audit table. Pure column expressions — map-only
+    at any corpus scale, no shuffle, no UDFs."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    toks = F.split(trimmed, r"\s+")
+    n_tok = (F.when(F.length(trimmed) == 0, F.lit(0))
+             .otherwise(F.size(toks))).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_digits = (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long")
+    ttr_bp = (F.when(n_tok > 0,
+                     F.floor(F.size(F.array_distinct(toks)).cast("long") * 10_000 / n_tok))
+              .otherwise(F.lit(0))).cast("long")
+    digit_bp = (F.when(n_chars > 0, F.floor(n_digits * 10_000 / n_chars))
+                .otherwise(F.lit(0))).cast("long")
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    keep = ((n_tok >= min_tokens) & (n_tok <= max_tokens)
+            & (ttr_bp >= min_ttr_bp) & (digit_bp <= max_digit_bp)
+            & ~has_brace & ~has_lorem)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        ttr_bp.alias("ttr_bp"),
+        digit_bp.alias("digit_bp"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"),
+    )

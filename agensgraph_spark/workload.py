@@ -22,6 +22,7 @@ from agensgraph_spark.cypher.compiler import CypherEngine
 from agensgraph_spark.loader import build_tpch_graph, read_table, register_tables
 from agensgraph_spark.pipeline import dedup as D
 from agensgraph_spark.pipeline import multimodal as MM
+from agensgraph_spark.pipeline import sampling as SMP
 from agensgraph_spark.pipeline import similarity as S
 from agensgraph_spark.pipeline import text as TX
 
@@ -1119,6 +1120,58 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   dim=_emb_dim(emb, sf_dir))
 
 
+def _q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.heuristic_filter(read_table(spark, sf_dir, "documents"))
+
+
+_HEURISTIC_FILTER_ORACLE = r"""
+    WITH s AS (
+        SELECT doc_id, text,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS n_uniq,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig
+        FROM documents)
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           CAST(CASE WHEN n_tok > 0 THEN floor(n_uniq * 10000 / n_tok) ELSE 0 END AS BIGINT) AS ttr_bp,
+           CAST(CASE WHEN n_chars > 0 THEN floor(n_dig * 10000 / n_chars) ELSE 0 END AS BIGINT) AS digit_bp,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           (n_tok >= 20 AND n_tok <= 100000
+            AND CASE WHEN n_tok > 0 THEN floor(n_uniq * 10000 / n_tok) ELSE 0 END >= 2000
+            AND CASE WHEN n_chars > 0 THEN floor(n_dig * 10000 / n_chars) ELSE 0 END <= 2000
+            AND NOT contains(text, '{')
+            AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+    FROM s"""
+
+
+def _q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: keep all docs of one source, thin the
+    rest to fixed per-source rates, decided by md5(doc_id) so the
+    sample is engine- and partitioning-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = SMP.mix_sample(docs, "source", {"src0": 0.25, "src1": 1.0},
+                         key_col="doc_id", default_rate=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
+
+
+_MIX_SAMPLE_ORACLE = """
+    SELECT source, count(*) AS n_kept,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE source WHEN 'src0' THEN '4000'
+                        WHEN 'src1' THEN 'g'
+                        ELSE '8000' END
+    GROUP BY source"""
+
+
 def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup canonicalization: connected components over the
     embedding-cosine near-dup pair graph; every doc keeps its
@@ -1440,6 +1493,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
     "dedup_cluster": (_q_dedup_cluster, _DEDUP_CLUSTER_ORACLE),
+    "heuristic_filter": (_q_heuristic_filter, _HEURISTIC_FILTER_ORACLE),
+    "mix_sample": (_q_mix_sample, _MIX_SAMPLE_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
         SELECT DISTINCT user_id, event_type,

@@ -50,3 +50,49 @@ def test_salted_join_matches_unsalted(spark):
     got = salted_join(big, small, "k").groupBy("k").count()
     exp = big.join(small, "k").groupBy("k").count()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_rate_threshold_edges():
+    from agensgraph_spark.pipeline.sampling import rate_threshold
+    import pytest as _pytest
+    assert rate_threshold(0.0) == "0000"      # keeps nothing
+    assert rate_threshold(1.0) == "g"         # sorts after all hex
+    assert rate_threshold(0.25) == "4000"
+    assert "ffff" < rate_threshold(1.0)       # the 1.0 edge keeps 'ffff'
+    with _pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_mix_sample_partitioning_independent(spark):
+    """The keep-decision is a pure function of the key: the same rows
+    survive regardless of physical layout (unlike .sample/sampleBy)."""
+    from agensgraph_spark.pipeline.sampling import mix_sample
+    from pyspark.sql import functions as F
+    df = spark.range(0, 2_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("src"))
+    rates = {"0": 0.2, "1": 1.0}
+    a = mix_sample(df, "src", rates, "id", default_rate=0.5)
+    b = mix_sample(df.repartition(17), "src", rates, "id", default_rate=0.5)
+    ra = sorted(r["id"] for r in a.collect())
+    rb = sorted(r["id"] for r in b.collect())
+    assert ra == rb and 0 < len(ra) < 2_000
+    # stratum "1" is kept in full
+    assert a.filter("src = '1'").count() == df.filter("src = '1'").count()
+
+
+def test_heuristic_filter_signals(spark):
+    from agensgraph_spark.pipeline.text import heuristic_filter
+    rows = [
+        (1, " ".join(f"word{chr(97+i%26)}{chr(97+i//26)}" for i in range(30))),  # clean: keep
+        (2, "short doc"),                                  # too few tokens
+        (3, " ".join(["dup"] * 40)),                       # ttr collapse
+        (4, " ".join(["{code}"] + [f"tok{chr(97+i%26)}{chr(97+i//26)}" for i in range(30)])),  # brace
+        (5, "Lorem Ipsum " + " ".join(f"alpha{chr(97+i%26)}{chr(97+i//26)}" for i in range(30))),
+        (6, " ".join(str(i) for i in range(100, 140))),    # all digits
+        (7, ""),                                           # empty
+    ]
+    got = {r["doc_id"]: r["keep"]
+           for r in heuristic_filter(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False,
+                   5: False, 6: False, 7: False}
