@@ -216,3 +216,29 @@ def lsh_cosine_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    format large training pipelines keep embeddings in (4x smaller,
+    SIMD-friendly). scale = max(|x|)/127; q_i = floor(x_i * 127 /
+    max|x|). floor, not round: floor over doubles is engine-exact,
+    while SQL engines disagree on round-half behavior — the q/scale
+    pair must reproduce bit-identically everywhere the corpus is read.
+    Map-only column expressions; zero vectors quantize to zeros with
+    scale 0."""
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    q = F.when(amax > 0,
+               F.transform(v, lambda x: F.floor(x * F.lit(127.0) / amax)
+                           .cast("int"))) \
+         .otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        (amax / F.lit(127.0)).alias("scale"),
+        q.alias("q"),
+    )

@@ -214,3 +214,54 @@ def heuristic_filter(
         has_lorem.alias("has_lorem"),
         keep.alias("keep"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary head: top-k whitespace tokens by document
+    frequency-weighted count. The shuffle moves (token, partial count)
+    pairs only — the explode feeds a partial hash aggregate per task
+    (map-side combine), so a 100-TB corpus shuffles vocabulary-sized
+    data, not token-stream-sized. Deterministic order: count desc,
+    token asc."""
+    toks = (df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return (counts.orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(k))
+
+
+# mask runs that look like contact/identifier PII; word-boundary-free
+# and lookaround-free so the same pattern runs on Spark and any oracle
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data PII scrub: email/phone/SSN-shaped spans become
+    ``[PII]`` and the per-class hit counts are reported so the pipeline
+    can audit redaction rates. Most-specific patterns run first (the
+    phone pattern would otherwise swallow SSN spans); patterns apply
+    in PII_PATTERNS order, each over the previous redaction's output. Map-only
+    regexp_replace — no UDFs, no shuffle."""
+    t = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    redacted = t
+    for name, pat in PII_PATTERNS:
+        n = F.coalesce(F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))), F.lit(0))
+        out_cols.append(n.cast("long").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, "[PII]")
+    out_cols.append(redacted.alias("text_redacted"))
+    return df.select(*out_cols)

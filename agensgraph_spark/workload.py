@@ -1148,6 +1148,76 @@ _HEURISTIC_FILTER_ORACLE = r"""
     FROM s"""
 
 
+def _q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+
+
+_QUANTIZE_ORACLE = """
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS amax
+        FROM embeddings)
+    SELECT vec_id, amax / 127.0 AS scale,
+           CASE WHEN amax > 0
+                THEN list_transform(v, x -> CAST(floor(x * 127.0 / amax) AS INTEGER))
+                ELSE list_transform(v, x -> 0) END AS q
+    FROM s"""
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.vocab_topk(read_table(spark, sf_dir, "documents"), k=40)
+
+
+_VOCAB_ORACLE = r"""
+    SELECT token, n FROM (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token)
+    ORDER BY n DESC, token ASC LIMIT 40"""
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus seeded with synthetic contact strings
+    (the generated docs are clean word soup — appending a derived
+    email/ssn/phone per doc gives the regexes real work, and the
+    redacted-text md5 pins the full rewrite, not just the counts)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com ssn 123-45-6789 tel +1 (555) 010-"),
+                 F.lpad(F.pmod(F.col("doc_id"), 10_000).cast("string"), 4, "0"),
+                 ).alias("text"))
+    out = TX.redact_pii(docs)
+    return out.select("doc_id", "n_email", "n_ssn", "n_phone",
+                      F.md5("text_redacted").alias("redacted_md5"))
+
+
+_REDACT_ORACLE = r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com ssn 123-45-6789 tel +1 (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+    e AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS t
+          FROM seeded),
+    s AS (SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+                 regexp_replace(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[PII]', 'g') AS t
+          FROM e),
+    p AS (SELECT doc_id, n_email, n_ssn,
+                 CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS BIGINT) AS n_phone,
+                 regexp_replace(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PII]', 'g') AS t
+          FROM s)
+    SELECT doc_id, n_email, n_ssn, n_phone, md5(t) AS redacted_md5 FROM p"""
+
+
 def _q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: keep all docs of one source, thin the
     rest to fixed per-source rates, decided by md5(doc_id) so the
@@ -1495,6 +1565,9 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_cluster": (_q_dedup_cluster, _DEDUP_CLUSTER_ORACLE),
     "heuristic_filter": (_q_heuristic_filter, _HEURISTIC_FILTER_ORACLE),
     "mix_sample": (_q_mix_sample, _MIX_SAMPLE_ORACLE),
+    "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
+    "vocab_topk": (_q_vocab_topk, _VOCAB_ORACLE),
+    "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
         SELECT DISTINCT user_id, event_type,

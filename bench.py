@@ -39,6 +39,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "mm_frame_sample",
     "graphmeta_edge_stats",
+    "dedup_cluster",
+    "heuristic_filter",
+    "mix_sample",
 ]
 
 

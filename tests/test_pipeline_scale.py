@@ -96,3 +96,46 @@ def test_heuristic_filter_signals(spark):
                spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
     assert got == {1: True, 2: False, 3: False, 4: False,
                    5: False, 6: False, 7: False}
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from agensgraph_spark.pipeline.similarity import quantize_embeddings
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0]), (3, [2.0])]
+    out = {r["vec_id"]: r for r in quantize_embeddings(
+        spark.createDataFrame(rows, ["vec_id", "embedding"])).collect()}
+    # max-magnitude slot hits ±127 (floor(-127.0) for the negative max)
+    assert out[1]["q"] == [63, -127, 31, 0]
+    assert abs(out[1]["scale"] - 1.0 / 127.0) < 1e-12
+    # dequantization error bounded by one quantization step
+    for vid, emb in rows:
+        s, q = out[vid]["scale"], out[vid]["q"]
+        for orig, qi in zip(emb, q):
+            assert abs(orig - qi * s) <= s + 1e-12
+    # zero vector: zeros with scale 0
+    assert out[2]["q"] == [0, 0] and out[2]["scale"] == 0.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from agensgraph_spark.pipeline.text import redact_pii
+    rows = [
+        (1, "mail me at a.b+c@corp.example.org or call +1 (415) 555-0101."),
+        (2, "ssn 123-45-6789 stays protected"),
+        (3, "nothing to hide here"),
+    ]
+    out = {r["doc_id"]: r for r in redact_pii(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "a.b+c@" not in out[1]["text_redacted"]
+    assert "415" not in out[1]["text_redacted"]
+    # the SSN pattern wins over the looser phone pattern
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 0
+    assert "123-45-6789" not in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "nothing to hide here"
+
+
+def test_vocab_topk_deterministic_order(spark):
+    from agensgraph_spark.pipeline.text import vocab_topk
+    rows = [(1, "b b a a c"), (2, "a b z")]
+    got = [(r["token"], r["n"]) for r in vocab_topk(
+        spark.createDataFrame(rows, ["doc_id", "text"]), k=3).collect()]
+    assert got == [("a", 3), ("b", 3), ("c", 1)]
