@@ -537,6 +537,15 @@ def connected_components(
                 sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
              .distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
+    # size the loop's parallelism to the graph: the iteration cost on
+    # small pair graphs (the common near-dup case — candidates are
+    # rare) is pure task-scheduling overhead, so a 100-node graph must
+    # not run 32-task rounds; big graphs keep full width. The count
+    # also materializes the edge pin for the loop.
+    n_edges = edges.count()
+    spread = pairs.sparkSession.sparkContext.defaultParallelism
+    width = max(1, min(spread, n_edges // 50_000))
+    edges = edges.repartition(width, "src")
     base = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         base = base.unionByName(nodes.toDF("id")).distinct()
@@ -546,7 +555,8 @@ def connected_components(
     # up long before the executors do — checkpointing pins a
     # generation-sized RDD and keeps the plan constant-size (same
     # pattern as operators/paths.py)
-    lab = base.select("id", F.col("id").alias("component")).localCheckpoint()
+    lab = (base.repartition(width, "id")
+           .select("id", F.col("id").alias("component")).localCheckpoint())
     converged = False
     for _ in range(max_iters):
         nbr = (edges
@@ -555,9 +565,20 @@ def connected_components(
                .groupBy(F.col("dst").alias("id"))
                .agg(F.min("_nc").alias("_m")))
         # least() ignores NULLs, so unpaired nodes keep their label
-        new = (lab.join(nbr, "id", "left")
-               .select("id", F.col("component").alias("_old"),
-                       F.least("component", "_m").alias("component"))
+        stepped = (lab.join(nbr, "id", "left")
+                   .select("id", F.col("component").alias("_old"),
+                           F.least("component", "_m").alias("component")))
+        # pointer jump: component := label[component]. Labels are
+        # always node ids of the same component and only ever
+        # decrease, so shortcutting through the label table is safe
+        # and turns O(diameter) convergence into O(log diameter) —
+        # near-dup chains (doc A ~ B ~ C ~ ...) otherwise cost one
+        # full round per link.
+        jump = stepped.select(F.col("id").alias("_jid"),
+                              F.col("component").alias("_jc"))
+        new = (stepped.join(jump, stepped.component == jump._jid, "left")
+               .select("id", "_old",
+                       F.least("component", "_jc").alias("component"))
                .localCheckpoint())
         changed = new.filter(F.col("component") != F.col("_old")).count()
         lab = new  # superseded checkpoint storage is freed on GC
