@@ -829,12 +829,19 @@ class QueryCompiler(WriteMixin):
         rpend = self._pending.get(rvar)
         lsrc = lpend if lpend is not None else self.df
         rsrc = rpend if rpend is not None else self.df
+        # independent endpoint components: don't materialize the
+        # |seeds|x|targets| cross product — dijkstra consumes the two
+        # sets separately (seeds drive relaxation, targets filter the
+        # settled paths); BFS still needs explicit pairs for its
+        # early-exit bookkeeping
+        seeds_df = targets_df = None
         if lpend is None and rpend is None:
             pairs = self.df.select(F.col(f"{lvar}__id").alias("seed"),
                                    F.col(f"{rvar}__id").alias("target")).distinct()
         else:
-            pairs = (lsrc.select(F.col(f"{lvar}__id").alias("seed")).distinct()
-                     .crossJoin(rsrc.select(F.col(f"{rvar}__id").alias("target")).distinct()))
+            seeds_df = lsrc.select(F.col(f"{lvar}__id").alias("seed")).distinct()
+            targets_df = rsrc.select(F.col(f"{rvar}__id").alias("target")).distinct()
+            pairs = seeds_df.crossJoin(targets_df)
         pvar = pat.var or self.scope.fresh_anon()
 
         if pat.kind in ("shortestpath", "allshortestpaths"):
@@ -863,7 +870,11 @@ class QueryCompiler(WriteMixin):
             limit = 1
             if pat.limit is not None and isinstance(pat.limit, A.Lit):
                 limit = int(pat.limit.value)
-            res = P.dijkstra_paths(edges, pairs, limit=limit)
+            if seeds_df is not None:
+                res = P.dijkstra_paths(edges, None, limit=limit,
+                                       seeds=seeds_df, targets=targets_df)
+            else:
+                res = P.dijkstra_paths(edges, pairs, limit=limit)
             props = ["weight"]
             res = res.withColumnRenamed("weight", f"{pvar}__weight")
 

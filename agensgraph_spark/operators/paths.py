@@ -335,10 +335,12 @@ def _bfs_shortest_shallow(
 
 def dijkstra_paths(
     edges: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     max_iters: int = 30,
     limit: int = 1,
     checkpoint_every: int | None = None,  # kept for API compat; unused
+    seeds: DataFrame | None = None,
+    targets: DataFrame | None = None,
 ) -> DataFrame:
     """Cheapest path(s) by edge weight: Bellman-Ford-style iterative
     relaxation until no distance improves (reference: nodeDijkstra.c —
@@ -368,10 +370,24 @@ def dijkstra_paths(
     # of the edge relation up front costs more than the two raw scans
     # the first round needs. From iteration 2 on, every hop re-joins the
     # relation and the persist pays for itself.
+    #
+    # Callers with INDEPENDENT endpoint sets (MATCH (a), (b) — two
+    # disconnected components) pass seeds+targets instead of pairs:
+    # relaxation only ever consumes the seed set and the target set
+    # filters the settled paths at the end, so materializing the
+    # |seeds|x|targets| cross product (cached, then joined against at
+    # exit) would be pure waste — 2M rows for a 100x20k endpoint pair
+    # in the bench graph, and unboundedly worse at scale.
     small = False
     pinned = False
-    pairs = pairs.select("seed", "target").distinct().cache()
-    seeds = pairs.select("seed").distinct()
+    if pairs is not None:
+        pairs = pairs.select("seed", "target").distinct().cache()
+        seeds = pairs.select("seed").distinct()
+    else:
+        if seeds is None or targets is None:
+            raise ValueError("dijkstra_paths needs pairs or seeds+targets")
+        seeds = seeds.select("seed").distinct()
+        targets = targets.select("target").distinct()
 
     # settled best paths per (seed, vertex); keep `limit` cheapest
     paths = seeds.select(
@@ -462,9 +478,15 @@ def dijkstra_paths(
             "dijkstra_paths: stopped at max_iters=%d with %d frontier "
             "rows still relaxing — longer cheapest paths may be missing",
             max_iters, fcount)
-    out = paths.join(pairs, (paths.seed == pairs.seed) & (paths.cur == pairs.target)) \
-               .select(paths.seed, F.col("cur").alias("target"), "eids", "vids", "len", "weight") \
-               .filter(F.col("len") > 0)
+    if pairs is not None:
+        out = paths.join(pairs, (paths.seed == pairs.seed) & (paths.cur == pairs.target)) \
+                   .select(paths.seed, F.col("cur").alias("target"), "eids", "vids", "len", "weight")
+    else:
+        # independent endpoints: settled paths (small) filter against
+        # the target id set — AQE broadcasts whichever side is smaller
+        out = paths.join(targets, paths.cur == targets.target) \
+                   .select(paths.seed, F.col("cur").alias("target"), "eids", "vids", "len", "weight")
+    out = out.filter(F.col("len") > 0)
     w = Window.partitionBy("seed", "target").orderBy(F.col("weight").asc(), F.col("len").asc())
     out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit).drop("_rn")
     # the result references only the final generation (checkpointed,
@@ -473,7 +495,8 @@ def dijkstra_paths(
     # remaining pins (the pair set re-derives from the caller's frame
     # in one small shuffle if the lazy result is consumed later)
     _unpersist(*[g for g in early_gens if g is not paths])
-    _unpersist(pairs)
+    if pairs is not None:
+        _unpersist(pairs)
     if pinned:
         _unpersist(edges)
     return out
