@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from agensgraph_spark.cypher.compiler import CypherEngine
 from agensgraph_spark.loader import build_tpch_graph, read_table, register_tables
+from agensgraph_spark.operators import analytics as AN
 from agensgraph_spark.pipeline import dedup as D
 from agensgraph_spark.pipeline import multimodal as MM
 from agensgraph_spark.pipeline import sampling as SMP
@@ -1148,6 +1149,79 @@ _HEURISTIC_FILTER_ORACLE = r"""
     FROM s"""
 
 
+def _analytics_graph(spark: SparkSession, sf_dir: str):
+    """supplier->nation->region DAG with string-namespaced vertex ids
+    ('s7', 'n3', 'r1') so the three key spaces can't collide."""
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"))
+    nat = read_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"))
+    edges = sup.unionByName(nat)
+    verts = (read_table(spark, sf_dir, "supplier")
+             .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("id"))
+             .unionByName(read_table(spark, sf_dir, "nation")
+                          .select(F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id")))
+             .unionByName(read_table(spark, sf_dir, "region")
+                          .select(F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"))))
+    return edges, verts
+
+
+_ANALYTICS_VERTS_SQL = """
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS id FROM supplier
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'r' || CAST(r_regionkey AS VARCHAR) FROM region"""
+
+_ANALYTICS_EDGES_SQL = """
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
+               'n' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation"""
+
+
+def _q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _analytics_graph(spark, sf_dir)
+    return AN.degree_stats(edges, verts)
+
+
+_DEGREE_ORACLE = f"""
+    WITH verts AS ({_ANALYTICS_VERTS_SQL}),
+    edges AS ({_ANALYTICS_EDGES_SQL}),
+    o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)
+    SELECT v.id, COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg
+    FROM (SELECT DISTINCT id FROM verts) v
+    LEFT JOIN o ON o.id = v.id LEFT JOIN i ON i.id = v.id"""
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _analytics_graph(spark, sf_dir)
+    return AN.pagerank(edges, verts, iters=3).select(
+        "id", F.round("pr", 6).alias("pr"))
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """The oracle replays the fixed-iteration recurrence as chained
+    CTEs; damping constants are written as the same float expressions
+    Spark evaluates (1.0 - 0.85 is NOT 0.15 in IEEE doubles)."""
+    ctes = [f"verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"edges AS ({_ANALYTICS_EDGES_SQL})",
+            "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+            "ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg ON deg.src = e.src)",
+            "pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT v.id, (1.0 - {damping}) + {damping} * COALESCE(c.c, 0.0) AS pr "
+            f"FROM verts v LEFT JOIN (SELECT ed.dst AS id, sum(p.pr / ed.d) AS c "
+            f"FROM ed JOIN pr{k-1} p ON p.id = ed.src GROUP BY ed.dst) c ON c.id = v.id)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT id, round(pr, 6) AS pr FROM pr{iters}")
+
+
 def _q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
 
@@ -1566,6 +1640,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "heuristic_filter": (_q_heuristic_filter, _HEURISTIC_FILTER_ORACLE),
     "mix_sample": (_q_mix_sample, _MIX_SAMPLE_ORACLE),
     "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
+    "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),
+    "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_topk": (_q_vocab_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),

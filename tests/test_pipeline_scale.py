@@ -139,3 +139,26 @@ def test_vocab_topk_deterministic_order(spark):
     got = [(r["token"], r["n"]) for r in vocab_topk(
         spark.createDataFrame(rows, ["doc_id", "text"]), k=3).collect()]
     assert got == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_degree_stats_includes_isolated(spark):
+    from agensgraph_spark.operators.analytics import degree_stats
+    e = spark.createDataFrame([("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("lone",)], ["id"])
+    got = {r["id"]: (r["out_deg"], r["in_deg"])
+           for r in degree_stats(e, v).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2), "lone": (0, 0)}
+
+
+def test_pagerank_hand_computed(spark):
+    """2-node chain a->b, 1 iteration: pr(a) = 0.15 (no in-edges),
+    pr(b) = 0.15 + 0.85 * (1.0 / 1) = 1.0 (seed rank 1.0)."""
+    from agensgraph_spark.operators.analytics import pagerank
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",)], ["id"])
+    got = {r["id"]: r["pr"] for r in pagerank(e, v, iters=1).collect()}
+    assert abs(got["a"] - (1.0 - 0.85)) < 1e-12
+    assert abs(got["b"] - (1.0 - 0.85 + 0.85 * 1.0)) < 1e-12
+    # second iteration: b's rank feeds nothing (dangling), a unchanged
+    got2 = {r["id"]: r["pr"] for r in pagerank(e, v, iters=2).collect()}
+    assert abs(got2["b"] - (1.0 - 0.85 + 0.85 * (1.0 - 0.85))) < 1e-12
