@@ -179,6 +179,7 @@ def heuristic_filter(
     max_tokens: int = 100_000,
     min_ttr_bp: int = 2_000,
     max_digit_bp: int = 2_000,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/C4-style document quality gate for training-data
     pipelines: length window, type-token ratio (repetition filter —
@@ -207,6 +208,7 @@ def heuristic_filter(
             & ~has_brace & ~has_lorem)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_tok.alias("n_tokens"),
         ttr_bp.alias("ttr_bp"),
         digit_bp.alias("digit_bp"),

@@ -1400,6 +1400,49 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_sink")
 
 
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data quality gate run as a STREAM: documents land
+    as files, the Gopher/C4 heuristic filter (pure column expressions,
+    so it runs unchanged under Structured Streaming) scores each
+    micro-batch, and per-(source, verdict) counters accumulate in the
+    sink — the live 'what fraction of the crawl survives' dashboard
+    feed. Stateless map + complete-mode aggregate; the batch oracle is
+    the same filter in plain SQL."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    scored = TX.heuristic_filter(stream, carry=("source",))
+    agg = scored.groupBy("source", "keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"))
+    q = (agg.writeStream.format("memory").queryName("stream_quality_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_quality_sink")
+
+
+_STREAM_QUALITY_ORACLE = r"""
+    WITH s AS (
+        SELECT doc_id, source, text,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS n_uniq,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig
+        FROM documents),
+    k AS (SELECT doc_id, source, n_tok, text,
+                 (n_tok >= 20 AND n_tok <= 100000
+                  AND CASE WHEN n_tok > 0 THEN floor(n_uniq * 10000 / n_tok) ELSE 0 END >= 2000
+                  AND CASE WHEN n_chars > 0 THEN floor(n_dig * 10000 / n_chars) ELSE 0 END <= 2000
+                  AND NOT contains(text, '{')
+                  AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+          FROM s)
+    SELECT source, keep, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM k GROUP BY source, keep"""
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator for real: gap sessionization
     via applyInPandasWithState (streaming/sessionize.py), driven through
@@ -1644,6 +1687,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_topk": (_q_vocab_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
+    "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
         SELECT DISTINCT user_id, event_type,
