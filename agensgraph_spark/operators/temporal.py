@@ -1,0 +1,100 @@
+"""Temporal joins — as-of and range joins, the time-series operators a
+feature-engineering or event-correlation pipeline needs and Spark has
+no built-in form of.
+
+Both are pure DataFrame compositions (no UDFs, no mapInPandas):
+
+- ``asof_join`` uses the union+window formulation: both sides are
+  unioned on the (by, time) axis and the latest right payload is
+  carried forward with ``last(ignoreNulls)`` over a running window —
+  ONE shuffle on the by-key, no self-join, no per-row search. This is
+  the standard distributed as-of shape; a naive non-equi join would be
+  a cartesian per key.
+- ``range_join`` equi-joins on coarse time bins (ranges explode into
+  the bins they cover; points land in exactly one bin) and then
+  applies the exact containment filter — turning the O(|L|x|R|)
+  inequality join into a bin-partitioned equi-join. Each qualifying
+  pair appears exactly once (the point's bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    right.on <= left.on (inclusive) and equal ``by`` keys, as a struct
+    column ``matched`` (NULL when no right row precedes). With
+    ``tolerance_sec``, matches older than the tolerance are nulled.
+    Ties on (by, on) within the right side resolve by the right
+    payload's struct order (deterministic, documented). Without ``by``
+    the window is a single partition — fine for dimension-sized right
+    tables, not for corpus-scale ones."""
+    lcols = list(left.columns)
+    rpayload = [c for c in right.columns if c != on and c not in by]
+    ltype = T.StructType([left.schema[c] for c in lcols])
+    rtype = T.StructType([right.schema[c] for c in [on] + rpayload])
+    l = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(rtype).alias("_r"))
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),  # right rows sort first at equal time
+        F.lit(None).cast(ltype).alias("_l"),
+        F.struct(F.col(on), *[F.col(c) for c in rpayload]).alias("_r"))
+    u = l.unionByName(r)
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("_r", ignorenulls=True).over(w)
+    out = (u.withColumn("_m", matched)
+           .filter(F.col("_side") == 1))
+    if tolerance_sec is not None:
+        fresh = (F.col("_t").cast("double")
+                 - F.col("_m")[on].cast("double")) <= F.lit(float(tolerance_sec))
+        out = out.withColumn("_m", F.when(fresh, F.col("_m")))
+    return out.select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
+                      F.col("_m").alias("matched"))
+
+
+def _bin(col: Column, width_sec: float) -> Column:
+    return F.floor(col.cast("timestamp").cast("double") / F.lit(float(width_sec)))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    by: tuple[str, ...] = (),
+    bin_sec: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows whose ``point`` falls inside a right row's
+    [start, end] (inclusive). ``bin_sec`` should be on the order of the
+    typical range length: too fine explodes ranges into many bins, too
+    coarse packs unrelated rows into one bin — either degrades toward
+    the cartesian the binning avoids. Returns left.* + right.*."""
+    if how != "inner":
+        raise ValueError("range_join supports inner joins only")
+    lb = left.withColumn("_bin", _bin(F.col(point), bin_sec))
+    rb = right.withColumn(
+        "_bin", F.explode(F.sequence(_bin(F.col(start), bin_sec),
+                                     _bin(F.col(end), bin_sec))))
+    j = lb.join(rb, [*by, "_bin"]).filter(
+        (F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end)))
+    return j.drop("_bin")

@@ -1400,6 +1400,62 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_sink")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's latest preceding click —
+    the classic feature-engineering as-of shape. The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, so the union+window formulation is
+    checked against an independent reference implementation."""
+    from agensgraph_spark.operators import temporal as TP
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase") \
+          .select("event_id", "user_id", "ts", "value")
+    c = ev.filter(F.col("event_type") == "click") \
+          .select("user_id", "ts", "value")
+    j = TP.asof_join(p, c, on="ts", by=("user_id",))
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format(F.col("matched")["ts"],
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.round(F.col("matched")["value"], 6).alias("click_value"))
+
+
+_ASOF_ORACLE = """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           round(c.value, 6) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing inside a 2-hour window after an error of the
+    same user — interval containment via the binned equi-join (the
+    oracle runs the plain inequality join)."""
+    from agensgraph_spark.operators import temporal as TP
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"))
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    j = TP.range_join(clk, err, point="click_ts", start="w_start",
+                      end="w_end", by=("user_id",), bin_sec=7200.0)
+    return j.select("err_id", "click_id", "user_id")
+
+
+_RANGE_ORACLE = """
+    SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR"""
+
+
 def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data quality gate run as a STREAM: documents land
     as files, the Gopher/C4 heuristic filter (pure column expressions,
@@ -1687,6 +1743,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_topk": (_q_vocab_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
+    "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
+    "range_join_events": (_q_range_join, _RANGE_ORACLE),
     "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """

@@ -162,3 +162,46 @@ def test_pagerank_hand_computed(spark):
     # second iteration: b's rank feeds nothing (dangling), a unchanged
     got2 = {r["id"]: r["pr"] for r in pagerank(e, v, iters=2).collect()}
     assert abs(got2["b"] - (1.0 - 0.85 + 0.85 * (1.0 - 0.85))) < 1e-12
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    from agensgraph_spark.operators.temporal import asof_join
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(3)), (3, "v", t(10))],
+        ["lid", "user", "ts"])
+    right = spark.createDataFrame(
+        [("u", t(5), 50.0), ("u", t(10), 100.0), ("w", t(1), 1.0)],
+        ["user", "ts", "value"])
+    got = {r["lid"]: r["matched"] for r in
+           asof_join(left, right, on="ts", by=("user",)).collect()}
+    assert got[1]["value"] == 100.0     # equal timestamps match (inclusive)
+    assert got[2] is None               # nothing at or before t=3
+    assert got[3] is None               # no rows for user v
+    # tolerance: the t=5 match is 5s old relative to a t=10 left row
+    got2 = {r["lid"]: r["matched"] for r in
+            asof_join(left.filter("lid = 1"), right.filter("value = 50.0"),
+                      on="ts", by=("user",), tolerance_sec=3).collect()}
+    assert got2[1] is None
+
+
+def test_range_join_bin_boundaries(spark):
+    """Ranges spanning multiple bins and points at inclusive endpoints
+    must behave identically to the plain inequality join."""
+    from agensgraph_spark.operators.temporal import range_join
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    off = lambda s: base + dt.timedelta(seconds=s)
+    right = spark.createDataFrame(
+        [("k", 100, off(10), off(7200 * 2 + 50))],   # spans 3 bins at bin=7200
+        ["k", "rid", "start", "end"])
+    pts = [("k", i, off(s)) for i, s in enumerate([9, 10, 7200, 14450, 14451])]
+    left = spark.createDataFrame(pts, ["k", "pid", "p"])
+    got = sorted(r["pid"] for r in range_join(
+        left, right, point="p", start="start", end="end",
+        by=("k",), bin_sec=7200.0).collect())
+    # 9 is before start, 14451 after end; 10 and 14450 are inclusive edges
+    assert got == [1, 2, 3]
+    # each qualifying pair appears exactly once despite multi-bin ranges
+    assert len(got) == len(set(got))
