@@ -198,6 +198,19 @@ class CypherEngine:
         self.udaf_names.add(name.lower())
         return wrapped
 
+    def register_table_function(self, name: str, cls, return_type: str):
+        """CREATE FUNCTION ... RETURNS SETOF/TABLE analog (reference:
+        §2.10, executed as a FunctionScan — nodeFunctionscan.c): wraps
+        a Python UDTF class (``eval`` yields output rows) and registers
+        it on the engine's SQL surface as a FROM-clause table function,
+        including LATERAL correlation against other FROM items. This is
+        the real set-returning extension point; explode()-based SRFs
+        (UNWIND, unnest) remain the fast path for array flattening."""
+        from pyspark.sql.functions import udtf
+        wrapped = udtf(cls, returnType=return_type)
+        self.spark.udtf.register(name, wrapped)
+        return wrapped
+
     def prepare(self, text: str):
         """PREPARE/EXECUTE analog (reference: gram.y:11055 — Cypher in
         PREPARE with $n parameters, cypher_expr.sql:30-38): returns a

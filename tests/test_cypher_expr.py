@@ -266,3 +266,21 @@ def test_explain_write_does_not_mutate(engine, spark):
     got = engine.cypher(
         "MATCH (n:nation) WHERE n.n_nationkey = 0 RETURN n.flag AS f").collect()
     assert got[0]["f"] is None  # SET not applied
+
+
+def test_register_table_function_functionscan(engine):
+    """Real Python UDTF as a FROM-clause table function, standalone and
+    LATERAL-correlated (reference FunctionScan, nodeFunctionscan.c)."""
+    class Divisors:
+        def eval(self, n: int):
+            for d in range(1, n + 1):
+                if n % d == 0:
+                    yield (d,)
+
+    engine.register_table_function("divisors", Divisors, "d int")
+    rows = engine.sql("SELECT d FROM divisors(12) ORDER BY d").collect()
+    assert [r["d"] for r in rows] == [1, 2, 3, 4, 6, 12]
+    lat = engine.sql(
+        "SELECT t.n, count(*) AS nd FROM VALUES (6), (9) AS t(n), "
+        "LATERAL divisors(t.n) GROUP BY t.n ORDER BY t.n").collect()
+    assert [(r["n"], r["nd"]) for r in lat] == [(6, 4), (9, 3)]
