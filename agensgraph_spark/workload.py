@@ -1223,7 +1223,12 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
 
 
 def _q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    out = S.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    # the driver's row canonicalizer rejects container cells — ship the
+    # int8 vector as its csv rendering (pins every element exactly)
+    return out.select(
+        "vec_id", F.round("scale", 9).alias("scale"),
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).alias("q_csv"))
 
 
 _QUANTIZE_ORACLE = """
@@ -1232,14 +1237,14 @@ _QUANTIZE_ORACLE = """
                list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                        x -> abs(x))) AS amax
         FROM embeddings)
-    SELECT vec_id, amax / 127.0 AS scale,
-           CASE WHEN amax > 0
+    SELECT vec_id, round(amax / 127.0, 9) AS scale,
+           array_to_string(CASE WHEN amax > 0
                 THEN list_transform(v, x -> CAST(floor(x * 127.0 / amax) AS INTEGER))
-                ELSE list_transform(v, x -> 0) END AS q
+                ELSE list_transform(v, x -> 0) END, ',') AS q_csv
     FROM s"""
 
 
-def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_vocab_ws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.vocab_topk(read_table(spark, sf_dir, "documents"), k=40)
 
 
@@ -1741,7 +1746,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
     "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
-    "vocab_topk": (_q_vocab_topk, _VOCAB_ORACLE),
+    "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),
