@@ -241,3 +241,56 @@ def test_sp_expr_left_join_no_cartesian(spark):
     # cardinality preserved: customers(<40) x 5 regions
     assert rows == spark.read.parquet(f"{SF}/customer.parquet") \
         .filter(F.col("c_custkey") < 40).count() * 5
+
+
+def test_heuristic_filter_single_stage(spark):
+    """The quality gate is a pure projection: no Exchange, no UDFs —
+    map-only at any corpus scale."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["heuristic_filter"](spark, SF)
+    plan = physical(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_sample_filter_pushed_to_scan(spark):
+    """Deterministic sampling is a scan-level filter before the
+    aggregate — the md5 predicate must not sit above a shuffle."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["mix_sample"](spark, SF)
+    plan = physical(df)
+    # exactly the aggregate's exchange, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_range_join_no_cartesian(spark):
+    """The binned range join must plan as an equi-join (hash or
+    sort-merge) with the containment filter on top — a plain
+    inequality join would be a nested-loop cartesian per key."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["range_join_events"](spark, SF)
+    plan = physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The union+window as-of join shuffles each side once on the by
+    key — no self-join, no per-row search."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["asof_join_events"](spark, SF)
+    plan = physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one window over the unioned stream; no join operators at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_quantize_embeddings_map_only(spark):
+    from agensgraph_spark import workload
+    df = workload.all_queries()["quantize_embeddings"](spark, SF)
+    plan = physical(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
