@@ -7,7 +7,7 @@ is deterministic so a SQL oracle can replay it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A deliberately simple, SQL-replayable stopword inventory per language.
@@ -267,3 +267,41 @@ def redact_pii(
         redacted = F.regexp_replace(redacted, pat, "[PII]")
     out_cols.append(redacted.alias("text_redacted"))
     return df.select(*out_cols)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    by: tuple[str, ...] = ("source",),
+    shards: int = 1,
+) -> DataFrame:
+    """Sequence packing for training batches: concatenation chunking —
+    docs are laid out in deterministic (by, shard, id) order and the
+    token stream is cut every ``budget`` tokens; a doc's bin is the
+    chunk holding its first token, ``bin_offset`` its position inside
+    that chunk. One window (cumulative token sum) per (by, shard)
+    group.
+
+    Packing is inherently sequential, so parallelism comes from the
+    grouping: ``by`` strata pack independently, and ``shards``
+    sub-partitions each stratum deterministically (``id % shards``) —
+    the 100-TB path is shards ~ cluster cores, trading global
+    contiguity for per-shard contiguity (each shard still emits
+    full-budget chunks; only the last chunk per shard runs short).
+    Deterministic: same rows => same bins, any partitioning."""
+    n = token_count(F.col(text_col))
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("long")
+    w = (Window.partitionBy(*[F.col(c) for c in by], shard)
+         .orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum(n).over(w) - n
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in by],
+        shard.alias("shard"),
+        n.alias("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
+        (start - F.floor(start / F.lit(budget)) * budget).cast("long").alias("bin_offset"),
+    )

@@ -1405,6 +1405,27 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_sink")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pack_sequences(read_table(spark, sf_dir, "documents"),
+                             budget=512, by=("source",), shards=4)
+
+
+_PACK_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, source, doc_id % 4 AS shard,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        FROM documents),
+    c AS (SELECT doc_id, source, shard, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS start
+          FROM t)
+    SELECT doc_id, source, shard, n_tok AS n_tokens,
+           CAST(floor(start / 512) AS BIGINT) AS bin_id,
+           CAST(start - floor(start / 512) * 512 AS BIGINT) AS bin_offset
+    FROM c"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase joined to the user's latest preceding click —
     the classic feature-engineering as-of shape. The oracle is
@@ -1748,6 +1769,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
+    "pack_sequences": (_q_pack_sequences, _PACK_ORACLE),
     "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),
     "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),

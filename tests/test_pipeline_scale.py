@@ -205,3 +205,27 @@ def test_range_join_bin_boundaries(spark):
     assert got == [1, 2, 3]
     # each qualifying pair appears exactly once despite multi-bin ranges
     assert len(got) == len(set(got))
+
+
+def test_pack_sequences_invariants(spark):
+    """Bins fill to the budget: every non-final bin of a (by, shard)
+    group spans exactly `budget` tokens of stream, offsets stay within
+    [0, budget), and the layout is partitioning-independent."""
+    from agensgraph_spark.pipeline.text import pack_sequences
+    rows = [(i, "s", " ".join(["w"] * (7 + i % 5))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = pack_sequences(df, budget=20, by=("source",), shards=2).collect()
+    assert all(0 <= r["bin_offset"] < 20 for r in out)
+    # stream order reconstruction: within a shard, cumulative offsets
+    # advance by n_tokens across bin boundaries
+    for sh in (0, 1):
+        seq = sorted((r for r in out if r["shard"] == sh),
+                     key=lambda r: r["doc_id"])
+        pos = 0
+        for r in seq:
+            assert r["bin_id"] * 20 + r["bin_offset"] == pos
+            pos += r["n_tokens"]
+    out2 = pack_sequences(df.repartition(13), budget=20,
+                          by=("source",), shards=2).collect()
+    key = lambda r: (r["doc_id"],)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
