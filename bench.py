@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_cluster",
     "heuristic_filter",
     "mix_sample",
+    "pack_sequences",
+    "asof_join_events",
+    "range_join_events",
+    "graph_pagerank",
 ]
 
 
