@@ -229,3 +229,33 @@ def test_pack_sequences_invariants(spark):
                           by=("source",), shards=2).collect()
     key = lambda r: (r["doc_id"],)
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_new_operators_empty_inputs(spark):
+    """Empty frames must flow through, not crash — the shapes a driver
+    hits on filtered-out partitions."""
+    from agensgraph_spark.operators.temporal import asof_join, range_join
+    from agensgraph_spark.pipeline.dedup import connected_components
+    from agensgraph_spark.pipeline.text import pack_sequences
+    import datetime as dt
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_pairs).count() == 0
+    nodes = spark.createDataFrame([(7,)], ["id"])
+    got = connected_components(empty_pairs, nodes=nodes).collect()
+    assert [(r["id"], r["component"]) for r in got] == [(7, 7)]
+
+    left = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 1))], ["lid", "user", "ts"])
+    empty_right = spark.createDataFrame([], "user string, ts timestamp, value double")
+    j = asof_join(left, empty_right, on="ts", by=("user",)).collect()
+    assert len(j) == 1 and j[0]["matched"] is None
+
+    empty_ranges = spark.createDataFrame(
+        [], "k string, rid long, start timestamp, end timestamp")
+    pts = spark.createDataFrame([("k", 1, dt.datetime(2024, 1, 1))], ["k", "pid", "p"])
+    assert range_join(pts, empty_ranges, point="p", start="start",
+                      end="end", by=("k",)).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert pack_sequences(empty_docs).count() == 0
