@@ -157,8 +157,11 @@ class PatternPred(Expr):
 
 @dataclass
 class ScalarSubquery(Expr):
-    """SQL scalar subquery embedded in a Cypher expression (hybrid)."""
+    """SQL scalar subquery embedded in a Cypher expression (hybrid).
+    ``collect_set`` marks IN-SubLink position (set membership): the
+    hoist collects the subquery's rows into an array column."""
     sql: str
+    collect_set: bool = False
 
 
 @dataclass

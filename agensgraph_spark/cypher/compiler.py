@@ -1112,6 +1112,12 @@ class QueryCompiler(WriteMixin):
         seen: set[int] = set()
         for e in exprs:
             for x in self._iter_expr(e):
+                # IN (SELECT ...) is a set-membership SubLink, not a
+                # scalar one (reference ANY_SUBLINK, parse_expr.c):
+                # collect the subquery's rows into an array so the IN
+                # compiles to array_contains over the hoisted column
+                if isinstance(x, A.InList) and isinstance(x.container, A.ScalarSubquery):
+                    x.container.collect_set = True
                 if isinstance(x, A.ScalarSubquery) and id(x) not in seen:
                     seen.add(id(x))
                     subs.append(x)
@@ -1153,6 +1159,8 @@ class QueryCompiler(WriteMixin):
 
                 sql = sub_outside_quotes(rf"\b{_re.escape(v)}\.(\w+)", repl, sql)
             col = f"__subq_{n}_{k}"
+            if getattr(sq, "collect_set", False):
+                sql = f"SELECT collect_list(__x) FROM ({sql}) AS __in_sub(__x)"
             items.append(f"({sql}) AS {col}")
             self._subq_cols[id(sq)] = col
         self.df = self.engine.spark.sql(f"SELECT {', '.join(items)} FROM {view}")

@@ -1030,6 +1030,19 @@ def _q_hybrid_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) AS n_items")
 
 
+def _q_hybrid_in_sublink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-SubLink: Cypher property membership in a SQL subquery's row
+    set (reference cypher_expr.sql:263-266 `n.i IN (SELECT ...)`,
+    ANY_SUBLINK) — hoisted as a collected-array column, compiled to
+    array_contains."""
+    register_tables(spark, sf_dir, only=("orders",))
+    eng = _engine(spark, sf_dir)
+    return eng.cypher(
+        "MATCH (c:customer) "
+        "WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
+        "RETURN count(c) AS n")
+
+
 def _q_cy_nested_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested property access through the CYPHER expression path
     (reference: CypherAccessExpr jsonb traversal,
@@ -1800,6 +1813,9 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         "SELECT o_orderkey AS okey, "
         "(SELECT count(*) FROM lineitem WHERE l_orderkey = o.o_orderkey) AS n_items "
         "FROM orders o WHERE o_orderkey < 500"),
+    "hybrid_in_sublink": (_q_hybrid_in_sublink,
+        "SELECT count(*) AS n FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"),
     "sql_csv_foreign_scan": (_q_csv_foreign_scan,
         "SELECT CAST(n_regionkey AS BIGINT) AS rkey, count(*) AS n_nations, "
         "min(n_name) AS first_name FROM nation GROUP BY n_regionkey"),
