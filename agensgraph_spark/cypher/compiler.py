@@ -1117,7 +1117,18 @@ class QueryCompiler(WriteMixin):
                 # collect the subquery's rows into an array so the IN
                 # compiles to array_contains over the hoisted column
                 if isinstance(x, A.InList) and isinstance(x.container, A.ScalarSubquery):
-                    x.container.collect_set = True
+                    # scale path: when the member item is a plain bound
+                    # property, emit a true IN-subquery predicate column
+                    # (Catalyst rewrites it to a semi-join) instead of
+                    # collecting the subquery's rows into an array
+                    it = x.item
+                    b = (self.scope.bindings.get(it.base.name)
+                         if isinstance(it, A.Prop) and isinstance(it.base, A.Var)
+                         else None)
+                    if b is not None and it.key in (b.props or []):
+                        x.container.in_item_col = f"{it.base.name}__{it.key}"
+                    else:
+                        x.container.collect_set = True
                 if isinstance(x, A.ScalarSubquery) and id(x) not in seen:
                     seen.add(id(x))
                     subs.append(x)
@@ -1161,7 +1172,11 @@ class QueryCompiler(WriteMixin):
             col = f"__subq_{n}_{k}"
             if getattr(sq, "collect_set", False):
                 sql = f"SELECT collect_list(__x) FROM ({sql}) AS __in_sub(__x)"
-            items.append(f"({sql}) AS {col}")
+                items.append(f"({sql}) AS {col}")
+            elif getattr(sq, "in_item_col", None):
+                items.append(f"({view}.{sq.in_item_col} IN ({sql})) AS {col}")
+            else:
+                items.append(f"({sql}) AS {col}")
             self._subq_cols[id(sq)] = col
         self.df = self.engine.spark.sql(f"SELECT {', '.join(items)} FROM {view}")
 

@@ -448,6 +448,9 @@ class ExprCompiler:
         if isinstance(e.container, A.ListLit) and all(isinstance(i, A.Lit) for i in e.container.items):
             return TC(item.col.isin([i.value for i in e.container.items]), T.BooleanType())
         cont = self.tc(e.container)
+        if isinstance(e.container, A.ScalarSubquery) and getattr(e.container, "in_item_col", None):
+            # hoisted as a boolean IN-subquery predicate column
+            return TC(cont.col, T.BooleanType())
         return TC(F.array_contains(cont.col, item.col), T.BooleanType())
 
     def _c_StringOp(self, e: A.StringOp) -> TC:
