@@ -1418,6 +1418,87 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_sink")
 
 
+def _q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as ONE composed query — quality gate →
+    embedding-cosine near-dup clustering → canonical representative →
+    deterministic mix sampling — reporting per-source survivor counts
+    at each stage. Every stage is the already-verified operator; the
+    oracle replays the whole funnel in SQL (recursive CTE for the
+    clustering)."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    kept = (TX.heuristic_filter(docs, carry=("source",))
+            .filter(F.col("keep")).select("doc_id", "source"))
+    kept_emb = emb.join(kept.select(F.col("doc_id").alias("vec_id")),
+                        "vec_id", "left_semi")
+    pairs = S.cosine_neardup_pairs(kept_emb, threshold=0.25,
+                                   dim=_emb_dim(emb, sf_dir))
+    cc = D.connected_components(pairs.select("id_a", "id_b"),
+                                nodes=kept.select(F.col("doc_id")))
+    canon = (cc.filter(F.col("id") == F.col("component"))
+             .select(F.col("id").alias("doc_id")))
+    canon_docs = kept.join(canon, "doc_id", "left_semi")
+    final = SMP.mix_sample(canon_docs, "source", {"src0": 1.0},
+                           key_col="doc_id", default_rate=0.5)
+    return (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_pass_filter"))
+            .join(canon_docs.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_canonical")), "source", "left")
+            .join(final.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_final")), "source", "left")
+            .select("source", "n_pass_filter",
+                    F.coalesce("n_canonical", F.lit(0)).alias("n_canonical"),
+                    F.coalesce("n_final", F.lit(0)).alias("n_final")))
+
+
+_CURATE_ORACLE = r"""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, source, text,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS n_uniq,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig
+        FROM documents),
+    kept AS (
+        SELECT doc_id, source FROM sig
+        WHERE n_tok >= 20 AND n_tok <= 100000
+          AND CASE WHEN n_tok > 0 THEN floor(n_uniq * 10000 / n_tok) ELSE 0 END >= 2000
+          AND CASE WHEN n_chars > 0 THEN floor(n_dig * 10000 / n_chars) ELSE 0 END <= 2000
+          AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')),
+    pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id IN (SELECT doc_id FROM kept)
+          AND b.vec_id IN (SELECT doc_id FROM kept)
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.25),
+    e2 AS (SELECT ida AS src, idb AS dst FROM pairs
+           UNION ALL SELECT idb, ida FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM kept
+        UNION
+        SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.id),
+    canon AS (
+        SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)),
+    canon_docs AS (
+        SELECT k.doc_id, k.source FROM kept k JOIN canon c ON c.doc_id = k.doc_id),
+    final AS (
+        SELECT doc_id, source FROM canon_docs
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE source WHEN 'src0' THEN 'g' ELSE '8000' END)
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_pass_filter,
+           CAST(COALESCE(cd.n, 0) AS BIGINT) AS n_canonical,
+           CAST(COALESCE(f.n, 0) AS BIGINT) AS n_final
+    FROM kept k
+    LEFT JOIN (SELECT source, count(*) AS n FROM canon_docs GROUP BY source) cd
+           ON cd.source = k.source
+    LEFT JOIN (SELECT source, count(*) AS n FROM final GROUP BY source) f
+           ON f.source = k.source
+    GROUP BY k.source, cd.n, f.n"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pack_sequences(read_table(spark, sf_dir, "documents"),
                              budget=512, by=("source",), shards=4)
@@ -1782,6 +1863,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
+    "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),
     "pack_sequences": (_q_pack_sequences, _PACK_ORACLE),
     "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),
