@@ -41,18 +41,21 @@ def brute_cosine_topk(
     """Exact top-k neighbors per query vector (query set is broadcast —
     the corpus is never shuffled). Excludes self-pairs. Ties broken by
     neighbor id for determinism."""
+    # row norms computed once per side, before the |Q|x|C| join — see
+    # cosine_neardup_pairs: interpreted HOFs make per-pair norm
+    # traversals ~3x the cost of the dot alone
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
     joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id", "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -170,14 +173,20 @@ def ivf_cosine_topk(
         pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
         return F.slice(F.reverse(F.array_sort(pairs)), 1, n).getField("i")
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv")) \
+              .select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")) \
+               .select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     c_tag = c.withColumn("_list", arg_top(centroid_sims(F.col("cv")), 1).getItem(0))
     q_tag = q.withColumn("_list", F.explode(arg_top(centroid_sims(F.col("qv")), n_probe)))
 
     cand = c_tag.join(F.broadcast(q_tag), "_list") \
                 .filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
