@@ -210,8 +210,12 @@ def lsh_cosine_topk(
     |bucket| not |corpus|."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv")) \
+              .select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")) \
+               .select("query_id", "qv", norm(F.col("qv")).alias("qn"))
 
     # all tables' signatures in ONE pass: (table, sig) via posexplode,
     # single equi-join on the pair — n_tables separate join branches
@@ -229,7 +233,8 @@ def lsh_cosine_topk(
             .distinct().filter(F.col("query_id") != F.col("neighbor_id")))
 
     scored = (cand.join(q, "query_id").join(c, "neighbor_id")
-              .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+              .select("query_id", "neighbor_id",
+                      (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
