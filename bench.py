@@ -91,6 +91,10 @@ def main() -> None:
         "queries": best,
         "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # 1-min load BEFORE this bench contributes: a loaded machine
+        # inflates every query uniformly (~30% observed) — record it so
+        # cross-round comparisons can discount noisy runs
+        "load1_at_exit": round(os.getloadavg()[0], 2),
     }))
 
 
