@@ -91,6 +91,7 @@ class CypherEngine:
         # names registered via register_aggregate — the projection
         # compiler treats calls to these as aggregate expressions
         self.udaf_names: set[str] = set()
+        self.procedures: dict[str, object] = {}
 
     @property
     def graph(self) -> Graph | None:
@@ -197,6 +198,24 @@ class CypherEngine:
         self.udfs[name.lower()] = wrapped
         self.udaf_names.add(name.lower())
         return wrapped
+
+    def register_procedure(self, name: str, fn):
+        """Analog of a PL/pgSQL function with Cypher inside its body
+        (reference: cypher_plpgsql.sql — MATCH ... INTO var, control
+        flow, parameters). Spark UDFs run on executors where no
+        SparkSession exists, so query-COMPOSING functions are a driver
+        concept here: ``fn(engine, *args)`` may run ``cypher()``/
+        ``sql()``, branch on results, and return scalars or frames;
+        invoke with ``call()``."""
+        self.procedures[name.lower()] = fn
+        return fn
+
+    def call(self, name: str, *args, **kwargs):
+        """Invoke a procedure registered with register_procedure."""
+        fn = self.procedures.get(name.lower())
+        if fn is None:
+            raise KeyError(f"no procedure named {name!r}")
+        return fn(self, *args, **kwargs)
 
     def register_table_function(self, name: str, cls, return_type: str):
         """CREATE FUNCTION ... RETURNS SETOF/TABLE analog (reference:

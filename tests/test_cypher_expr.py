@@ -284,3 +284,38 @@ def test_register_table_function_functionscan(engine):
         "SELECT t.n, count(*) AS nd FROM VALUES (6), (9) AS t(n), "
         "LATERAL divisors(t.n) GROUP BY t.n ORDER BY t.n").collect()
     assert [(r["n"], r["nd"]) for r in lat] == [(6, 4), (9, 3)]
+
+
+def test_register_procedure_cypher_inside(spark):
+    """Driver-side procedures composing Cypher — the PL/pgSQL-with-
+    Cypher analog (cypher_plpgsql.sql udf_param/udf_var/udf_if)."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH plpg")
+    eng.cypher("CREATE (:v {id: 1, refs: [2, 3, 4]}), (:v {id: 2})")
+
+    def small_refs(e, vid):
+        # parameterized MATCH + list comprehension, result INTO a value
+        rows = e.cypher(
+            "MATCH (n:v) WHERE n.id = $1 "
+            "RETURN [x IN n.refs WHERE x < 3] AS l", {"1": vid}).collect()
+        return rows[0]["l"]
+
+    def props_of(e, vid):
+        rows = e.cypher("MATCH (n:v) WHERE n.id = $1 RETURN n.id AS i",
+                        {"1": vid}).collect()
+        return rows[0]["i"]
+
+    def exists_branch(e, vid):
+        # IF ... THEN control flow around a query (udf_if)
+        n = e.cypher("MATCH (n:v) WHERE n.id = $1 RETURN count(*) AS c",
+                     {"1": vid}).collect()[0]["c"]
+        return "found" if n > 0 else "missing"
+
+    eng.register_procedure("small_refs", small_refs)
+    eng.register_procedure("props_of", props_of)
+    eng.register_procedure("exists_branch", exists_branch)
+    assert eng.call("small_refs", 1) == [2]
+    assert eng.call("props_of", 2) == 2
+    assert eng.call("exists_branch", 1) == "found"
+    assert eng.call("exists_branch", 99) == "missing"
