@@ -1765,6 +1765,51 @@ def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
         FROM ranked WHERE rank <= {k}"""
 
 
+def _lsh_oracle(dim: int = 64, n_planes: int = 12, n_tables: int = 4,
+                k: int = 5) -> str:
+    """DuckDB replay of S.lsh_cosine_topk: the SAME seeded hyperplane
+    matrices (numpy default_rng(42+t) per table) embedded as VALUES
+    literals; signatures are the packed sign bits of the plane dots
+    (sign flips from float-order differences need |dot| < 1e-12 —
+    negligible for random planes), candidates share a full (table,
+    signature) pair, exact cosine re-ranks. dim=64 is the testdata
+    embedding width at every SF."""
+    import numpy as np
+    rows = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(42 + t)
+        pm = rng.standard_normal((n_planes, dim))
+        for j in range(n_planes):
+            rows.append(
+                f"({t}, {2 ** j}, "
+                f"[{', '.join(repr(float(x)) for x in pm[j])}]::DOUBLE[])")
+    values = ",\n               ".join(rows)
+    return f"""
+        WITH planes(t, w, pv) AS (VALUES {values}),
+        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (
+          SELECT c.vec_id, p.t,
+                 SUM(CASE WHEN list_dot_product(c.v, p.pv) > 0 THEN p.w ELSE 0 END) AS sig
+          FROM corpus c CROSS JOIN planes p GROUP BY c.vec_id, p.t),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM (SELECT * FROM sigs WHERE vec_id < 20) q
+          JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+          WHERE q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(qv.v, cv.v) AS cos_sim
+          FROM cand JOIN corpus qv ON qv.vec_id = cand.query_id
+                    JOIN corpus cv ON cv.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= {k}"""
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (_q_dedup_exact,
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"),
@@ -1933,7 +1978,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                FROM scored)
         SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
         FROM ranked WHERE rank <= 5"""),
-    "ann_cosine_lsh": (_q_ann_lsh, None),  # approximate; rows-only
+    "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
 }
 

@@ -40,8 +40,6 @@ def test_tail_coverage_accounted_for():
     stub cases covered by pytest differentials — nothing silently
     unverified."""
     known = {"dedup_simhash_pairs",  # tests/test_differential_dedup.py
-             "ann_cosine_lsh",       # approximate; signature path covered
-                                     # by test_differential_dedup + ivf oracle
              "mm_image_stats"}       # stub decode kernel (documented)
     assert set(TAIL_NO_ORACLE) <= known, TAIL_NO_ORACLE
 
