@@ -64,3 +64,23 @@ def test_extract_features_shape(media):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"\x89PNG", "png")
+
+
+def test_image_stats_match_driverside_replay(media):
+    """Independent plumbing check: collect the raw media rows and
+    replay the stub kernel driver-side — the mapInPandas result must
+    route every (payload, meta) pair to the right output row. Catches
+    batch-boundary / column-order / meta-projection bugs the
+    determinism test cannot."""
+    from agensgraph_spark.pipeline.multimodal import _decode_pixels_stub
+    raw = media.filter("kind = 'image'").select(
+        "media_id", "payload", "meta.width", "meta.height", "meta.channels").collect()
+    exp = {}
+    for r in raw:
+        px = _decode_pixels_stub(bytes(r["payload"]), r["width"], r["height"], r["channels"])
+        exp[r["media_id"]] = (int(px.size), round(float(px.mean()), 9),
+                              int(px.min()), int(px.max()))
+    got = {r["media_id"]: (r["n_pixels"], round(r["mean_value"], 9),
+                           r["min_value"], r["max_value"])
+           for r in MM.image_stats(media).collect()}
+    assert got == exp and len(got) > 0
