@@ -235,19 +235,54 @@ class Graph:
 
     # ---- persistence: immutable snapshot model ----
 
-    def write_snapshot(self, root: str, partitions: int | None = None) -> None:
+    def write_snapshot(self, root: str, partitions: int | None = None,
+                       version: str | None = None) -> None:
         """Write every label as Parquet laid out for scale: vertex
         files hash-clustered and sorted by ``id`` (Parquet min/max
         footers then prune id-range = label/point lookups), edge files
         clustered by ``start`` and sorted within files so out-edge
-        expansion reads co-located, sorted runs."""
-        self.catalog.save(root)
+        expansion reads co-located, sorted runs.
+
+        With ``version``, the snapshot lands under an immutable
+        ``_versions/<version>`` directory and is appended to the
+        graph's version manifest — time-travel reads
+        (``read_snapshot(..., version=...)``) are the batch analog of
+        the reference's MVCC visibility: every version is a complete,
+        never-mutated copy of the label frames, so concurrent readers
+        of older versions are untouched by later writes."""
+        import json
+        import os as _os
+        base = f"{root}/{self.catalog.name}"
+        if version is not None:
+            base = f"{base}/_versions/{version}"
+            _os.makedirs(base, exist_ok=True)
+            self.catalog.save(base)
+            manifest = f"{root}/{self.catalog.name}/_versions/manifest.json"
+            versions: list[str] = []
+            if _os.path.exists(manifest):
+                versions = json.load(open(manifest))
+            if version not in versions:
+                versions.append(version)
+            with open(manifest, "w") as f:
+                json.dump(versions, f)
+        else:
+            self.catalog.save(root)
         for lbl, df in self.frames.items():
             meta = self.catalog.labels[lbl]
-            path = f"{root}/{self.catalog.name}/{meta.kind}_{lbl}"
+            path = f"{base}/{meta.kind}_{lbl}"
             key = "id" if meta.kind == "v" else "start"
             out = df.repartition(partitions, key) if partitions else df.repartition(F.col(key))
             out.sortWithinPartitions(key).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def snapshot_versions(root: str, name: str) -> list[str]:
+        """Versions recorded in the graph's manifest, oldest first."""
+        import json
+        import os as _os
+        manifest = f"{root}/{name}/_versions/manifest.json"
+        if not _os.path.exists(manifest):
+            return []
+        return json.load(open(manifest))
 
     def write_bucketed(self, spark: SparkSession, buckets: int = 64,
                        prefix: str | None = None) -> None:
@@ -293,9 +328,26 @@ class Graph:
         return g
 
     @classmethod
-    def read_snapshot(cls, spark: SparkSession, root: str, name: str) -> "Graph":
-        cat = GraphCatalog.load(root, name)
+    def read_snapshot(cls, spark: SparkSession, root: str, name: str,
+                      version: str | None = None) -> "Graph":
+        """Read a snapshot; ``version`` time-travels to a manifest
+        entry ("latest" = last manifest entry), None reads the
+        unversioned layout."""
+        base = f"{root}/{name}"
+        if version is not None:
+            versions = cls.snapshot_versions(root, name)
+            if version == "latest":
+                if not versions:
+                    raise FileNotFoundError(f"no versions recorded under {base}")
+                version = versions[-1]
+            elif version not in versions:
+                raise FileNotFoundError(
+                    f"version {version!r} not in manifest {versions}")
+            base = f"{base}/_versions/{version}"
+            cat = GraphCatalog.load(base, name)
+        else:
+            cat = GraphCatalog.load(root, name)
         g = cls(cat)
         for lbl, meta in cat.labels.items():
-            g.frames[lbl] = spark.read.parquet(f"{root}/{name}/{meta.kind}_{lbl}")
+            g.frames[lbl] = spark.read.parquet(f"{base}/{meta.kind}_{lbl}")
         return g

@@ -31,3 +31,25 @@ def test_edge_stats_graphmeta(spark):
     assert stats[("placed", 1, 4)] == n_orders
     assert stats[("in_nation", 1, 5)] == n_cust
     assert stats[("in_region", 5, 6)] == 25
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    """Immutable versioned snapshots: the MVCC-visibility batch analog —
+    a later write never disturbs an earlier version's readers."""
+    import pytest
+    eng = CypherEngine(spark, Graph(GraphCatalog("tt")))
+    eng.cypher("CREATE (:person {name: 'ana'})")
+    eng.graph.write_snapshot(str(tmp_path), partitions=1, version="v1")
+    eng.cypher("CREATE (:person {name: 'bob'})")
+    eng.graph.write_snapshot(str(tmp_path), partitions=1, version="v2")
+
+    assert Graph.snapshot_versions(str(tmp_path), "tt") == ["v1", "v2"]
+    g1 = Graph.read_snapshot(spark, str(tmp_path), "tt", version="v1")
+    g2 = Graph.read_snapshot(spark, str(tmp_path), "tt", version="latest")
+    n1 = CypherEngine(spark, g1).cypher(
+        "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"]
+    n2 = CypherEngine(spark, g2).cypher(
+        "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"]
+    assert (n1, n2) == (1, 2)
+    with pytest.raises(FileNotFoundError):
+        Graph.read_snapshot(spark, str(tmp_path), "tt", version="nope")
