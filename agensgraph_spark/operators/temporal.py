@@ -30,11 +30,14 @@ def asof_join(
     on: str = "ts",
     by: tuple[str, ...] = (),
     tolerance_sec: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the LATEST right row with
     right.on <= left.on (inclusive) and equal ``by`` keys, as a struct
     column ``matched`` (NULL when no right row precedes). With
     ``tolerance_sec``, matches older than the tolerance are nulled.
+    ``direction="forward"`` flips the search: the EARLIEST right row
+    with right.on >= left.on (the "next reading" join).
     Ties on (by, on) within the right side resolve by the right
     payload's struct order (deterministic, documented). Without ``by``
     the window is a single partition — fine for dimension-sized right
@@ -55,17 +58,23 @@ def asof_join(
         F.lit(0).alias("_side"),  # right rows sort first at equal time
         F.lit(None).cast(ltype).alias("_l"),
         F.struct(F.col(on), *[F.col(c) for c in rpayload]).alias("_r"))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     u = l.unionByName(r)
+    # forward = the same running-last trick over REVERSED time order
+    torder = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (Window.partitionBy(*[F.col(c) for c in by])
-         .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
+         .orderBy(torder, F.col("_side").asc(), F.col("_r").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last("_r", ignorenulls=True).over(w)
     out = (u.withColumn("_m", matched)
            .filter(F.col("_side") == 1))
     if tolerance_sec is not None:
-        fresh = (F.col("_t").cast("double")
-                 - F.col("_m")[on].cast("double")) <= F.lit(float(tolerance_sec))
-        out = out.withColumn("_m", F.when(fresh, F.col("_m")))
+        gap = (F.col("_t").cast("double") - F.col("_m")[on].cast("double"))
+        if direction == "forward":
+            gap = -gap
+        out = out.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_sec)), F.col("_m")))
     return out.select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
                       F.col("_m").alias("matched"))
 

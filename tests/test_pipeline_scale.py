@@ -259,3 +259,24 @@ def test_new_operators_empty_inputs(spark):
 
     empty_docs = spark.createDataFrame([], "doc_id long, source string, text string")
     assert pack_sequences(empty_docs).count() == 0
+
+
+def test_asof_join_forward(spark):
+    from agensgraph_spark.operators.temporal import asof_join
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, "u", t(10)), (2, "u", t(40))],
+                                 ["lid", "user", "ts"])
+    right = spark.createDataFrame(
+        [("u", t(5), 5.0), ("u", t(12), 12.0), ("u", t(30), 30.0)],
+        ["user", "ts", "value"])
+    got = {r["lid"]: r["matched"] for r in
+           asof_join(left, right, on="ts", by=("user",),
+                     direction="forward").collect()}
+    assert got[1]["value"] == 12.0      # earliest at-or-after t=10
+    assert got[2] is None               # nothing at or after t=40
+    # tolerance applies to the forward gap
+    got2 = {r["lid"]: r["matched"] for r in
+            asof_join(left, right, on="ts", by=("user",),
+                      direction="forward", tolerance_sec=1).collect()}
+    assert got2[1] is None
