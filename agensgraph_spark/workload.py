@@ -1550,6 +1550,34 @@ _ASOF_ORACLE = """
       ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's NEXT purchase (forward as-of) —
+    oracle is DuckDB's native ASOF with the inequality flipped."""
+    from agensgraph_spark.operators import temporal as TP
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click") \
+          .select("event_id", "user_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase") \
+          .select("user_id", "ts", "value")
+    j = TP.asof_join(c, p, on="ts", by=("user_id",), direction="forward")
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format(F.col("matched")["ts"],
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round(F.col("matched")["value"], 6).alias("purchase_value"))
+
+
+_ASOF_FWD_ORACLE = """
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(p.value, 6) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts"""
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks landing inside a 2-hour window after an error of the
     same user — interval containment via the binned equi-join (the
@@ -1911,6 +1939,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),
     "pack_sequences": (_q_pack_sequences, _PACK_ORACLE),
     "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
+    "asof_join_forward": (_q_asof_forward, _ASOF_FWD_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),
     "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
