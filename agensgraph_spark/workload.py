@@ -2033,9 +2033,12 @@ PRIORITY_50: tuple[str, ...] = (
     "sql_tpch_q1", "sql_tpch_q5", "sql_tpch_q9", "sql_window_rank",
     "sql_grouping_sets", "sql_except", "sql_exists_semijoin",
     "sql_correlated_scalar", "sql_cte", "sql_json_props", "sql_events_hourly",
-    # ordered-set / ties / recursion / sample / foreign (6)
-    "sql_percentile", "sql_limit_ties", "sql_recursive_cte",
-    "sql_tablesample", "sql_csv_foreign_scan", "sql_values_scan",
+    # ordered-set / recursion (2; sql_limit_ties, sql_tablesample,
+    # sql_csv_foreign_scan, sql_values_scan — simple single-operator
+    # rows displaced to the tail in round 5 to make room for this
+    # round's pipeline operators; tests/test_oracle_parity_tail.py
+    # keeps every displaced row externally verified at sf0.001)
+    "sql_percentile", "sql_recursive_cte",
     # LLM-pipeline: dedup + similarity (6; dedup_bykey — the same
     # exact_dedup operator dedup_exact gates — moved to the tail, where
     # tests/test_oracle_parity_tail.py keeps it externally verified)
@@ -2043,10 +2046,15 @@ PRIORITY_50: tuple[str, ...] = (
     "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_ivf",
     # LLM-pipeline: text (4)
     "text_stats", "text_bpe_tokens", "lang_id", "quality_score",
-    # graph stats + multimodal + streaming + hybrid (6)
-    "graphmeta_edge_stats", "mm_media_meta", "mm_frame_sample",
-    "stream_events_hourly", "hybrid_cypher_as_view",
-    "hybrid_correlated_subquery",
+    # LLM-pipeline round-5 additions: clustering dedup, quality gate,
+    # mix sampling, temporal join, graph analytics, end-to-end funnel (6)
+    "dedup_cluster", "heuristic_filter", "mix_sample",
+    "asof_join_events", "graph_pagerank", "pipeline_curate_e2e",
+    # graph stats + multimodal + streaming + hybrid (6; hybrid_cypher_as_view
+    # and mm_media_meta displaced to the tail — same families remain gated
+    # via hybrid_correlated_subquery and mm_frame_sample)
+    "graphmeta_edge_stats", "mm_frame_sample",
+    "stream_events_hourly", "hybrid_correlated_subquery",
 )
 
 
