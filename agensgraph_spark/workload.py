@@ -1235,6 +1235,34 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(pr, 6) AS pr FROM pr{iters}")
 
 
+def _q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over the supplier->nation->region
+    DAG — the same min-label operator fuzzy dedup uses (labels are
+    lexicographic mins over the string vertex ids); every vertex of a
+    region's tree lands in that tree's min-id component."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    cc = D.connected_components(edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")), nodes=verts)
+    return (cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_vertices"),
+                 F.min("id").alias("min_id"), F.max("id").alias("max_id"))
+            .select("component", "n_vertices", "min_id", "max_id"))
+
+
+_GRAPH_WCC_ORACLE = f"""
+    WITH RECURSIVE verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL})),
+    edges AS ({_ANALYTICS_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_vertices,
+           min(id) AS min_id, max(id) AS max_id
+    FROM comp GROUP BY component"""
+
+
 def _q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
     # the driver's row canonicalizer rejects container cells — ship the
@@ -1933,6 +1961,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "mix_sample": (_q_mix_sample, _MIX_SAMPLE_ORACLE),
     "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
     "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),
+    "graph_wcc": (_q_graph_wcc, _GRAPH_WCC_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
