@@ -67,3 +67,38 @@ def pagerank(
                       (F.lit(1.0 - damping)
                        + F.lit(damping) * F.coalesce("_c", F.lit(0.0))).alias("pr")))
     return pr
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation over an undirected edge frame
+    (``src``/``dst``, duplicates/self-loops tolerated). Degree-oriented
+    enumeration — every edge points from its lower-(degree, id) endpoint
+    to the higher one, so each triangle is found exactly once from its
+    lowest-degree corner and the wedge join fans out by the SMALLER
+    per-vertex degree (the classic bound that keeps power-law hubs from
+    going quadratic; plain id-ordering would enumerate a hub's full
+    neighborhood square). Returns (id, n_triangles), zero rows omitted."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    ranked = (und
+              .join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+              .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b"))
+    fwd = ranked.select(
+        F.when((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+               F.struct(F.col("a").alias("u"), F.col("b").alias("w")))
+         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+         .alias("e")).select("e.u", "e.w")
+    e1 = fwd.select(F.col("u").alias("p"), F.col("w").alias("q1"))
+    e2 = fwd.select(F.col("u").alias("p"), F.col("w").alias("q2"))
+    wedge = e1.join(e2, "p").filter(F.col("q1") < F.col("q2"))
+    tri = wedge.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        (F.least("q1", "q2") == F.col("x")) & (F.greatest("q1", "q2") == F.col("y")))
+    corners = F.explode(F.array("p", "q1", "q2")).alias("id")
+    return tri.select(corners).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

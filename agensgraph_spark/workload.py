@@ -1235,6 +1235,41 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(pr, 6) AS pr FROM pr{iters}")
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    sharing an order are adjacent) — degree-oriented enumeration vs the
+    oracle's naive three-way self-join. Top 50 by (count, id) keeps the
+    compare deterministic and small."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (li.alias("x").join(li.alias("y"), "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .select(F.col("x.l_partkey").alias("src"),
+                     F.col("y.l_partkey").alias("dst")))
+    return (AN.triangle_counts(pairs)
+            .orderBy(F.col("n_triangles").desc(), F.col("id").asc())
+            .limit(50)
+            .select(F.col("id").alias("part_id"), "n_triangles"))
+
+
+_TRIANGLE_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+               greatest(x.l_partkey, y.l_partkey) AS b
+        FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+        SELECT a AS part_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY part_id
+    ORDER BY n_triangles DESC, part_id ASC LIMIT 50"""
+
+
 def _q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components over the supplier->nation->region
     DAG — the same min-label operator fuzzy dedup uses (labels are
@@ -1962,6 +1997,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
     "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),
     "graph_wcc": (_q_graph_wcc, _GRAPH_WCC_ORACLE),
+    "graph_triangles": (_q_triangle_counts, _TRIANGLE_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),

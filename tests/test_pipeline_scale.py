@@ -280,3 +280,16 @@ def test_asof_join_forward(spark):
             asof_join(left, right, on="ts", by=("user",),
                       direction="forward", tolerance_sec=1).collect()}
     assert got2[1] is None
+
+
+def test_triangle_counts_known_graph(spark):
+    from agensgraph_spark.operators.analytics import triangle_counts
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) + pendant 5 + edge dup
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # undirected invariance
+    got2 = {r["id"]: r["n_triangles"] for r in triangle_counts(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).collect()}
+    assert got2 == got
