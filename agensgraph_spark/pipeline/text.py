@@ -291,6 +291,10 @@ def pack_sequences(
     contiguity for per-shard contiguity (each shard still emits
     full-budget chunks; only the last chunk per shard runs short).
     Deterministic: same rows => same bins, any partitioning."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
     n = token_count(F.col(text_col))
     shard = F.pmod(F.col(id_col), F.lit(shards)).cast("long")
     w = (Window.partitionBy(*[F.col(c) for c in by], shard)
