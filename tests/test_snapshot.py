@@ -53,3 +53,18 @@ def test_versioned_snapshots_time_travel(spark, tmp_path):
     assert (n1, n2) == (1, 2)
     with pytest.raises(FileNotFoundError):
         Graph.read_snapshot(spark, str(tmp_path), "tt", version="nope")
+
+
+def test_label_frames_round_trip_orc_and_json(spark, tmp_path):
+    """Foreign-format round trips (§2.1 sources/sinks beyond Parquet/
+    CSV): ORC and JSON label exports re-read losslessly. JDBC uses the
+    same DataFrameReader surface but needs a live server, so these two
+    stand in for the generic source path."""
+    eng = CypherEngine(spark, Graph(GraphCatalog("fmt")))
+    eng.cypher("CREATE (:person {name: 'ana', age: 31}), (:person {name: 'bob', age: 25})")
+    df = eng.graph.label_df("person")
+    for fmt in ("orc", "json"):
+        path = f"{tmp_path}/person_{fmt}"
+        df.write.format(fmt).save(path)
+        back = spark.read.format(fmt).schema(df.schema).load(path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
