@@ -266,3 +266,39 @@ def quantize_embeddings(
         (amax / F.lit(127.0)).alias("scale"),
         q.alias("q"),
     )
+
+
+def neighbor_mean_embeddings(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = True,
+) -> DataFrame:
+    """One round of GNN-style feature propagation: each vertex's
+    embedding becomes the element-wise mean over its (undirected)
+    neighborhood — the smoothing/centroid step graph-ML pipelines and
+    cluster-representative selection both use.
+
+    Shape: posexplode to (id, pos, val) rows, one (id, pos) mean
+    aggregate, re-assemble ordered arrays — the shuffle carries
+    |edges| x dim scalar rows (linear; the standard distributed
+    feature-propagation layout; blocked matmuls only win once the
+    adjacency is cached dense). Unpaired vertices keep their own
+    embedding when ``include_self``, else drop out. Returns
+    (id, embedding array<double>)."""
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")) \
+               .unionByName(pairs.select(F.col("id_b").alias("s"),
+                                         F.col("id_a").alias("d")))
+    if include_self:
+        ids = emb.select(F.col(id_col).alias("s"))
+        sym = sym.unionByName(ids.select("s", F.col("s").alias("d")))
+    base = emb.select(F.col(id_col).alias("d"),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    flat = (sym.join(base, "d")
+            .select("s", F.posexplode("_v").alias("pos", "val")))
+    agg = flat.groupBy("s", "pos").agg(F.avg("val").alias("m"))
+    return (agg.groupBy("s")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select(F.col("s").alias(id_col),
+                    F.col("_pm.m").alias("embedding")))

@@ -1235,6 +1235,47 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(pr, 6) AS pr FROM pr{iters}")
 
 
+def _q_neighbor_mean_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature propagation over the near-dup pair graph: element-wise
+    neighborhood-mean embeddings. The vector ships as comma-joined
+    integer micro-units — double->string rendering differs between
+    engines, integer rendering doesn't."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    bounded = emb.filter(F.col("vec_id") < 100)
+    pairs = S.cosine_neardup_pairs(emb, threshold=0.25, max_id=100,
+                                   dim=_emb_dim(emb, sf_dir))
+    out = S.neighbor_mean_embeddings(pairs.select("id_a", "id_b"), bounded)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(
+            "embedding",
+            lambda x: F.round(x * F.lit(1_000_000.0)).cast("long").cast("string")
+        )).alias("emb_micro"))
+
+
+_NEIGHBOR_MEAN_ORACLE = """
+    WITH pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.25),
+    sym AS (
+        SELECT ida AS s, idb AS d FROM pairs
+        UNION ALL SELECT idb, ida FROM pairs
+        UNION ALL SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 100),
+    flat AS (
+        SELECT sym.s, u.pos, u.val
+        FROM sym JOIN embeddings e ON e.vec_id = sym.d,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos,
+                             unnest(CAST(e.embedding AS DOUBLE[])) AS val) u),
+    agg AS (SELECT s, pos, avg(val) AS m FROM flat GROUP BY s, pos)
+    SELECT s AS vec_id,
+           string_agg(CAST(CAST(round(m * 1000000) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY pos) AS emb_micro
+    FROM agg GROUP BY s"""
+
+
 def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph (parts
     sharing an order are adjacent) — degree-oriented enumeration vs the
@@ -1998,6 +2039,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),
     "graph_wcc": (_q_graph_wcc, _GRAPH_WCC_ORACLE),
     "graph_triangles": (_q_triangle_counts, _TRIANGLE_ORACLE),
+    "neighbor_mean_embeddings": (_q_neighbor_mean_emb, _NEIGHBOR_MEAN_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),

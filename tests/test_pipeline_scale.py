@@ -293,3 +293,19 @@ def test_triangle_counts_known_graph(spark):
     got2 = {r["id"]: r["n_triangles"] for r in triangle_counts(
         df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).collect()}
     assert got2 == got
+
+
+def test_neighbor_mean_embeddings_hand_computed(spark):
+    from agensgraph_spark.pipeline.similarity import neighbor_mean_embeddings
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 6.0]), (3, [0.0, 0.0])],
+        ["vec_id", "embedding"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = {r["vec_id"]: r["embedding"]
+           for r in neighbor_mean_embeddings(pairs, emb).collect()}
+    assert got[1] == [2.0, 3.0]      # mean of self + neighbor 2
+    assert got[2] == [2.0, 3.0]
+    assert got[3] == [0.0, 0.0]      # unpaired keeps its own
+    got2 = {r["vec_id"]: r["embedding"] for r in neighbor_mean_embeddings(
+        pairs, emb, include_self=False).collect()}
+    assert got2 == {1: [3.0, 6.0], 2: [1.0, 0.0]}   # vertex 3 drops out
