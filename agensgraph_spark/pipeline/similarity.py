@@ -274,8 +274,9 @@ def neighbor_mean_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = True,
+    rounds: int = 1,
 ) -> DataFrame:
-    """One round of GNN-style feature propagation: each vertex's
+    """``rounds`` rounds of GNN-style feature propagation: each vertex's
     embedding becomes the element-wise mean over its (undirected)
     neighborhood — the smoothing/centroid step graph-ML pipelines and
     cluster-representative selection both use.
@@ -293,12 +294,20 @@ def neighbor_mean_embeddings(
     if include_self:
         ids = emb.select(F.col(id_col).alias("s"))
         sym = sym.unionByName(ids.select("s", F.col("s").alias("d")))
-    base = emb.select(F.col(id_col).alias("d"),
-                      F.col(vec_col).cast("array<double>").alias("_v"))
-    flat = (sym.join(base, "d")
-            .select("s", F.posexplode("_v").alias("pos", "val")))
-    agg = flat.groupBy("s", "pos").agg(F.avg("val").alias("m"))
-    return (agg.groupBy("s")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
-            .select(F.col("s").alias(id_col),
-                    F.col("_pm.m").alias("embedding")))
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = emb.select(F.col(id_col).alias("d"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    for i in range(rounds):
+        flat = (sym.join(cur, "d")
+                .select("s", F.posexplode("_v").alias("pos", "val")))
+        agg = flat.groupBy("s", "pos").agg(F.avg("val").alias("m"))
+        cur = (agg.groupBy("s")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+               .select(F.col("s").alias("d"), F.col("_pm.m").alias("_v")))
+        if i + 1 < rounds:
+            # truncate lineage between rounds (same rationale as the
+            # other iterative operators; a couple of rounds is typical,
+            # so eager checkpoints stay cheap)
+            cur = cur.localCheckpoint()
+    return cur.select(F.col("d").alias(id_col), F.col("_v").alias("embedding"))

@@ -309,3 +309,20 @@ def test_neighbor_mean_embeddings_hand_computed(spark):
     got2 = {r["vec_id"]: r["embedding"] for r in neighbor_mean_embeddings(
         pairs, emb, include_self=False).collect()}
     assert got2 == {1: [3.0, 6.0], 2: [1.0, 0.0]}   # vertex 3 drops out
+
+
+def test_neighbor_mean_two_rounds(spark):
+    """Round 2 = propagate(propagate(x)): verify against a hand-run of
+    the one-round operator applied twice."""
+    from agensgraph_spark.pipeline.similarity import neighbor_mean_embeddings
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 6.0]), (3, [0.0, 2.0])],
+        ["vec_id", "embedding"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    once = neighbor_mean_embeddings(pairs, emb)
+    manual = {r["vec_id"]: r["embedding"]
+              for r in neighbor_mean_embeddings(pairs, once).collect()}
+    direct = {r["vec_id"]: r["embedding"]
+              for r in neighbor_mean_embeddings(pairs, emb, rounds=2).collect()}
+    for k in manual:
+        assert all(abs(a - b) < 1e-12 for a, b in zip(manual[k], direct[k]))
