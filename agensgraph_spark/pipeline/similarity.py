@@ -311,3 +311,35 @@ def neighbor_mean_embeddings(
             # so eager checkpoints stay cheap)
             cur = cur.localCheckpoint()
     return cur.select(F.col("d").alias(id_col), F.col("_v").alias("embedding"))
+
+
+def kmeans_update(
+    emb: DataFrame,
+    cents: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration over a fixed centroid matrix: cosine-argmax
+    assignment (same tie rule as ivf_cosine_topk — score desc, index
+    desc), then per-cluster element-wise mean. Returns (list_id,
+    n_assigned, centroid array<double>) — feed the centroids back in to
+    iterate; every step is a deterministic closed form an external SQL
+    oracle can replay. Assignment is a map-only pass; the update
+    shuffles (cluster, pos, val) scalar rows — linear in corpus x dim,
+    the standard distributed k-means layout."""
+    n_lists = len(cents)
+    cm = F.lit([[float(x) for x in c] for c in cents])
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.transform(cm, lambda c: dot(v, c) / (norm(v) * norm(c)))
+    idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+    packed = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    assign = F.reverse(F.array_sort(packed)).getItem(0).getField("i")
+    tagged = emb.select(assign.alias("list_id"), v.alias("_v"))
+    flat = tagged.select("list_id", F.posexplode("_v").alias("pos", "val"))
+    agg = flat.groupBy("list_id", "pos").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+    return (agg.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"),
+                 F.first("n").alias("n_assigned"))
+            .select("list_id", F.col("n_assigned").cast("long").alias("n_assigned"),
+                    F.col("_pm.m").alias("centroid")))

@@ -1235,6 +1235,54 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(pr, 6) AS pr FROM pr{iters}")
 
 
+def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def _q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step from the seeded IVF centroids — assignment +
+    per-cluster mean, centroids rendered as integer micro-units."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.kmeans_update(emb, _seed_centroids())
+    return out.select(
+        "list_id", "n_assigned",
+        F.concat_ws(",", F.transform(
+            "centroid",
+            lambda x: F.round(x * F.lit(1_000_000.0)).cast("long").cast("string")
+        )).alias("centroid_micro"))
+
+
+def _kmeans_oracle(n_lists: int = 16, dim: int = 64, seed: int = 42) -> str:
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_seed_centroids(n_lists, dim, seed)))
+    return f"""
+    WITH cents(li, cv) AS (VALUES {rows}),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assigned AS (
+        SELECT vec_id, v, li AS list_id FROM (
+            SELECT c.vec_id, c.v, cents.li,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cents.cv) DESC,
+                                cents.li DESC) AS rn
+            FROM corpus c CROSS JOIN cents) WHERE rn = 1),
+    flat AS (
+        SELECT a.list_id, u.pos, u.val
+        FROM assigned a,
+             LATERAL (SELECT generate_subscripts(a.v, 1) AS pos,
+                             unnest(a.v) AS val) u),
+    agg AS (SELECT list_id, pos, avg(val) AS m, count(*) AS n
+            FROM flat GROUP BY list_id, pos)
+    SELECT list_id, CAST(min(n) AS BIGINT) AS n_assigned,
+           string_agg(CAST(CAST(round(m * 1000000) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY pos) AS centroid_micro
+    FROM agg GROUP BY list_id"""
+
+
 def _q_neighbor_mean_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature propagation over the near-dup pair graph: element-wise
     neighborhood-mean embeddings. The vector ships as comma-joined
@@ -2040,6 +2088,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_wcc": (_q_graph_wcc, _GRAPH_WCC_ORACLE),
     "graph_triangles": (_q_triangle_counts, _TRIANGLE_ORACLE),
     "neighbor_mean_embeddings": (_q_neighbor_mean_emb, _NEIGHBOR_MEAN_ORACLE),
+    "kmeans_update": (_q_kmeans_update, _kmeans_oracle()),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
