@@ -141,6 +141,7 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    cents: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions the corpus into
     ``n_lists`` inverted lists (nearest-centroid assignment); each query
@@ -156,11 +157,18 @@ def ivf_cosine_topk(
     ``dim`` should be passed by callers that know the embedding width
     (it is a dataset constant) — the ``first()`` fallback costs one
     driver-side Spark job per call."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_lists, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if cents is not None:
+        # trained centroids (e.g. a few kmeans_update rounds) — the
+        # production path; the seeded random directions below are the
+        # self-contained default
+        n_lists = len(cents)
+        cents = np.asarray(cents, dtype=float)
+    else:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_lists, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     def centroid_sims(vec: Column) -> Column:
         # one nested-array literal for the centroid matrix (see

@@ -326,3 +326,23 @@ def test_neighbor_mean_two_rounds(spark):
               for r in neighbor_mean_embeddings(pairs, emb, rounds=2).collect()}
     for k in manual:
         assert all(abs(a - b) < 1e-12 for a, b in zip(manual[k], direct[k]))
+
+
+def test_ivf_with_trained_centroids(spark):
+    """kmeans_update -> ivf_cosine_topk composition: trained centroids
+    flow back into the index and recall stays sane (top-1 of a corpus
+    vector queried against itself-excluded corpus is its true nearest
+    under full probing)."""
+    from agensgraph_spark.pipeline.similarity import (
+        brute_cosine_topk, ivf_cosine_topk, kmeans_update)
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 120"))
+    seeded = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(4)]
+    trained = kmeans_update(emb, seeded).collect()
+    cents = [r["centroid"] for r in sorted(trained, key=lambda r: r["list_id"])]
+    q = emb.filter("vec_id < 10")
+    ivf = ivf_cosine_topk(emb, q, k=1, n_probe=len(cents), cents=cents)
+    brute = brute_cosine_topk(emb, q, k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
+    exp = {r["query_id"]: r["neighbor_id"] for r in brute.collect()}
+    assert got == exp  # full probing == exact, regardless of centroids
