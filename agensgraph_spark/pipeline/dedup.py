@@ -596,3 +596,49 @@ def connected_components(
     out = lab.select("id", "component").localCheckpoint()
     edges.unpersist(blocking=False)
     return out
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count
+    distinct token n-grams it shares with ANY document of the eval
+    corpus (the standard n-gram-collision check run before training).
+    Returns (doc_id, n_grams, n_hits) — callers threshold n_hits (or
+    the ratio) to drop contaminated docs.
+
+    Grams are md5-prefix hashes of space-joined n-token windows —
+    md5 (unlike xxhash64) exists in every SQL engine, so the whole
+    check is externally replayable. The eval side reduces to a
+    DISTINCT gram set (eval corpora are benchmark-sized — thousands of
+    docs — so AQE broadcasts it); the training side streams one
+    exploded gram row per token, never collecting anything wider than
+    (doc_id, gram)."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        # guard: sequence(1, 0) counts DOWN in Spark — docs shorter
+        # than n tokens must yield an empty gram set, not junk windows
+        win = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))), 1, 16)),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col).alias("_id"),
+                         F.array_distinct(win).alias("_g"))
+
+    ev = (grams(eval_df).select(F.explode("_g").alias("gram")).distinct())
+    tr = grams(train).select("_id", F.size("_g").alias("n_grams"),
+                             F.explode_outer("_g").alias("gram"))
+    hits = (tr.join(ev, "gram", "left_semi")
+            .groupBy("_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    base = grams(train).select("_id", F.size("_g").alias("n_grams"))
+    return (base.join(hits, "_id", "left")
+            .select(F.col("_id").alias(id_col), "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")))

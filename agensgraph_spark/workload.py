@@ -1243,6 +1243,36 @@ def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
     return [[float(x) for x in row] for row in c]
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: overlap of every training doc's
+    8-gram set with a held-out 'benchmark' slice (doc_id % 17 == 0) —
+    slice members collide with themselves in full, near-dups partially."""
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    return D.ngram_overlap(docs, eval_df, n=8)
+
+
+_DECONTAMINATE_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8 THEN
+                   list_distinct(list_transform(range(1, len(t) - 8 + 2),
+                       i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16)))
+               ELSE [] END AS g
+        FROM toks),
+    ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0),
+    tr AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    hits AS (
+        SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tr WHERE tr.gram IN (SELECT gram FROM ev) GROUP BY tr.doc_id)
+    SELECT g.doc_id, CAST(len(g.g) AS BIGINT) AS n_grams,
+           COALESCE(h.n_hits, 0) AS n_hits
+    FROM grams g LEFT JOIN hits h ON h.doc_id = g.doc_id"""
+
+
 def _q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd step from the seeded IVF centroids — assignment +
     per-cluster mean, centroids rendered as integer micro-units."""
@@ -2089,6 +2119,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_triangles": (_q_triangle_counts, _TRIANGLE_ORACLE),
     "neighbor_mean_embeddings": (_q_neighbor_mean_emb, _NEIGHBOR_MEAN_ORACLE),
     "kmeans_update": (_q_kmeans_update, _kmeans_oracle()),
+    "decontaminate_ngrams": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),

@@ -273,3 +273,20 @@ def test_connected_components_warns_on_max_iters(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="agensgraph_spark.pipeline.dedup"):
         D.connected_components(pdf, max_iters=2).collect()
     assert any("max_iters" in r.message for r in caplog.records)
+
+
+def test_ngram_overlap_semantics(spark):
+    """Self-overlap is total; disjoint docs hit zero; short docs (<n
+    tokens) report zero grams rather than junk windows."""
+    rows = [
+        (1, "the cat sat on the mat and then it ran away home"),
+        (2, "completely different words entirely unrelated to anything here today now"),
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter("doc_id = 1")
+    got = {r["doc_id"]: (r["n_grams"], r["n_hits"])
+           for r in D.ngram_overlap(df, ev, n=8).collect()}
+    assert got[1][0] > 0 and got[1][0] == got[1][1]   # full self-collision
+    assert got[2] == (got[2][0], 0) and got[2][0] > 0  # zero hits
+    assert got[3] == (0, 0)
