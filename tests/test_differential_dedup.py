@@ -290,3 +290,39 @@ def test_ngram_overlap_semantics(spark):
     assert got[1][0] > 0 and got[1][0] == got[1][1]   # full self-collision
     assert got[2] == (got[2][0], 0) and got[2][0] > 0  # zero hits
     assert got[3] == (0, 0)
+
+
+def test_asof_join_random_differential_vs_duckdb(spark):
+    """500 random left rows x 300 right rows across 8 keys, compared
+    against DuckDB's native ASOF JOIN — seed-fixed bulk differential
+    for the union+window formulation."""
+    import datetime as dt
+    import random
+
+    import duckdb
+    from agensgraph_spark.operators.temporal import asof_join
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1)
+    lrows = [(i, f"k{rng.randrange(8)}",
+              base + dt.timedelta(seconds=rng.randrange(100_000)))
+             for i in range(500)]
+    rrows = [(f"k{rng.randrange(8)}",
+              base + dt.timedelta(seconds=rng.randrange(100_000)),
+              float(i)) for i in range(300)]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["k", "ts", "val"])
+    got = {r["lid"]: (r["matched"]["ts"], r["matched"]["val"])
+           if r["matched"] is not None else None
+           for r in asof_join(left, right, on="ts", by=("k",)).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (lid BIGINT, k VARCHAR, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r (k VARCHAR, ts TIMESTAMP, val DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    exp = {lid: (rts, val) if rts is not None else None
+           for lid, rts, val in con.execute(
+               "SELECT l.lid, r.ts, r.val FROM l "
+               "ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts").fetchall()}
+    assert got == exp
