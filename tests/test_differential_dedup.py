@@ -326,3 +326,40 @@ def test_asof_join_random_differential_vs_duckdb(spark):
                "SELECT l.lid, r.ts, r.val FROM l "
                "ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts").fetchall()}
     assert got == exp
+
+
+def test_range_join_random_differential_vs_duckdb(spark):
+    """Random points x random ranges (spanning 0-5 bins each) vs the
+    plain inequality join — the binned rewrite must be invisible."""
+    import datetime as dt
+    import random
+
+    import duckdb
+    from agensgraph_spark.operators.temporal import range_join
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 3, 1)
+    prow = [(f"k{rng.randrange(5)}", i,
+             base + dt.timedelta(seconds=rng.randrange(50_000)))
+            for i in range(400)]
+    rrow = []
+    for i in range(120):
+        s = rng.randrange(50_000)
+        rrow.append((f"k{rng.randrange(5)}", i,
+                     base + dt.timedelta(seconds=s),
+                     base + dt.timedelta(seconds=s + rng.randrange(0, 18_000))))
+    pts = spark.createDataFrame(prow, ["k", "pid", "p"])
+    rngs = spark.createDataFrame(rrow, ["k", "rid", "start", "end"])
+    got = sorted((r["pid"], r["rid"]) for r in range_join(
+        pts, rngs, point="p", start="start", end="end",
+        by=("k",), bin_sec=3600.0).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (k VARCHAR, pid BIGINT, p TIMESTAMP)")
+    con.execute("CREATE TABLE r (k VARCHAR, rid BIGINT, s TIMESTAMP, e TIMESTAMP)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", prow)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?, ?)", rrow)
+    exp = sorted(map(tuple, con.execute(
+        "SELECT p.pid, r.rid FROM p JOIN r ON p.k = r.k "
+        "AND p.p >= r.s AND p.p <= r.e").fetchall()))
+    assert got == exp and len(got) > 100
