@@ -1829,6 +1829,43 @@ _STREAM_QUALITY_ORACLE = r"""
     FROM k GROUP BY source, keep"""
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a batch-derived
+    user profile (spend tier from total purchase value) and rolls up
+    per (tier, event_type) — the standard dimension-join shape
+    Structured Streaming executes with the static side simply re-read
+    per micro-batch. Batch oracle replays the same join."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    profile = (batch.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id")
+               .agg(F.sum("value").alias("_total"))
+               .select("user_id",
+                       F.when(F.col("_total") >= 500, F.lit("high"))
+                        .otherwise(F.lit("low")).alias("tier")))
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    enriched = stream.join(profile, "user_id", "left") \
+        .select(F.coalesce("tier", F.lit("none")).alias("tier"), "event_type")
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory").queryName("stream_enrich_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_enrich_sink")
+
+
+_STREAM_ENRICH_ORACLE = """
+    WITH profile AS (
+        SELECT user_id,
+               CASE WHEN sum(value) >= 500 THEN 'high' ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(p.tier, 'none') AS tier, e.event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e LEFT JOIN profile p ON p.user_id = e.user_id
+    GROUP BY 1, 2"""
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator for real: gap sessionization
     via applyInPandasWithState (streaming/sessionize.py), driven through
@@ -2129,6 +2166,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "asof_join_forward": (_q_asof_forward, _ASOF_FWD_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),
     "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),
+    "stream_enrich_static": (_q_stream_enrich, _STREAM_ENRICH_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
         SELECT DISTINCT user_id, event_type,
