@@ -363,3 +363,32 @@ def test_range_join_random_differential_vs_duckdb(spark):
         "SELECT p.pid, r.rid FROM p JOIN r ON p.k = r.k "
         "AND p.p >= r.s AND p.p <= r.e").fetchall()))
     assert got == exp and len(got) > 100
+
+
+def test_connected_components_random_vs_duckdb(spark):
+    """Random 300-node pair graph vs a DuckDB recursive-CTE min-reach —
+    a second independent oracle beside the union-find replay."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(31)
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in (rng.sample(range(300), 2) for _ in range(260))})
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(n,) for n in range(300)], ["id"])
+    got = {r["id"]: r["component"]
+           for r in D.connected_components(pdf, nodes=nodes).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    exp = dict(con.execute("""
+        WITH RECURSIVE e AS (SELECT a AS s, b AS d FROM p
+                             UNION ALL SELECT b, a FROM p),
+        reach(id, r) AS (
+            SELECT * FROM (SELECT range AS id, range AS r FROM range(300))
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+        SELECT id, min(r) FROM reach GROUP BY id""").fetchall())
+    assert got == exp
