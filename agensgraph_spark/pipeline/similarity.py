@@ -351,3 +351,31 @@ def kmeans_update(
                  F.first("n").alias("n_assigned"))
             .select("list_id", F.col("n_assigned").cast("long").alias("n_assigned"),
                     F.col("_pm.m").alias("centroid")))
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_lists: int = 16,
+    rounds: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """A few Lloyd rounds from seeded unit directions — the centroid
+    matrix ``ivf_cosine_topk(cents=...)`` consumes. Only the
+    n_lists x dim centroid matrix ever reaches the driver (collecting
+    it is the point: it becomes a broadcast literal); each round is one
+    distributed kmeans_update pass. Empty clusters keep their previous
+    centroid, so the list count is stable round to round."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = [[float(x) for x in c] for c in cents]
+    for _ in range(rounds):
+        got = {r["list_id"]: list(r["centroid"])
+               for r in kmeans_update(emb, cents, id_col, vec_col).collect()}
+        cents = [got.get(i, cents[i]) for i in range(n_lists)]
+    return cents

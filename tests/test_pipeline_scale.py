@@ -346,3 +346,25 @@ def test_ivf_with_trained_centroids(spark):
     got = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
     exp = {r["query_id"]: r["neighbor_id"] for r in brute.collect()}
     assert got == exp  # full probing == exact, regardless of centroids
+
+
+def test_train_ivf_reduces_quantization_error(spark):
+    """Lloyd rounds must not increase total assignment distortion
+    (cosine distance to the assigned centroid)."""
+    import numpy as np
+    from agensgraph_spark.pipeline.similarity import train_ivf_centroids
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 200"))
+    rows = np.array([r["embedding"] for r in emb.collect()], dtype=float)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+
+    def distortion(cents):
+        C = np.array(cents, dtype=float)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        sims = rows @ C.T
+        return float((1.0 - sims.max(axis=1)).sum())
+
+    c0 = train_ivf_centroids(emb, n_lists=8, rounds=0, dim=64)
+    c3 = train_ivf_centroids(emb, n_lists=8, rounds=3, dim=64)
+    assert distortion(c3) <= distortion(c0) + 1e-9
+    assert len(c3) == 8 and len(c3[0]) == 64
