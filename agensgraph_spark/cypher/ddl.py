@@ -14,6 +14,7 @@ reference's per-row executor checks.
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass, field
 
@@ -22,6 +23,8 @@ from pyspark.sql import functions as F
 
 from agensgraph_spark.catalog import GraphCatalog
 from agensgraph_spark.graph import Graph
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -117,9 +120,9 @@ _RE = {
     # ALTER VLABEL/ELABEL (gram.y:16784-16915): logical subset —
     # RENAME TO / [NO] INHERIT; storage options are n/a by design
     "alter_rename": re.compile(
-        r"^alter\s+(vlabel|elabel)\s+(\w+)\s+rename\s+to\s+(\w+)$", re.I),
+        r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+rename\s+to\s+(\w+)$", re.I),
     "alter_inherit": re.compile(
-        r"^alter\s+(vlabel|elabel)\s+(\w+)\s+(no\s+)?inherit\s+(\w+)$", re.I),
+        r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+(no\s+)?inherit\s+(\w+)$", re.I),
     "create_index": re.compile(
         r"^create\s+(unique\s+)?property\s+index\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
     "create_constraint": re.compile(
@@ -192,11 +195,19 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
     m = _RE["drop_label"].match(s)
     if m:
         g = store.current()
+        stmt_kind = "v" if m.group(1).lower() == "vlabel" else "e"
         name = m.group(3)
-        if name not in g.catalog.labels:
+        meta = g.catalog.labels.get(name)
+        if meta is None:
             if m.group(2):
                 return True
             raise ValueError(f"label {name!r} does not exist")
+        if meta.kind != stmt_kind:
+            # reference cypher_ddl.out:538-545 — wrong-kind DROP errors
+            # even with IF EXISTS
+            verb = "DROP VLABEL" if stmt_kind == "v" else "DROP ELABEL"
+            other = "edge" if meta.kind == "e" else "vertex"
+            raise ValueError(f"{verb} cannot DROP {other} label")
         g.catalog.drop_label(name)
         g.frames.pop(name, None)
         return True
@@ -204,9 +215,12 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
     if m:
         g = store.current()
         kind = "v" if m.group(1).lower() == "vlabel" else "e"
-        old, new = m.group(2), m.group(3)
+        old, new = m.group(3), m.group(4)
         meta = g.catalog.labels.get(old)
         if meta is None or meta.kind != kind:
+            if m.group(2):
+                log.info("graph label %r does not exist, skipping", old)
+                return True
             raise ValueError(f"{m.group(1).lower()} {old!r} does not exist")
         g.catalog.rename_label(old, new)
         if old in g.frames:
@@ -221,10 +235,13 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
     if m:
         g = store.current()
         kind = "v" if m.group(1).lower() == "vlabel" else "e"
-        meta = g.catalog.labels.get(m.group(2))
+        meta = g.catalog.labels.get(m.group(3))
         if meta is None or meta.kind != kind:
-            raise ValueError(f"{m.group(1).lower()} {m.group(2)!r} does not exist")
-        g.catalog.set_inherit(m.group(2), m.group(4), add=not m.group(3))
+            if m.group(2):
+                log.info("graph label %r does not exist, skipping", m.group(3))
+                return True
+            raise ValueError(f"{m.group(1).lower()} {m.group(3)!r} does not exist")
+        g.catalog.set_inherit(m.group(3), m.group(5), add=not m.group(4))
         return True
     m = _RE["create_index"].match(s)
     if m:

@@ -185,3 +185,25 @@ def test_comment_on(spark):
     eng.cypher("CREATE GRAPH cmt2")
     eng.cypher("SET graph_path = cmt")
     assert eng.store.graph_path == "cmt"
+
+
+def test_drop_label_wrong_kind_errors(engine):
+    """cypher_ddl.out:538-545: DROP VLABEL on an edge label (and vice
+    versa) errors even with IF EXISTS."""
+    import pytest
+    engine.cypher("CREATE VLABEL wk_v")
+    engine.cypher("CREATE ELABEL wk_e")
+    with pytest.raises(ValueError, match="cannot DROP edge label"):
+        engine.cypher("DROP VLABEL wk_e")
+    with pytest.raises(ValueError, match="cannot DROP vertex label"):
+        engine.cypher("DROP ELABEL IF EXISTS wk_v")
+
+
+def test_alter_if_exists_skips_missing(engine):
+    """cypher_ddl.out:518-519: ALTER ... IF EXISTS on a missing label
+    skips with a notice instead of erroring."""
+    engine.cypher("ALTER VLABEL IF EXISTS nope_v RENAME TO also_nope")
+    engine.cypher("ALTER ELABEL IF EXISTS nope_e INHERIT whatever")
+    import pytest
+    with pytest.raises(ValueError):
+        engine.cypher("ALTER VLABEL nope_v RENAME TO x")
