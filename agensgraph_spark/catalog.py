@@ -96,11 +96,21 @@ class GraphCatalog:
     def create_elabel(self, name: str, **kw) -> LabelMeta:
         return self.create_label(name, "e", **kw)
 
-    def drop_label(self, name: str) -> None:
+    def drop_label(self, name: str, cascade: bool = False) -> list[str]:
+        """Drop a label; with ``cascade``, transitively drop dependent
+        children first (reference cypher_ddl.out:565-566 "drop cascades
+        to vlabel v1"). Returns every label actually dropped (children
+        first) so callers can retire their frames too."""
         children = [m.name for m in self.labels.values() if name in m.parents]
-        if children:
-            raise ValueError(f"label {name!r} has children {children}; drop them first")
+        if children and not cascade:
+            raise ValueError(
+                f"label {name!r} has children {children}; use DROP ... CASCADE")
+        dropped: list[str] = []
+        for c in children:
+            dropped += self.drop_label(c, cascade=True)
         del self.labels[name]
+        dropped.append(name)
+        return dropped
 
     # ---- ALTER VLABEL/ELABEL (reference: gram.y:16784-16915 — the
     # logical subset; owner/tablespace/storage options are heap-table

@@ -208,8 +208,8 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
             verb = "DROP VLABEL" if stmt_kind == "v" else "DROP ELABEL"
             other = "edge" if meta.kind == "e" else "vertex"
             raise ValueError(f"{verb} cannot DROP {other} label")
-        g.catalog.drop_label(name)
-        g.frames.pop(name, None)
+        for victim in g.catalog.drop_label(name, cascade=bool(m.group(4))):
+            g.frames.pop(victim, None)
         return True
     m = _RE["alter_rename"].match(s)
     if m:

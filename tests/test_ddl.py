@@ -207,3 +207,16 @@ def test_alter_if_exists_skips_missing(engine):
     import pytest
     with pytest.raises(ValueError):
         engine.cypher("ALTER VLABEL nope_v RENAME TO x")
+
+
+def test_drop_label_cascade_drops_children(engine):
+    """cypher_ddl.out:565-566 'drop cascades to vlabel v1': CASCADE
+    drops the dependent subtree; without it the drop refuses."""
+    import pytest
+    engine.cypher("CREATE VLABEL casc_p")
+    engine.cypher("CREATE VLABEL casc_c INHERITS (casc_p)")
+    engine.cypher("CREATE VLABEL casc_g INHERITS (casc_c)")
+    with pytest.raises(ValueError, match="CASCADE"):
+        engine.cypher("DROP VLABEL casc_p")
+    engine.cypher("DROP VLABEL casc_p CASCADE")
+    assert not {"casc_p", "casc_c", "casc_g"} & set(engine.graph.catalog.labels)
