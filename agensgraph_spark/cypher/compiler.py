@@ -153,6 +153,13 @@ class CypherEngine:
             for lbl in qc.wctx.touched:
                 qc.wctx.graph.frames[lbl] = qc.wctx.graph.frames[lbl] \
                     .coalesce(spread).localCheckpoint(eager=True)
+            # constraints gate the COMMIT (reference: unique index /
+            # check constraint errors abort the inserting statement,
+            # cypher_dml.sql:1036-1040): the working graph is simply
+            # discarded on violation — immutable snapshots make the
+            # rollback free. Only constraints on touched labels run, so
+            # unconstrained writes pay nothing.
+            self._enforce_constraints(qc.wctx)
             self.graph = qc.wctx.graph
             self.last_write_stats = qc.wctx.stats.as_dict()
         if returns_rows:
@@ -161,6 +168,29 @@ class CypherEngine:
         return self.spark.createDataFrame(
             [tuple(stats.values())],
             schema=", ".join(f"{k} long" for k in stats))
+
+    def _enforce_constraints(self, wctx) -> None:
+        """Raise on unique/check violations over the TOUCHED labels of
+        a not-yet-committed working graph (write-time enforcement; the
+        whole-graph batch sweep stays available as
+        ddl.validate_constraints)."""
+        from agensgraph_spark.cypher.ddl import validate_constraints
+        name = self.store.graph_path
+        cons = [c for c in self.store.constraints.get(name, [])
+                if c.label in wctx.touched]
+        if not cons:
+            return
+        saved = self.store.graphs.get(name)
+        try:
+            self.store.graphs[name] = wctx.graph
+            problems = validate_constraints(self.spark, self.store, name)
+        finally:
+            if saved is not None:
+                self.store.graphs[name] = saved
+        if problems:
+            raise ValueError(
+                "constraint violation, statement rolled back: "
+                + "; ".join(problems))
 
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)

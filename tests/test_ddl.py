@@ -94,24 +94,35 @@ def test_property_index_is_recorded_noop(eng):
     assert idx[0].label == "person" and idx[0].props == ["name"] and not idx[0].unique
 
 
-def test_unique_constraint_validation(eng, spark):
+def test_unique_constraint_enforced_at_write(eng, spark):
+    """A violating CREATE aborts at commit and the graph stays as it
+    was (reference: unique index insert error) — and the batch sweep
+    still reports violations injected outside the write path."""
+    import pytest
     eng.cypher("CREATE VLABEL u1")
     eng.cypher("CREATE UNIQUE PROPERTY INDEX ON u1 (email)")
     eng.cypher("CREATE (:u1 {email: 'a@x'}), (:u1 {email: 'b@x'})")
     assert validate_constraints(spark, eng.store) == []
-    eng.cypher("CREATE (:u1 {email: 'a@x'})")
+    with pytest.raises(ValueError, match="unique"):
+        eng.cypher("CREATE (:u1 {email: 'a@x'})")
+    n = eng.cypher("MATCH (x:u1) RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 2  # rolled back
+    # frames mutated outside the write pipeline are caught by the sweep
+    g = eng.graph
+    g.set_label_df("u1", g.label_df("u1").unionByName(g.label_df("u1")))
     viol = validate_constraints(spark, eng.store)
     assert len(viol) == 1 and "unique" in viol[0]
 
 
-def test_check_constraint_validation(eng, spark):
+def test_check_constraint_enforced_at_write(eng, spark):
+    import pytest
     eng.cypher("CREATE VLABEL acct")
     eng.cypher("CREATE (:acct {bal: 10}), (:acct {bal: 5})")
     eng.cypher("CREATE CONSTRAINT ON acct ASSERT bal > 0")
     assert validate_constraints(spark, eng.store) == []
-    eng.cypher("CREATE (:acct {bal: -3})")
-    viol = validate_constraints(spark, eng.store)
-    assert len(viol) == 1 and "check" in viol[0]
+    with pytest.raises(ValueError, match="check"):
+        eng.cypher("CREATE (:acct {bal: -3})")
+    assert eng.cypher("MATCH (a:acct) RETURN count(*) AS n").collect()[0]["n"] == 2
 
 
 def test_alter_label_rename(eng):
