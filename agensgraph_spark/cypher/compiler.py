@@ -1478,6 +1478,11 @@ class QueryCompiler(WriteMixin):
         self._ensure_df()
         ec = self._ec()
         col = ec.col(u.expr)
+        # UNWIND NULL yields zero rows (the reference's SRF over a NULL
+        # jsonb input emits nothing) — an untyped NULL literal would
+        # otherwise fail analysis inside explode
+        if isinstance(u.expr, A.Lit) and u.expr.value is None:
+            col = F.lit(None).cast("array<string>")
         self.df = self.df.withColumn(u.alias, F.explode(col))
         self.scope.bind(Binding(u.alias, "value"))
 

@@ -208,3 +208,13 @@ def test_correlated_scalar_subquery_in_return(engine, spark):
                    F.coalesce(F.col("count"), F.lit(0)).alias("n"))
            .orderBy("okey"))
     assert rows(got) == rows(exp)
+
+
+def test_unwind_null_yields_no_rows(engine):
+    """Reference SRF semantics: UNWIND NULL emits nothing (the jsonb
+    SRF over NULL input yields zero rows); UNWIND of a scalar errors."""
+    import pytest
+    assert engine.cypher("UNWIND NULL AS x RETURN x").collect() == []
+    assert engine.cypher("UNWIND [] AS x RETURN x").collect() == []
+    with pytest.raises(Exception):
+        engine.cypher("UNWIND 7 AS x RETURN x").collect()
