@@ -309,3 +309,32 @@ def pack_sequences(
         F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
         (start - F.floor(start / F.lit(budget)) * budget).cast("long").alias("bin_offset"),
     )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean unigram TF-IDF per document — the corpus-statistics quality
+    signal (rare-token-dense docs score high, boilerplate scores low).
+    idf = ln(N / doc_freq); score = sum(tf * idf) / n_tokens.
+
+    Two aggregates over exploded (doc, token) rows: per-(doc, token)
+    term counts, then token doc-frequencies joined back — the join is
+    vocabulary-sized on one side (AQE broadcasts it), the shuffles are
+    all (token/doc, count) scalar rows. No UDFs."""
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(docfreq, "token").crossJoin(n_docs)
+              .groupBy("_id")
+              .agg((F.sum(F.col("tf") * F.log(F.col("_n") / F.col("df")))
+                    / F.sum("tf")).alias("score")))
+    return df.select(F.col(id_col)).join(
+        scored.select(F.col("_id").alias(id_col), "score"), id_col, "left") \
+        .select(id_col, F.coalesce(F.round("score", 6), F.lit(0.0)).alias("tfidf_mean"))

@@ -1243,6 +1243,27 @@ def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
     return [[float(x) for x in row] for row in c]
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tfidf_scores(read_table(spark, sf_dir, "documents"))
+
+
+_TFIDF_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY doc_id, token),
+    docfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / docfreq.df)) / sum(tf.tf) AS score
+        FROM tf JOIN docfreq USING (token) CROSS JOIN n
+        GROUP BY tf.doc_id)
+    SELECT d.doc_id, COALESCE(round(s.score, 6), 0.0) AS tfidf_mean
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: overlap of every training doc's
     8-gram set with a held-out 'benchmark' slice (doc_id % 17 == 0) —
@@ -2157,6 +2178,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "neighbor_mean_embeddings": (_q_neighbor_mean_emb, _NEIGHBOR_MEAN_ORACLE),
     "kmeans_update": (_q_kmeans_update, _kmeans_oracle()),
     "decontaminate_ngrams": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "tfidf_scores": (_q_tfidf, _TFIDF_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
