@@ -102,3 +102,21 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     corners = F.explode(F.array("p", "q1", "q2")).alias("id")
     return tri.select(corners).groupBy("id").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-width histogram, optionally per group: one hash aggregate
+    over (by..., bin) keys — the shuffle carries bin-count rows, never
+    values. Returns (by..., bin_start double, n long)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
+    return (df.filter(F.col(value_col).isNotNull())
+            .groupBy(*[F.col(c) for c in by],
+                     (b * F.lit(float(bin_width))).alias("bin_start"))
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -1243,6 +1243,20 @@ def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
     return [[float(x) for x in row] for row in c]
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value histogram (bin width 50) — the profiling
+    rollup every ingestion pipeline runs on numeric columns."""
+    ev = read_table(spark, sf_dir, "events")
+    return AN.histogram(ev, "value", 50.0, by=("event_type",))
+
+
+_HISTOGRAM_ORACLE = """
+    SELECT event_type, floor(value / 50.0) * 50.0 AS bin_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, floor(value / 50.0) * 50.0"""
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_scores(read_table(spark, sf_dir, "documents"))
 
@@ -2179,6 +2193,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kmeans_update": (_q_kmeans_update, _kmeans_oracle()),
     "decontaminate_ngrams": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "tfidf_scores": (_q_tfidf, _TFIDF_ORACLE),
+    "value_histogram": (_q_value_histogram, _HISTOGRAM_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
