@@ -319,3 +319,22 @@ def test_register_procedure_cypher_inside(spark):
     assert eng.call("props_of", 2) == 2
     assert eng.call("exists_branch", 1) == "found"
     assert eng.call("exists_branch", 99) == "missing"
+
+
+def test_aggregate_surface_regression(spark):
+    """Locks the ordered-set / distinct / stddev aggregate aliases
+    (reference cypher aggregate library, cypher_funcs.c)."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH aggsurf")
+    eng.cypher("CREATE ({v: 1}), ({v: 2}), ({v: 2}), ({v: 3})")
+    r = eng.cypher(
+        "MATCH (n) RETURN collect(DISTINCT n.v) AS c, "
+        "percentileCont(n.v, 0.5) AS pc, percentileDisc(n.v, 0.5) AS pd, "
+        "round(stDev(n.v) * 1000000) AS sdev_micro, "
+        "round(stDevP(n.v) * 1000000) AS sdevp_micro, "
+        "count(DISTINCT n.v) AS cd").collect()[0]
+    assert sorted(r["c"]) == [1, 2, 3]
+    assert r["pc"] == 2.0 and r["pd"] == 2
+    assert (r["sdev_micro"], r["sdevp_micro"]) == (816497, 707107)
+    assert r["cd"] == 3
