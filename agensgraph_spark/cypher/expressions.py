@@ -627,6 +627,12 @@ class ExprCompiler:
         b = self._entity_binding(e.args[0])
         if b is not None and b.kind in ("vertex", "edge"):
             return TC(F.col(f"{b.var}__id"), T.LongType())
+        # id(startNode(r)) / id(endNode(r)): the inner call already
+        # yields the endpoint's graphid (a long) — id() is the identity
+        # on it, not a struct-field extraction
+        if (isinstance(e.args[0], A.FuncCall)
+                and e.args[0].name.lower() in self._GRAPHID_FNS):
+            return TC(self.tc(e.args[0]).col, T.LongType())
         return TC(self.tc(e.args[0]).col.getField("id"), T.LongType())
 
     def _f_label(self, e: A.FuncCall) -> TC:

@@ -338,3 +338,17 @@ def test_aggregate_surface_regression(spark):
     assert r["pc"] == 2.0 and r["pd"] == 2
     assert (r["sdev_micro"], r["sdevp_micro"]) == (816497, 707107)
     assert r["cd"] == 3
+
+
+def test_id_of_start_end_node(spark):
+    """id(startNode(r)) / id(endNode(r)) are the endpoint graphids —
+    id() over a graphid-returning call is the identity, not a struct
+    field extraction."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH idnodes")
+    eng.cypher("CREATE ({n: 1})-[:e]->({n: 2})")
+    r = eng.cypher(
+        "MATCH (a)-[r]->(b) RETURN id(startNode(r)) = id(a) AS s, "
+        "id(endNode(r)) = id(b) AS e").collect()[0]
+    assert (r["s"], r["e"]) == (True, True)
