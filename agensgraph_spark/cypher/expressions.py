@@ -688,6 +688,16 @@ class ExprCompiler:
         return TC(self.tc(e.args[0]).col.getField("properties"), T.StringType())
 
     def _f_keys(self, e: A.FuncCall) -> TC:
+        # keys({map literal}) — a map expression compiles to a struct;
+        # its keys are the (static) field names, matching the
+        # reference's jsonb_object_keys over an object literal
+        if self._entity_binding(e.args[0]) is None:
+            inner = self.tc(e.args[0])
+            if isinstance(inner.dtype, T.StructType):
+                return TC(F.array(*[F.lit(f.name) for f in inner.dtype.fields]),
+                          T.ArrayType(T.StringType()))
+            if isinstance(inner.dtype, T.MapType):
+                return TC(F.map_keys(inner.col), T.ArrayType(T.StringType()))
         props = self._f_properties(e)
         return TC(F.json_object_keys(props.col), T.ArrayType(T.StringType()))
 

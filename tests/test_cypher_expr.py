@@ -352,3 +352,13 @@ def test_id_of_start_end_node(spark):
         "MATCH (a)-[r]->(b) RETURN id(startNode(r)) = id(a) AS s, "
         "id(endNode(r)) = id(b) AS e").collect()[0]
     assert (r["s"], r["e"]) == (True, True)
+
+
+def test_keys_over_map_literal(spark):
+    """keys({object literal}) lists the object's keys (reference
+    jsonb_object_keys); entities keep their property-map path."""
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH keysmap")
+    r = eng.cypher("RETURN keys({a: 1, b: 2}) AS k").collect()[0]
+    assert sorted(r["k"]) == ["a", "b"]
