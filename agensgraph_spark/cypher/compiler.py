@@ -193,6 +193,14 @@ class CypherEngine:
                 + "; ".join(problems))
 
     def sql(self, text: str) -> DataFrame:
+        """Spark SQL with the engine's registrations in scope.
+        PostgreSQL-dialect notes for reference users: DISTINCT ON is
+        the row_number-window emulation (sql_distinct_on in workload.py
+        proves equivalence against DuckDB's native form); SQL-side
+        ``unnest(array)`` is Spark's ``explode()`` (select position or
+        LATERAL VIEW) — a typed UDTF shim would coerce every element to
+        one static type, so none is registered. Cypher-side ``unnest``
+        SRFs compile natively."""
         return self.spark.sql(text)
 
     def register_function(self, name: str, fn, return_type="string", pandas: bool = False):
