@@ -77,6 +77,26 @@ def shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
+# Two interchangeable 64-bit-ish string hashes power every fuzzy-dedup
+# operator below:
+# - 'xxh64' (default): Spark's JVM-side xxhash64 — fastest, but no
+#   other SQL engine can replay it;
+# - 'md5': the first 15 hex chars of md5 as a 60-bit non-negative
+#   long — a few times more expensive per shingle, but bit-exactly
+#   reproducible in ANY SQL engine (DuckDB: CAST('0x'||substring(
+#   md5(s),1,15) AS BIGINT)), so external oracles can replay the
+#   whole MinHash/SimHash pipeline. Same pattern as text.fingerprint's
+#   md5 fingerprints (README.md).
+# Collision behavior is equivalent (60 vs 64 bits is immaterial at
+# n²/2⁶⁰ rates); min-hash/banding statistics are unchanged.
+def _str_hash(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxh64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxh64' or 'md5')")
+
+
 # Universal-hash MinHash family over the Mersenne prime 2^31-1 (the
 # same construction Spark ML's MinHashLSH uses): h_i(s) =
 # (a_i * (xxhash64(s) mod p) + b_i) mod p with 31-bit coefficients, so
@@ -103,12 +123,13 @@ def _mh_derive(h: Column, a: int, b: int) -> Column:
     return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5,
+                      hash_fn: str = "xxh64") -> Column:
     """MinHash signature: per hash function i, min over shingles of
-    the prime-field affine hash of xxhash64(shingle). Pure column
+    the prime-field affine hash of the shingle hash. Pure column
     expression — no shuffle."""
     sh = F.transform(shingles(text, k),
-                     lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+                     lambda s: F.pmod(_str_hash(s, hash_fn), F.lit(_MH_PRIME)))
     return F.array(*[
         F.array_min(F.transform(sh, lambda h: _mh_derive(h, a, b)))
         for a, b in _mh_params(num_hashes)
@@ -121,6 +142,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k: int = 5,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """MinHash signatures as pure per-row column expressions: the
     shingle array is string-hashed ONCE into an intermediate `_hs`
@@ -144,7 +166,8 @@ def minhash_signatures(
             .select(
                 "_id",
                 F.transform(shingles(F.col("_t"), k),
-                            lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))).alias("_hs")))
+                            lambda s: F.pmod(_str_hash(s, hash_fn),
+                                             F.lit(_MH_PRIME))).alias("_hs")))
     return hs.select(
         "_id",
         *[F.array_min(F.transform("_hs", deriver(a, b))).alias(f"h{i}")
@@ -161,6 +184,7 @@ def minhash_lsh_candidates(
     min_est: float = 0.0,
     max_bucket: int = 10_000,
     audit_cap: bool = False,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair. Returns (id_a, id_b, est_jaccard) with
@@ -180,10 +204,19 @@ def minhash_lsh_candidates(
     Corpora with large near-duplicate clusters produce O(cluster²)
     candidates; pass ``min_est`` a notch under the final exact
     threshold so exact verification only runs on plausible pairs."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k) \
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn) \
         .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
-    return _candidates_from_sigs(sig, num_hashes, bands, min_est,
-                                 max_bucket, audit_cap)
+    pins: list[DataFrame] = []
+    out = _candidates_from_sigs(sig, num_hashes, bands, min_est,
+                                max_bucket, audit_cap, hash_fn, pins)
+    # the candidate set is bounded (near-dups are rare at corpus
+    # scale): materialize it eagerly so the intermediate signature pin
+    # can be released instead of leaking for the session (paths.py's
+    # pin discipline)
+    out = out.localCheckpoint()
+    for p in pins:
+        p.unpersist(blocking=False)
+    return out
 
 
 def _candidates_from_sigs(
@@ -193,6 +226,8 @@ def _candidates_from_sigs(
     min_est: float,
     max_bucket: int,
     audit_cap: bool,
+    hash_fn: str = "xxh64",
+    pins: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Banding + in-bucket pair emission over a (_id, _sig) frame —
     the shared back half of ``minhash_lsh_candidates`` and
@@ -211,14 +246,24 @@ def _candidates_from_sigs(
     # (id, num_hashes longs) — bounded at any corpus scale; serves the
     # banding branch and both est-join probes
     sig = sig.persist()
+    if pins is not None:
+        pins.append(sig)
+
+    # Bucket key per band: in xxh64 mode the concatenated band slice is
+    # xxhash64-folded to a long (narrow shuffle rows); in md5-portable
+    # mode the RAW concatenated slice is the key — identical grouping
+    # (the fold is injective modulo negligible collisions) and exactly
+    # replayable by an external SQL engine.
+    def _band_key(b: int) -> Column:
+        cat = F.concat_ws(",", *[
+            F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)])
+        return F.xxhash64(cat) if hash_fn == "xxh64" else cat
+
     banded = sig.select(
         "_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("_band", "_bhash"),
+        F.posexplode(F.array(*[_band_key(b) for b in range(bands)]))
+         .alias("_band", "_bhash"),
     )
     grouped = (banded.groupBy("_band", "_bhash")
                .agg(F.array_sort(F.collect_list("_id")).alias("_ms"))
@@ -251,7 +296,14 @@ def _candidates_from_sigs(
             F.slice(F.col("_ms"), i + F.lit(2), F.size(F.col("_ms"))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
     ))).alias("_p")
-    pairs = (buckets.select(pair)
+    # Near-exact duplicate clusters collide in EVERY band, producing
+    # ``bands`` identical member-sets whose quadratic pair explosions
+    # the final distinct would then have to dedup. Collapsing to
+    # DISTINCT member-sets first (the arrays are sorted, so equality
+    # is set equality) cuts the explosion by up to the band count on
+    # template-heavy corpora and never changes the distinct pair set.
+    pairs = (buckets.select("_ms").distinct()
+             .select(pair)
              .select("_p.id_a", "_p.id_b")
              .distinct())
     matches = F.aggregate(
@@ -280,6 +332,7 @@ def minhash_neardup_pairs(
     threshold: float = 0.5,
     max_bucket: int = 10_000,
     audit_cap: bool = False,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Fused MinHash-LSH near-dup pipeline: candidate generation plus
     exact k-shingle verification. Returns (id_a, id_b, jaccard) with
@@ -314,7 +367,7 @@ def minhash_neardup_pairs(
         # tasks would do all the shingling work
         return (frame.repartition(spread, "_id")
                 .select("_id", F.transform(shingles(F.col("_t"), k),
-                                           lambda s: F.xxhash64(s)).alias("_sh")))
+                                           lambda s: _str_hash(s, hash_fn)).alias("_sh")))
 
     def deriver(a: int, b: int):
         return lambda h: _mh_derive(F.pmod(h, F.lit(_MH_PRIME)), a, b)
@@ -322,22 +375,31 @@ def minhash_neardup_pairs(
     sig = hashed(base).select("_id", F.array(*[
         F.array_min(F.transform("_sh", deriver(a, b)))
         for a, b in _mh_params(num_hashes)]).alias("_sig"))
+    pins: list[DataFrame] = []
     cands = (_candidates_from_sigs(sig, num_hashes, bands, min_est,
-                                   max_bucket, audit_cap)
+                                   max_bucket, audit_cap, hash_fn, pins)
              .select("id_a", "id_b").persist())
+    pins.append(cands)
     ids = (cands.select(F.col("id_a").alias("_id"))
            .unionByName(cands.select(F.col("id_b").alias("_id")))
            .distinct())
     # candidate-bounded second hash pass, persisted: one computation
     # serves both sides of the pair join
     sh = hashed(base.join(ids, "_id", "left_semi")).persist()
+    pins.append(sh)
     j = (cands
          .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")
          .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sb")), "id_b"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     uni = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
-    return (j.select("id_a", "id_b", (inter / uni).alias("jaccard"))
-             .filter(F.col("jaccard") >= threshold))
+    out = (j.select("id_a", "id_b", (inter / uni).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+    # near-dup output is bounded; materialize and release every pin so
+    # repeated invocations don't accumulate pinned storage
+    out = out.localCheckpoint()
+    for p in pins:
+        p.unpersist(blocking=False)
+    return out
 
 
 def lsh_skew_stats(
@@ -348,6 +410,7 @@ def lsh_skew_stats(
     bands: int = 8,
     k: int = 5,
     max_bucket: int = 10_000,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Deterministic audit for the LSH skew cap: per-band bucket-size
     distribution and how many buckets ``minhash_lsh_candidates`` (same
@@ -355,16 +418,19 @@ def lsh_skew_stats(
     run it when the in-band Observation warning was unavailable (AQE)
     or before committing to a parameter choice on a new corpus."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k) \
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn) \
         .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
+
+    def _band_key(b: int) -> Column:
+        cat = F.concat_ws(",", *[
+            F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)])
+        return F.xxhash64(cat) if hash_fn == "xxh64" else cat
+
     banded = sig.select(
         "_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("_band", "_bhash"),
+        F.posexplode(F.array(*[_band_key(b) for b in range(bands)]))
+         .alias("_band", "_bhash"),
     )
     sizes = banded.groupBy("_band", "_bhash").agg(F.count(F.lit(1)).alias("_n"))
     return sizes.agg(
@@ -412,6 +478,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     broadcast_docs: bool | None = None,
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Verify LSH candidate pairs with exact k-shingle Jaccard.
 
@@ -435,7 +502,7 @@ def ngram_jaccard_pairs(
               .join(ids, "_id", "left_semi")
               .repartition(spread, "_id")
               .select("_id", F.transform(shingles(F.col("_t"), k),
-                                         lambda s: F.xxhash64(s)).alias("_sh")))
+                                         lambda s: _str_hash(s, hash_fn)).alias("_sh")))
     if broadcast_docs:
         sh = F.broadcast(sh)
     j = (candidates
@@ -457,12 +524,13 @@ def simhash_neardup_pairs(
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: docs within ``max_hamming`` bits.
     Banding (pigeonhole: two hashes within k bits agree exactly on at
     least one of k+1 bands) turns the quadratic scan into a bucket
     join; the hamming check is one JVM-side bit_count(xor)."""
-    sig = simhash(df, text_col, id_col, bits).persist()
+    sig = simhash(df, text_col, id_col, bits, hash_fn).persist()
     width = bits // bands
     banded = sig.select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_h"),
@@ -478,16 +546,19 @@ def simhash_neardup_pairs(
              .select("id_a", "id_b",
                      F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
              .distinct())
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    out = pairs.filter(F.col("hamming") <= max_hamming).localCheckpoint()
+    sig.unpersist(blocking=False)
+    return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, hash_fn: str = "xxh64") -> DataFrame:
     """SimHash over whitespace tokens: bit j of the hash is the majority
-    vote of bit j across token xxhash64s. One explode + one aggregate."""
+    vote of bit j across token hashes. One explode + one aggregate."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
-    ).withColumn("_h", F.xxhash64(F.col("_tok")))
+    ).withColumn("_h", _str_hash(F.col("_tok"), hash_fn))
     bit_sums = toks.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}") for j in range(bits)],

@@ -27,6 +27,10 @@ def get_spark(app_name: str = "agensgraph_spark", shuffle_partitions: int | None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # console progress bars share the terminal with bench's stdout
+        # JSON; the driver's tail capture is a fixed window, so keep
+        # the output channel clean of \r-rewritten stage bars
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata stores TIMESTAMP(NANOS) parquet (events.ts);
         # read as long and convert in the loader (values are micro-precision)

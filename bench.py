@@ -84,17 +84,38 @@ def main() -> None:
 
     best = {name: min(ps[name] for ps in passes) for name in HEADLINE}
     total = round(sum(best.values()), 3)
+    # Per-pass detail goes to STDERR only: round 5 embedded the full
+    # `passes` array in the final stdout line and the driver's tail
+    # capture could no longer parse the headline JSON. The LAST stdout
+    # line must stay the compact shape the driver parses.
+    print(f"# passes: {json.dumps(passes)}", file=sys.stderr)
+    print(f"# load1_at_exit: {round(os.getloadavg()[0], 2)}", file=sys.stderr)
+
+    # Scale probe: re-run the 5 most expensive headline queries at a
+    # 10x-smaller scale factor and report the time ratio — a direct
+    # (if coarse) empirical check that the plans scale ~linearly in
+    # data volume rather than super-linearly. JVM/codegen are warm for
+    # both sides (the big side is best-of-2, the small side runs after
+    # two full passes), so the ratio measures the operators.
+    probe_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(probe_dir) and os.path.abspath(probe_dir) != os.path.abspath(sf_dir):
+        probe: dict[str, dict] = {}
+        for name in sorted(best, key=lambda q: best[q], reverse=True)[:5]:
+            t0 = time.time()
+            queries[name](spark, probe_dir).count()
+            small = round(time.time() - t0, 3)
+            probe[name] = {
+                "small": small, "big": best[name],
+                "ratio": round(best[name] / small, 2) if small > 0 else None,
+            }
+        print(json.dumps({"sf_scale_probe": {
+            "small_sf": 0.01, "big_sf": sf, "data_ratio": 10, "queries": probe}}))
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": best,
-        "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # 1-min load BEFORE this bench contributes: a loaded machine
-        # inflates every query uniformly (~30% observed) — record it so
-        # cross-round comparisons can discount noisy runs
-        "load1_at_exit": round(os.getloadavg()[0], 2),
     }))
 
 
