@@ -203,7 +203,14 @@ def minhash_lsh_candidates(
 
     Corpora with large near-duplicate clusters produce O(cluster²)
     candidates; pass ``min_est`` a notch under the final exact
-    threshold so exact verification only runs on plausible pairs."""
+    threshold so exact verification only runs on plausible pairs.
+
+    Executes EAGERLY: the candidate set is materialized at call time
+    (localCheckpoint) so the intermediate signature pin can be
+    released instead of leaking for the session. Pass ``min_est``
+    rather than composing a post-hoc filter, and note localCheckpoint
+    storage does not survive executor loss (see README's fault-model
+    note)."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn) \
         .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
     pins: list[DataFrame] = []
@@ -357,7 +364,11 @@ def minhash_neardup_pairs(
     few candidate docs beats pinning corpus-wide shingle sets).
     Banding shuffles narrow (band, bhash, id) rows, pair dedup
     shuffles (long, long) rows, and nothing is unconditionally
-    broadcast — AQE picks broadcast sides from runtime sizes."""
+    broadcast — AQE picks broadcast sides from runtime sizes.
+
+    Executes EAGERLY (localCheckpoint at return) so every pinned
+    intermediate is released at call time — narrow the output with
+    ``min_est``/``threshold``, not post-hoc filters."""
     spread = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
 
@@ -495,9 +506,11 @@ def ngram_jaccard_pairs(
     ids = (candidates.select(F.col("id_a").alias("_id"))
            .unionByName(candidates.select(F.col("id_b").alias("_id")))
            .distinct())
-    # shingle sets are compared as xxhash64 longs, not 5-char strings:
-    # set sizes are preserved (collisions are ~n²/2⁶⁴, negligible) and
-    # long-array intersection is several times cheaper than string-array
+    # shingle sets are compared as the configured hash_fn's longs
+    # (xxhash64, or 60-bit md5-prefix in portable mode), not 5-char
+    # strings: set sizes are preserved (collisions are ~n²/2⁶⁰+,
+    # negligible) and long-array intersection is several times cheaper
+    # than string-array
     sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
               .join(ids, "_id", "left_semi")
               .repartition(spread, "_id")
@@ -529,7 +542,10 @@ def simhash_neardup_pairs(
     """SimHash near-duplicate pairs: docs within ``max_hamming`` bits.
     Banding (pigeonhole: two hashes within k bits agree exactly on at
     least one of k+1 bands) turns the quadratic scan into a bucket
-    join; the hamming check is one JVM-side bit_count(xor)."""
+    join; the hamming check is one JVM-side bit_count(xor).
+    Executes EAGERLY (localCheckpoint at return) so the signature pin
+    is released at call time — narrow via ``max_hamming``, not
+    post-hoc filters."""
     sig = simhash(df, text_col, id_col, bits, hash_fn).persist()
     width = bits // bands
     banded = sig.select(
@@ -555,6 +571,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32, hash_fn: str = "xxh64") -> DataFrame:
     """SimHash over whitespace tokens: bit j of the hash is the majority
     vote of bit j across token hashes. One explode + one aggregate."""
+    if hash_fn == "md5" and bits > 60:
+        # the md5-prefix hash carries only 60 bits — higher signature
+        # bits would be constant zero and silently underestimate
+        # hamming distances
+        raise ValueError("simhash: bits must be <= 60 when hash_fn='md5' "
+                         "(the md5-prefix hash is 60-bit)")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),

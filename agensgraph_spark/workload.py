@@ -969,16 +969,130 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature and verify stages (output identical to the two-stage
     # minhash_lsh_candidates + ngram_jaccard_pairs composition,
     # asserted in tests/test_differential_dedup.py).
-    return D.minhash_neardup_pairs(docs, min_est=0.3, threshold=0.4).select(
+    # hash_fn='md5' (the portable 60-bit md5-prefix hash) so the WHOLE
+    # pipeline — shingle hash, affine min-hash, banding, est filter,
+    # exact verify — is replayed by the DuckDB oracle below; the xxh64
+    # fast path keeps its exact pure-Python differential in
+    # tests/test_differential_dedup.py.
+    return D.minhash_neardup_pairs(docs, min_est=0.3, threshold=0.4,
+                                   hash_fn="md5").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_MD5_HASH_SQL = "CAST(('0x'||substring(md5({s}),1,15)) AS BIGINT)"
+
+
+def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                        min_est: float = 0.3, threshold: float = 0.4,
+                        max_bucket: int = 10_000) -> str:
+    """DuckDB replay of the ENTIRE gated MinHash-LSH pipeline in
+    hash_fn='md5' mode — shingles, 60-bit md5-prefix shingle hashes,
+    the 32 affine min-hash slots (same LCG-derived (a,b) params via
+    dedup._mh_params), raw-string band keys, bucket cap, distinct
+    member-sets, pair explosion, signature-agreement est filter, and
+    exact shingle-set Jaccard verification."""
+    p = D._MH_PRIME
+    rows = num_hashes // bands
+    h = _MD5_HASH_SQL.format(s="s")
+    mins = ",\n           ".join(
+        f"list_min(list_transform(sh, h -> ((h % {p}) * {a} + {b}) % {p}))"
+        for a, b in D._mh_params(num_hashes))
+    # band index is folded into the key string ('<band>|<slice>') so a
+    # single GROUP BY column keeps buckets of different bands separate
+    bandkeys = ",\n         ".join(
+        f"'{b}|' || array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ',')"
+        for b in range(bands))
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct([substring(lower(text), CAST(i AS INT), {k})
+                          FOR i IN range(1, greatest(length(text)-{k - 1}, 1)+1)]),
+           s -> {h}) AS sh
+  FROM documents),
+sig AS (
+  SELECT doc_id, sh,
+         [{mins}] AS sig
+  FROM hs),
+banded AS (
+  SELECT doc_id, u.bkey
+  FROM sig, unnest([{bandkeys}]) AS u(bkey)),
+msets AS (
+  SELECT DISTINCT ms FROM (
+    SELECT list_sort(list(doc_id)) AS ms
+    FROM banded GROUP BY bkey
+    HAVING count(*) BETWEEN 2 AND {max_bucket})),
+cands AS (
+  SELECT DISTINCT u1.x AS id_a, u2.y AS id_b
+  FROM msets, unnest(ms) AS u1(x), unnest(ms) AS u2(y)
+  WHERE u1.x < u2.y),
+est AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(range(1, {num_hashes + 1}),
+                        i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0
+        >= {min_est}),
+v AS (
+  SELECT e.id_a, e.id_b,
+         len(list_intersect(ha.sh, hb.sh)) AS inter,
+         len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS uni
+  FROM est e
+  JOIN hs ha ON ha.doc_id = e.id_a
+  JOIN hs hb ON hb.doc_id = e.id_b)
+SELECT id_a, id_b, round(inter / uni, 6) AS jaccard
+FROM v WHERE inter / uni >= {threshold}"""
+
+
+def _simhash_md5_cte(bits: int = 32) -> str:
+    """Shared DuckDB CTE computing (doc_id, simhash) in md5 mode —
+    per-bit majority vote over whitespace-token md5-prefix hashes,
+    exactly dedup.simhash(hash_fn='md5')."""
+    h = _MD5_HASH_SQL.format(s="tok")
+    sums = ",\n         ".join(
+        f"sum((h >> {j}) & 1) AS b{j}" for j in range(bits))
+    bitsum = " + ".join(
+        f"(CASE WHEN b{j}*2 > n THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return rf"""toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, {h} AS h FROM toks),
+bsum AS (
+  SELECT doc_id, count(*) AS n,
+         {sums}
+  FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({bitsum} AS BIGINT) AS simhash FROM bsum)"""
+
+
+def _simhash_md5_oracle(bits: int = 32) -> str:
+    return f"WITH {_simhash_md5_cte(bits)}\nSELECT doc_id, simhash FROM sim"
+
+
+def _simhash_pairs_md5_oracle(max_hamming: int = 4, bands: int = 4,
+                              bits: int = 32) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""WITH {_simhash_md5_cte(bits)},
+banded AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * {width})) & {mask} AS bkey
+  FROM sim, (SELECT unnest(range(0, {bands})) AS band) b),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(read_table(spark, sf_dir, "documents"))
+    # md5-portable mode: replayable by _simhash_md5_oracle in DuckDB
+    return D.simhash(read_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_neardup_pairs(read_table(spark, sf_dir, "documents"), max_hamming=4)
+    return D.simhash_neardup_pairs(read_table(spark, sf_dir, "documents"),
+                                   max_hamming=4, hash_fn="md5")
 
 
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2251,12 +2365,14 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(((doc_id % 240 + 1) + 9) // 10 AS BIGINT) AS n_sampled
         FROM documents WHERE doc_id % 3 = 2"""),
     "mm_image_stats": (_q_mm_image_stats, None),  # stub decode kernel; rows-only
-    # xxhash64-based (not DuckDB-expressible): exact pure-Python
-    # differential oracles live in tests/test_differential_dedup.py
-    # (independent XXH64 + full pipeline replay); rows-only here.
-    "dedup_minhash_lsh": (_q_minhash_lsh, None),
-    "dedup_simhash": (_q_simhash, None),
-    "dedup_simhash_pairs": (_q_simhash_pairs, None),
+    # Fuzzy dedup runs in hash_fn='md5' portable mode so DuckDB replays
+    # the ENTIRE pipeline (shingle hash → min-hash → banding → est →
+    # exact verify); the xxh64 fast path keeps its exact pure-Python
+    # differentials in tests/test_differential_dedup.py, which also
+    # assert both modes produce identical pair sets.
+    "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_md5_oracle()),
+    "dedup_simhash": (_q_simhash, _simhash_md5_oracle()),
+    "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_md5_oracle()),
     "ann_cosine_topk": (_q_ann_brute, """
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
              c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

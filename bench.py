@@ -98,7 +98,14 @@ def main() -> None:
     # both sides (the big side is best-of-2, the small side runs after
     # two full passes), so the ratio measures the operators.
     probe_dir = "/root/testdata/sf0.01"
-    if os.path.isdir(probe_dir) and os.path.abspath(probe_dir) != os.path.abspath(sf_dir):
+    try:
+        # the probe compares against sf0.01, so the data ratio follows
+        # the ACTUAL benchmark sf (10 at the default sf0.1, 100 at sf1)
+        data_ratio = round(float(sf) / 0.01)
+    except ValueError:
+        data_ratio = None
+    if (data_ratio is not None and os.path.isdir(probe_dir)
+            and os.path.abspath(probe_dir) != os.path.abspath(sf_dir)):
         probe: dict[str, dict] = {}
         for name in sorted(best, key=lambda q: best[q], reverse=True)[:5]:
             t0 = time.time()
@@ -109,7 +116,8 @@ def main() -> None:
                 "ratio": round(best[name] / small, 2) if small > 0 else None,
             }
         print(json.dumps({"sf_scale_probe": {
-            "small_sf": 0.01, "big_sf": sf, "data_ratio": 10, "queries": probe}}))
+            "small_sf": 0.01, "big_sf": sf, "data_ratio": data_ratio,
+            "queries": probe}}))
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,

@@ -2,14 +2,18 @@
 MinHash-LSH candidate pipeline and SimHash are replayed in pure Python
 (including an independent XXH64 implementation, tests/_xxh64.py) and
 compared EXACTLY against the Spark implementations — the same oracle
-strategy the path operators get in test_differential.py. These two
-operators are xxhash64-based and therefore not DuckDB-expressible, so
-this suite is their correctness gate."""
+strategy the path operators get in test_differential.py. Both string
+hash modes are covered: 'xxh64' (JVM fast path, not replayable
+elsewhere — this suite is its correctness gate) and 'md5' (the
+portable 60-bit md5-prefix mode the driver's DuckDB gate replays,
+workload._minhash_md5_oracle)."""
 
+import hashlib
 import random
 import re
 from collections import defaultdict
 
+import pytest
 from pyspark.sql import functions as F
 
 from _xxh64 import xxh64_signed
@@ -17,6 +21,16 @@ from agensgraph_spark.pipeline import dedup as D
 
 _P = (1 << 31) - 1
 _U64 = (1 << 64) - 1
+
+
+def md5_signed(s: str) -> int:
+    """Pure-Python replay of dedup._str_hash's 'md5' mode: first 15
+    hex chars of md5 parsed base-16 — a 60-bit non-negative long."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+PY_HASH = {"xxh64": xxh64_signed, "md5": md5_signed}
+HASH_FNS = ("xxh64", "md5")
 
 
 # --- pure-Python mirrors (independent reimplementation, incl. the
@@ -46,24 +60,29 @@ def py_shingles(text: str, k: int = 5):
     return out
 
 
-def py_signature(text: str, params, k: int = 5):
-    hs = [xxh64_signed(s) % _P for s in py_shingles(text, k)]
+def py_signature(text: str, params, k: int = 5, hash_fn: str = "xxh64"):
+    h0 = PY_HASH[hash_fn]
+    hs = [h0(s) % _P for s in py_shingles(text, k)]
     return [min((h * a + b) % _P for h in hs) for a, b in params]
 
 
-def py_band_hashes(sig, bands: int = 8):
+def py_band_hashes(sig, bands: int = 8, hash_fn: str = "xxh64"):
+    # xxh64 mode folds the joined band slice to a long; md5-portable
+    # mode keys buckets on the RAW joined slice (bucket identity is all
+    # that matters — mirrors dedup._candidates_from_sigs._band_key)
     rows = len(sig) // bands
-    return [xxh64_signed(",".join(str(sig[b * rows + r]) for r in range(rows)))
+    fold = xxh64_signed if hash_fn == "xxh64" else (lambda s: s)
+    return [fold(",".join(str(sig[b * rows + r]) for r in range(rows)))
             for b in range(bands)]
 
 
 def py_lsh_candidates(docs, num_hashes=32, bands=8, k=5, min_est=0.0,
-                      max_bucket=10_000):
+                      max_bucket=10_000, hash_fn="xxh64"):
     params = mh_params(num_hashes)
-    sigs = {did: py_signature(t, params, k) for did, t in docs}
+    sigs = {did: py_signature(t, params, k, hash_fn) for did, t in docs}
     buckets = defaultdict(list)
     for did, _ in docs:
-        for b, bh in enumerate(py_band_hashes(sigs[did], bands)):
+        for b, bh in enumerate(py_band_hashes(sigs[did], bands, hash_fn)):
             buckets[(b, bh)].append(did)
     est: dict[tuple[int, int], float] = {}
     for members in buckets.values():
@@ -78,8 +97,9 @@ def py_lsh_candidates(docs, num_hashes=32, bands=8, k=5, min_est=0.0,
     return {p: e for p, e in est.items() if e >= min_est}
 
 
-def py_exact_jaccard(docs, pairs, k=5, threshold=0.5):
-    hset = {did: {xxh64_signed(s) for s in py_shingles(t, k)} for did, t in docs}
+def py_exact_jaccard(docs, pairs, k=5, threshold=0.5, hash_fn="xxh64"):
+    h0 = PY_HASH[hash_fn]
+    hset = {did: {h0(s) for s in py_shingles(t, k)} for did, t in docs}
     out = {}
     for a, b in pairs:
         inter = len(hset[a] & hset[b])
@@ -90,9 +110,10 @@ def py_exact_jaccard(docs, pairs, k=5, threshold=0.5):
     return out
 
 
-def py_simhash(text: str, bits: int = 32) -> int:
+def py_simhash(text: str, bits: int = 32, hash_fn: str = "xxh64") -> int:
+    h0 = PY_HASH[hash_fn]
     toks = re.split(r"\s+", text.strip().lower())
-    hs = [xxh64_signed(t) & _U64 for t in toks]
+    hs = [h0(t) & _U64 for t in toks]
     n = len(hs)
     sim = 0
     for j in range(bits):
@@ -101,8 +122,8 @@ def py_simhash(text: str, bits: int = 32) -> int:
     return sim
 
 
-def py_simhash_pairs(docs, max_hamming=3, bands=4, bits=32):
-    sims = {did: py_simhash(t, bits) for did, t in docs}
+def py_simhash_pairs(docs, max_hamming=3, bands=4, bits=32, hash_fn="xxh64"):
+    sims = {did: py_simhash(t, bits, hash_fn) for did, t in docs}
     width = bits // bands
     buckets = defaultdict(list)
     for did, _ in docs:
@@ -147,53 +168,99 @@ def _docs_df(spark, docs):
     return spark.createDataFrame(docs, "doc_id long, text string")
 
 
-def test_minhash_signatures_match_python(spark):
+@pytest.mark.parametrize("hash_fn", HASH_FNS)
+def test_minhash_signatures_match_python(spark, hash_fn):
     docs = make_corpus(n_base=6, variants=2)
     got = {r["_id"]: [r[f"h{i}"] for i in range(32)]
-           for r in D.minhash_signatures(_docs_df(spark, docs)).collect()}
+           for r in D.minhash_signatures(_docs_df(spark, docs),
+                                         hash_fn=hash_fn).collect()}
     params = mh_params(32)
-    exp = {did: py_signature(t, params) for did, t in docs}
+    exp = {did: py_signature(t, params, hash_fn=hash_fn) for did, t in docs}
     assert got == exp
 
 
-def test_minhash_lsh_pipeline_matches_python(spark):
+@pytest.mark.parametrize("hash_fn", HASH_FNS)
+def test_minhash_lsh_pipeline_matches_python(spark, hash_fn):
     """The exact gated-query pipeline (workload._q_minhash_lsh):
     banding candidates (min_est=0.3) -> exact shingle-Jaccard >= 0.4.
     Both the surviving pair set and the (IEEE-identical) jaccard values
-    must match the pure-Python replay exactly."""
+    must match the pure-Python replay exactly — in both hash modes."""
     docs = make_corpus()
     df = _docs_df(spark, docs)
-    cands = D.minhash_lsh_candidates(df, min_est=0.3).select("id_a", "id_b")
-    out = D.ngram_jaccard_pairs(cands, df, threshold=0.4)
+    cands = D.minhash_lsh_candidates(df, min_est=0.3,
+                                     hash_fn=hash_fn).select("id_a", "id_b")
+    out = D.ngram_jaccard_pairs(cands, df, threshold=0.4, hash_fn=hash_fn)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
 
-    py_cands = py_lsh_candidates(docs, min_est=0.3)
-    exp = py_exact_jaccard(docs, py_cands.keys(), threshold=0.4)
+    py_cands = py_lsh_candidates(docs, min_est=0.3, hash_fn=hash_fn)
+    exp = py_exact_jaccard(docs, py_cands.keys(), threshold=0.4,
+                           hash_fn=hash_fn)
     assert got == exp
     assert len(got) >= 10  # the corpus must actually exercise the pipeline
 
 
-def test_minhash_candidate_estimates_match_python(spark):
+@pytest.mark.parametrize("hash_fn", HASH_FNS)
+def test_minhash_candidate_estimates_match_python(spark, hash_fn):
     docs = make_corpus(n_base=8, variants=2)
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
-           for r in D.minhash_lsh_candidates(_docs_df(spark, docs)).collect()}
-    exp = py_lsh_candidates(docs)
+           for r in D.minhash_lsh_candidates(_docs_df(spark, docs),
+                                             hash_fn=hash_fn).collect()}
+    exp = py_lsh_candidates(docs, hash_fn=hash_fn)
     assert got == exp
 
 
-def test_simhash_matches_python(spark):
+def test_minhash_md5_and_xxh64_verified_pairs_agree(spark):
+    """The two hash modes are interchangeable for the fused near-dup
+    pipeline. LSH recall is hash-family-dependent on BORDERLINE pairs
+    (8 bands x 4 rows: a jaccard-0.75 pair is caught w.p. ~0.95 per
+    family — empirically, this seeded corpus has ~7 such pairs caught
+    by one family and missed by the other), so exact set equality is
+    NOT the contract. What must hold:
+    - pairs surfaced by both modes carry bit-identical jaccard values
+      (exact shingle-set Jaccard is hash-independent),
+    - neither mode misses a high-similarity pair the other found
+      (banding recall at jaccard>=0.9 is 1 - (1-j^4)^8 > 0.9999), and
+    - the overlap dominates (>=90% of the union)."""
+    docs = make_corpus()
+    df = _docs_df(spark, docs)
+    outs = {}
+    for hf in HASH_FNS:
+        out = D.minhash_neardup_pairs(df, min_est=0.3, threshold=0.4,
+                                      hash_fn=hf)
+        outs[hf] = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    md5, xx = outs["md5"], outs["xxh64"]
+    common = set(md5) & set(xx)
+    assert len(common) >= 10
+    assert all(md5[p] == xx[p] for p in common)
+    only = (set(md5) ^ set(xx))
+    assert all((md5 | xx)[p] < 0.9 for p in only), only
+    assert len(common) >= 0.9 * len(set(md5) | set(xx))
+
+
+@pytest.mark.parametrize("hash_fn", HASH_FNS)
+def test_simhash_matches_python(spark, hash_fn):
     docs = make_corpus(n_base=6, variants=2)
     got = {r["doc_id"]: r["simhash"]
-           for r in D.simhash(_docs_df(spark, docs)).collect()}
-    exp = {did: py_simhash(t) for did, t in docs}
+           for r in D.simhash(_docs_df(spark, docs), hash_fn=hash_fn).collect()}
+    exp = {did: py_simhash(t, hash_fn=hash_fn) for did, t in docs}
     assert got == exp
 
 
-def test_simhash_pairs_match_python(spark):
+def test_simhash_md5_rejects_wide_bits(spark):
+    df = _docs_df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="bits"):
+        D.simhash(df, bits=64, hash_fn="md5")
+    # 60 bits is the documented ceiling and must be accepted
+    assert D.simhash(df, bits=60, hash_fn="md5").collect()
+
+
+@pytest.mark.parametrize("hash_fn", HASH_FNS)
+def test_simhash_pairs_match_python(spark, hash_fn):
     docs = make_corpus()
     got = {(r["id_a"], r["id_b"], r["hamming"])
-           for r in D.simhash_neardup_pairs(_docs_df(spark, docs), max_hamming=4).collect()}
-    exp = py_simhash_pairs(docs, max_hamming=4)
+           for r in D.simhash_neardup_pairs(_docs_df(spark, docs), max_hamming=4,
+                                            hash_fn=hash_fn).collect()}
+    exp = py_simhash_pairs(docs, max_hamming=4, hash_fn=hash_fn)
     assert got == exp
     assert len(got) >= 5
 
