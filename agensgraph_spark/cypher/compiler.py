@@ -183,7 +183,8 @@ class CypherEngine:
         saved = self.store.graphs.get(name)
         try:
             self.store.graphs[name] = wctx.graph
-            problems = validate_constraints(self.spark, self.store, name)
+            problems = validate_constraints(self.spark, self.store, name,
+                                            constraints=cons)
         finally:
             if saved is not None:
                 self.store.graphs[name] = saved

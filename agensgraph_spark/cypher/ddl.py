@@ -268,14 +268,23 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
 
 
 def validate_constraints(spark: SparkSession, store: GraphStore,
-                         graph_name: str | None = None) -> list[str]:
+                         graph_name: str | None = None,
+                         constraints: "list[Constraint] | None" = None) -> list[str]:
     """Batch constraint validation over current label frames — the
     snapshot-model replacement for per-row write checks. Returns a list
-    of violation descriptions (empty = all constraints hold)."""
+    of violation descriptions (empty = all constraints hold).
+
+    ``constraints`` restricts the sweep (write-time enforcement passes
+    the touched-label subset so an unrelated label's stale violation
+    can never roll back a valid statement, and each write costs one
+    job per TOUCHED constraint, not per constraint in the graph);
+    default is every constraint of the graph (the batch audit)."""
     name = graph_name or store.graph_path
     g = store.graphs[name]
     out: list[str] = []
-    for con in store.constraints.get(name, []):
+    todo = (store.constraints.get(name, [])
+            if constraints is None else constraints)
+    for con in todo:
         if con.label not in g.frames:
             continue
         df: DataFrame = g.frames[con.label]
