@@ -298,6 +298,19 @@ class Query:
 
 
 @dataclass
-class UnionQuery:
-    parts: list[Query]
-    all_flags: list[bool]  # len = len(parts)-1
+class SetOp:
+    """Statement-level set operation (reference: gram.y:17089-17094 —
+    CypherStmt UNION/INTERSECT/EXCEPT set_quantifier CypherStmt).
+    INTERSECT binds tighter than UNION/EXCEPT; same-level ops associate
+    left (PostgreSQL set-op precedence)."""
+    op: str    # "union" | "intersect" | "except"
+    all: bool
+    left: "Query | SetOp"
+    right: "Query | SetOp"
+
+    @property
+    def leaves(self) -> "list[Query]":
+        out: list[Query] = []
+        for side in (self.left, self.right):
+            out.extend(side.leaves if isinstance(side, SetOp) else [side])
+        return out

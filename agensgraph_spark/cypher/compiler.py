@@ -113,25 +113,41 @@ class CypherEngine:
         if execute_ddl(self.store, text):
             return self.spark.createDataFrame([("ok",)], "status string")
         uq = parse_cypher(text)
+        leaves = uq.leaves if isinstance(uq, A.SetOp) else [uq]
         has_write = any(isinstance(c, WRITE_CLAUSES)
-                        for part in uq.parts for c in part.clauses)
+                        for part in leaves for c in part.clauses)
         if has_write:
-            if len(uq.parts) > 1:
-                raise ValueError("write statements cannot combine with UNION")
-            return self._execute_write(uq.parts[0], params or {})
-        dfs: list[DataFrame] = []
-        for part in uq.parts:
-            qc = QueryCompiler(self, params or {})
-            dfs.append(qc.compile(part))
-        # Left-associative set-op chain (reference: gram.y:17089-17094):
-        # each non-ALL step dedups the accumulated result ONLY — a later
-        # UNION ALL must keep its duplicates, so no trailing blanket dedup.
-        out = dfs[0]
-        for i, df in enumerate(dfs[1:]):
-            out = out.unionByName(df)
-            if not uq.all_flags[i]:
-                out = out.dropDuplicates()
-        return out
+            if isinstance(uq, A.SetOp):
+                raise ValueError(
+                    "write statements cannot combine with set operations")
+            return self._execute_write(uq, params or {})
+        return self._compile_setop(uq, params or {})
+
+    def _compile_setop(self, node, params: dict) -> DataFrame:
+        """UNION / INTERSECT / EXCEPT [ALL] over independently compiled
+        single queries (reference: gram.y:17089-17094; INTERSECT binds
+        tighter, same-level ops associate left). UNION aligns columns by
+        name; INTERSECT/EXCEPT reorder the right side to the left's
+        column order, then Spark's native set operators provide SQL
+        semantics (NULLs compare equal, ALL keeps bag multiplicity)."""
+        if not isinstance(node, A.SetOp):
+            qc = QueryCompiler(self, params)
+            return qc.compile(node)
+        left = self._compile_setop(node.left, params)
+        right = self._compile_setop(node.right, params)
+        if node.op == "union":
+            out = left.unionByName(right)
+            # non-ALL dedups the accumulated result ONLY — a later
+            # UNION ALL must keep its duplicates
+            return out if node.all else out.dropDuplicates()
+        if sorted(left.columns) != sorted(right.columns):
+            raise ValueError(
+                f"{node.op.upper()} operands return different columns: "
+                f"{left.columns} vs {right.columns}")
+        right = right.select(*left.columns)
+        if node.op == "intersect":
+            return left.intersectAll(right) if node.all else left.intersect(right)
+        return left.exceptAll(right) if node.all else left.subtract(right)
 
     def _execute_write(self, part: A.Query, params: dict) -> DataFrame:
         """Run a writing statement: compile the clause pipeline (writes
@@ -296,13 +312,15 @@ class CypherEngine:
         if is_ddl(text):
             raise ValueError("EXPLAIN of DDL statements is not supported")
         uq = parse_cypher(text)
+        leaves = uq.leaves if isinstance(uq, A.SetOp) else [uq]
         has_write = any(isinstance(c, WRITE_CLAUSES)
-                        for part in uq.parts for c in part.clauses)
+                        for part in leaves for c in part.clauses)
         if has_write:
-            if len(uq.parts) > 1:
-                raise ValueError("write statements cannot combine with UNION")
+            if isinstance(uq, A.SetOp):
+                raise ValueError(
+                    "write statements cannot combine with set operations")
             qc = QueryCompiler(self, params or {})
-            df = qc.compile(uq.parts[0])  # no commit: engine graph unchanged
+            df = qc.compile(uq)  # no commit: engine graph unchanged
         else:
             df = self.cypher(text, params)
         jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)

@@ -16,7 +16,8 @@ KEYWORDS = {
     "order", "by", "asc", "ascending", "desc", "descending", "skip", "limit",
     "and", "or", "xor", "not", "in", "is", "null", "true", "false",
     "starts", "ends", "contains", "create", "merge", "set", "remove", "delete",
-    "detach", "on", "union", "all", "any", "none", "single", "exists",
+    "detach", "on", "union", "intersect", "except", "all", "any", "none",
+    "single", "exists",
     "case", "when", "then", "else", "end", "count", "load", "from", "only",
 }
 

@@ -76,17 +76,35 @@ class Parser:
 
     # ---- top level ----
 
-    def parse(self) -> A.UnionQuery:
-        parts = [self.parse_single_query()]
-        alls: list[bool] = []
-        while self.accept_kw("union"):
-            alls.append(bool(self.accept_kw("all")))
-            parts.append(self.parse_single_query())
+    def parse(self) -> "A.Query | A.SetOp":
+        node = self._setop_chain()
         self.accept(";")
         if self.peek().kind != "EOF":
             t = self.peek()
             raise ParseError(f"trailing input at {t.pos}: {t.text!r}")
-        return A.UnionQuery(parts, alls)
+        return node
+
+    def _setop_chain(self) -> "A.Query | A.SetOp":
+        """UNION / EXCEPT level — left-associative over INTERSECT-bound
+        operands (reference: gram.y:17089-17094 with PostgreSQL's
+        %left precedence: INTERSECT binds tighter)."""
+        node = self._intersect_chain()
+        while True:
+            if self.accept_kw("union"):
+                op = "union"
+            elif self.accept_kw("except"):
+                op = "except"
+            else:
+                return node
+            node = A.SetOp(op, bool(self.accept_kw("all")),
+                           node, self._intersect_chain())
+
+    def _intersect_chain(self) -> "A.Query | A.SetOp":
+        node = self.parse_single_query()
+        while self.accept_kw("intersect"):
+            node = A.SetOp("intersect", bool(self.accept_kw("all")),
+                           node, self.parse_single_query())
+        return node
 
     def parse_single_query(self) -> A.Query:
         clauses: list[A.Clause] = []
@@ -781,5 +799,5 @@ class Parser:
         return A.ListLit(items)
 
 
-def parse_cypher(text: str) -> A.UnionQuery:
+def parse_cypher(text: str) -> "A.Query | A.SetOp":
     return Parser(tokenize(text), src=text).parse()

@@ -66,6 +66,9 @@ class WriteContext:
     graph: Graph
     stats: WriteStats = field(default_factory=WriteStats)
     touched: set[str] = field(default_factory=set)
+    # kinds ("v"/"e") some DELETE clause of this statement has already
+    # removed — gates the exact-vs-fast path of _victim_label_counts
+    deleted_kinds: set[str] = field(default_factory=set)
     _next_locid: dict[str, int] = field(default_factory=dict)
 
     @classmethod
@@ -281,8 +284,9 @@ class WriteMixin:
             prop_display_name(k): types[k] for k, _ in prop_cols})
         self.wctx.append(label, new_rows)
         self.wctx.advance_locid(label, span)
-        n = self.df.count()
-        self.wctx.stats.insertedvertices += n
+        # span IS the pipeline row count (derived driver-side by the
+        # id-allocation partition-count pass) — no per-element count job
+        self.wctx.stats.insertedvertices += span
         self.scope.bind(Binding(var, "vertex", labels=[label], props=[k for k, _ in prop_cols]))
         return var
 
@@ -328,7 +332,7 @@ class WriteMixin:
             prop_display_name(k): types[k] for k, _ in prop_cols})
         self.wctx.append(label, new_rows)
         self.wctx.advance_locid(label, span)
-        self.wctx.stats.insertededges += self.df.count()
+        self.wctx.stats.insertededges += span
         self.scope.bind(Binding(var, "edge", labels=[label], props=[k for k, _ in prop_cols]))
         return var
 
@@ -374,48 +378,50 @@ class WriteMixin:
         edf = self._union_ids(e_victims)
         g = self.wctx.graph
 
+        # Explicit edge victims FIRST: the incident-edge pass below then
+        # runs against already-updated frames, so an edge that is both
+        # explicitly deleted and incident to a deleted vertex is counted
+        # (and removed) exactly once, and the non-detach dangling check
+        # needs no manual edf exclusion. Stats come from per-label
+        # victim counts (one tiny job per victim frame, not two frame
+        # counts per label).
+        if edf is not None:
+            edf = edf.localCheckpoint(eager=True)
+            for lbl, n_del in self._victim_label_counts(edf, "e").items():
+                f = g.frames[lbl]
+                keep = f.join(edf.withColumnRenamed("id", "__eid"),
+                              f["id"] == F.col("__eid"), "left_anti").localCheckpoint(eager=True)
+                self.wctx.stats.deletededges += n_del
+                self.wctx.replace(lbl, keep)
+            self.wctx.deleted_kinds.add("e")
         if vdf is not None:
             vdf = vdf.localCheckpoint(eager=True)
             if not d.detach:
-                # any surviving incident edge → error (reference parity)
-                for lbl in g.catalog.elabels():
-                    if lbl not in g.frames:
-                        continue
-                    ef = g.frames[lbl]
-                    if edf is not None:
-                        ef = ef.join(edf.withColumnRenamed("id", "__del"),
-                                     ef["id"] == F.col("__del"), "left_anti")
-                    dangling = ef.join(
-                        vdf.withColumnRenamed("id", "__vid"),
-                        (ef["start"] == F.col("__vid")) | (ef["end"] == F.col("__vid")),
-                        "left_semi")
-                    if dangling.take(1):
-                        raise ValueError(
-                            f"vertices in {lbl!r} still have edges; use DETACH DELETE")
+                # any surviving incident edge → error (reference parity);
+                # one job over the tagged union of edge frames
+                inc = self._incident_counts(vdf)
+                if inc:
+                    lbl = sorted(inc)[0]
+                    raise ValueError(
+                        f"vertices in {lbl!r} still have edges; use DETACH DELETE")
             else:
-                for lbl in self._labels_for_ids(vdf, "e", incident=True):
+                for lbl, n_del in self._incident_counts(vdf).items():
                     ef = g.frames[lbl]
                     keep = ef.join(
                         vdf.withColumnRenamed("id", "__vid"),
                         (ef["start"] == F.col("__vid")) | (ef["end"] == F.col("__vid")),
                         "left_anti")
                     keep = keep.localCheckpoint(eager=True)
-                    self.wctx.stats.deletededges += ef.count() - keep.count()
+                    self.wctx.stats.deletededges += n_del
                     self.wctx.replace(lbl, keep)
-            for lbl in self._labels_for_ids(vdf, "v"):
+                    self.wctx.deleted_kinds.add("e")
+            for lbl, n_del in self._victim_label_counts(vdf, "v").items():
                 f = g.frames[lbl]
                 keep = f.join(vdf.withColumnRenamed("id", "__vid"),
                               f["id"] == F.col("__vid"), "left_anti").localCheckpoint(eager=True)
-                self.wctx.stats.deletedvertices += f.count() - keep.count()
+                self.wctx.stats.deletedvertices += n_del
                 self.wctx.replace(lbl, keep)
-        if edf is not None:
-            edf = edf.localCheckpoint(eager=True)
-            for lbl in self._labels_for_ids(edf, "e"):
-                f = g.frames[lbl]
-                keep = f.join(edf.withColumnRenamed("id", "__eid"),
-                              f["id"] == F.col("__eid"), "left_anti").localCheckpoint(eager=True)
-                self.wctx.stats.deletededges += f.count() - keep.count()
-                self.wctx.replace(lbl, keep)
+            self.wctx.deleted_kinds.add("v")
 
     def _delete_expr_kind(self, e: A.Expr) -> str:
         """'v' or 'e' for an entity-valued DELETE expression."""
@@ -442,18 +448,59 @@ class WriteMixin:
             out = out.unionByName(d)
         return out.distinct()
 
-    def _labels_for_ids(self, ids: DataFrame, kind: str, incident: bool = False) -> list[str]:
-        """Prune the label set to those whose labid range intersects the
-        victim ids (labels live in the id's high bits) — avoids touching
-        unrelated label frames. For incident-edge deletion every edge
-        label is a candidate."""
+    def _victim_label_counts(self, victims: DataFrame, kind: str) -> dict[str, int]:
+        """Per-label count of victim ids that EXIST in their label frame
+        — serves both label pruning and the deleted-stats counters.
+
+        Fast path (no earlier DELETE of this kind in the statement):
+        every victim necessarily still exists (victims come from a MATCH
+        against the working graph, and only DELETE removes entities), so
+        ONE tiny groupBy over the victims' own labid bits (the label
+        lives in the id's high bits) yields exact counts without
+        touching any frame. Repeated-delete path (DELETE a ... DELETE a,
+        cypher_dml.sql:689-784): an id may already be gone, so the
+        labid-pruned candidate frames are union-scanned ONCE with a
+        semi-join for the exact surviving counts — two jobs total
+        instead of two frame counts per label."""
         cat = self.wctx.graph.catalog
+        frames = self.wctx.graph.frames
+        by_labid = {r["l"]: r["n"] for r in victims.groupBy(
+            F.shiftrightunsigned(F.col("id"), LOCID_BITS).alias("l"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
         names = cat.vlabels() if kind == "v" else cat.elabels()
-        if incident:
-            return [n for n in names if n in self.wctx.graph.frames]
-        labids = {r["l"] for r in
-                  ids.select(F.shiftrightunsigned(F.col("id"), LOCID_BITS).alias("l")).distinct().collect()}
-        return [n for n in names if cat.labels[n].labid in labids and n in self.wctx.graph.frames]
+        cand = {n: by_labid[cat.labels[n].labid] for n in names
+                if cat.labels[n].labid in by_labid and n in frames}
+        if kind not in self.wctx.deleted_kinds:
+            return cand
+        parts = [frames[n].select("id", F.lit(n).alias("__lbl")) for n in cand]
+        if not parts:
+            return {}
+        allids = parts[0]
+        for p in parts[1:]:
+            allids = allids.unionByName(p)
+        rows = (allids.join(victims.select("id"), "id", "left_semi")
+                .groupBy("__lbl").agg(F.count(F.lit(1)).alias("n")).collect())
+        return {r["__lbl"]: r["n"] for r in rows}
+
+    def _incident_counts(self, vdf: DataFrame) -> dict[str, int]:
+        """Edges incident to the victim vertices, counted per edge label
+        in ONE job over a tagged union of the edge frames (which already
+        reflect this clause's explicit edge deletions, so nothing is
+        double-counted). Labels with zero incident edges are absent —
+        their frames are neither counted nor rewritten."""
+        g = self.wctx.graph
+        parts = [g.frames[n].select("start", "end", F.lit(n).alias("__lbl"))
+                 for n in g.catalog.elabels() if n in g.frames]
+        if not parts:
+            return {}
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        vids = vdf.select(F.col("id").alias("__vid"))
+        hit = u.join(vids, (u["start"] == F.col("__vid"))
+                     | (u["end"] == F.col("__vid")), "left_semi")
+        return {r["__lbl"]: r["n"] for r in
+                hit.groupBy("__lbl").agg(F.count(F.lit(1)).alias("n")).collect()}
 
     # ------------------------------------------------------------------
     # SET / REMOVE  (reference: execCypherSet.c:141 ExecSetGraph; `+=`

@@ -126,6 +126,20 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "MATCH (n:nation) RETURN n.n_name AS name UNION MATCH (r:region) RETURN r.r_name AS name",
         "SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region",
     ),
+    # statement-level INTERSECT / EXCEPT (reference: gram.y:17089-17094
+    # CypherStmt INTERSECT/EXCEPT set_quantifier CypherStmt)
+    "cy_intersect": (
+        "MATCH (:customer)-[:in_nation]->(n:nation) RETURN n.n_nationkey AS k "
+        "INTERSECT MATCH (:supplier)-[:in_nation]->(n:nation) RETURN n.n_nationkey AS k",
+        "SELECT c_nationkey AS k FROM customer "
+        "INTERSECT SELECT s_nationkey AS k FROM supplier",
+    ),
+    "cy_except": (
+        "MATCH (c:customer) WHERE c.c_custkey <= 100 RETURN c.c_custkey AS k "
+        "EXCEPT MATCH (c:customer) WHERE c.c_custkey <= 50 RETURN c.c_custkey AS k",
+        "SELECT c_custkey AS k FROM customer WHERE c_custkey <= 100 "
+        "EXCEPT SELECT c_custkey AS k FROM customer WHERE c_custkey <= 50",
+    ),
     "cy_unwind": (
         "UNWIND range(1, 100) AS x WITH x WHERE x % 7 = 3 RETURN x, x * x AS sq",
         "SELECT x, x * x AS sq FROM (SELECT CAST(range AS BIGINT) AS x FROM range(1, 101)) WHERE x % 7 = 3",

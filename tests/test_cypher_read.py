@@ -93,6 +93,44 @@ def test_mixed_union_union_all_chain(engine):
     assert got2.count() == 1
 
 
+def test_intersect_except(engine):
+    """Statement-level INTERSECT / EXCEPT [ALL] (reference:
+    gram.y:17089-17094): set semantics, bag (ALL) multiplicity, and
+    INTERSECT binding tighter than UNION/EXCEPT."""
+    rows = engine.cypher(
+        "MATCH (c:customer) WHERE c.c_custkey <= 20 RETURN c.c_custkey AS k "
+        "INTERSECT MATCH (c:customer) WHERE c.c_custkey >= 15 RETURN c.c_custkey AS k"
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [15, 16, 17, 18, 19, 20]
+    rows = engine.cypher(
+        "MATCH (c:customer) WHERE c.c_custkey <= 10 RETURN c.c_custkey AS k "
+        "EXCEPT MATCH (c:customer) WHERE c.c_custkey <= 7 RETURN c.c_custkey AS k"
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [8, 9, 10]
+    # ALL variants keep multiplicity: {1,1,2} ∩all {1,1} = {1,1};
+    # {1,1,2} \all {1} = {1,2}
+    dup = ("UNWIND [1,1,2] AS x RETURN x INTERSECT ALL "
+           "UNWIND [1,1] AS x RETURN x")
+    assert sorted(r["x"] for r in engine.cypher(dup).collect()) == [1, 1]
+    dup2 = ("UNWIND [1,1,2] AS x RETURN x EXCEPT ALL UNWIND [1] AS x RETURN x")
+    assert sorted(r["x"] for r in engine.cypher(dup2).collect()) == [1, 2]
+    # non-ALL EXCEPT dedups the survivors
+    dup3 = ("UNWIND [1,1,2] AS x RETURN x EXCEPT UNWIND [3] AS x RETURN x")
+    assert sorted(r["x"] for r in engine.cypher(dup3).collect()) == [1, 2]
+    # precedence: a UNION b INTERSECT c == a UNION (b INTERSECT c)
+    prec = ("RETURN 9 AS x UNION UNWIND [1,2] AS x RETURN x "
+            "INTERSECT UNWIND [2,3] AS x RETURN x")
+    assert sorted(r["x"] for r in engine.cypher(prec).collect()) == [2, 9]
+    # NULLs compare equal in set ops (SQL set-op semantics)
+    nl = ("RETURN null AS x INTERSECT RETURN null AS x")
+    got = engine.cypher(nl).collect()
+    assert len(got) == 1 and got[0]["x"] is None
+    # column mismatch is an error
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="different columns"):
+        engine.cypher("RETURN 1 AS a INTERSECT RETURN 1 AS b").collect()
+
+
 def test_with_where_pipeline(engine):
     got = engine.cypher(
         "MATCH (c:customer)-[:placed]->(o:orders) "

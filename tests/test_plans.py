@@ -184,7 +184,7 @@ def test_edge_triple_stats_flip_fold_order(spark):
 
     q = ("MATCH (x:a)-[:e_big]->(y:b)-[:e_small]->(z:c) "
          "RETURN x.k AS xk, z.k AS zk")
-    part = parse_cypher(q).parts[0]
+    part = parse_cypher(q)
     from agensgraph_spark.cypher.compiler import CypherEngine
     eng2 = CypherEngine(spark, g)
 
@@ -193,7 +193,7 @@ def test_edge_triple_stats_flip_fold_order(spark):
     assert qc_cold.fold_reversed is False  # no stats -> written order
 
     g.collect_edge_stats()
-    part2 = parse_cypher(q).parts[0]
+    part2 = parse_cypher(q)
     qc_warm = QueryCompiler(eng2, {})
     df_warm = qc_warm.compile(part2)
     assert qc_warm.fold_reversed is True  # e_small (3) << e_big (400)
