@@ -236,7 +236,8 @@ class Graph:
     # ---- persistence: immutable snapshot model ----
 
     def write_snapshot(self, root: str, partitions: int | None = None,
-                       version: str | None = None) -> None:
+                       version: str | None = None,
+                       overwrite_version: bool = False) -> None:
         """Write every label as Parquet laid out for scale: vertex
         files hash-clustered and sorted by ``id`` (Parquet min/max
         footers then prune id-range = label/point lookups), edge files
@@ -249,22 +250,35 @@ class Graph:
         (``read_snapshot(..., version=...)``) are the batch analog of
         the reference's MVCC visibility: every version is a complete,
         never-mutated copy of the label frames, so concurrent readers
-        of older versions are untouched by later writes."""
+        of older versions are untouched by later writes.
+
+        Versions are IMMUTABLE: re-writing an existing version raises
+        unless ``overwrite_version=True`` is passed explicitly (a
+        silent overwrite would mutate history that time-travel readers
+        may hold open). The manifest update is atomic (temp file +
+        ``os.replace``) so a crash mid-write never truncates it."""
         import json
         import os as _os
         base = f"{root}/{self.catalog.name}"
         if version is not None:
-            base = f"{base}/_versions/{version}"
-            _os.makedirs(base, exist_ok=True)
-            self.catalog.save(base)
             manifest = f"{root}/{self.catalog.name}/_versions/manifest.json"
             versions: list[str] = []
             if _os.path.exists(manifest):
                 versions = json.load(open(manifest))
+            if version in versions and not overwrite_version:
+                raise ValueError(
+                    f"snapshot version {version!r} already exists for graph "
+                    f"{self.catalog.name!r} — versions are immutable; pass "
+                    "overwrite_version=True to replace it deliberately")
+            base = f"{base}/_versions/{version}"
+            _os.makedirs(base, exist_ok=True)
+            self.catalog.save(base)
             if version not in versions:
                 versions.append(version)
-            with open(manifest, "w") as f:
+            tmp = f"{manifest}.tmp"
+            with open(tmp, "w") as f:
                 json.dump(versions, f)
+            _os.replace(tmp, manifest)
         else:
             self.catalog.save(root)
         for lbl, df in self.frames.items():

@@ -5,9 +5,9 @@ GDS-style library; these are extensions, like streaming).
 Operators take a plain (src, dst) edge DataFrame — the compiler's edge
 scans, a label snapshot, or any relational projection — so they compose
 with both the Cypher layer and raw tables. All of them are expressed as
-joins + aggregates (Catalyst-optimizable, AQE-broadcastable); pagerank's
-fixed iteration count keeps the lineage shallow enough that no
-checkpointing is needed.
+joins + aggregates (Catalyst-optimizable, AQE-broadcastable); pagerank
+truncates its lineage every 6 rounds so user-supplied iteration counts
+stay bounded.
 """
 
 from __future__ import annotations
@@ -51,14 +51,22 @@ def pagerank(
     so an external SQL oracle can replay it exactly; per iteration one
     (id, contribution) shuffle + one join — the edge relation itself
     is never re-shuffled when AQE broadcasts the (narrow) rank frame.
-    Returns (id, pr double)."""
+    Returns (id, pr double).
+
+    Lineage guard: the plan doubles per iteration (pr feeds both the
+    contribution join and the rank update), so every 6th round the rank
+    frame is localCheckpoint-truncated — the same generational
+    discipline as the path operators (operators/paths.py) and
+    connected_components. Short runs (iters <= 6, including the
+    oracle-replayed default of 3) never checkpoint, keeping their plan
+    a pure closed-form join chain."""
     verts = vertices.select("id").distinct()
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("_deg"))
     # (src, dst, src out-degree): static across iterations
     ed = edges.join(deg.withColumnRenamed("id", "src"), "src")
     pr = verts.select("id", F.lit(1.0).alias("pr"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (ed.join(pr.withColumnRenamed("id", "src"), "src")
                    .groupBy(F.col("dst").alias("id"))
                    .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_c")))
@@ -66,6 +74,8 @@ def pagerank(
               .select("id",
                       (F.lit(1.0 - damping)
                        + F.lit(damping) * F.coalesce("_c", F.lit(0.0))).alias("pr")))
+        if (i + 1) % 6 == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint()
     return pr
 
 

@@ -164,6 +164,25 @@ def test_pagerank_hand_computed(spark):
     assert abs(got2["b"] - (1.0 - 0.85 + 0.85 * (1.0 - 0.85))) < 1e-12
 
 
+def test_pagerank_deep_iters_bounded_plan(spark):
+    """User-supplied iteration counts must not grow the plan without
+    bound: the every-6-rounds localCheckpoint keeps the logical plan of
+    iters=20 no deeper than a few un-truncated rounds' worth, and the
+    values still converge to the 2-cycle fixed point pr=1.0."""
+    from agensgraph_spark.operators.analytics import pagerank
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",)], ["id"])
+    deep = pagerank(e, v, iters=20)
+    # lineage truncated at rounds 6/12/18 → the final plan holds at most
+    # 2 un-truncated rounds; an un-truncated 5-round plan is larger
+    deep_sz = len(deep._jdf.queryExecution().logical().toString())
+    five_sz = len(pagerank(e, v, iters=5)._jdf.queryExecution()
+                  .logical().toString())
+    assert deep_sz < five_sz
+    got = {r["id"]: r["pr"] for r in deep.collect()}
+    assert abs(got["a"] - 1.0) < 1e-9 and abs(got["b"] - 1.0) < 1e-9
+
+
 def test_asof_join_tolerance_and_ties(spark):
     from agensgraph_spark.operators.temporal import asof_join
     import datetime as dt

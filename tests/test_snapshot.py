@@ -54,6 +54,21 @@ def test_versioned_snapshots_time_travel(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         Graph.read_snapshot(spark, str(tmp_path), "tt", version="nope")
 
+    # versions are immutable: a duplicate write raises; an explicit
+    # overwrite_version=True replaces it deliberately
+    eng.cypher("CREATE (:person {name: 'cyn'})")
+    with pytest.raises(ValueError, match="immutable"):
+        eng.graph.write_snapshot(str(tmp_path), partitions=1, version="v2")
+    g2b = Graph.read_snapshot(spark, str(tmp_path), "tt", version="v2")
+    assert CypherEngine(spark, g2b).cypher(
+        "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"] == 2
+    eng.graph.write_snapshot(str(tmp_path), partitions=1, version="v2",
+                             overwrite_version=True)
+    assert Graph.snapshot_versions(str(tmp_path), "tt") == ["v1", "v2"]
+    g2c = Graph.read_snapshot(spark, str(tmp_path), "tt", version="v2")
+    assert CypherEngine(spark, g2c).cypher(
+        "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"] == 3
+
 
 def test_label_frames_round_trip_orc_and_json(spark, tmp_path):
     """Foreign-format round trips (§2.1 sources/sinks beyond Parquet/
