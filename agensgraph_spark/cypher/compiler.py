@@ -1247,7 +1247,14 @@ class QueryCompiler(WriteMixin):
                 sql = sub_outside_quotes(rf"\b{_re.escape(v)}\.(\w+)", repl, sql)
             col = f"__subq_{n}_{k}"
             if getattr(sq, "collect_set", False):
-                sql = f"SELECT collect_list(__x) FROM ({sql}) AS __in_sub(__x)"
+                # collect_list silently drops NULLs, which would turn
+                # SQL's three-valued `x IN (subquery-with-NULLs)` from
+                # NULL into FALSE — carry a has_null flag alongside the
+                # values so the expression layer can emit the exact
+                # three-valued result
+                sql = (f"SELECT named_struct('vals', collect_list(__x), "
+                       f"'has_null', count_if(__x IS NULL) > 0) "
+                       f"FROM ({sql}) AS __in_sub(__x)")
                 items.append(f"({sql}) AS {col}")
             elif getattr(sq, "in_item_col", None):
                 items.append(f"({view}.{sq.in_item_col} IN ({sql})) AS {col}")

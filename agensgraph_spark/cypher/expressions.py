@@ -451,6 +451,21 @@ class ExprCompiler:
         if isinstance(e.container, A.ScalarSubquery) and getattr(e.container, "in_item_col", None):
             # hoisted as a boolean IN-subquery predicate column
             return TC(cont.col, T.BooleanType())
+        if isinstance(e.container, A.ScalarSubquery) and getattr(e.container, "collect_set", False):
+            # hoisted (vals, has_null) struct: exact three-valued IN —
+            # TRUE when found; FALSE when the subquery is empty or the
+            # item verifiably misses a NULL-free set; NULL when the item
+            # is NULL over a non-empty set or the set contains NULLs
+            vals = cont.col.getField("vals")
+            has_null = cont.col.getField("has_null")
+            nonempty = (F.size(vals) > 0) | has_null
+            null_b = F.lit(None).cast("boolean")
+            col = (F.when(item.col.isNull(),
+                          F.when(nonempty, null_b).otherwise(F.lit(False)))
+                   .when(F.array_contains(vals, item.col), F.lit(True))
+                   .when(has_null, null_b)
+                   .otherwise(F.lit(False)))
+            return TC(col, T.BooleanType())
         return TC(F.array_contains(cont.col, item.col), T.BooleanType())
 
     def _c_StringOp(self, e: A.StringOp) -> TC:
@@ -733,9 +748,10 @@ class ExprCompiler:
     def _f_nodes(self, e: A.FuncCall) -> TC:
         """Vertex composites of the path (reference: makeGraphpathDatum
         graph.c:1259 — _vertex array). The query compiler pre-joins the
-        composite column (``__vnodes``) for pipeline contexts; where it
-        is absent (write clauses, expression-only contexts) the bare id
-        array is a documented fallback."""
+        composite column (``__vnodes``) for projections, WHERE, and
+        write clauses (SET values / DELETE victims); the bare id array
+        remains only as a last-resort fallback for contexts no
+        materializer covers."""
         p = self._path_var(e.args[0])
         if p is not None and f"{p}__vnodes" in self.schema:
             return TC(F.col(f"{p}__vnodes"), self.schema[f"{p}__vnodes"])

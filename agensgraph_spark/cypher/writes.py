@@ -345,6 +345,11 @@ class WriteMixin:
         self._begin_write()
         if self.df is None:
             raise ValueError("DELETE requires a preceding reading clause")
+        # nodes(p)/relationships(p) in victim expressions resolve to
+        # full composites, same as in projections (makeGraphpathDatum,
+        # graph.c:1259) — pre-join them here so the expression layer
+        # never falls back to bare id arrays
+        self._materialize_path_composites(list(d.exprs))
         v_victims: list[DataFrame] = []
         e_victims: list[DataFrame] = []
         for e in d.exprs:
@@ -511,6 +516,10 @@ class WriteMixin:
         self._begin_write()
         if self.df is None:
             raise ValueError("SET/REMOVE requires a preceding reading clause")
+        # composite-valued path functions in SET values (e.g.
+        # SET x.v = nodes(p)[1].prop) — same pre-join as projections
+        self._materialize_path_composites(
+            [it.value for it in s.items if getattr(it, "value", None) is not None])
         by_var: dict[str, list[A.SetItem]] = {}
         for it in s.items:
             if isinstance(it.target, A.Prop) and isinstance(it.target.base, A.Var):

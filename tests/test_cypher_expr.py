@@ -180,6 +180,30 @@ def test_sql_subquery_in_create(eng, spark):
     assert [r["n"] for r in got] == [7]
 
 
+def test_in_sublink_three_valued_nulls(eng, spark):
+    """`x IN (subquery)` keeps SQL's three-valued semantics when the
+    subquery produces NULLs (ANY_SUBLINK): TRUE when found, NULL when a
+    NULL could hide the match (item NULL over a non-empty set, or item
+    missing from a set containing NULL), FALSE only when verifiably
+    absent. The hoist carries a has_null flag because collect_list
+    drops NULLs. Items here are EXPRESSIONS (not bare prop columns) so
+    the collected-array path is exercised, not the native SQL IN."""
+    spark.sql("SELECT * FROM VALUES (1), (2), (CAST(NULL AS INT)) t(v)") \
+        .createOrReplaceTempView("t_in_nulls")
+    spark.sql("SELECT * FROM VALUES (1), (2) t(v)") \
+        .createOrReplaceTempView("t_in_plain")
+    spark.range(0).selectExpr("id AS v").createOrReplaceTempView("t_in_empty")
+    assert one(eng, "(1 + 0) IN (SELECT v FROM t_in_nulls)") is True
+    assert one(eng, "(9 + 0) IN (SELECT v FROM t_in_nulls)") is None
+    assert one(eng, "(9 + 0) IN (SELECT v FROM t_in_plain)") is False
+    assert one(eng, "(null + 0) IN (SELECT v FROM t_in_plain)") is None
+    assert one(eng, "(null + 0) IN (SELECT v FROM t_in_empty)") is False
+    assert one(eng, "(9 + 0) IN (SELECT v FROM t_in_empty)") is False
+    # NOT IN flips through the same three-valued logic
+    assert one(eng, "NOT (9 + 0) IN (SELECT v FROM t_in_nulls)") is None
+    assert one(eng, "NOT (9 + 0) IN (SELECT v FROM t_in_plain)") is True
+
+
 def test_cypher_view_consumed_by_sql(eng, spark):
     eng.cypher("CREATE (:kv {k: 'a', v: 1}), (:kv {k: 'b', v: 2})")
     eng.register_cypher_view("kv_view", "MATCH (x:kv) RETURN x.k AS k, x.v AS v")

@@ -1057,6 +1057,30 @@ def test_delete_multi_victim_variants(eng):
     assert counts() == (0, 0)
 
 
+def test_path_composites_in_write_contexts(eng):
+    """nodes(p)/relationships(p) yield FULL composites in write-clause
+    expressions too (makeGraphpathDatum graph.c:1259) — property access
+    through nodes(p)[i].prop works as a SET value and as a DELETE
+    victim selector, both for bound plain paths and VLE paths (whose
+    vid arrays exclude the seed vertex)."""
+    eng.cypher("CREATE (:wp {name: 'a'})-[:wr {w: 'five'}]->"
+               "(:wp {name: 'b'})-[:wr {w: 'six'}]->(:wp {name: 'c'})")
+    eng.cypher("MATCH p = (x:wp {name: 'a'})-[:wr]->(:wp) "
+               "SET x.copied = nodes(p)[1].name + '/' + relationships(p)[0].w")
+    got = eng.cypher("MATCH (x:wp {name: 'a'}) RETURN x.copied AS c").collect()
+    assert [r["c"] for r in got] == ["b/five"]
+    # VLE path: seed-inclusive composite order holds in write context
+    eng.cypher("MATCH p = (x:wp {name: 'a'})-[:wr*2..2]->(:wp) "
+               "SET x.far = nodes(p)[2].name")
+    got = eng.cypher("MATCH (x:wp {name: 'a'}) RETURN x.far AS f").collect()
+    assert [r["f"] for r in got] == ["c"]
+    # DELETE victim selected through the composite
+    eng.cypher("MATCH p = (:wp {name: 'b'})-[:wr]->(:wp) "
+               "DETACH DELETE nodes(p)[1]")
+    names = {r["n"] for r in eng.cypher("MATCH (x:wp) RETURN x.name AS n").collect()}
+    assert names == {"a", "b"}
+
+
 def test_optional_match_first_clause_null_row(eng):
     """OPTIONAL MATCH as the FIRST clause yields one all-NULL row when
     nothing matches (cypher_dml.out:241-281), and the NULL binding
