@@ -256,16 +256,18 @@ def _candidates_from_sigs(
     if pins is not None:
         pins.append(sig)
 
-    # Bucket key per band: in xxh64 mode the concatenated band slice is
-    # xxhash64-folded to a long (narrow shuffle rows); in md5-portable
-    # mode the RAW concatenated slice is the key — identical grouping
-    # (the fold is injective modulo negligible collisions) and exactly
-    # replayable by an external SQL engine.
+    # Bucket key per band: the concatenated band slice xxhash64-folded
+    # to a long — narrow shuffle rows in EVERY mode. Bucket keys never
+    # reach the output; only the grouping they induce matters, and the
+    # fold is injective modulo negligible collisions, so an external
+    # oracle grouping by the RAW slice produces identical buckets →
+    # identical member sets → identical pairs (md5-portable parity is
+    # unaffected; asserted by the gate oracle and the md5 differential).
     def _band_key(b: int) -> Column:
         cat = F.concat_ws(",", *[
             F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
             for r in range(rows_per_band)])
-        return F.xxhash64(cat) if hash_fn == "xxh64" else cat
+        return F.xxhash64(cat)
 
     banded = sig.select(
         "_id",
@@ -436,7 +438,7 @@ def lsh_skew_stats(
         cat = F.concat_ws(",", *[
             F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
             for r in range(rows_per_band)])
-        return F.xxhash64(cat) if hash_fn == "xxh64" else cat
+        return F.xxhash64(cat)
 
     banded = sig.select(
         "_id",

@@ -835,6 +835,38 @@ SQL_QUERIES: dict[str, str] = {
                CAST(fsum - gsum + p AS DOUBLE) AS excl_ties
         FROM w
     """,
+    # Window EXCLUDE over NON-INVERTIBLE aggregates (min/max/collect —
+    # the subtraction trick above only covers sum/count/avg). General
+    # emulation: collect (peer-rank, row-id, value) structs over the
+    # frame window, FILTER by the exclusion predicate, aggregate the
+    # survivor array —
+    #   EXCLUDE CURRENT ROW: x.xrid != rid
+    #   EXCLUDE GROUP:       x.xdr  != dr
+    #   EXCLUDE TIES:        x.xdr  != dr OR x.xrid = rid
+    # O(frame) memory per row, so it suits bounded frames; DuckDB runs
+    # NATIVE EXCLUDE as the oracle, proving exactness.
+    "sql_window_exclude_minmax": """
+        WITH t AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS dr,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rid
+            FROM orders WHERE o_custkey < 100
+        ), w AS (
+            SELECT o_custkey, o_orderkey, dr, rid,
+                   COLLECT_LIST(STRUCT(dr AS xdr, rid AS xrid, p AS v)) OVER
+                       (PARTITION BY o_custkey ORDER BY dr
+                        RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fr
+            FROM t
+        )
+        SELECT o_custkey, o_orderkey,
+               CAST(array_min(transform(filter(fr, x -> x.xrid != rid), x -> x.v)) AS DOUBLE) AS min_excl_cur,
+               CAST(array_max(transform(filter(fr, x -> x.xdr != dr), x -> x.v)) AS DOUBLE) AS max_excl_group,
+               CAST(array_min(transform(filter(fr, x -> x.xdr != dr OR x.xrid = rid), x -> x.v)) AS DOUBLE) AS min_excl_ties
+        FROM w
+    """,
     # TableFuncScan (reference: nodeTableFuncscan.c — XMLTABLE analog):
     # JSON document -> rows via from_json + explode.
     "sql_json_table": """
@@ -921,6 +953,28 @@ SQL_ORACLE_OVERRIDES: dict[str, str] = {
                     (PARTITION BY o_custkey ORDER BY dr
                      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
                      EXCLUDE TIES) AS DOUBLE) AS excl_ties
+        FROM t
+    """,
+    # sql_window_exclude_minmax: native DuckDB EXCLUDE over min/max —
+    # the collect-filter-aggregate emulation must match it exactly.
+    "sql_window_exclude_minmax": """
+        WITH t AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS dr
+            FROM orders WHERE o_custkey < 100
+        )
+        SELECT o_custkey, o_orderkey,
+               CAST(MIN(p) OVER (PARTITION BY o_custkey ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS DOUBLE) AS min_excl_cur,
+               CAST(MAX(p) OVER (PARTITION BY o_custkey ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE GROUP) AS DOUBLE) AS max_excl_group,
+               CAST(MIN(p) OVER (PARTITION BY o_custkey ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                    EXCLUDE TIES) AS DOUBLE) AS min_excl_ties
         FROM t
     """,
     # sql_window_groups: no override — DuckDB lacks GROUPS mode too, so
