@@ -269,3 +269,49 @@ def test_set_whole_map_from_properties(spark):
     got2 = [tuple(r) for r in eng.cypher(
         "MATCH (n:sb) RETURN n.x AS x, n.y AS y, n.q AS q ORDER BY x").collect()]
     assert got2 == [(1, 10, None), (2, 20, 2)]      # += keeps q
+
+
+def test_delete_stat_jobs_one_per_victim_kind(spark, monkeypatch):
+    """Perf contract (r5 task: cut write-stat job burn): DELETE stats
+    come from ONE labid-groupBy job per victim frame (fast path) — not
+    two frame counts per touched label — and the repeated-delete exact
+    path costs at most two. Stats stay exact either way."""
+    import itertools
+    from agensgraph_spark.cypher import writes as W
+
+    sc = spark.sparkContext
+    seq = itertools.count()
+    jobs_per_call: list[int] = []
+    orig = W.WriteMixin._victim_label_counts
+
+    def counting(self, victims, kind):
+        group = f"statprobe-{next(seq)}"
+        sc.setJobGroup(group, "stat probe")
+        try:
+            out = orig(self, victims, kind)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs_per_call.append(
+            len(sc.statusTracker().getJobIdsForGroup(group)))
+        return out
+
+    monkeypatch.setattr(W.WriteMixin, "_victim_label_counts", counting)
+    eng = CypherEngine(spark, Graph(GraphCatalog("jd")))
+    for i in range(3):
+        eng.cypher(f"UNWIND [1,2,3] AS k CREATE (:dl{i} {{k: k}})")
+    # one statement touching all 3 labels
+    eng.cypher("MATCH (v0:dl0) OPTIONAL MATCH (v1:dl1) OPTIONAL MATCH (v2:dl2) "
+               "DELETE v0, v1, v2")
+    assert eng.last_write_stats["deletedvertices"] == 9
+    # fast path: ONE labid groupBy per victim frame, regardless of how
+    # many labels the statement touches (AQE runs an aggregate as up
+    # to 2 jobs: shuffle-map + result)
+    assert len(jobs_per_call) == 1 and jobs_per_call[0] <= 2, jobs_per_call
+    # repeated delete in ONE statement: exact path, <= 2 jobs per call
+    jobs_per_call.clear()
+    eng.cypher("UNWIND [1,2,3] AS k CREATE (:dl0 {k: k})")
+    eng.cypher("MATCH (a:dl0) DELETE a DELETE a")
+    assert eng.last_write_stats["deletedvertices"] == 3
+    # exact path adds one union-scan semi-join aggregate (<= 2 more
+    # AQE jobs); still one helper call per victim frame
+    assert len(jobs_per_call) == 2 and all(j <= 4 for j in jobs_per_call), jobs_per_call
