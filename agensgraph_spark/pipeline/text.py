@@ -218,6 +218,87 @@ def heuristic_filter(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_bp: int = 3000,
+    max_dup_line_char_bp: int = 3000,
+    max_top_bigram_bp: int = 1800,
+    max_dup_fivegram_bp: int = 3000,
+) -> DataFrame:
+    """Gopher-style INTRA-document repetition signals — the standard
+    training-data gate that catches boilerplate/listicle/generated
+    pages exact- and fuzzy-dedup cannot (they compare across docs):
+
+    - dup_line_bp:        duplicate-line fraction (occurrences beyond
+                          each line's first)
+    - dup_line_char_bp:   character mass of those duplicate lines
+    - top_bigram_bp:      fraction of word-2gram slots taken by the
+                          single most frequent 2-gram
+    - dup_fivegram_bp:    fraction of word-5gram slots that repeat
+
+    All integer basis points (engine-exact); ``keep`` ANDs the four
+    thresholds. Map-only column expressions — no shuffle, no UDFs; the
+    modal-bigram count is a sorted-run fold over the doc's own bigram
+    array, O(n log n) per document."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")  # >= 1: split('') = ['']
+    n_dup_lines = (F.size(lines) - F.size(F.array_distinct(lines))).cast("long")
+    lens = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: F.length(x)),
+        F.lit(0), lambda a, x: a + x).cast("long")
+    line_chars = lens(lines)
+    dup_line_chars = line_chars - lens(F.array_distinct(lines))
+
+    trimmed = F.trim(t)
+    empty = F.array().cast("array<string>")
+    toks = F.when(F.length(trimmed) == 0, empty).otherwise(F.split(trimmed, r"\s+"))
+    n_tok = F.size(toks)
+    bigrams = F.when(n_tok >= 2, F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))).otherwise(empty)
+    fivegrams = F.when(n_tok >= 5, F.transform(
+        F.sequence(F.lit(1), n_tok - 4),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))))).otherwise(empty)
+    n_bg = F.size(bigrams).cast("long")
+    n_fg = F.size(fivegrams).cast("long")
+    # modal bigram count: longest equal-run of the sorted bigram array
+    # ('' sentinel can never collide — tokens are non-empty post-trim)
+    zl = F.lit(0).cast("long")
+    run_next = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")))
+    best_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), zl.alias("run"), zl.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best")),
+        lambda acc: acc["best"])
+
+    bp = lambda num, den: (F.when(den > 0, F.floor(num * 10_000 / den))  # noqa: E731
+                           .otherwise(F.lit(0))).cast("long")
+    dup_line_bp = bp(n_dup_lines, n_lines)
+    dup_line_char_bp = bp(dup_line_chars, line_chars)
+    top_bigram_bp = bp(best_bg, n_bg)
+    dup_fivegram_bp = bp(n_fg - F.size(F.array_distinct(fivegrams)).cast("long"), n_fg)
+    keep = ((dup_line_bp <= max_dup_line_bp)
+            & (dup_line_char_bp <= max_dup_line_char_bp)
+            & (top_bigram_bp <= max_top_bigram_bp)
+            & (dup_fivegram_bp <= max_dup_fivegram_bp))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        dup_line_bp.alias("dup_line_bp"),
+        dup_line_char_bp.alias("dup_line_char_bp"),
+        top_bigram_bp.alias("top_bigram_bp"),
+        dup_fivegram_bp.alias("dup_fivegram_bp"),
+        keep.alias("keep"),
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -1320,6 +1320,55 @@ def _q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.heuristic_filter(read_table(spark, sf_dir, "documents"))
 
 
+def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+# intra-document repetition gate: line-level signals via list ops, the
+# modal-bigram count via unnest + per-doc groupBy (the oracle need not
+# mirror the engine's sorted-run fold, only its answer)
+_REPETITION_FILTER_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+               CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+               CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                    - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+               ELSE []::VARCHAR[] END AS bigrams,
+               CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i + 4], ' '))
+               ELSE []::VARCHAR[] END AS fgs
+        FROM base),
+    cnt AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS g FROM feat) GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS best FROM cnt GROUP BY 1),
+    bps AS (
+        SELECT f.doc_id, f.n_lines,
+               CAST(floor(n_dup_lines * 10000 / n_lines) AS BIGINT) AS dup_line_bp,
+               CAST(CASE WHEN line_chars > 0
+                    THEN floor(dup_line_chars * 10000 / line_chars) ELSE 0 END AS BIGINT) AS dup_line_char_bp,
+               CAST(CASE WHEN len(bigrams) > 0
+                    THEN floor(coalesce(t.best, 0) * 10000 / len(bigrams)) ELSE 0 END AS BIGINT) AS top_bigram_bp,
+               CAST(CASE WHEN len(fgs) > 0
+                    THEN floor((len(fgs) - len(list_distinct(fgs))) * 10000 / len(fgs)) ELSE 0 END AS BIGINT) AS dup_fivegram_bp
+        FROM feat f LEFT JOIN top t USING (doc_id))
+    SELECT doc_id, n_lines, dup_line_bp, dup_line_char_bp, top_bigram_bp,
+           dup_fivegram_bp,
+           (dup_line_bp <= 3000 AND dup_line_char_bp <= 3000
+            AND top_bigram_bp <= 1800 AND dup_fivegram_bp <= 3000) AS keep
+    FROM bps"""
+
+
 _HEURISTIC_FILTER_ORACLE = r"""
     WITH s AS (
         SELECT doc_id, text,
@@ -2366,6 +2415,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                                      CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
     "dedup_cluster": (_q_dedup_cluster, _DEDUP_CLUSTER_ORACLE),
     "heuristic_filter": (_q_heuristic_filter, _HEURISTIC_FILTER_ORACLE),
+    "repetition_filter": (_q_repetition_filter, _REPETITION_FILTER_ORACLE),
     "mix_sample": (_q_mix_sample, _MIX_SAMPLE_ORACLE),
     "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
     "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),

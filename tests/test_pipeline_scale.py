@@ -98,6 +98,30 @@ def test_heuristic_filter_signals(spark):
                    5: False, 6: False, 7: False}
 
 
+def test_repetition_stats_hand_computed(spark):
+    from agensgraph_spark.pipeline.text import repetition_stats
+    rows = [
+        # 4 lines, 'same' twice: dup_line_bp = 1/4 = 2500;
+        # chars: same(4)*2 + one(3) + two(3) = 14, dup mass 4 -> 2857
+        (1, "same\none\nsame\ntwo"),
+        # modal bigram 'a b' fills every slot: 'a b a b a' -> bigrams
+        # [a b, b a, a b, b a] -> best 2 of 4 -> 5000; 5-gram count 1
+        (2, "a b a b a"),
+        # no repetition at all (long enough that the modal bigram's
+        # trivial 1/n share clears the 18% gate)
+        (3, "u v w x y z a b"),
+        (4, ""),  # degenerate: single empty line, no tokens
+    ]
+    got = {r["doc_id"]: r for r in repetition_stats(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_bp"] == 2500
+    assert got[1]["dup_line_char_bp"] == 2857
+    assert got[2]["top_bigram_bp"] == 5000 and got[2]["keep"] is False
+    assert got[3]["dup_line_bp"] == 0 and got[3]["top_bigram_bp"] == 1428
+    assert got[3]["dup_fivegram_bp"] == 0 and got[3]["keep"] is True
+    assert got[4]["n_lines"] == 1 and got[4]["keep"] is True
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from agensgraph_spark.pipeline.similarity import quantize_embeddings
     rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0]), (3, [2.0])]
