@@ -253,6 +253,17 @@ def test_heuristic_filter_single_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_repetition_filter_single_stage(spark):
+    """The intra-doc repetition gate is map-only even though it counts
+    modal bigrams — the count is a sorted-run fold over the doc's own
+    array, so no Exchange and no Python ever appears."""
+    from agensgraph_spark import workload
+    df = workload.all_queries()["repetition_filter"](spark, SF)
+    plan = physical(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_mix_sample_filter_pushed_to_scan(spark):
     """Deterministic sampling is a scan-level filter before the
     aggregate — the md5 predicate must not sit above a shuffle."""
