@@ -379,3 +379,112 @@ def train_ivf_centroids(
                for r in kmeans_update(emb, cents, id_col, vec_col).collect()}
         cents = [got.get(i, cents[i]) for i in range(n_lists)]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN path: a d-dim
+# float vector becomes m small codes (here m bytes), and search scores
+# a candidate with m table lookups instead of a d-dim dot product.
+# At 100 TB this is what makes the corpus fit serving memory (32x
+# smaller at m=4, d=32, float32) and the scan bandwidth-bound instead
+# of FLOP-bound; compose with the IVF router (ivf_cosine_topk's list
+# tagging) so each query scans only its probed lists' codes.
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """Deterministic PQ codebooks: the ``k`` lowest-id corpus vectors
+    donate their subvectors, so an external SQL engine can re-derive
+    the books and replay encode+search bit-exactly (the gate oracle
+    does). Production would Lloyd-iterate each subspace (kmeans_update
+    per subspace slice) — the encode/search mechanics, which are the
+    part that must scale, are identical. Returns books[s][j] =
+    subvector j of subspace s."""
+    rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    if not vecs or len(vecs[0]) % m != 0:
+        raise ValueError(f"embedding dim must be divisible by m={m}")
+    d = len(vecs[0]) // m
+    return [[v[s * d:(s + 1) * d] for v in vecs] for s in range(m)]
+
+
+def _sq_l2(a: Column, b) -> Column:
+    """Squared L2 distance, accumulated in fixed element order so every
+    engine reproduces it bit-for-bit ((a-b)*(a-b), not pow)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(
+    df: DataFrame,
+    books: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each subvector its nearest codebook entry (squared-L2,
+    ties to the lowest code — struct array_min compares (dist, idx)
+    lexicographically). Map-only column expressions over a codebook
+    literal; the output (id, c0..c{m-1}) is the persistable compressed
+    corpus — at scale it is written next to the snapshot once, not
+    recomputed per query."""
+    m = len(books)
+    d = len(books[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        bs = F.lit([[float(x) for x in c] for c in books[s]])
+        dists = F.transform(bs, lambda c: _sq_l2(sub, c))
+        idx = F.sequence(F.lit(0), F.lit(len(books[s]) - 1))
+        best = F.array_min(F.zip_with(
+            dists, idx, lambda dd, i: F.struct(dd.alias("d"), i.alias("i"))))
+        cols.append(best.getField("i").alias(f"c{s}"))
+    return df.select(*cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: "list[list[list[float]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: the corpus is scanned as
+    codes; each query carries per-subspace lookup tables (distance of
+    its subvector to every codebook entry), so a candidate's score is
+    ``m`` array lookups — no d-dim arithmetic in the scan. The scan is
+    a broadcast of the (tiny) query+LUT side over the code table; at
+    100 TB route through IVF lists first so each query touches only
+    its probed lists' codes. Returns (query_id, neighbor_id, approx
+    squared L2 ``score``, rank) — ascending score, deterministic
+    neighbor-id tiebreak."""
+    m = len(books)
+    d = len(books[0][0])
+    enc = pq_encode(corpus, books, id_col, vec_col)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut_cols = []
+    for s in range(m):
+        sub = F.slice(qv, s * d + 1, d)
+        bs = F.lit([[float(x) for x in c] for c in books[s]])
+        lut_cols.append(F.transform(bs, lambda c: _sq_l2(sub, c)).alias(f"lut{s}"))
+    q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut{s}"), F.col(f"c{s}") + 1)
+        score = term if score is None else score + term
+    cand = (enc.withColumnRenamed(id_col, "neighbor_id")
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", score.alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("score"), 6).alias("score"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -2204,6 +2204,61 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                              dim=_emb_dim(emb, sf_dir))
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb, m=4, k=16)
+    return S.pq_topk(emb, emb.orderBy("vec_id").limit(3), books, k=5)
+
+
+# PQ / ADC replay: the oracle re-derives the codebooks (16 lowest-id
+# vectors' subvectors), encodes every vector (argmin squared-L2 per
+# subspace, ties to the lowest code), builds each query's subspace
+# LUTs, and scores via explicitly s-ORDERED addition (a bare SUM()
+# over the 4 terms would be order-nondeterministic in doubles).
+_ANN_PQ_ORACLE = r"""
+    WITH corp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT CAST(len(v) // 4 AS INT) AS d FROM corp ORDER BY vec_id LIMIT 1),
+    bk AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+        FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 16)),
+    ss AS (SELECT unnest(range(4)) AS s),
+    dists AS (
+        SELECT c.vec_id, ss.s, bk.j,
+               list_sum(list_transform(range(1, p.d + 1),
+                   t -> (c.v[ss.s * p.d + t] - bk.v[ss.s * p.d + t])
+                      * (c.v[ss.s * p.d + t] - bk.v[ss.s * p.d + t]))) AS dist
+        FROM corp c, ss, bk, p),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rn
+            FROM dists) WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, v AS qv
+           FROM corp ORDER BY vec_id LIMIT 3),
+    lut AS (
+        SELECT q.query_id, ss.s, bk.j,
+               list_sum(list_transform(range(1, p.d + 1),
+                   t -> (q.qv[ss.s * p.d + t] - bk.v[ss.s * p.d + t])
+                      * (q.qv[ss.s * p.d + t] - bk.v[ss.s * p.d + t]))) AS dist
+        FROM qs q, ss, bk, p),
+    scores AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               max(CASE WHEN c.s = 0 THEN l.dist END)
+             + max(CASE WHEN c.s = 1 THEN l.dist END)
+             + max(CASE WHEN c.s = 2 THEN l.dist END)
+             + max(CASE WHEN c.s = 3 THEN l.dist END) AS score
+        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, round(score, 6) AS score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score, neighbor_id) AS rn
+          FROM scores WHERE neighbor_id != query_id)
+    WHERE rn <= 5"""
+
+
 def _lang_id_oracle() -> str:
     """DuckDB replay of TX.lang_id (pipeline/text.py): per-language
     stopword-hit counting via the same length/replace arithmetic, argmax
@@ -2505,6 +2560,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         FROM ranked WHERE rank <= 5"""),
     "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
+    "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
 }
 
 

@@ -122,6 +122,30 @@ def test_repetition_stats_hand_computed(spark):
     assert got[4]["n_lines"] == 1 and got[4]["keep"] is True
 
 
+def test_pq_encode_and_topk(spark):
+    """PQ: codebook donors encode to their own code (distance 0, tie
+    to lowest index); a vector equal to donor j in every subspace
+    scores ~0 against query=donor j; ranks are deterministic."""
+    from agensgraph_spark.pipeline.similarity import (pq_codebooks,
+                                                      pq_encode, pq_topk)
+    import random
+    rng = random.Random(7)
+    dim, m = 8, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    rows.append((20, list(rows[3][1])))  # exact copy of donor 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, m=m, k=8)
+    enc = {r["vec_id"]: tuple(r[f"c{s}"] for s in range(m))
+           for r in pq_encode(df, books).collect()}
+    for j in range(8):          # donor j's subvectors ARE book entry j
+        assert enc[j] == (j, j, j, j)
+    assert enc[20] == (3, 3, 3, 3)
+    top = pq_topk(df, df.filter("vec_id = 3"), books, k=3).collect()
+    assert [r["neighbor_id"] for r in top][0] == 20   # the exact copy
+    assert top[0]["score"] == 0.0
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from agensgraph_spark.pipeline.similarity import quantize_embeddings
     rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0]), (3, [2.0])]
