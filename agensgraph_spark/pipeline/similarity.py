@@ -488,3 +488,81 @@ def pq_topk(
             .select("query_id", "neighbor_id",
                     F.round(F.col("score"), 6).alias("score"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: "list[list[list[float]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    cents: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """The composed 100-TB serving path: IVF routing x PQ codes. The
+    coarse quantizer tags each corpus vector with one inverted list
+    (same seeded centroids and DESC/idx-DESC tie order as
+    ivf_cosine_topk, so the two stay oracle-interchangeable); each
+    query probes its ``n_probe`` closest lists and ADC-scores ONLY
+    those lists' PQ codes — m LUT lookups per candidate, never a d-dim
+    product, and the scan volume is n_probe/n_lists of the corpus.
+    Both the list tag and the codes are persistable with the snapshot:
+    at scale the per-query cost is independent of corpus width.
+    Returns (query_id, neighbor_id, score asc, rank)."""
+    if cents is not None:
+        n_lists = len(cents)
+        cents = np.asarray(cents, dtype=float)
+    else:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_lists, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def centroid_sims(vec: Column) -> Column:
+        cm = F.lit([[float(x) for x in c] for c in cents])
+        return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
+
+    def arg_top(sims: Column, n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+        pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n).getField("i")
+
+    m = len(books)
+    d = len(books[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    enc = (pq_encode(corpus, books, id_col, vec_col)
+           .withColumnRenamed(id_col, "neighbor_id"))
+    c_tag = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        arg_top(centroid_sims(v), 1).getItem(0).alias("_list"))
+    coded = enc.join(c_tag, "neighbor_id")
+
+    lut_cols = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        bs = F.lit([[float(x) for x in c] for c in books[s]])
+        lut_cols.append(F.transform(bs, lambda c: _sq_l2(sub, c)).alias(f"lut{s}"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(arg_top(centroid_sims(v), n_probe)).alias("_list"),
+        *lut_cols)
+
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut{s}"), F.col(f"c{s}") + 1)
+        score = term if score is None else score + term
+    cand = (coded.join(F.broadcast(q), "_list")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", score.alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("score"), 6).alias("score"),
+                    F.col("rank").cast("long").alias("rank")))

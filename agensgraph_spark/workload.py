@@ -2259,6 +2259,91 @@ _ANN_PQ_ORACLE = r"""
     WHERE rn <= 5"""
 
 
+def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb, m=4, k=16)
+    return S.ivf_pq_topk(emb, emb.orderBy("vec_id").limit(3), books, k=5,
+                         dim=_emb_dim(emb, sf_dir))
+
+
+def _ivf_pq_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
+                   k: int = 5, seed: int = 42) -> str:
+    """DuckDB replay of S.ivf_pq_topk: the _ivf_oracle centroid
+    assignment/probing (same seeded literals, DESC/li-DESC ties)
+    composed with the _ANN_PQ_ORACLE code/LUT replay — candidates are
+    the probed lists' members only, scored by s-ORDERED ADC addition."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+        WITH cents(li, cv) AS (VALUES {rows}),
+        corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT CAST(len(v) // 4 AS INT) AS d FROM corp ORDER BY vec_id LIMIT 1),
+        bk AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+            FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 16)),
+        ss AS (SELECT unnest(range(4)) AS s),
+        dists AS (
+            SELECT c.vec_id, ss.s, bk.j,
+                   list_sum(list_transform(range(1, p.d + 1),
+                       t -> (c.v[ss.s * p.d + t] - bk.v[ss.s * p.d + t])
+                          * (c.v[ss.s * p.d + t] - bk.v[ss.s * p.d + t]))) AS dist
+            FROM corp c, ss, bk, p),
+        codes AS (
+            SELECT vec_id, s, j AS code FROM (
+                SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist, j) AS rn
+                FROM dists) WHERE rn = 1),
+        c_tag AS (
+            SELECT vec_id AS neighbor_id, li AS _list FROM (
+                SELECT c.vec_id, cents.li,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_dot_product(c.v, cents.cv) DESC,
+                                    cents.li DESC) AS rn
+                FROM corp c CROSS JOIN cents) WHERE rn = 1),
+        qs AS (SELECT vec_id AS query_id, v AS qv
+               FROM corp ORDER BY vec_id LIMIT 3),
+        q_tag AS (
+            SELECT query_id, li AS _list FROM (
+                SELECT q.query_id, cents.li,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qv, cents.cv) DESC,
+                                    cents.li DESC) AS rn
+                FROM qs q CROSS JOIN cents) WHERE rn <= {n_probe}),
+        lut AS (
+            SELECT q.query_id, ss.s, bk.j,
+                   list_sum(list_transform(range(1, p.d + 1),
+                       t -> (q.qv[ss.s * p.d + t] - bk.v[ss.s * p.d + t])
+                          * (q.qv[ss.s * p.d + t] - bk.v[ss.s * p.d + t]))) AS dist
+            FROM qs q, ss, bk, p),
+        cand AS (
+            SELECT qt.query_id, ct.neighbor_id
+            FROM c_tag ct JOIN q_tag qt USING (_list)
+            WHERE ct.neighbor_id != qt.query_id),
+        scores AS (
+            SELECT ca.query_id, ca.neighbor_id,
+                   max(CASE WHEN c.s = 0 THEN l.dist END)
+                 + max(CASE WHEN c.s = 1 THEN l.dist END)
+                 + max(CASE WHEN c.s = 2 THEN l.dist END)
+                 + max(CASE WHEN c.s = 3 THEN l.dist END) AS score
+            FROM cand ca
+            JOIN codes c ON c.vec_id = ca.neighbor_id
+            JOIN lut l ON l.query_id = ca.query_id
+                      AND l.s = c.s AND l.j = c.code
+            GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score, neighbor_id) AS rn
+              FROM scores)
+        WHERE rn <= {k}"""
+
+
 def _lang_id_oracle() -> str:
     """DuckDB replay of TX.lang_id (pipeline/text.py): per-language
     stopword-hit counting via the same length/replace arithmetic, argmax
@@ -2561,6 +2646,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
     "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
+    "ann_ivf_pq_topk": (_q_ann_ivf_pq, _ivf_pq_oracle()),
 }
 
 
