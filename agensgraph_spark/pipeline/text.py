@@ -226,6 +226,7 @@ def repetition_stats(
     max_dup_line_char_bp: int = 3000,
     max_top_bigram_bp: int = 1800,
     max_dup_fivegram_bp: int = 3000,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style INTRA-document repetition signals — the standard
     training-data gate that catches boilerplate/listicle/generated
@@ -290,6 +291,7 @@ def repetition_stats(
             & (dup_fivegram_bp <= max_dup_fivegram_bp))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_lines.alias("n_lines"),
         dup_line_bp.alias("dup_line_bp"),
         dup_line_char_bp.alias("dup_line_char_bp"),

@@ -2073,6 +2073,65 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_quality_sink")
 
 
+def _q_stream_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The intra-document repetition gate as a STREAM: identical
+    map-only column expressions, so the operator runs unchanged under
+    Structured Streaming; per-(source, verdict) survival counters in
+    the sink. The batch oracle re-derives the same signals in SQL."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    scored = TX.repetition_stats(stream, carry=("source",))
+    agg = scored.groupBy("source", "keep").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    q = (agg.writeStream.format("memory").queryName("stream_repetition_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_repetition_sink")
+
+
+_STREAM_REPETITION_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               string_split(text, chr(10)) AS lines,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+    feat AS (
+        SELECT doc_id, source,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+               CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+               CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                    - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+               ELSE []::VARCHAR[] END AS bigrams,
+               CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i + 4], ' '))
+               ELSE []::VARCHAR[] END AS fgs
+        FROM base),
+    cnt AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS g FROM feat) GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS best FROM cnt GROUP BY 1),
+    bps AS (
+        SELECT f.doc_id, f.source,
+               CAST(floor(n_dup_lines * 10000 / n_lines) AS BIGINT) AS dup_line_bp,
+               CAST(CASE WHEN line_chars > 0
+                    THEN floor(dup_line_chars * 10000 / line_chars) ELSE 0 END AS BIGINT) AS dup_line_char_bp,
+               CAST(CASE WHEN len(bigrams) > 0
+                    THEN floor(coalesce(t.best, 0) * 10000 / len(bigrams)) ELSE 0 END AS BIGINT) AS top_bigram_bp,
+               CAST(CASE WHEN len(fgs) > 0
+                    THEN floor((len(fgs) - len(list_distinct(fgs))) * 10000 / len(fgs)) ELSE 0 END AS BIGINT) AS dup_fivegram_bp
+        FROM feat f LEFT JOIN top t USING (doc_id))
+    SELECT source,
+           (dup_line_bp <= 3000 AND dup_line_char_bp <= 3000
+            AND top_bigram_bp <= 1800 AND dup_fivegram_bp <= 3000) AS keep,
+           count(*) AS n_docs
+    FROM bps GROUP BY 1, 2"""
+
+
 _STREAM_QUALITY_ORACLE = r"""
     WITH s AS (
         SELECT doc_id, source, text,
@@ -2575,6 +2634,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "asof_join_forward": (_q_asof_forward, _ASOF_FWD_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),
     "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),
+    "stream_repetition_gate": (_q_stream_repetition_gate, _STREAM_REPETITION_ORACLE),
     "stream_enrich_static": (_q_stream_enrich, _STREAM_ENRICH_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
