@@ -342,6 +342,7 @@ def minhash_neardup_pairs(
     max_bucket: int = 10_000,
     audit_cap: bool = False,
     hash_fn: str = "xxh64",
+    reuse_hashes: bool = False,
 ) -> DataFrame:
     """Fused MinHash-LSH near-dup pipeline: candidate generation plus
     exact k-shingle verification. Returns (id_a, id_b, jaccard) with
@@ -368,6 +369,14 @@ def minhash_neardup_pairs(
     shuffles (long, long) rows, and nothing is unconditionally
     broadcast — AQE picks broadcast sides from runtime sizes.
 
+    ``reuse_hashes=True`` flips that trade: the hashed-shingle frame is
+    persisted (MEMORY_AND_DISK, released at return) during the
+    signature pass and the verify join reads it back, eliminating the
+    second hash pass at the cost of pinning O(total distinct shingles)
+    longs. Right for template-heavy corpora where candidates cover
+    most documents (re-hashing would be a full pass anyway); wrong at
+    sparse-candidate corpus scale, so the default stays False.
+
     Executes EAGERLY (localCheckpoint at return) so every pinned
     intermediate is released at call time — narrow the output with
     ``min_est``/``threshold``, not post-hoc filters."""
@@ -385,10 +394,16 @@ def minhash_neardup_pairs(
     def deriver(a: int, b: int):
         return lambda h: _mh_derive(F.pmod(h, F.lit(_MH_PRIME)), a, b)
 
-    sig = hashed(base).select("_id", F.array(*[
-        F.array_min(F.transform("_sh", deriver(a, b)))
-        for a, b in _mh_params(num_hashes)]).alias("_sig"))
     pins: list[DataFrame] = []
+    hs_full: DataFrame | None = None
+    if reuse_hashes:
+        from pyspark.storagelevel import StorageLevel
+        hs_full = hashed(base).persist(StorageLevel.MEMORY_AND_DISK)
+        pins.append(hs_full)
+    sig = (hs_full if hs_full is not None else hashed(base)).select(
+        "_id", F.array(*[
+            F.array_min(F.transform("_sh", deriver(a, b)))
+            for a, b in _mh_params(num_hashes)]).alias("_sig"))
     cands = (_candidates_from_sigs(sig, num_hashes, bands, min_est,
                                    max_bucket, audit_cap, hash_fn, pins)
              .select("id_a", "id_b").persist())
@@ -396,9 +411,14 @@ def minhash_neardup_pairs(
     ids = (cands.select(F.col("id_a").alias("_id"))
            .unionByName(cands.select(F.col("id_b").alias("_id")))
            .distinct())
-    # candidate-bounded second hash pass, persisted: one computation
-    # serves both sides of the pair join
-    sh = hashed(base.join(ids, "_id", "left_semi")).persist()
+    if hs_full is not None:
+        # the signature pass already hashed (and pinned) every doc —
+        # the verify join just filters it to the candidate ids
+        sh = hs_full.join(ids, "_id", "left_semi").persist()
+    else:
+        # candidate-bounded second hash pass, persisted: one
+        # computation serves both sides of the pair join
+        sh = hashed(base.join(ids, "_id", "left_semi")).persist()
     pins.append(sh)
     j = (cands
          .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sa")), "id_a")

@@ -1042,8 +1042,12 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verify — is replayed by the DuckDB oracle below; the xxh64
     # fast path keeps its exact pure-Python differential in
     # tests/test_differential_dedup.py.
+    # reuse_hashes: the synthetic documents table is template-heavy —
+    # LSH candidates cover most docs, so pinning the hashed-shingle
+    # frame beats a second near-full md5 pass (see the operator's
+    # docstring for when the default False is right instead)
     return D.minhash_neardup_pairs(docs, min_est=0.3, threshold=0.4,
-                                   hash_fn="md5").select(
+                                   hash_fn="md5", reuse_hashes=True).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
