@@ -35,5 +35,12 @@ def get_spark(app_name: str = "agensgraph_spark", shuffle_partitions: int | None
         # driver testdata stores TIMESTAMP(NANOS) parquet (events.ts);
         # read as long and convert in the loader (values are micro-precision)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the default 100-entry generated-class cache thrashes on a
+        # many-query analytics workload (every big projection — 32-slot
+        # minhash signatures, wide TPC-H aggregates — is a distinct
+        # class, and a janino recompile costs seconds): measured on the
+        # 29-query bench, interleaved runs re-paid compilation every
+        # pass. Static conf, so it must be set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     return builder.getOrCreate()
