@@ -87,3 +87,37 @@ def test_cypher_substring_zero_based(engine, texts, start, length):
     for r, t in zip(rows, texts):
         exp = t[start:start + length]
         assert (r["sub"] or "") == exp, (t, start, length)
+
+
+# --- statement-level set operations (gram.y:17089-17094) ------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(-5, 5), min_size=0, max_size=8),
+       st.lists(st.integers(-5, 5), min_size=0, max_size=8),
+       st.sampled_from(["union", "intersect", "except"]),
+       st.booleans())
+def test_setop_bag_semantics_match_python(spark, a, b, op, all_):
+    """Cypher UNION/INTERSECT/EXCEPT [ALL] over arbitrary bags matches
+    the SQL bag/set algebra computed in plain Python (multiset
+    intersection/difference for ALL, set semantics otherwise)."""
+    from collections import Counter
+
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    eng = CypherEngine(spark)
+
+    def leg(vals):
+        if not vals:
+            return "UNWIND [] AS q WITH q WHERE false RETURN 0 AS x"
+        return f"UNWIND {list(vals)} AS x RETURN x"
+
+    kw = op.upper() + (" ALL" if all_ else "")
+    got = sorted(r["x"] for r in
+                 eng.cypher(f"{leg(a)} {kw} {leg(b)}").collect())
+    ca, cb = Counter(a), Counter(b)
+    if op == "union":
+        exp = a + b if all_ else sorted(set(a) | set(b))
+    elif op == "intersect":
+        exp = list((ca & cb).elements()) if all_ else sorted(set(a) & set(b))
+    else:
+        exp = list((ca - cb).elements()) if all_ else sorted(set(a) - set(b))
+    assert got == sorted(exp)
