@@ -694,10 +694,14 @@ def connected_components(
         # full round per link.
         jump = stepped.select(F.col("id").alias("_jid"),
                               F.col("component").alias("_jc"))
+        # LAZY localCheckpoint: the convergence count below is the
+        # round's first action, so it materializes the checkpoint AND
+        # counts in ONE job — an eager checkpoint would pay a separate
+        # job per round just to follow it with the count
         new = (stepped.join(jump, stepped.component == jump._jid, "left")
                .select("id", "_old",
                        F.least("component", "_jc").alias("component"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         changed = new.filter(F.col("component") != F.col("_old")).count()
         lab = new  # superseded checkpoint storage is freed on GC
         if changed == 0:
