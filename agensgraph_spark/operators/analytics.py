@@ -79,6 +79,43 @@ def pagerank(
     return pr
 
 
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected
+    edge frame: every round each vertex adopts the MODAL label among
+    its neighbors (count DESC, then smallest label — fully
+    deterministic, so a fixed ``iters`` is replayable as chained SQL
+    CTEs, like pagerank); isolated vertices keep their own label.
+    Per round one (neighbor, label) equi-join + a grouped count + a
+    per-vertex top-1 window — all narrow rows; lineage truncated every
+    6 rounds like the sibling iterative operators.
+    Returns (id, community)."""
+    from pyspark.sql import Window
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct())
+    verts = vertices.select("id").distinct()
+    lab = verts.select("id", F.col("id").alias("label"))
+    for i in range(iters):
+        freq = (sym.join(lab.select(F.col("id").alias("src"), "label"), "src")
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.count(F.lit(1)).alias("n")))
+        w = Window.partitionBy("id").orderBy(F.col("n").desc(),
+                                             F.col("label").asc())
+        modal = (freq.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select("id", F.col("label").alias("_m")))
+        lab = (lab.join(modal, "id", "left")
+               .select("id", F.coalesce("_m", "label").alias("label")))
+        if (i + 1) % 6 == 0 and (i + 1) < iters:
+            lab = lab.localCheckpoint()
+    return lab.select("id", F.col("label").alias("community"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation over an undirected edge frame
     (``src``/``dst``, duplicates/self-loops tolerated). Degree-oriented

@@ -1470,6 +1470,34 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(pr, 6) AS pr FROM pr{iters}")
 
 
+def _q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _analytics_graph(spark, sf_dir)
+    return AN.label_propagation(edges, verts, iters=3)
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Chained-CTE replay of the deterministic synchronous LPA rounds
+    (modal neighbor label, count DESC then label ASC; isolated
+    vertices keep their own)."""
+    ctes = [f"verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"raw AS ({_ANALYTICS_EDGES_SQL})",
+            "sym AS (SELECT src, dst FROM raw UNION "
+            "SELECT dst AS src, src AS dst FROM raw)",
+            "l0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"l{k} AS (SELECT l.id, COALESCE(m.label, l.label) AS label "
+            f"FROM l{k-1} l LEFT JOIN ("
+            f"SELECT id, label FROM ("
+            f"SELECT s.dst AS id, p.label, "
+            f"row_number() OVER (PARTITION BY s.dst "
+            f"ORDER BY count(*) DESC, p.label ASC) AS rn "
+            f"FROM sym s JOIN l{k-1} p ON p.id = s.src "
+            f"GROUP BY s.dst, p.label) WHERE rn = 1) m ON m.id = l.id)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT id, label AS community FROM l{iters}")
+
+
 def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
     import numpy as np
     rng = np.random.default_rng(seed)
@@ -2630,6 +2658,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "tfidf_scores": (_q_tfidf, _TFIDF_ORACLE),
     "value_histogram": (_q_value_histogram, _HISTOGRAM_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
+    "graph_lpa": (_q_graph_lpa, _lpa_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),

@@ -212,6 +212,20 @@ def test_pagerank_hand_computed(spark):
     assert abs(got2["b"] - (1.0 - 0.85 + 0.85 * (1.0 - 0.85))) < 1e-12
 
 
+def test_label_propagation_hand_computed(spark):
+    """Deterministic synchronous LPA on a 3-chain + isolate: modal
+    neighbor label with count-DESC/label-ASC ties, isolated vertices
+    keep their own label; 3 rounds hand-traced."""
+    from agensgraph_spark.operators.analytics import label_propagation
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    got = {r["id"]: r["community"]
+           for r in label_propagation(e, v, iters=3).collect()}
+    # r1: {1:2, 2:1, 3:2, 4:4}; r2: {1:1, 2:2, 3:1, 4:4};
+    # r3: {1:2, 2:1, 3:2, 4:4} (sync-LPA 2-cycle on a chain)
+    assert got == {1: 2, 2: 1, 3: 2, 4: 4}
+
+
 def test_pagerank_deep_iters_bounded_plan(spark):
     """User-supplied iteration counts must not grow the plan without
     bound: the every-6-rounds localCheckpoint keeps the logical plan of
