@@ -216,6 +216,7 @@ class Clause:
 class SortItem:
     expr: Expr
     asc: bool = True
+    nulls: "str | None" = None  # "first" | "last" | None = PG default
 
 
 @dataclass

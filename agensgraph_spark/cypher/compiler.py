@@ -53,6 +53,19 @@ import itertools as _itertools
 _SUBQ_IDS = _itertools.count(1)
 
 
+def _sort_col(name: str, asc: bool, nulls: "str | None") -> Column:
+    """ORDER BY direction + null placement (reference:
+    gram.y:18957-18967 cypher_sort_item opt_nulls_order). An
+    unspecified null order follows PostgreSQL — NULLS LAST when
+    ascending, NULLS FIRST when descending — which is the OPPOSITE of
+    Spark's default, so the placement is always written explicitly."""
+    c = F.col(name)
+    first = (nulls == "first") if nulls else (not asc)
+    if asc:
+        return c.asc_nulls_first() if first else c.asc_nulls_last()
+    return c.desc_nulls_first() if first else c.desc_nulls_last()
+
+
 @dataclass
 class EdgeRef:
     """An edge (or VLE edge-array) bound in the current MATCH, for
@@ -1611,17 +1624,17 @@ class QueryCompiler(WriteMixin):
 
         # sort columns may reference pre-projection scope → compute as
         # hidden columns first (non-agg only)
-        sort_specs: list[tuple[str, bool]] = []
+        sort_specs: list[tuple[str, bool, str | None]] = []
         hidden: list[Column] = []
         if proj.order:
             for si, s in enumerate(proj.order):
                 resolved = self._resolve_sort(s.expr, items, new_scope)
                 if resolved is not None:
-                    sort_specs.append((resolved, s.asc))
+                    sort_specs.append((resolved, s.asc, s.nulls))
                 elif not any_agg:
                     hname = f"__sort{si}"
                     hidden.append(ec.col(s.expr).alias(hname))
-                    sort_specs.append((hname, s.asc))
+                    sort_specs.append((hname, s.asc, s.nulls))
                 else:
                     raise ValueError("ORDER BY after aggregation must reference returned items")
 
@@ -1641,7 +1654,8 @@ class QueryCompiler(WriteMixin):
             self._apply_where(proj.where)
 
         if sort_specs:
-            self.df = self.df.orderBy(*[F.col(n).asc() if asc else F.col(n).desc() for n, asc in sort_specs])
+            self.df = self.df.orderBy(*[
+                _sort_col(n, asc, nulls) for n, asc, nulls in sort_specs])
         drop_hidden = [c for c in self.df.columns if c.startswith("__sort")]
         if drop_hidden:
             self.df = self.df.drop(*drop_hidden)

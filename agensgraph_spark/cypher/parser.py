@@ -213,7 +213,19 @@ class Parser:
             asc = False
         else:
             self.accept_kw("asc", "ascending")
-        return A.SortItem(e, asc)
+        # opt_nulls_order (reference: gram.y:18957-18967 cypher_sort_item)
+        nulls = None
+        t = self.peek()
+        if t.kind in ("IDENT", "KEYWORD") and t.lower() == "nulls":
+            self.next()
+            t2 = self.peek()
+            if t2.kind in ("IDENT", "KEYWORD") and t2.lower() in ("first", "last"):
+                self.next()
+                nulls = t2.lower()
+            else:
+                raise ParseError(
+                    f"expected FIRST or LAST after NULLS at {t2.pos}")
+        return A.SortItem(e, asc, nulls)
 
     def parse_expr_list(self) -> list[A.Expr]:
         out = [self.parse_expr()]

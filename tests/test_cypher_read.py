@@ -256,3 +256,25 @@ def test_unwind_null_yields_no_rows(engine):
     assert engine.cypher("UNWIND [] AS x RETURN x").collect() == []
     with pytest.raises(Exception):
         engine.cypher("UNWIND 7 AS x RETURN x").collect()
+
+
+def test_order_by_nulls_placement(engine, spark):
+    """NULLS FIRST/LAST (gram.y:18957 opt_nulls_order), and the
+    PostgreSQL DEFAULT placement — nulls last ascending, nulls first
+    descending (the opposite of Spark's default, so it must be
+    written explicitly by the compiler)."""
+    from agensgraph_spark.catalog import GraphCatalog
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    from agensgraph_spark.graph import Graph
+    eng = CypherEngine(spark, Graph(GraphCatalog("nulls")))
+    eng.cypher("CREATE (:t {a: 1, s: 'x'}), (:t {a: 2}), (:t {a: 3, s: 'b'})")
+
+    def run(q):
+        return [r["a"] for r in eng.cypher(q).collect()]
+    base = "MATCH (n:t) RETURN n.a AS a ORDER BY n.s"
+    assert run(base) == [3, 1, 2]                      # default asc: nulls last
+    assert run(base + " DESC") == [2, 1, 3]            # default desc: nulls first
+    assert run(base + " ASC NULLS FIRST") == [2, 3, 1]
+    assert run(base + " DESC NULLS LAST") == [1, 3, 2]
+    # LIMIT rides the explicit placement
+    assert run(base + " NULLS FIRST LIMIT 1") == [2]
