@@ -1665,11 +1665,45 @@ class QueryCompiler(WriteMixin):
             self.df = self.df.limit(self._int_arg(proj.limit))
 
     def _int_arg(self, e: A.Expr) -> int:
-        if isinstance(e, A.Lit) and isinstance(e.value, int):
+        """SKIP/LIMIT value: the reference accepts any stable integer
+        expression (gram.y cypher_skip_opt/cypher_limit_opt take
+        a_expr) — fold literals, parameters, and arithmetic over them
+        driver-side; anything referencing a column stays an error."""
+        v = self._const_eval(e)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError("SKIP/LIMIT must be a constant integer expression")
+        if isinstance(v, float):
+            if v != int(v):
+                raise ValueError(f"SKIP/LIMIT must be an integer, got {v}")
+            v = int(v)
+        return v
+
+    def _const_eval(self, e: A.Expr):
+        if isinstance(e, A.Lit):
             return e.value
         if isinstance(e, A.Param):
-            return int(self.params[e.name])
-        raise ValueError("SKIP/LIMIT must be an integer literal or parameter")
+            return self.params[e.name]
+        if isinstance(e, A.UnaryOp):
+            v = self._const_eval(e.operand)
+            return -v if e.op == "-" else v
+        if isinstance(e, A.BinOp):
+            l, r = self._const_eval(e.left), self._const_eval(e.right)
+            if e.op == "+":
+                return l + r
+            if e.op == "-":
+                return l - r
+            if e.op == "*":
+                return l * r
+            if e.op == "/":
+                # Cypher integer division truncates toward zero
+                if isinstance(l, int) and isinstance(r, int):
+                    return int(l / r)
+                return l / r
+            if e.op == "%":
+                return l % r
+            if e.op == "^":
+                return float(l) ** float(r)
+        raise ValueError("SKIP/LIMIT must be a constant integer expression")
 
     def _resolve_sort(self, e: A.Expr, items: list[A.ReturnItem], new_scope: Scope) -> str | None:
         """Match a sort expression to a projected alias."""

@@ -278,3 +278,21 @@ def test_order_by_nulls_placement(engine, spark):
     assert run(base + " DESC NULLS LAST") == [1, 3, 2]
     # LIMIT rides the explicit placement
     assert run(base + " NULLS FIRST LIMIT 1") == [2]
+
+
+def test_skip_limit_constant_expressions(engine, spark):
+    """SKIP/LIMIT accept stable integer expressions (gram.y
+    cypher_skip_opt/limit_opt take a_expr): arithmetic over literals
+    and parameters folds driver-side; column references stay errors."""
+    import pytest
+    from agensgraph_spark.catalog import GraphCatalog
+    from agensgraph_spark.cypher.compiler import CypherEngine
+    from agensgraph_spark.graph import Graph
+    eng = CypherEngine(spark, Graph(GraphCatalog("sklm")))
+    eng.cypher("UNWIND range(1, 10) AS x CREATE (:n {k: x})")
+    q = "MATCH (n:n) RETURN n.k AS k ORDER BY k SKIP 1 + 1 LIMIT 2 * 2"
+    assert [r["k"] for r in eng.cypher(q).collect()] == [3, 4, 5, 6]
+    q2 = "MATCH (n:n) RETURN n.k AS k ORDER BY k SKIP $s LIMIT $l - 1"
+    assert [r["k"] for r in eng.cypher(q2, {"s": 8, "l": 3}).collect()] == [9, 10]
+    with pytest.raises(ValueError, match="constant integer"):
+        eng.cypher("MATCH (n:n) RETURN n.k AS k LIMIT n.k")
