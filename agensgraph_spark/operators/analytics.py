@@ -151,6 +151,52 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core: iteratively peel vertices whose degree
+    in the SURVIVING subgraph is below ``k`` until stable (the classic
+    fixpoint; converges in at most |V| rounds, in practice a handful —
+    each peel removes the entire sub-threshold frontier at once).
+    Input edges are undirected (src/dst, self-loops ignored). Per
+    round one degree aggregate + two semi-joins over narrow (long,
+    long) rows; the surviving edge set is localCheckpoint-truncated
+    per generation like the other iterative operators. Aggregation
+    inside recursion puts this outside recursive-CTE SQL — verified by
+    a pure-Python peel replay (tests/test_pipeline_scale.py).
+    Returns (id, degree) of the k-core members."""
+    import logging
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst"))
+           .distinct()
+           .localCheckpoint())
+    for i in range(max_iters):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("src")
+        # one job decides survivors AND convergence: the peel is a
+        # no-op exactly when every vertex kept its degree
+        n_before = sym.count()
+        nxt = (sym.join(keep, "src", "left_semi")
+               .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+               .select("src", "dst")
+               .localCheckpoint(eager=False))
+        n_after = nxt.count()
+        sym = nxt
+        if n_after == n_before:
+            break
+        if n_after == 0:
+            break
+    else:
+        logging.getLogger(__name__).warning(
+            "k_core: max_iters=%d reached before fixpoint", max_iters)
+    return (sym.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree")))
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

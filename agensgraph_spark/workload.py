@@ -1481,12 +1481,15 @@ def _lpa_oracle(iters: int = 3) -> str:
     vertices keep their own)."""
     ctes = [f"verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
             f"raw AS ({_ANALYTICS_EDGES_SQL})",
-            "sym AS (SELECT src, dst FROM raw UNION "
+            "sym AS MATERIALIZED (SELECT src, dst FROM raw UNION "
             "SELECT dst AS src, src AS dst FROM raw)",
             "l0 AS (SELECT id, id AS label FROM verts)"]
     for k in range(1, iters + 1):
+        # MATERIALIZED: each generation is referenced twice (join +
+        # fallback), and DuckDB's default inlining re-evaluates the
+        # chain exponentially
         ctes.append(
-            f"l{k} AS (SELECT l.id, COALESCE(m.label, l.label) AS label "
+            f"l{k} AS MATERIALIZED (SELECT l.id, COALESCE(m.label, l.label) AS label "
             f"FROM l{k-1} l LEFT JOIN ("
             f"SELECT id, label FROM ("
             f"SELECT s.dst AS id, p.label, "
@@ -1496,6 +1499,46 @@ def _lpa_oracle(iters: int = 3) -> str:
             f"GROUP BY s.dst, p.label) WHERE rn = 1) m ON m.id = l.id)")
     return ("WITH " + ",\n    ".join(ctes)
             + f"\n    SELECT id, label AS community FROM l{iters}")
+
+
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part—supplier co-occurrence graph (distinct
+    lineitem pairs, string-namespaced so the key spaces can't
+    collide) — cyclic, so a non-trivial core survives the peel."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return AN.k_core(edges, k=4)
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
+    """Chained-CTE replay of the k-core peel: ``rounds`` fixed
+    iterations of (degree >= k survivor filter, both-endpoint edge
+    filter). The peel is idempotent at the fixpoint, so a fixed round
+    count equals the data-dependent loop whenever it converges within
+    ``rounds`` — the dense bipartite part—supplier graph converges in
+    two or three. Every CTE is MATERIALIZED: each survivor set is
+    referenced twice per round, and DuckDB's default inlining would
+    re-evaluate the whole chain exponentially."""
+    ctes = [
+        "raw AS MATERIALIZED (SELECT DISTINCT "
+        "'p' || CAST(l_partkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)",
+        "s0 AS MATERIALIZED (SELECT src, dst FROM raw UNION "
+        "SELECT dst AS src, src AS dst FROM raw)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT src FROM s{r-1} GROUP BY src "
+            f"HAVING count(*) >= {k})")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT e.src, e.dst FROM s{r-1} e "
+            f"JOIN k{r} a ON a.src = e.src "
+            f"JOIN k{r} b ON b.src = e.dst)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT src AS id, count(*) AS degree "
+              f"FROM s{rounds} GROUP BY src")
 
 
 def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
@@ -2659,6 +2702,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "value_histogram": (_q_value_histogram, _HISTOGRAM_ORACLE),
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "graph_lpa": (_q_graph_lpa, _lpa_oracle()),
+    "graph_kcore": (_q_graph_kcore, _kcore_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),

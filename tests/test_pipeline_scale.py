@@ -212,6 +212,48 @@ def test_pagerank_hand_computed(spark):
     assert abs(got2["b"] - (1.0 - 0.85 + 0.85 * (1.0 - 0.85))) < 1e-12
 
 
+def test_k_core_differential(spark):
+    """k_core vs a pure-Python peel replay on a seeded random graph,
+    plus hand cases: a triangle survives 2-core, a pendant chain does
+    not; k=3 on a triangle is empty."""
+    import random
+
+    from agensgraph_spark.operators.analytics import k_core
+
+    def py_k_core(pairs, k):
+        adj = {}
+        es = set()
+        for a, b in pairs:
+            if a == b:
+                continue
+            es.add((a, b)); es.add((b, a))
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj.pop(v):
+                        adj[u].discard(v)
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items() if ns}
+
+    # triangle + pendant chain hanging off it
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(tri, ["src", "dst"])
+    got = {r["id"]: r["degree"] for r in k_core(e, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert k_core(e, k=3).count() == 0
+
+    rng = random.Random(11)
+    pairs = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120)]
+    e2 = spark.createDataFrame(pairs, ["src", "dst"])
+    for k in (2, 3, 4):
+        got = {r["id"]: r["degree"] for r in k_core(e2, k=k).collect()}
+        assert got == py_k_core(pairs, k), k
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
