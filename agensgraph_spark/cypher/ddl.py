@@ -32,6 +32,9 @@ class PropertyIndex:
     label: str
     props: list[str]
     unique: bool = False
+    # index name (reference: opt_index_name, gram.y:16972; default
+    # mirrors PostgreSQL's <label>_<props>_idx)
+    name: str | None = None
 
 
 @dataclass
@@ -124,7 +127,10 @@ _RE = {
     "alter_inherit": re.compile(
         r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+(no\s+)?inherit\s+(\w+)$", re.I),
     "create_index": re.compile(
-        r"^create\s+(unique\s+)?property\s+index\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
+        r"^create\s+(unique\s+)?property\s+index\s+(?:(\w+)\s+)?"
+        r"on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
+    "drop_index": re.compile(
+        r"^drop\s+property\s+index\s+(if\s+exists\s+)?(\w+)$", re.I),
     "create_constraint": re.compile(
         r"^create\s+constraint\s+(?:\w+\s+)?on\s+(\w+)\s+assert\s+(.+?)(\s+is\s+unique)?$", re.I),
     "alter_graph_rename": re.compile(
@@ -247,12 +253,35 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
     if m:
         # no-op planning hint: Parquet column stats + predicate pushdown
         # already serve property point-lookups (SURVEY.md §4.1)
-        idx = PropertyIndex(m.group(2), [p.strip() for p in m.group(3).split(",")],
-                            unique=bool(m.group(1)))
+        props = [p.strip() for p in m.group(4).split(",")]
+        iname = m.group(2) or f"{m.group(3)}_{'_'.join(props)}_idx"
+        if any(i.name == iname for i in store.indexes.get(store.graph_path, [])):
+            raise ValueError(f"property index {iname!r} already exists")
+        idx = PropertyIndex(m.group(3), props,
+                            unique=bool(m.group(1)), name=iname)
         store.indexes.setdefault(store.graph_path, []).append(idx)
         if idx.unique:
             store.constraints.setdefault(store.graph_path, []).append(
                 Constraint(idx.label, "unique", idx.props))
+        return True
+    m = _RE["drop_index"].match(s)
+    if m:
+        # DROP PROPERTY INDEX [IF EXISTS] name (propertyindex.sql:89-95)
+        lst = store.indexes.get(store.graph_path, [])
+        hit = next((i for i in lst if i.name == m.group(2)), None)
+        if hit is None:
+            if m.group(1):
+                log.info("property index %r does not exist, skipping",
+                         m.group(2))
+                return True
+            raise ValueError(f"property index {m.group(2)!r} does not exist")
+        lst.remove(hit)
+        if hit.unique:
+            cons = store.constraints.get(store.graph_path, [])
+            victim = next((c for c in cons if c.label == hit.label
+                           and c.kind == "unique" and c.props == hit.props), None)
+            if victim is not None:
+                cons.remove(victim)
         return True
     m = _RE["create_constraint"].match(s)
     if m:

@@ -258,10 +258,18 @@ def test_constraint_scope_untouched_label_never_rolls_back(eng, spark):
     assert len(viol) == 1 and "lb" in viol[0]
 
 
+import itertools as _it
+
+_PROBE_SEQ = _it.count()
+
+
 def _jobs_for(spark, fn) -> int:
-    """Spark jobs launched while fn() runs (job-group scoped)."""
+    """Spark jobs launched while fn() runs (job-group scoped; the
+    group name comes from a counter — id(fn) would collide when
+    CPython reuses a freed lambda's address and silently accumulate
+    earlier measurements)."""
     sc = spark.sparkContext
-    group = f"probe-{id(fn)}"
+    group = f"probe-{next(_PROBE_SEQ)}"
     sc.setJobGroup(group, "job probe")
     try:
         fn()
@@ -301,3 +309,25 @@ def test_constraint_jobs_scale_with_touched_labels_only(eng, spark):
     baseline = measure("ga", 10)
     with_untouched = measure("gb", 10)
     assert with_untouched == baseline, (baseline, with_untouched)
+
+
+def test_property_index_names_and_drop(eng):
+    """CREATE PROPERTY INDEX takes an optional name (gram.y:16972
+    opt_index_name; default <label>_<props>_idx) and DROP PROPERTY
+    INDEX [IF EXISTS] <name> removes it (propertyindex.sql:89-95) —
+    dropping a UNIQUE property index also lifts its constraint."""
+    eng.cypher("CREATE VLABEL pidx")
+    eng.cypher("CREATE UNIQUE PROPERTY INDEX ON pidx (k)")
+    eng.cypher("CREATE (:pidx {k: 1})")
+    with pytest.raises(ValueError, match="unique"):
+        eng.cypher("CREATE (:pidx {k: 1})")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.cypher("CREATE PROPERTY INDEX pidx_k_idx ON pidx (k)")
+    eng.cypher("DROP PROPERTY INDEX pidx_k_idx")      # default-derived name
+    eng.cypher("CREATE (:pidx {k: 1})")               # constraint lifted
+    assert eng.cypher("MATCH (v:pidx) RETURN count(*) AS c").collect()[0]["c"] == 2
+    eng.cypher("CREATE PROPERTY INDEX my_idx ON pidx (k)")
+    eng.cypher("DROP PROPERTY INDEX IF EXISTS my_idx")
+    eng.cypher("DROP PROPERTY INDEX IF EXISTS my_idx")  # idempotent
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.cypher("DROP PROPERTY INDEX my_idx")
