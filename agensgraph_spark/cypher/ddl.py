@@ -43,6 +43,9 @@ class Constraint:
     kind: str          # 'unique' | 'check'
     props: list[str] = field(default_factory=list)
     expr: str | None = None  # raw Cypher expression for 'check'
+    # constraint name (reference: CREATE CONSTRAINT <name> ON ...,
+    # cypher_ddl.sql:334; default <label>_constraint<n>)
+    name: str | None = None
 
 
 class GraphStore:
@@ -132,7 +135,9 @@ _RE = {
     "drop_index": re.compile(
         r"^drop\s+property\s+index\s+(if\s+exists\s+)?(\w+)$", re.I),
     "create_constraint": re.compile(
-        r"^create\s+constraint\s+(?:\w+\s+)?on\s+(\w+)\s+assert\s+(.+?)(\s+is\s+unique)?$", re.I),
+        r"^create\s+constraint\s+(?:(\w+)\s+)?on\s+(\w+)\s+assert\s+(.+?)(\s+is\s+unique)?$", re.I),
+    "drop_constraint": re.compile(
+        r"^drop\s+constraint\s+(if\s+exists\s+)?(\w+)\s+on\s+(\w+)$", re.I),
     "alter_graph_rename": re.compile(
         r"^alter\s+graph\s+(\w+)\s+rename\s+to\s+(\w+)$", re.I),
     # COMMENT ON GRAPH/VLABEL/ELABEL (cypher_ddl.sql:121-122)
@@ -262,7 +267,7 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
         store.indexes.setdefault(store.graph_path, []).append(idx)
         if idx.unique:
             store.constraints.setdefault(store.graph_path, []).append(
-                Constraint(idx.label, "unique", idx.props))
+                Constraint(idx.label, "unique", idx.props, name=iname))
         return True
     m = _RE["drop_index"].match(s)
     if m:
@@ -285,13 +290,40 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
         return True
     m = _RE["create_constraint"].match(s)
     if m:
-        label, expr, uniq = m.group(1), m.group(2).strip(), bool(m.group(3))
+        label, expr, uniq = m.group(2), m.group(3).strip(), bool(m.group(4))
+        cons = store.constraints.setdefault(store.graph_path, [])
+        if m.group(1):
+            cname = m.group(1)
+            if any(c.name == cname for c in cons):
+                raise ValueError(f"constraint {cname!r} already exists")
+        else:
+            n = 1
+            while any(c.name == f"{label}_constraint{n}" for c in cons):
+                n += 1
+            cname = f"{label}_constraint{n}"
         if uniq:
             props = [p.strip().split(".")[-1] for p in expr.split(",")]
-            con = Constraint(label, "unique", props)
+            con = Constraint(label, "unique", props, name=cname)
         else:
-            con = Constraint(label, "check", expr=expr)
-        store.constraints.setdefault(store.graph_path, []).append(con)
+            con = Constraint(label, "check", expr=expr, name=cname)
+        cons.append(con)
+        return True
+    m = _RE["drop_constraint"].match(s)
+    if m:
+        # DROP CONSTRAINT <name> ON <label> (cypher_ddl.sql:343 — the
+        # bare ON form without a name is a syntax error in the
+        # reference too, so it simply does not match here)
+        cons = store.constraints.get(store.graph_path, [])
+        hit = next((c for c in cons if c.name == m.group(2)
+                    and c.label == m.group(3)), None)
+        if hit is None:
+            if m.group(1):
+                log.info("constraint %r on %r does not exist, skipping",
+                         m.group(2), m.group(3))
+                return True
+            raise ValueError(
+                f"constraint {m.group(2)!r} on {m.group(3)!r} does not exist")
+        cons.remove(hit)
         return True
     return False
 

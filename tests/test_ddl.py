@@ -331,3 +331,23 @@ def test_property_index_names_and_drop(eng):
     eng.cypher("DROP PROPERTY INDEX IF EXISTS my_idx")  # idempotent
     with pytest.raises(ValueError, match="does not exist"):
         eng.cypher("DROP PROPERTY INDEX my_idx")
+
+
+def test_constraint_names_and_drop(eng):
+    """CREATE CONSTRAINT [name] ON label ASSERT ... and DROP
+    CONSTRAINT <name> ON <label> (cypher_ddl.sql:334-343; the bare
+    un-named DROP ... ON form is a syntax error in the reference and
+    does not parse here either)."""
+    eng.cypher("CREATE VLABEL ncv")
+    eng.cypher("CREATE CONSTRAINT pos_k ON ncv ASSERT k > 0")
+    eng.cypher("CREATE (:ncv {k: 1})")
+    with pytest.raises(ValueError, match="constraint"):
+        eng.cypher("CREATE (:ncv {k: -5})")
+    eng.cypher("DROP CONSTRAINT pos_k ON ncv")
+    eng.cypher("CREATE (:ncv {k: -5})")          # constraint lifted
+    # default-derived name
+    eng.cypher("CREATE CONSTRAINT ON ncv ASSERT k IS NOT NULL")
+    eng.cypher("DROP CONSTRAINT ncv_constraint1 ON ncv")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.cypher("DROP CONSTRAINT nope ON ncv")
+    eng.cypher("DROP CONSTRAINT IF EXISTS nope ON ncv")  # no error
