@@ -302,8 +302,15 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
                 n += 1
             cname = f"{label}_constraint{n}"
         if uniq:
-            props = [p.strip().split(".")[-1] for p in expr.split(",")]
-            con = Constraint(label, "unique", props, name=cname)
+            import re as _re
+            parts = [p.strip().split(".")[-1] for p in expr.split(",")]
+            if all(_re.fullmatch(r"\w+", p) for p in parts):
+                con = Constraint(label, "unique", parts, name=cname)
+            else:
+                # expression uniqueness (cypher_ddl.sql:320 —
+                # ASSERT toLower(trim(id)) IS UNIQUE): validated by
+                # evaluating the expression through the Cypher layer
+                con = Constraint(label, "unique", expr=expr, name=cname)
         else:
             con = Constraint(label, "check", expr=expr, name=cname)
         cons.append(con)
@@ -349,7 +356,22 @@ def validate_constraints(spark: SparkSession, store: GraphStore,
         if con.label not in g.frames:
             continue
         df: DataFrame = g.frames[con.label]
-        if con.kind == "unique":
+        if con.kind == "unique" and con.expr is not None:
+            # expression uniqueness: evaluate per row Cypher-side,
+            # count duplicate values (SQL unique ignores NULLs)
+            from agensgraph_spark.cypher.compiler import CypherEngine
+            eng = CypherEngine(spark, g)
+            props = list(g.catalog.labels[con.label].props)
+            proj = ", ".join(f"x.{p} AS {p}" for p in props) or "x.id AS id"
+            dup = eng.cypher(
+                f"MATCH (x:ONLY {con.label}) WITH {proj} "
+                f"WITH {con.expr} AS __u WHERE __u IS NOT NULL "
+                f"WITH __u, count(*) AS n WHERE n > 1 "
+                f"RETURN count(*) AS c").collect()[0]["c"]
+            if dup:
+                out.append(
+                    f"unique({con.expr}) violated on label {con.label!r}")
+        elif con.kind == "unique":
             present = [p for p in con.props if p in df.columns]
             if len(present) != len(con.props):
                 continue

@@ -351,3 +351,18 @@ def test_constraint_names_and_drop(eng):
     with pytest.raises(ValueError, match="does not exist"):
         eng.cypher("DROP CONSTRAINT nope ON ncv")
     eng.cypher("DROP CONSTRAINT IF EXISTS nope ON ncv")  # no error
+
+
+def test_expression_unique_constraint(eng):
+    """ASSERT <expression> IS UNIQUE (cypher_ddl.sql:320 —
+    toLower(trim(id))): duplicates under the expression roll the
+    statement back; NULL expression values are exempt (SQL unique)."""
+    eng.cypher("CREATE VLABEL xuc")
+    eng.cypher("CREATE CONSTRAINT ON xuc ASSERT toLower(trim(id)) IS UNIQUE")
+    eng.cypher("CREATE (:xuc {id: 'agens'})")
+    with pytest.raises(ValueError, match="unique"):
+        eng.cypher("CREATE (:xuc {id: ' AGENS '})")
+    eng.cypher("CREATE (:xuc {id: 'graph'})")
+    eng.cypher("CREATE (:xuc {})")
+    eng.cypher("CREATE (:xuc {})")     # multiple NULLs allowed
+    assert eng.cypher("MATCH (v:xuc) RETURN count(*) AS c").collect()[0]["c"] == 4
