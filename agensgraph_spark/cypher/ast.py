@@ -73,6 +73,15 @@ class BinOp(Expr):
 
 
 @dataclass
+class Cast(Expr):
+    """PostgreSQL-style ``expr::type`` cast (reference accepts it in
+    Cypher expressions — cypher_expr.sql:88-100 ::bool/::jsonb/::text
+    matrices)."""
+    operand: Expr
+    type_name: str
+
+
+@dataclass
 class UnaryOp(Expr):
     op: str  # - +
     operand: Expr

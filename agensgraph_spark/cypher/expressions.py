@@ -184,6 +184,13 @@ class ExprCompiler:
         if isinstance(v, bool):
             return TC(F.lit(v), T.BooleanType())
         if isinstance(v, int):
+            if not (-(1 << 63) <= v < (1 << 63)):
+                # out-of-int8 literal: the reference promotes to
+                # numeric (cypher_expr.sql:27) — exact decimal here
+                import decimal
+                prec = len(str(abs(v)))
+                return TC(F.lit(decimal.Decimal(v)),
+                          T.DecimalType(prec, 0))
             return TC(F.lit(v).cast("long"), T.LongType())
         if isinstance(v, float):
             return TC(F.lit(v), T.DoubleType())
@@ -838,6 +845,42 @@ class ExprCompiler:
         return TC(self.tc(e.args[0]).col.isNotNull(), T.BooleanType())
 
     # casts ------------------------------------------------------------
+
+    def _c_Cast(self, e: A.Cast) -> TC:
+        """PostgreSQL-style ``expr::type`` (cypher_expr.sql:88-100).
+        ``::jsonb`` is identity (values are jsonb-modeled already);
+        ``::bool`` is the jsonb TRUTHINESS matrix — false/0/''/[]/{}
+        are false, everything non-empty is true — not a text parse."""
+        t = e.type_name
+        if t in ("jsonb", "json"):
+            return self.tc(e.operand)
+        if t in ("text", "varchar", "string"):
+            return TC(self.tc(e.operand).col.cast("string"), T.StringType())
+        if t in ("int", "int2", "int4", "int8", "integer", "bigint", "smallint"):
+            return TC(self.tc(e.operand).col.cast("double").cast("long"),
+                      T.LongType())
+        if t in ("float", "float4", "float8", "real", "numeric", "double",
+                 "decimal"):
+            return TC(self.tc(e.operand).col.cast("double"), T.DoubleType())
+        if t in ("bool", "boolean"):
+            tcv = self.tc(e.operand)
+            d = tcv.dtype
+            if d is None or isinstance(d, T.NullType):
+                col = F.lit(None).cast("boolean")
+            elif isinstance(d, T.BooleanType):
+                col = tcv.col
+            elif tcv.is_numeric():
+                col = tcv.col != F.lit(0)
+            elif isinstance(d, T.StringType):
+                col = F.length(tcv.col) > 0
+            elif isinstance(d, (T.ArrayType, T.MapType)):
+                col = F.size(tcv.col) > 0
+            elif isinstance(d, T.StructType):
+                col = F.lit(len(d.fields) > 0)
+            else:
+                col = tcv.col.cast("boolean")
+            return TC(col, T.BooleanType())
+        raise ValueError(f"unsupported cast target {t!r}")
 
     def _f_tostring(self, e: A.FuncCall) -> TC:
         return TC(self.tc(e.args[0]).col.cast("string"), T.StringType())

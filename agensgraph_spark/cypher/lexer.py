@@ -21,7 +21,7 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "count", "load", "from", "only",
 }
 
-TWO_CHAR = ("<=", ">=", "<>", "=~", "->", "<-", "+=", "..", "||")
+TWO_CHAR = ("<=", ">=", "<>", "=~", "->", "<-", "+=", "..", "||", "::")
 ONE_CHAR = "()[]{},:;.|=<>+-*/%^$"
 
 

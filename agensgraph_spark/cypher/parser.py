@@ -595,6 +595,9 @@ class Parser:
             if t.kind == ".":
                 self.next()
                 e = A.Prop(e, self.ident())
+            elif t.kind == "::":
+                self.next()
+                e = A.Cast(e, self.ident().lower())
             elif t.kind == "[":
                 self.next()
                 lo = None

@@ -386,3 +386,23 @@ def test_keys_over_map_literal(spark):
     eng.cypher("CREATE GRAPH keysmap")
     r = eng.cypher("RETURN keys({a: 1, b: 2}) AS k").collect()[0]
     assert sorted(r["k"]) == ["a", "b"]
+
+
+def test_pg_cast_syntax_and_bigint_literals(eng):
+    """expr::type casts (cypher_expr.sql:88-100) — ::jsonb identity,
+    ::bool = jsonb truthiness (empty -> false, non-empty -> true, NOT
+    a text parse), scalar casts — and out-of-int8 integer literals
+    promote to exact decimals (cypher_expr.sql:27)."""
+    r = one(eng, "[''::jsonb::bool, 0::jsonb::bool, false::jsonb::bool, "
+                 "[]::bool, {}::bool]")
+    assert r == [False] * 5
+    r = one(eng, "['s'::jsonb::bool, 1::jsonb::bool, true::jsonb::bool, "
+                 "[0]::bool, {p: 0}::bool]")
+    assert r == [True] * 5
+    assert one(eng, "'42'::int + 1") == 43
+    assert one(eng, "1.9::int") == 1          # truncation, not rounding
+    assert one(eng, "7::text") == "7"
+    assert one(eng, "3::float / 2") == 1.5
+    lo, hi = -(1 << 63) - 1, (1 << 63)
+    got = eng.cypher(f"RETURN {lo} AS lo, {hi} AS hi").collect()[0]
+    assert int(got["lo"]) == lo and int(got["hi"]) == hi
