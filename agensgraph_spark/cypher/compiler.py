@@ -1695,9 +1695,12 @@ class QueryCompiler(WriteMixin):
             if e.op == "*":
                 return l * r
             if e.op == "/":
-                # Cypher integer division truncates toward zero
+                # Cypher integer division truncates toward zero — use
+                # exact integer arithmetic (int(l / r) loses exactness
+                # above 2^53, off-by-one for large SKIP params)
                 if isinstance(l, int) and isinstance(r, int):
-                    return int(l / r)
+                    q = abs(l) // abs(r)
+                    return q if (l < 0) == (r < 0) else -q
                 return l / r
             if e.op == "%":
                 return l % r

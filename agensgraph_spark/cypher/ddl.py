@@ -282,9 +282,12 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
             raise ValueError(f"property index {m.group(2)!r} does not exist")
         lst.remove(hit)
         if hit.unique:
+            # the index-backed constraint shares the index's NAME —
+            # match on it, never on label+props, so a separately
+            # created named CONSTRAINT on the same props survives
             cons = store.constraints.get(store.graph_path, [])
-            victim = next((c for c in cons if c.label == hit.label
-                           and c.kind == "unique" and c.props == hit.props), None)
+            victim = next((c for c in cons if c.name == hit.name
+                           and c.label == hit.label), None)
             if victim is not None:
                 cons.remove(victim)
         return True
@@ -330,6 +333,16 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
                 return True
             raise ValueError(
                 f"constraint {m.group(2)!r} on {m.group(3)!r} does not exist")
+        # a constraint created implicitly by CREATE UNIQUE PROPERTY
+        # INDEX is index-backed: dropping only the constraint would
+        # leave an index still flagged unique=True while nothing
+        # enforces it. PostgreSQL likewise refuses DROP CONSTRAINT for
+        # plain CREATE UNIQUE INDEX indexes — drop the index instead.
+        if any(i.name == hit.name and i.unique
+               for i in store.indexes.get(store.graph_path, [])):
+            raise ValueError(
+                f"constraint {hit.name!r} is backed by a unique property "
+                f"index; use DROP PROPERTY INDEX {hit.name}")
         cons.remove(hit)
         return True
     return False

@@ -855,9 +855,32 @@ class ExprCompiler:
         if t in ("jsonb", "json"):
             return self.tc(e.operand)
         if t in ("text", "varchar", "string"):
-            return TC(self.tc(e.operand).col.cast("string"), T.StringType())
+            # jsonb::text is the jsonb SERIALIZATION, not the bare
+            # value: '"'::text -> "\"" and '\n'::text -> "\n"
+            # (cypher_expr.out:62-66) — strings are JSON-quoted and
+            # escaped, arrays/maps serialize as JSON. to_json(array(x))
+            # then stripping the brackets reuses Jackson's escaping for
+            # any element type. Numerics/booleans serialize bare (jsonb
+            # numeric/bool text form == Spark's string cast). Operands
+            # of unknown dtype keep the bare string cast (they are
+            # already jsonb text at that point).
+            tcv = self.tc(e.operand)
+            d = tcv.dtype
+            if d is not None and isinstance(
+                    d, (T.StringType, T.ArrayType, T.MapType, T.StructType)):
+                js = F.to_json(F.array(tcv.col))
+                col = F.when(tcv.col.isNotNull(),
+                             js.substr(F.lit(2), F.length(js) - F.lit(2)))
+                return TC(col, T.StringType())
+            return TC(tcv.col.cast("string"), T.StringType())
         if t in ("int", "int2", "int4", "int8", "integer", "bigint", "smallint"):
-            return TC(self.tc(e.operand).col.cast("double").cast("long"),
+            # jsonb::int8 = jsonb_int8 -> numeric_int8 (jsonb.c:2036-2045):
+            # rounds half away from zero. A double round-trip would
+            # corrupt integers above 2^53 (graph ids with labid >= 32
+            # live above bit 48), so integral operands cast directly and
+            # everything else goes through decimal, which keeps the full
+            # int64 range exact.
+            return TC(self._to_long(self.tc(e.operand), rounding=True),
                       T.LongType())
         if t in ("float", "float4", "float8", "real", "numeric", "double",
                  "decimal"):
@@ -876,18 +899,35 @@ class ExprCompiler:
             elif isinstance(d, (T.ArrayType, T.MapType)):
                 col = F.size(tcv.col) > 0
             elif isinstance(d, T.StructType):
-                col = F.lit(len(d.fields) > 0)
+                # width is static but a NULL struct must stay NULL
+                col = F.when(tcv.col.isNotNull(), F.lit(len(d.fields) > 0))
             else:
                 col = tcv.col.cast("boolean")
             return TC(col, T.BooleanType())
         raise ValueError(f"unsupported cast target {t!r}")
 
+    @staticmethod
+    def _to_long(tcv: TC, rounding: bool) -> Column:
+        """int64-exact long conversion. Integral/boolean operands cast
+        directly (a double hop silently corrupts values above 2^53);
+        fractional/string/unknown operands go through decimal(38,9) —
+        rounded half-away-from-zero for ``::int`` (numeric_int8) or
+        truncated toward zero for ``toInteger`` (Neo4j semantics,
+        matching Spark's decimal->long cast)."""
+        d = tcv.dtype
+        if d is not None and isinstance(d, (T.LongType, T.IntegerType,
+                                            T.ShortType, T.ByteType,
+                                            T.BooleanType)):
+            return tcv.col.cast("long")
+        dec = tcv.col.cast("decimal(38,9)")
+        return (F.round(dec) if rounding else dec).cast("long")
+
     def _f_tostring(self, e: A.FuncCall) -> TC:
         return TC(self.tc(e.args[0]).col.cast("string"), T.StringType())
 
     def _f_tointeger(self, e: A.FuncCall) -> TC:
-        t = self.tc(e.args[0])
-        return TC(t.col.cast("double").cast("long"), T.LongType())
+        return TC(self._to_long(self.tc(e.args[0]), rounding=False),
+                  T.LongType())
 
     _f_toint = _f_tointeger
 

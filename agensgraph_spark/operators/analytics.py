@@ -174,22 +174,21 @@ def k_core(
            .filter(F.col("src") != F.col("dst"))
            .distinct()
            .localCheckpoint())
+    # one count job per round: the previous round's n_after IS this
+    # round's n_before — the initial count is the only extra job
+    n_before = sym.count()
     for i in range(max_iters):
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.filter(F.col("_d") >= k).select("src")
-        # one job decides survivors AND convergence: the peel is a
-        # no-op exactly when every vertex kept its degree
-        n_before = sym.count()
         nxt = (sym.join(keep, "src", "left_semi")
                .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
                .select("src", "dst")
                .localCheckpoint(eager=False))
         n_after = nxt.count()
         sym = nxt
-        if n_after == n_before:
+        if n_after == n_before or n_after == 0:
             break
-        if n_after == 0:
-            break
+        n_before = n_after
     else:
         logging.getLogger(__name__).warning(
             "k_core: max_iters=%d reached before fixpoint", max_iters)

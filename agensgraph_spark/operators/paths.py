@@ -175,7 +175,6 @@ def bfs_shortest(
     min_hops: int,
     max_hops: int | None,
     all_paths: bool = False,
-    checkpoint_every: int | None = None,  # kept for API compat; unused
 ) -> DataFrame:
     """Unweighted shortest path(s) between bound endpoint pairs.
 
@@ -338,7 +337,6 @@ def dijkstra_paths(
     pairs: DataFrame | None,
     max_iters: int = 30,
     limit: int = 1,
-    checkpoint_every: int | None = None,  # kept for API compat; unused
     seeds: DataFrame | None = None,
     targets: DataFrame | None = None,
 ) -> DataFrame:

@@ -81,7 +81,15 @@ def groups_window_agg(
         frame_w = (Window.partitionBy(*pcols).orderBy("__dr", "__rid")
                    .rowsBetween(-preceding, following))
 
-    if agg in _INVERTIBLE and exclude != "no others":
+    # In ROWS mode the physical frame can cut a peer group in half, but
+    # the subtraction strategy's group window always spans the WHOLE
+    # peer group — it would over-subtract rows outside the frame. Only
+    # GROUPS mode (frame boundaries are peer-group boundaries) and
+    # EXCLUDE CURRENT ROW (the row is always inside its own frame) are
+    # safe for subtraction; rows+group/ties must use the frame-exact
+    # collect-filter strategy.
+    subtraction_ok = frame_mode == "groups" or exclude == "current row"
+    if agg in _INVERTIBLE and exclude != "no others" and subtraction_ok:
         out = _invertible(df, v, pcols, frame_w, agg, exclude, out_col)
     elif exclude == "no others":
         fn = {"sum": F.sum, "count": F.count, "avg": F.avg,
@@ -140,7 +148,10 @@ def _collect_filter(df: DataFrame, v: Column, frame_w, agg: str,
             vals, F.lit(None).cast("double"),
             lambda acc, x: F.coalesce(acc + x, x, acc))),
         "count": F.size(F.filter(vals, lambda x: x.isNotNull())).cast("long"),
-    }.get(agg)
+    }
+    nn = F.size(F.filter(vals, lambda x: x.isNotNull())).cast("long")
+    col["avg"] = F.when(nn > 0, col["sum"] / nn)
+    col = col.get(agg)
     if col is None:
         raise ValueError(f"unsupported agg {agg!r} for collect strategy")
     return df.withColumn(out_col, col)

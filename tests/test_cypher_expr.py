@@ -400,8 +400,27 @@ def test_pg_cast_syntax_and_bigint_literals(eng):
                  "[0]::bool, {p: 0}::bool]")
     assert r == [True] * 5
     assert one(eng, "'42'::int + 1") == 43
-    assert one(eng, "1.9::int") == 1          # truncation, not rounding
+    # ::int8 = jsonb_int8 -> numeric_int8 (jsonb.c:2036-2045): rounds
+    # half away from zero — unlike toInteger(), which truncates
+    assert one(eng, "1.9::int") == 2
+    assert one(eng, "-1.9::int") == -2
+    assert one(eng, "0.5::int") == 1
+    assert one(eng, "toInteger(1.9)") == 1
+    assert one(eng, "toInteger(-1.9)") == -1
+    # int64-exact: values above 2^53 must survive ::int unchanged
+    big = (1 << 61) + 12345
+    assert one(eng, f"{big}::int") == big
+    assert one(eng, f"toInteger({big})") == big
+    assert one(eng, f"'{big}'::int") == big
     assert one(eng, "7::text") == "7"
+    # jsonb::text is the jsonb SERIALIZATION (cypher_expr.out:62-66):
+    # strings come back JSON-quoted and escaped
+    assert one(eng, "'\"'::text") == '"\\""'
+    assert one(eng, "'\\\\'::text") == '"\\\\"'
+    assert one(eng, "'\\n'::text") == '"\\n"'
+    assert one(eng, "'\\t'::text") == '"\\t"'
+    assert one(eng, "[1, 2]::text") == "[1,2]"
+    assert one(eng, "null::text") is None
     assert one(eng, "3::float / 2") == 1.5
     lo, hi = -(1 << 63) - 1, (1 << 63)
     got = eng.cypher(f"RETURN {lo} AS lo, {hi} AS hi").collect()[0]

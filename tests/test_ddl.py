@@ -353,6 +353,29 @@ def test_constraint_names_and_drop(eng):
     eng.cypher("DROP CONSTRAINT IF EXISTS nope ON ncv")  # no error
 
 
+def test_index_constraint_linkage_is_name_based(eng):
+    """An index-backed unique constraint is linked to its index BY
+    NAME: dropping the index must not delete a separately created
+    named CONSTRAINT on the same props, and DROP CONSTRAINT on an
+    index-backed constraint is refused (PostgreSQL refuses DROP
+    CONSTRAINT for plain CREATE UNIQUE INDEX indexes too)."""
+    eng.cypher("CREATE VLABEL ixl")
+    eng.cypher("CREATE UNIQUE PROPERTY INDEX ixl_u ON ixl (k)")
+    eng.cypher("CREATE CONSTRAINT sep_u ON ixl ASSERT k IS UNIQUE")
+    # dropping the index removes only ITS constraint; sep_u survives
+    eng.cypher("DROP PROPERTY INDEX ixl_u")
+    eng.cypher("CREATE (:ixl {k: 1})")
+    with pytest.raises(ValueError, match="unique"):
+        eng.cypher("CREATE (:ixl {k: 1})")      # sep_u still enforced
+    eng.cypher("DROP CONSTRAINT sep_u ON ixl")
+    eng.cypher("CREATE (:ixl {k: 1})")          # now lifted
+    # index-backed constraint refuses DROP CONSTRAINT
+    eng.cypher("CREATE UNIQUE PROPERTY INDEX ixl_u2 ON ixl (m)")
+    with pytest.raises(ValueError, match="backed by a unique property index"):
+        eng.cypher("DROP CONSTRAINT ixl_u2 ON ixl")
+    eng.cypher("DROP PROPERTY INDEX ixl_u2")    # the sanctioned path
+
+
 def test_expression_unique_constraint(eng):
     """ASSERT <expression> IS UNIQUE (cypher_ddl.sql:320 —
     toLower(trim(id))): duplicates under the expression roll the

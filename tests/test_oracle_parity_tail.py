@@ -39,8 +39,7 @@ def test_tail_coverage_accounted_for():
     """Every no-oracle tail entry must be one of the known xxhash64/
     stub cases covered by pytest differentials — nothing silently
     unverified."""
-    known = {"dedup_simhash_pairs",  # tests/test_differential_dedup.py
-             "mm_image_stats"}       # stub decode kernel (documented)
+    known = {"mm_image_stats"}       # stub decode kernel (documented)
     assert set(TAIL_NO_ORACLE) <= known, TAIL_NO_ORACLE
 
 

@@ -254,6 +254,33 @@ def test_k_core_differential(spark):
         assert got == py_k_core(pairs, k), k
 
 
+def test_k_core_one_count_job_per_round(spark, monkeypatch):
+    """Perf contract (VERDICT r7 #3): one count action per peel round
+    plus the single initial count — the previous round's n_after is
+    carried as the next n_before, never recomputed. Counted at the
+    DataFrame.count level (AQE job counts are stage-dependent noise)."""
+    from agensgraph_spark.operators.analytics import k_core
+
+    # 5-path, k=2: round 1 peels the endpoints, round 2 empties the
+    # graph -> 2 peel rounds, so exactly 1 initial + 2 round counts
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+
+    cls = type(e)  # the concrete (classic) DataFrame class
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    out = k_core(e, k=2)
+    assert calls["n"] == 3
+    monkeypatch.undo()
+    assert out.count() == 0
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices

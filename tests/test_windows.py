@@ -74,6 +74,55 @@ def test_collect_list_exclude(sdf):
     assert got[("c", 9, 2.0)] == []                        # lone group
 
 
+STRADDLE = [  # k=2 rows have distinct v: each its own (k, v) peer group
+    ("a", 1, 1.0), ("a", 2, 10.0), ("a", 2, 20.0), ("a", 2, 40.0),
+    ("a", 3, 100.0),
+]
+TIE_STRADDLE = [  # a (k, v)-equal peer group of THREE rows, frame ±1:
+    ("a", 1, 1.0),  # the edge 7.0 rows see only 2 of their 3 peers in
+    ("a", 2, 7.0), ("a", 2, 7.0), ("a", 2, 7.0),  # frame — subtraction
+    ("a", 3, 9.0),  # over the whole peer group would over-subtract
+]
+
+
+def duck_rows(agg, exclude, rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, k INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ex = "" if exclude == "no others" else f" EXCLUDE {exclude.upper()}"
+    # ORDER BY k, v makes the physical row order deterministic on both
+    # sides; peers (for EXCLUDE GROUP/TIES) are (k, v)-equal rows
+    out = con.execute(f"""
+        SELECT g, k, v, {agg}(v) OVER (PARTITION BY g ORDER BY k, v
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING{ex}) AS w
+        FROM t ORDER BY g, k, v
+    """).fetchall()
+    con.close()
+    return out
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "avg", "min", "max"])
+@pytest.mark.parametrize("exclude", ["current row", "group", "ties"])
+@pytest.mark.parametrize("data", [ROWS, STRADDLE, TIE_STRADDLE])
+def test_rows_exclude_matches_duckdb_native(spark, agg, exclude, data):
+    """ROWS-mode EXCLUDE vs DuckDB native — the STRADDLE data pins the
+    case where a peer group extends beyond the physical frame, which
+    the subtraction strategy over-subtracts (it must route through
+    collect-filter)."""
+    sdf2 = spark.createDataFrame(data, "g string, k int, v double")
+    got = groups_window_agg(sdf2, "v", ["g"], ["k", "v"], agg=agg,
+                            preceding=1, following=1, exclude=exclude,
+                            frame_mode="rows").collect()
+    want = duck_rows(agg, exclude, data)
+    # identical (g, k, v) tie rows are physically interchangeable, so
+    # the engines may attach the straddled-frame results to different
+    # tie rows — compare the (g, k, v, w) MULTISET, not row order
+    key = lambda t: (t[0], t[1], t[2], t[3] is None, t[3] or 0)
+    gset = sorted(((r[0], r[1], r[2], norm(r[3])) for r in got), key=key)
+    wset = sorted(((r[0], r[1], r[2], norm(r[3])) for r in want), key=key)
+    assert gset == wset, (agg, exclude, gset, wset)
+
+
 def test_rows_mode_exclude_current(sdf):
     """frame_mode='rows': physical 1-row neighborhood, EXCLUDE CURRENT
     ROW leaves exactly the two neighbors' values."""
