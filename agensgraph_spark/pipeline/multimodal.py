@@ -14,12 +14,16 @@ analog is `bytea`): the Spark-native pattern for multimodal corpora is
   ``mapInPandas`` stages — payloads cross the JVM→Python boundary once
   per batch, not once per row.
 
-Codec stubs: the image/audio libraries are not available in this
-container, so the decode kernels run a clearly-marked deterministic
-fake (seeded by the payload hash). The Spark-side plumbing — schemas,
-batch iteration, partitioning, UDF signatures — is real and is what
-these operators test. Swap ``_decode_pixels_stub`` for a PIL/ffmpeg
-call to productionize.
+Image payloads are REAL binary netpbm images (P6/PPM — the public
+format, header ``P6\\n{w} {h}\\n255\\n`` + raw interleaved RGB bytes),
+encoded and decoded by the pure-numpy codec below; no codec library is
+required for them. Compressed formats (png/jpeg) route through
+``decode_real``, which dispatches to PIL when installed and fails
+loudly when not — the engine never silently fakes data it cannot
+decode. Audio/video payloads remain opaque blobs whose kernels operate
+on metadata only (frame sampling) or on a hash-seeded deterministic
+stand-in (feature extraction), as a real deployment would swap in
+soundfile/ffmpeg there.
 """
 
 from __future__ import annotations
@@ -47,14 +51,93 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# netpbm codec — a real public image format, pure numpy
+
+def encode_netpbm(px: np.ndarray) -> bytes:
+    """Encode an (h, w, c) uint8 array as binary netpbm: P6 (PPM) for
+    c=3, P5 (PGM) for c=1."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if c not in (1, 3):
+        raise ValueError(f"netpbm supports 1 or 3 channels, got {c}")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + b"\n" + f"{w} {h}\n".encode() + b"255\n" + \
+        np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Decode binary netpbm (P5/P6, maxval <= 255) to an (h, w, c)
+    uint8 array — header parse + frombuffer, no codec library."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload (magic {magic!r})")
+    c = 3 if magic == b"P6" else 1
+    # header tokens: magic, width, height, maxval — whitespace-separated,
+    # '#' comment lines allowed, a single whitespace byte ends the header
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"16-bit netpbm not supported (maxval {maxval})")
+    n = w * h * c
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return px.reshape(h, w, c)
+
+
+def decode_real(payload: bytes, fmt: str | None = None) -> np.ndarray:
+    """The production decode path: netpbm decodes natively; compressed
+    formats dispatch to PIL when installed and fail loudly when not —
+    the engine never silently fakes pixels for data it cannot decode."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_netpbm(payload)
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401 — optional, gated
+    except ImportError as exc:
+        raise RuntimeError(
+            f"decoding {fmt or 'compressed'} payloads requires PIL, "
+            "which this environment does not ship; netpbm (P5/P6) "
+            "payloads decode natively") from exc
+    return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+# ---------------------------------------------------------------------------
+# synthetic media (test fixture — deterministic and SQL-replayable)
+
+def _image_pixels(mid: int, w: int, h: int) -> np.ndarray:
+    """Closed-form RGB pixels for the synthetic corpus: flat index j
+    holds (mid*31 + j*7) mod 256 — chosen so a SQL oracle can replay
+    any pixel statistic with a generate_series scan."""
+    n = w * h * 3
+    return ((mid * 31 + 7 * np.arange(n, dtype=np.int64)) % 256) \
+        .astype(np.uint8).reshape(h, w, 3)
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Derive a deterministic media table from the documents table
-    (the container ships no real binaries). Payload = the utf-8 text
-    bytes; metadata follows closed-form expressions of the id so a SQL
-    oracle can replay every metadata-level operator."""
+    (the container ships no real binaries). Image payloads are REAL
+    netpbm/P6 encodings of closed-form pixels (``_image_pixels``);
+    audio/video payloads are the utf-8 text bytes. All metadata follows
+    closed-form expressions of the id so SQL oracles can replay every
+    metadata-level operator, and the pixel formula lets them replay
+    image statistics too."""
     i = F.col(id_col).cast("long")
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int"))
-    return docs.select(
+    base = docs.select(
         i.alias("media_id"),
         kind.alias("kind"),
         F.col(text_col).cast("binary").alias("payload"),
@@ -64,30 +147,25 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.when(i % 3 == 0, 3).otherwise(1).cast("int").alias("channels"),
             F.when(kind == "audio", 16000).otherwise(0).cast("int").alias("sample_rate"),
             F.when(kind == "video", (i % 240 + 1)).otherwise(1).cast("int").alias("n_frames"),
-            F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")), (i % 3 + 1).cast("int"))
+            F.element_at(F.array(F.lit("ppm"), F.lit("wav"), F.lit("mp4")), (i % 3 + 1).cast("int"))
              .alias("format"),
         ).alias("meta"),
     )
 
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            img = pdf["kind"] == "image"
+            enc = [encode_netpbm(_image_pixels(int(r.media_id),
+                                               int(r.meta["width"]),
+                                               int(r.meta["height"])))
+                   for r in pdf.loc[img].itertuples(index=False)]
+            pdf["payload"] = pdf["payload"].astype(object)
+            pdf.loc[img, "payload"] = pd.Series(enc, index=pdf.index[img],
+                                                dtype=object)
+            yield pdf
 
-# ---------------------------------------------------------------------------
-# decode kernels (STUB — deterministic fake in place of PIL/ffmpeg)
-
-def _decode_pixels_stub(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB decoder: a real deployment calls PIL.Image.open /
-    libavcodec here. The fake derives pixels deterministically from the
-    payload bytes so tests are reproducible and content-sensitive."""
-    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    rng = np.random.default_rng(int(seed))
-    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
-
-
-def decode_real(payload: bytes, fmt: str) -> np.ndarray:
-    """The production decode path. Raises until a codec library is
-    installed — gated so the engine never silently fakes real data."""
-    raise NotImplementedError(
-        "real media decode requires PIL/soundfile/ffmpeg, which this "
-        "environment does not ship; the *_stub kernels are used instead")
+    return base.mapInPandas(encode, schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -99,17 +177,17 @@ IMAGE_STATS_SCHEMA = (
 
 
 def image_stats(media: DataFrame) -> DataFrame:
-    """Decode each image payload (stub kernel) and emit per-image pixel
+    """Decode each image payload (REAL netpbm decode — header parse +
+    frombuffer, nothing taken from metadata) and emit per-image pixel
     statistics. Arrow-batched mapInPandas: one Python roundtrip per
     batch of payloads."""
-    imgs = media.filter(F.col("kind") == "image").select(
-        "media_id", "payload", "meta.width", "meta.height", "meta.channels")
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = _decode_pixels_stub(bytes(r.payload), r.width, r.height, r.channels)
+                px = decode_netpbm(bytes(r.payload))
                 rows.append((r.media_id, int(px.size), float(px.mean()),
                              float(px.std()), int(px.min()), int(px.max())))
             yield pd.DataFrame(rows, columns=[
@@ -119,9 +197,9 @@ def image_stats(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Resize plumbing: decode → resample → re-encode per batch. The
-    stub resamples the fake pixel grid by nearest-neighbor and returns
-    the raw bytes as the new payload; metadata is rewritten for real."""
+    """Resize: decode (netpbm) → nearest-neighbor resample → re-encode
+    as netpbm, so the output payload is itself decodable; metadata is
+    rewritten to match."""
     imgs = media.filter(F.col("kind") == "image")
     schema = MEDIA_SCHEMA
 
@@ -129,14 +207,14 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
-                m = r.meta
-                px = _decode_pixels_stub(bytes(r.payload), m["width"], m["height"], m["channels"])
-                yi = (np.arange(out_h) * m["height"] // out_h)
-                xi = (np.arange(out_w) * m["width"] // out_w)
+                px = decode_netpbm(bytes(r.payload))
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
                 resized = px[yi][:, xi]
-                meta = dict(m)
-                meta.update(width=out_w, height=out_h, format="raw")
-                out.append((r.media_id, r.kind, resized.tobytes(), meta))
+                meta = dict(r.meta)
+                meta.update(width=out_w, height=out_h, format="ppm")
+                out.append((r.media_id, r.kind, encode_netpbm(resized), meta))
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
 
     return imgs.mapInPandas(batches, schema=schema)
@@ -155,18 +233,33 @@ def frame_index(media: DataFrame, every_n: int = 10) -> DataFrame:
 FEATURE_SCHEMA = "media_id long, feature array<double>"
 
 
+def _seeded_signal_stub(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic stand-in for audio/video sample decode (the
+    soundfile/ffmpeg analog): values derive from the payload-hash seed,
+    so features are reproducible and content-sensitive."""
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(int(seed))
+    return rng.integers(0, 256, size=n, dtype=np.int64)
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Feature extraction: decode (stub) → pooled feature vector per
-    payload. Deterministic per payload content; batch-shaped like a
-    real vision-encoder inference stage (vectorized over the batch)."""
+    """Feature extraction: decode → pooled feature vector per payload.
+    Images decode for real (netpbm) and pool mean intensity per flat
+    chunk; audio/video pool the seeded stand-in signal. Batch-shaped
+    like a real vision-encoder inference stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = _decode_pixels_stub(bytes(r.payload), 8, max(dim // 8, 1) * 8, 1)
-                vec = px.reshape(dim, -1).mean(axis=1) / 255.0
-                rows.append((r.media_id, [float(x) for x in vec]))
+                pay = bytes(r.payload)
+                if pay[:2] in (b"P5", b"P6"):
+                    flat = decode_netpbm(pay).astype(np.float64).ravel()
+                else:
+                    flat = _seeded_signal_stub(pay, max(dim * 8, 64)).astype(np.float64)
+                vec = [float(chunk.mean()) / 255.0
+                       for chunk in np.array_split(flat, dim)]
+                rows.append((r.media_id, vec))
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1284,9 +1284,17 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.synthesize_media(read_table(spark, sf_dir, "documents").limit(200))
+    """Real netpbm decode (multimodal.py decode_netpbm) over every
+    synthetic image; the DuckDB oracle replays the closed-form pixels
+    with a generate_series scan. mean_value is exact to the last ulp on
+    both sides (integer pixel sum < 2^53 divided by n), so the rounding
+    is only hash-stability cosmetics; std is checked separately by the
+    exact pure-Python replay in tests/test_multimodal.py."""
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
     return MM.image_stats(media).select(
-        "media_id", "n_pixels", F.round("mean_value", 4).alias("mean_value"))
+        "media_id", "n_pixels", F.round("mean_value", 4).alias("mean_value"),
+        F.col("min_value").cast("long").alias("min_value"),
+        F.col("max_value").cast("long").alias("max_value"))
 
 
 def _q_graphmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2753,13 +2761,36 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(48 + (doc_id % 6) * 16 AS BIGINT) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
                CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 240 + 1 ELSE 1 END AS BIGINT) AS n_frames,
-               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+               CAST(CASE WHEN doc_id % 3 = 0 THEN
+                         -- netpbm P6: 'P6\\n' + '{w} {h}\\n' + '255\\n' + rgb
+                         3 + length(CAST(64 + (doc_id % 8) * 16 AS VARCHAR))
+                           + 1 + length(CAST(48 + (doc_id % 6) * 16 AS VARCHAR))
+                           + 1 + 4
+                           + (64 + (doc_id % 8) * 16) * (48 + (doc_id % 6) * 16) * 3
+                    ELSE octet_length(encode(text)) END AS BIGINT) AS payload_bytes
         FROM documents"""),
     "mm_frame_sample": (_q_mm_frame_sample, """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(((doc_id % 240 + 1) + 9) // 10 AS BIGINT) AS n_sampled
         FROM documents WHERE doc_id % 3 = 2"""),
-    "mm_image_stats": (_q_mm_image_stats, None),  # stub decode kernel; rows-only
+    # full-pipeline replay: the oracle regenerates every pixel of every
+    # synthetic image ((mid*31 + j*7) % 256 — multimodal._image_pixels)
+    # with a generate_series scan and recomputes the statistics the
+    # Spark side obtains by actually DECODING the netpbm payloads
+    "mm_image_stats": (_q_mm_image_stats, """
+        WITH m AS (SELECT CAST(doc_id AS BIGINT) AS mid,
+                          64 + (doc_id % 8) * 16 AS w,
+                          48 + (doc_id % 6) * 16 AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+        j AS (SELECT mid, w * h * 3 AS n,
+                     unnest(generate_series(0, w * h * 3 - 1)) AS j
+              FROM m),
+        px AS (SELECT mid, n, (mid * 31 + j * 7) % 256 AS v FROM j)
+        SELECT mid AS media_id, CAST(n AS BIGINT) AS n_pixels,
+               ROUND(AVG(v), 4) AS mean_value,
+               CAST(MIN(v) AS BIGINT) AS min_value,
+               CAST(MAX(v) AS BIGINT) AS max_value
+        FROM px GROUP BY mid, n"""),
     # Fuzzy dedup runs in hash_fn='md5' portable mode so DuckDB replays
     # the ENTIRE pipeline (shingle hash → min-hash → banding → est →
     # exact verify); the xxh64 fast path keeps its exact pure-Python

@@ -1,6 +1,8 @@
-"""Multimodal column plumbing: schemas, mapInPandas batch shape,
-deterministic stub kernels."""
+"""Multimodal column plumbing: schemas, mapInPandas batch shape, and
+the REAL netpbm decode kernel (pure-numpy P5/P6 codec) replayed
+driver-side against the closed-form pixel generator."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -23,12 +25,38 @@ def test_media_schema(media):
     assert kinds == {"image", "audio", "video"}
 
 
+def test_netpbm_codec_roundtrip():
+    """encode -> decode is the identity for both P6 (rgb) and P5
+    (gray), and the encoded header is the canonical public format."""
+    rng = np.random.default_rng(7)
+    for c in (3, 1):
+        px = rng.integers(0, 256, size=(5, 9, c), dtype=np.uint8)
+        payload = MM.encode_netpbm(px)
+        magic = b"P6" if c == 3 else b"P5"
+        assert payload.startswith(magic + b"\n9 5\n255\n")
+        assert np.array_equal(MM.decode_netpbm(payload), px)
+    # comment lines in the header are legal netpbm
+    with_comment = b"P5\n# a comment\n2 2\n255\n\x01\x02\x03\x04"
+    assert MM.decode_netpbm(with_comment).ravel().tolist() == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="netpbm"):
+        MM.decode_netpbm(b"\x89PNG....")
+
+
+def test_image_payloads_are_real_netpbm(media):
+    """Every synthetic image payload is a decodable P6 whose dimensions
+    match the metadata — the payload is self-describing; nothing in the
+    decode path reads the meta struct."""
+    for r in media.filter("kind = 'image'").limit(10).collect():
+        px = MM.decode_netpbm(bytes(r["payload"]))
+        m = r["meta"]
+        assert px.shape == (m["height"], m["width"], m["channels"])
+        assert m["format"] == "ppm"
+
+
 def test_image_stats_deterministic(media):
     a = {r["media_id"]: (r["mean_value"], r["n_pixels"]) for r in MM.image_stats(media).collect()}
     b = {r["media_id"]: (r["mean_value"], r["n_pixels"]) for r in MM.image_stats(media).collect()}
     assert a == b and len(a) > 0
-    # n_pixels must equal the metadata product — plumbing is real even
-    # though the decode kernel is a stub
     metas = {r["media_id"]: r["meta"] for r in media.filter("kind = 'image'").collect()}
     for mid, (_, n_px) in a.items():
         m = metas[mid]
@@ -41,7 +69,9 @@ def test_resize_rewrites_meta_and_payload(media):
     assert len(rows) == media.filter("kind = 'image'").count()
     for r in rows[:5]:
         assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
-        assert len(bytes(r["payload"])) == 32 * 24 * r["meta"]["channels"]
+        # the resized payload is itself a decodable netpbm image
+        px = MM.decode_netpbm(bytes(r["payload"]))
+        assert px.shape == (24, 32, r["meta"]["channels"])
 
 
 def test_frame_index_counts(media):
@@ -61,26 +91,54 @@ def test_extract_features_shape(media):
         assert all(0.0 <= x <= 1.0 for x in r["feature"])
 
 
-def test_real_decode_is_gated():
-    with pytest.raises(NotImplementedError):
-        MM.decode_real(b"\x89PNG", "png")
+def test_extract_features_images_are_content_exact(media):
+    """Image features come from the REAL decode: replay the pooling
+    driver-side from the closed-form pixels and match exactly."""
+    rows = media.filter("kind = 'image'").limit(5).collect()
+    got = {r["media_id"]: r["feature"] for r in
+           MM.extract_features(media.filter("kind = 'image'").limit(5), dim=16).collect()}
+    for r in rows:
+        m = r["meta"]
+        flat = MM._image_pixels(r["media_id"], m["width"], m["height"]) \
+            .astype(np.float64).ravel()
+        exp = [float(c.mean()) / 255.0 for c in np.array_split(flat, 16)]
+        assert got[r["media_id"]] == pytest.approx(exp, abs=1e-12)
+
+
+def test_real_decode_dispatch():
+    """decode_real: netpbm decodes natively; compressed formats fail
+    loudly when PIL is absent (never a silent fake)."""
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(MM.decode_real(MM.encode_netpbm(px)), px)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(RuntimeError, match="PIL"):
+            MM.decode_real(b"\x89PNG....", "png")
 
 
 def test_image_stats_match_driverside_replay(media):
-    """Independent plumbing check: collect the raw media rows and
-    replay the stub kernel driver-side — the mapInPandas result must
-    route every (payload, meta) pair to the right output row. Catches
-    batch-boundary / column-order / meta-projection bugs the
-    determinism test cannot."""
-    from agensgraph_spark.pipeline.multimodal import _decode_pixels_stub
-    raw = media.filter("kind = 'image'").select(
-        "media_id", "payload", "meta.width", "meta.height", "meta.channels").collect()
+    """Full-value replay: regenerate every image's pixels from the
+    closed form driver-side and match ALL five statistics exactly —
+    the mapInPandas result must route every payload to the right
+    output row and the decode must read back exactly what the encoder
+    wrote. Catches batch-boundary / column-order bugs plus any codec
+    asymmetry."""
+    metas = media.filter("kind = 'image'").select("media_id", "meta.width", "meta.height").collect()
     exp = {}
-    for r in raw:
-        px = _decode_pixels_stub(bytes(r["payload"]), r["width"], r["height"], r["channels"])
-        exp[r["media_id"]] = (int(px.size), round(float(px.mean()), 9),
+    for r in metas:
+        px = MM._image_pixels(r["media_id"], r["width"], r["height"])
+        exp[r["media_id"]] = (int(px.size), float(px.mean()), float(px.std()),
                               int(px.min()), int(px.max()))
-    got = {r["media_id"]: (r["n_pixels"], round(r["mean_value"], 9),
+    got = {r["media_id"]: (r["n_pixels"], r["mean_value"], r["std_value"],
                            r["min_value"], r["max_value"])
            for r in MM.image_stats(media).collect()}
-    assert got == exp and len(got) > 0
+    assert len(got) == len(exp) > 0
+    for mid, e in exp.items():
+        g = got[mid]
+        assert g[0] == e[0] and g[3] == e[3] and g[4] == e[4], mid
+        assert g[1] == pytest.approx(e[1], abs=1e-12)
+        assert g[2] == pytest.approx(e[2], abs=1e-9)

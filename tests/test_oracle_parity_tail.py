@@ -39,8 +39,10 @@ def test_tail_coverage_accounted_for():
     """Every no-oracle tail entry must be one of the known xxhash64/
     stub cases covered by pytest differentials — nothing silently
     unverified."""
-    known = {"mm_image_stats"}       # stub decode kernel (documented)
-    assert set(TAIL_NO_ORACLE) <= known, TAIL_NO_ORACLE
+    # every registry entry is oracle-backed as of r8 (mm_image_stats
+    # gained a generate_series pixel replay) — any regression here
+    # means a query silently lost value-level verification
+    assert TAIL_NO_ORACLE == [], TAIL_NO_ORACLE
 
 
 @pytest.mark.parametrize("name", TAIL_WITH_ORACLE)
