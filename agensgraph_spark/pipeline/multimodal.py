@@ -134,16 +134,40 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     audio/video payloads are the utf-8 text bytes. All metadata follows
     closed-form expressions of the id so SQL oracles can replay every
     metadata-level operator, and the pixel formula lets them replay
-    image statistics too."""
+    image statistics too.
+
+    The encode is PURE COLUMN EXPRESSIONS (no Python): because
+    gcd(7, 256) = 1, the pixel sequence (mid*31 + 7j) mod 256 has
+    period exactly 256, so the body is one hex-encoded 256-byte tile
+    repeated w*h*3/256 times and unhexed once. Keeping it JVM-side
+    means Catalyst PRUNES the payload away for metadata-only consumers
+    (frame sampling, meta scans) — at 100 TB the payload bytes are
+    only materialized by operators that decode them."""
     i = F.col(id_col).cast("long")
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int"))
-    base = docs.select(
+    w = (F.lit(64) + (i % 8) * 16).cast("int")
+    h = (F.lit(48) + (i % 6) * 16).cast("int")
+
+    # netpbm P6 header + tiled pixel body, all column expressions
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n")).cast("binary")
+    tile_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(255)),
+                    lambda j: F.lpad(F.hex((i * 31 + 7 * j) % 256), 2, "0")),
+        "")
+    n = (w * h * 3).cast("long")
+    body_hex = F.substring(F.repeat(tile_hex, ((n + 255) / 256).cast("int")),
+                           1, (n * 2).cast("int"))
+    image_payload = F.concat(header, F.unhex(body_hex))
+
+    return docs.select(
         i.alias("media_id"),
         kind.alias("kind"),
-        F.col(text_col).cast("binary").alias("payload"),
+        F.when(kind == "image", image_payload)
+         .otherwise(F.col(text_col).cast("binary")).alias("payload"),
         F.struct(
-            (F.lit(64) + (i % 8) * 16).cast("int").alias("width"),
-            (F.lit(48) + (i % 6) * 16).cast("int").alias("height"),
+            w.alias("width"),
+            h.alias("height"),
             F.when(i % 3 == 0, 3).otherwise(1).cast("int").alias("channels"),
             F.when(kind == "audio", 16000).otherwise(0).cast("int").alias("sample_rate"),
             F.when(kind == "video", (i % 240 + 1)).otherwise(1).cast("int").alias("n_frames"),
@@ -151,21 +175,6 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
              .alias("format"),
         ).alias("meta"),
     )
-
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            img = pdf["kind"] == "image"
-            enc = [encode_netpbm(_image_pixels(int(r.media_id),
-                                               int(r.meta["width"]),
-                                               int(r.meta["height"])))
-                   for r in pdf.loc[img].itertuples(index=False)]
-            pdf["payload"] = pdf["payload"].astype(object)
-            pdf.loc[img, "payload"] = pd.Series(enc, index=pdf.index[img],
-                                                dtype=object)
-            yield pdf
-
-    return base.mapInPandas(encode, schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
