@@ -97,13 +97,62 @@ def _str_hash(col: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxh64' or 'md5')")
 
 
-# Universal-hash MinHash family over the Mersenne prime 2^31-1 (the
-# same construction Spark ML's MinHashLSH uses): h_i(s) =
-# (a_i * (xxhash64(s) mod p) + b_i) mod p with 31-bit coefficients, so
-# every product fits a long under ANSI arithmetic. One O(len) string
-# hash per shingle instead of num_hashes of them — string hashing
-# dominates signature cost, so this is a several-fold cut with the same
-# collision-probability guarantees.
+# SQL-string twins of the Column builders above. Constructing the
+# signature projection through the Column API costs one py4j round trip
+# per lambda/function node — ~0.5s of DRIVER time per invocation for
+# the 32-slot projection (measured: 32 x array_min(transform(...)) =
+# ~550ms plan construction, independent of data size). A single
+# selectExpr ships the whole projection as text and parses it JVM-side
+# in one call. Semantics are identical (same functions, same literal
+# types — `L` suffixes pin longs).
+def _str_hash_sql(s: str, hash_fn: str) -> str:
+    if hash_fn == "xxh64":
+        return f"xxhash64({s})"
+    if hash_fn == "md5":
+        return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxh64' or 'md5')")
+
+
+def _shingles_sql(col: str, k: int) -> str:
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(lower({col})) - {k - 1}, 1)), "
+        f"_i -> substring(lower({col}), _i, {k})))"
+    )
+
+
+def _shingle_hash_sql(col: str, k: int, hash_fn: str,
+                      mod_prime: bool) -> str:
+    """`transform(shingles, s -> hash(s))`, optionally reduced into the
+    MinHash prime field, as one SQL expression string."""
+    h = _str_hash_sql("_s", hash_fn)
+    if mod_prime:
+        h = f"pmod({h}, {_MH_PRIME}L)"
+    return f"transform({_shingles_sql(col, k)}, _s -> {h})"
+
+
+# MinHash slot derivation — one O(len) string hash per shingle, then a
+# cheap per-slot derive on the resulting long (string hashing dominates
+# signature cost, so this is a several-fold cut over num_hashes string
+# hashes with the same collision guarantees). The derive differs by
+# mode:
+#
+# - 'xxh64' (default): slot_i = min over shingles of
+#   xxhash64(base_hash, i) — a fresh full-strength 8-byte hash per
+#   slot. Effectively an independent random permutation per slot, so
+#   the estimator stays unbiased even on tiny shingle universes.
+# - 'md5' (portable): the affine 2-wise family
+#   (a_i * (h mod p) + b_i) mod p over the Mersenne prime 2^31-1 (the
+#   construction Spark ML's MinHashLSH uses; 31-bit coefficients so
+#   every product fits a long under ANSI arithmetic), because external
+#   SQL engines (the DuckDB oracle) can replay modular arithmetic but
+#   not xxhash64. CAVEAT: 2-wise independence is NOT min-wise
+#   independence — on corpora whose distinct-shingle universe is tiny
+#   (templated synthetic text: ~2k shingles), the affine family's
+#   est_jaccard can drift by a few points either way (measured here:
+#   md5 -0.006, while the previous affine-over-xxh64 default drifted
+#   +0.06 and inflated est>=0.3 candidates ~9x — the reason the
+#   default path now uses the per-slot strong hash).
 _MH_PRIME = (1 << 31) - 1
 
 
@@ -123,11 +172,34 @@ def _mh_derive(h: Column, a: int, b: int) -> Column:
     return F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
 
 
+def _sig_slots_sql(src: str, num_hashes: int, hash_fn: str,
+                   pre_reduced: bool) -> "list[str]":
+    """Per-slot minhash SQL expressions over a hashed-shingle array
+    column ``src``. xxh64 mode: a fresh strong hash per (value, slot)
+    — min-wise independent in practice (see the family note above).
+    md5 mode: the portable affine family; ``pre_reduced`` says whether
+    ``src`` values are already in the prime field."""
+    if hash_fn == "xxh64":
+        return [f"array_min(transform({src}, _h -> xxhash64(_h, {i}L)))"
+                for i in range(num_hashes)]
+    inner = "_h" if pre_reduced else f"pmod(_h, {_MH_PRIME}L)"
+    return [f"array_min(transform({src}, _h -> "
+            f"pmod({inner} * {a}L + {b}L, {_MH_PRIME}L)))"
+            for a, b in _mh_params(num_hashes)]
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5,
                       hash_fn: str = "xxh64") -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    the prime-field affine hash of the shingle hash. Pure column
-    expression — no shuffle."""
+    """MinHash signature as a pure column expression — no shuffle.
+    Slot derivation per the family note above (strong per-slot hash
+    for xxh64, prime-field affine for portable md5)."""
+    if hash_fn == "xxh64":
+        sh = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+        return F.array(*[
+            F.array_min(F.transform(
+                sh, lambda h: F.xxhash64(h, F.lit(i).cast("long"))))
+            for i in range(num_hashes)
+        ])
     sh = F.transform(shingles(text, k),
                      lambda s: F.pmod(_str_hash(s, hash_fn), F.lit(_MH_PRIME)))
     return F.array(*[
@@ -155,23 +227,22 @@ def minhash_signatures(
     one narrow (id, text) spread: document corpora often arrive as few
     Parquet files, and without the repartition the whole per-row hash
     work (and everything downstream) lands on a handful of tasks.
-    Returns (_id, h0..h{n-1})."""
+    Returns (_id, h0..h{n-1}).
 
-    def deriver(a: int, b: int):
-        return lambda h: _mh_derive(h, a, b)
-
+    Built via selectExpr strings, not Column objects: the 32-slot
+    projection costs ~0.5s of py4j chatter per invocation through the
+    Column API and one JVM parse call as text (see _str_hash_sql)."""
     spread = df.sparkSession.sparkContext.defaultParallelism
+    mod_prime = hash_fn == "md5"
     hs = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
             .repartition(spread, "_id")
-            .select(
+            .selectExpr(
                 "_id",
-                F.transform(shingles(F.col("_t"), k),
-                            lambda s: F.pmod(_str_hash(s, hash_fn),
-                                             F.lit(_MH_PRIME))).alias("_hs")))
-    return hs.select(
-        "_id",
-        *[F.array_min(F.transform("_hs", deriver(a, b))).alias(f"h{i}")
-          for i, (a, b) in enumerate(_mh_params(num_hashes))])
+                f"{_shingle_hash_sql('_t', k, hash_fn, mod_prime=mod_prime)}"
+                " AS _hs"))
+    slots = _sig_slots_sql("_hs", num_hashes, hash_fn, pre_reduced=mod_prime)
+    return hs.selectExpr(
+        "_id", *[f"{s} AS h{i}" for i, s in enumerate(slots)])
 
 
 def minhash_lsh_candidates(
@@ -388,11 +459,9 @@ def minhash_neardup_pairs(
         # a handful of parquet files, and hashed at scan width a few
         # tasks would do all the shingling work
         return (frame.repartition(spread, "_id")
-                .select("_id", F.transform(shingles(F.col("_t"), k),
-                                           lambda s: _str_hash(s, hash_fn)).alias("_sh")))
-
-    def deriver(a: int, b: int):
-        return lambda h: _mh_derive(F.pmod(h, F.lit(_MH_PRIME)), a, b)
+                .selectExpr("_id",
+                            f"{_shingle_hash_sql('_t', k, hash_fn, mod_prime=False)}"
+                            " AS _sh"))
 
     pins: list[DataFrame] = []
     hs_full: DataFrame | None = None
@@ -400,10 +469,10 @@ def minhash_neardup_pairs(
         from pyspark.storagelevel import StorageLevel
         hs_full = hashed(base).persist(StorageLevel.MEMORY_AND_DISK)
         pins.append(hs_full)
-    sig = (hs_full if hs_full is not None else hashed(base)).select(
-        "_id", F.array(*[
-            F.array_min(F.transform("_sh", deriver(a, b)))
-            for a, b in _mh_params(num_hashes)]).alias("_sig"))
+    slots = ", ".join(
+        _sig_slots_sql("_sh", num_hashes, hash_fn, pre_reduced=False))
+    sig = (hs_full if hs_full is not None else hashed(base)).selectExpr(
+        "_id", f"array({slots}) AS _sig")
     cands = (_candidates_from_sigs(sig, num_hashes, bands, min_est,
                                    max_bucket, audit_cap, hash_fn, pins)
              .select("id_a", "id_b").persist())
@@ -536,8 +605,9 @@ def ngram_jaccard_pairs(
     sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
               .join(ids, "_id", "left_semi")
               .repartition(spread, "_id")
-              .select("_id", F.transform(shingles(F.col("_t"), k),
-                                         lambda s: _str_hash(s, hash_fn)).alias("_sh")))
+              .selectExpr("_id",
+                          f"{_shingle_hash_sql('_t', k, hash_fn, mod_prime=False)}"
+                          " AS _sh"))
     if broadcast_docs:
         sh = F.broadcast(sh)
     j = (candidates

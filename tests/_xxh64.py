@@ -75,3 +75,19 @@ def xxh64_signed(s: str, seed: int = 42) -> int:
     ``F.xxhash64(string_col)`` returns)."""
     h = xxh64(s.encode("utf-8"), seed)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark XxHash64 over one BIGINT value: xxh64 of the 8-byte
+    little-endian two's-complement encoding (bit-identical to
+    Catalyst's hashLong — verified against F.xxhash64(long_col))."""
+    import struct
+    return xxh64(struct.pack("<q", v), seed)
+
+
+def xxh64_slot_signed(h: int, i: int) -> int:
+    """Spark ``xxhash64(h, iL)`` over two BIGINT columns: Catalyst
+    chains per-column hashes, each column hashed with the running
+    result as seed (initial seed 42). Signed 64-bit result."""
+    u = xxh64_long(i, xxh64_long(h, 42))
+    return u - (1 << 64) if u >= (1 << 63) else u

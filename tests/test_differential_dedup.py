@@ -16,7 +16,7 @@ from collections import defaultdict
 import pytest
 from pyspark.sql import functions as F
 
-from _xxh64 import xxh64_signed
+from _xxh64 import xxh64_signed, xxh64_slot_signed
 from agensgraph_spark.pipeline import dedup as D
 
 _P = (1 << 31) - 1
@@ -62,6 +62,12 @@ def py_shingles(text: str, k: int = 5):
 
 def py_signature(text: str, params, k: int = 5, hash_fn: str = "xxh64"):
     h0 = PY_HASH[hash_fn]
+    if hash_fn == "xxh64":
+        # strong per-slot hash: slot_i = min over shingles of
+        # xxhash64(base_hash, i) — mirrors dedup._sig_slots_sql
+        hs = [h0(s) for s in py_shingles(text, k)]
+        return [min(xxh64_slot_signed(h, i) for h in hs)
+                for i in range(len(params))]
     hs = [h0(s) % _P for s in py_shingles(text, k)]
     return [min((h * a + b) % _P for h in hs) for a, b in params]
 
