@@ -2605,7 +2605,54 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 12, n_tables: int = 4,
         FROM ranked WHERE rank <= {k}"""
 
 
+def _q_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface: SIMILAR TO via the similar_escape translation
+    (reference regexp.c:similar_escape_internal) — anchored rlike,
+    plus the three-argument SUBSTRING(str SIMILAR pat ESCAPE e)."""
+    from agensgraph_spark import sqlfuncs as SQLF
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", "p_name",
+        SQLF.similar_to(F.col("p_name"), "(cold|blue) [a-z]+").alias("is_cb"),
+        SQLF.similar_to(F.col("p_name"), "bl_e%").alias("is_ble"),
+        SQLF.substring_similar(
+            F.col("p_name"), '%#"[a-z]+#"', escape="#").alias("last_word"),
+    ).filter(SQLF.similar_to(F.col("p_name"), "%(widget|rod)"))
+
+
+def _q_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface: regexp_match first-match group array (reference
+    regexp.c:regexp_match), observed through its elements."""
+    from agensgraph_spark import sqlfuncs as SQLF
+    part = read_table(spark, sf_dir, "part")
+    m = SQLF.regexp_match(F.col("p_name"), r"^(\w+) (\w+)$")
+    return part.select(
+        "p_partkey",
+        m.isNotNull().alias("matched"),
+        F.element_at(m, 1).alias("g1"),
+        F.element_at(m, 2).alias("g2"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # SQL scalar surface the SQL_QUERIES block can't carry (Spark SQL
+    # has no SIMILAR TO / regexp_match); oracles pin the translated
+    # regexes against DuckDB's regex engine
+    "sql_similar_to": (_q_similar_to, """
+        SELECT p_partkey, p_name,
+               regexp_matches(p_name, '^(?:(?:cold|blue) [a-z]+)$') AS is_cb,
+               regexp_matches(p_name, '^(?:bl.e.*)$') AS is_ble,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        FROM part
+        WHERE regexp_matches(p_name, '^(?:.*(?:widget|rod))$')"""),
+    "sql_regexp_match": (_q_regexp_match, r"""
+        SELECT p_partkey,
+               regexp_matches(p_name, '^(\w+) (\w+)$') AS matched,
+               CASE WHEN regexp_matches(p_name, '^(\w+) (\w+)$')
+                    THEN regexp_extract(p_name, '^(\w+) (\w+)$', 1) END AS g1,
+               CASE WHEN regexp_matches(p_name, '^(\w+) (\w+)$')
+                    THEN regexp_extract(p_name, '^(\w+) (\w+)$', 2) END AS g2
+        FROM part"""),
     "dedup_exact": (_q_dedup_exact,
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"),
     "dedup_bykey": (_q_dedup_bykey,
