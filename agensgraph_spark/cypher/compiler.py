@@ -587,6 +587,7 @@ class QueryCompiler(WriteMixin):
             var, key, val = self._deferred_props.pop(0)
             need = [v for v in {var} | self._vars_in(val) if v in self._pending]
             self._force(need)
+            self._materialize_path_composites([val])
             ec = self._ec()
             c = f"{var}__{prop_col_name(key)}"
             self.df = self.df.filter(
@@ -1137,6 +1138,11 @@ class QueryCompiler(WriteMixin):
         vertex/edge vars are re-scanned under a temp prefix; returns
         (df, subscope, shared_var -> temp_var map)."""
         sub = QueryCompiler(self.engine, self.params, graph=self.graph)
+        # continue the outer anon counter: a fresh scope would restart
+        # at _a1 and collide with the outer frame's anon columns when
+        # the two are joined (MERGE with an anonymous pattern after an
+        # anonymous MATCH)
+        sub.scope._anon = self.scope._anon
         renames: dict[str, str] = {}
         # pre-bind nothing; compile patterns with original names first
         m = A.Match(patterns, optional=False, where=None)
@@ -1523,6 +1529,9 @@ class QueryCompiler(WriteMixin):
     def _compile_unwind(self, u: A.Unwind) -> None:
         self._force(self._vars_in(u.expr))
         self._ensure_df()
+        # UNWIND nodes(p)/relationships(p) expands full composites,
+        # not bare id arrays — same pre-join as projections
+        self._materialize_path_composites([u.expr])
         ec = self._ec()
         col = ec.col(u.expr)
         # UNWIND NULL yields zero rows (the reference's SRF over a NULL

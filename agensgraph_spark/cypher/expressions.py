@@ -755,18 +755,18 @@ class ExprCompiler:
     def _f_nodes(self, e: A.FuncCall) -> TC:
         """Vertex composites of the path (reference: makeGraphpathDatum
         graph.c:1259 — _vertex array). The query compiler pre-joins the
-        composite column (``__vnodes``) for projections, WHERE, and
-        write clauses (SET values / DELETE victims); the bare id array
-        remains only as a last-resort fallback for contexts no
-        materializer covers."""
+        composite column (``__vnodes``) for every expression position
+        (projections, WHERE, ORDER BY, UNWIND, write-clause values and
+        property maps); a missing composite here means a compiler
+        context skipped _materialize_path_composites — a bug, so fail
+        loudly instead of silently degrading to a bare id array."""
         p = self._path_var(e.args[0])
         if p is not None and f"{p}__vnodes" in self.schema:
             return TC(F.col(f"{p}__vnodes"), self.schema[f"{p}__vnodes"])
-        ids = self._path_col(e.args[0], "vids")
-        if p is not None and f"{p}__seed" in self.schema:
-            # vid arrays exclude the start vertex; graphpath includes it
-            ids = F.concat(F.array(F.col(f"{p}__seed")), ids)
-        return TC(ids, T.ArrayType(T.LongType()))
+        self._path_col(e.args[0], "vids")  # raises if not a path
+        raise ValueError(
+            "nodes(): path composites not materialized in this context "
+            "(compiler bug — _materialize_path_composites not invoked)")
 
     _f_vertices = _f_nodes
 
@@ -774,7 +774,11 @@ class ExprCompiler:
         p = self._path_var(e.args[0])
         if p is not None and f"{p}__enodes" in self.schema:
             return TC(F.col(f"{p}__enodes"), self.schema[f"{p}__enodes"])
-        return TC(self._path_col(e.args[0], "eids"), T.ArrayType(T.LongType()))
+        self._path_col(e.args[0], "eids")  # raises if not a path
+        raise ValueError(
+            "relationships(): path composites not materialized in this "
+            "context (compiler bug — _materialize_path_composites not "
+            "invoked)")
 
     _f_edges = _f_relationships
 

@@ -141,8 +141,23 @@ class WriteMixin:
     # instantiate the pattern once per input row)
     # ------------------------------------------------------------------
 
+    def _pattern_prop_exprs(self, pats) -> list:
+        """Property-map value expressions of a pattern list — the
+        write-clause positions where nodes(p)/relationships(p) need
+        composite materialization before evaluation."""
+        out = []
+        for pat in pats:
+            for el in pat.elements:
+                props = getattr(el, "props", None)
+                if props is not None:
+                    out.extend(v for _, v in props.items)
+        return out
+
     def _compile_create(self, c: A.Create) -> None:
         self._begin_write()
+        if self.df is not None:
+            self._materialize_path_composites(
+                self._pattern_prop_exprs(c.patterns))
         df = self._ensure_df()
         # Dense per-batch uids. monotonically_increasing_id() alone
         # jumps 2^33 between partitions — using its max as the locid
@@ -637,6 +652,9 @@ class WriteMixin:
         first = self.df is None
         if first:
             self.df = self._ensure_df()
+        else:
+            self._materialize_path_composites(
+                self._pattern_prop_exprs([m.pattern]))
         pat = m.pattern
         # Undirected MERGE rels: the MATCH phase scans both orientations
         # (the pattern compiler's genEdgeUnion path); when nothing

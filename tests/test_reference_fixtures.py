@@ -1137,3 +1137,35 @@ def test_self_loop_pattern_599(eng):
     eng.cypher("MATCH (s:sl {id: 9}) CREATE (s)-[:e1]->(s)")
     assert [r["i"] for r in eng.cypher(
         "MATCH (a:sl)-[]-(a) RETURN a.id AS i").collect()] == [9, 9]
+
+
+# --- path composites in EVERY expression position (graph.c:1259) ---
+# The bare-id fallback in _f_nodes/_f_relationships is gone: any
+# context the materializer misses now raises instead of silently
+# returning id arrays. These pin the once-uncovered contexts.
+
+def test_unwind_nodes_composites(eng):
+    eng.cypher("CREATE (:uw {id: 1})-[:uwe {w: 5}]->(:uw {id: 2})")
+    rows = eng.cypher("MATCH p = (:uw)-[:uwe]->(:uw) "
+                      "UNWIND nodes(p) AS n RETURN n.id AS i").collect()
+    assert sorted(r["i"] for r in rows) == ["1", "2"]
+    rels = eng.cypher("MATCH p = (:uw)-[:uwe]->(:uw) "
+                      "UNWIND relationships(p) AS r "
+                      "RETURN r.w AS w").collect()
+    assert [r["w"] for r in rels] == ["5"]
+
+
+def test_create_prop_from_path_composites(eng):
+    eng.cypher("CREATE (:cpa {id: 3})-[:cpe]->(:cpa {id: 4})")
+    eng.cypher("MATCH p = (:cpa)-[:cpe]->(:cpa) "
+               "CREATE (:cpsum {ids: [x IN nodes(p) | x.id]})")
+    got = eng.cypher("MATCH (s:cpsum) RETURN s.ids AS ids").collect()
+    assert [list(r["ids"]) for r in got] == [["3", "4"]]
+
+
+def test_merge_prop_from_path_composites(eng):
+    eng.cypher("CREATE (:mpa {id: 7})-[:mpe]->(:mpa {id: 8})")
+    eng.cypher("MATCH p = (:mpa)-[:mpe]->(:mpa) "
+               "MERGE (:mpk {first: head([x IN nodes(p) | x.id])})")
+    got = eng.cypher("MATCH (s:mpk) RETURN s.first AS f").collect()
+    assert [r["f"] for r in got] == ["7"]
