@@ -84,6 +84,7 @@ class CypherEngine:
         tables: dict[str, DataFrame] | None = None,
         vle_max_hops: int = P.DEFAULT_MAX_HOPS,
         broadcast_row_threshold: int = 100_000,
+        sequential_merge_rows: int = 0,
     ):
         from agensgraph_spark.cypher.ddl import GraphStore
         self.spark = spark
@@ -97,6 +98,13 @@ class CypherEngine:
             self.store.graph_path = graph.catalog.name
         self.tables = dict(tables or {})
         self.vle_max_hops = vle_max_hops
+        # opt-in OLTP-fidelity MERGE: when > 0 and a MERGE clause's
+        # input frame has at most this many rows, the clause folds
+        # row-by-row on the driver so later input rows observe earlier
+        # rows' ON MATCH/ON CREATE effects within the SAME clause
+        # (reference: cypher_eager.sql:112-156 per-row accumulation).
+        # Default 0 = batch snapshot semantics (documented deviation).
+        self.sequential_merge_rows = sequential_merge_rows
         self.last_write_stats: dict[str, int] = {
             "insertedvertices": 0, "insertededges": 0,
             "deletedvertices": 0, "deletededges": 0, "updatedproperties": 0}

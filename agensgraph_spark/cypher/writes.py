@@ -655,6 +655,48 @@ class WriteMixin:
         else:
             self._materialize_path_composites(
                 self._pattern_prop_exprs([m.pattern]))
+            lim = getattr(self.engine, "sequential_merge_rows", 0) or 0
+            if lim > 0:
+                rows = self.df.limit(lim + 1).collect()
+                if 1 < len(rows) <= lim:
+                    return self._compile_merge_sequential(m, rows)
+        self._compile_merge_batch(m, first)
+
+    def _compile_merge_sequential(self, m: A.Merge, rows: list) -> None:
+        """Opt-in OLTP-fidelity MERGE (engine.sequential_merge_rows):
+        fold the clause's input rows one at a time on the driver so
+        each row's match phase observes earlier rows' creations AND
+        ON MATCH/ON CREATE property updates within the same clause —
+        the reference's per-row accumulation (execCypherMerge.c:35;
+        cypher_eager.sql:112-156, e.g. ON MATCH SET cnt = cnt + 1
+        counting earlier input rows of the SAME statement).
+
+        Driver-side by construction: only taken when the input frame
+        is at most ``sequential_merge_rows`` rows. Batch mode (the
+        default) stays the scale path; this exists to reproduce
+        row-at-a-time transactional semantics where fidelity matters
+        more than throughput."""
+        spark = self.df.sparkSession
+        schema = self.df.schema
+        base_scope = self.scope
+        outs: list[DataFrame] = []
+        final_scope = None
+        for r in rows:
+            # each row compiles against the PRE-merge scope (the merge
+            # vars must not look outer-bound on later rows) but the
+            # CURRENT working graph, which earlier rows just mutated
+            self.scope = base_scope.copy()
+            self.df = spark.createDataFrame([r], schema)
+            self._compile_merge_batch(m, first=False)
+            outs.append(self.df)
+            final_scope = self.scope
+        self.scope = final_scope
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        self.df = out
+
+    def _compile_merge_batch(self, m: A.Merge, first: bool) -> None:
         pat = m.pattern
         # Undirected MERGE rels: the MATCH phase scans both orientations
         # (the pattern compiler's genEdgeUnion path); when nothing

@@ -804,6 +804,28 @@ def test_eager_merge_set_merge_sequential(eager_graph):
     assert [r["eq"] for r in out.collect()] == [True, True, True]
 
 
+def test_eager_merge_set_merge_sequential_optin(spark):
+    """Same fixture as the strict xfail above, under the opt-in
+    sequential fold (engine.sequential_merge_rows): per-input-row
+    accumulation — ON MATCH SET cnt = cnt + 1 counts the two earlier
+    input rows of the SAME statement, so the second MERGE's
+    {cnt: 2} probe matches node a for every row
+    (cypher_eager.out:144-156)."""
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark, sequential_merge_rows=64)
+    eng.cypher("CREATE GRAPH seqmerge")
+    for v in ("v1", "v2"):
+        eng.cypher(f"CREATE VLABEL {v}")
+    eng.cypher("UNWIND [1, 2, 3] AS i CREATE (:v1 {no: i})")
+    out = eng.cypher("MATCH (:v1) MERGE (a:v2 {no: 1}) "
+                     "ON MATCH SET a.cnt = a.cnt + 1 ON CREATE SET a.cnt = 0 "
+                     "MERGE (b:v2 {cnt: 2}) RETURN a = b AS eq")
+    assert [r["eq"] for r in out.collect()] == [True, True, True]
+    # the accumulated property is visible post-statement
+    got = eng.cypher("MATCH (n:v2) RETURN toInteger(n.cnt) AS c").collect()
+    assert [r["c"] for r in got] == [2]
+
+
 def test_pathfind_expression_composites(sp_chain):
     """Composites project through nodes()/relationships() of an
     EXPRESSION-position shortestpath (ids(nodes(shortestpath(...))) in
