@@ -228,7 +228,7 @@ class Graph:
 
     # ---- SQL interop (reference: Cypher results usable as SQL relations) ----
 
-    def register_views(self, spark: SparkSession, prefix: str | None = None) -> None:
+    def register_views(self, prefix: str | None = None) -> None:
         pre = f"{prefix}_" if prefix else f"{self.catalog.name}_"
         for lbl in self.catalog.labels:
             self._stamped(lbl).createOrReplaceTempView(f"{pre}{lbl}")

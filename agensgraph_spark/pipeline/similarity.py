@@ -324,7 +324,6 @@ def neighbor_mean_embeddings(
 def kmeans_update(
     emb: DataFrame,
     cents: "list[list[float]]",
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One Lloyd iteration over a fixed centroid matrix: cosine-argmax
@@ -359,7 +358,6 @@ def train_ivf_centroids(
     rounds: int = 3,
     seed: int = 42,
     dim: int | None = None,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "list[list[float]]":
     """A few Lloyd rounds from seeded unit directions — the centroid
@@ -376,7 +374,7 @@ def train_ivf_centroids(
     cents = [[float(x) for x in c] for c in cents]
     for _ in range(rounds):
         got = {r["list_id"]: list(r["centroid"])
-               for r in kmeans_update(emb, cents, id_col, vec_col).collect()}
+               for r in kmeans_update(emb, cents, vec_col).collect()}
         cents = [got.get(i, cents[i]) for i in range(n_lists)]
     return cents
 

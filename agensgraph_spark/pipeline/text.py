@@ -304,7 +304,6 @@ def repetition_stats(
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     k: int = 50,
 ) -> DataFrame:
     """Corpus vocabulary head: top-k whitespace tokens by document
