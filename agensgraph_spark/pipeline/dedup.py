@@ -693,6 +693,7 @@ def connected_components(
     id_b: str = "id_b",
     nodes: DataFrame | None = None,
     max_iters: int = 50,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components of the undirected near-duplicate pair
     graph — the canonicalization step of fuzzy dedup: every doc in a
@@ -717,6 +718,19 @@ def connected_components(
     unpaired ids come back as singleton components of themselves.
     Returns (id, component). Hitting ``max_iters`` before convergence
     WARNS and returns the partially-converged labels (no silent cap).
+
+    Scale shape (two regimes, picked by the edge count the loop needs
+    anyway): near-dup pair graphs are SPARSE at corpus scale — most
+    docs are singletons and only paired docs need label propagation.
+    When the distinct edge set fits the driver (``driver_max_edges``,
+    ~1.5 MB of longs at the default), the component labels are solved
+    in one union-find pass over the collected edges and broadcast-
+    joined back onto the (arbitrarily large, distributed) node
+    universe — zero iterative rounds instead of O(log diameter) rounds
+    of ~0.5 s scheduler overhead each. Above the threshold the
+    distributed min-label + pointer-jumping loop below takes over;
+    ``driver_max_edges=0`` forces it (the differential tests pin both
+    paths against each other).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -731,6 +745,37 @@ def connected_components(
     # not run 32-task rounds; big graphs keep full width. The count
     # also materializes the edge pin for the loop.
     n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        local = edges.filter(F.col("src") < F.col("dst")).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in local:
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                # min-id root keeps the min-label contract exactly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in
+                  {v for row in local for v in (row["src"], row["dst"])}]
+        spark = pairs.sparkSession
+        comp = spark.createDataFrame(labels, "id long, component long") \
+            if labels else spark.createDataFrame([], "id long, component long")
+        base = edges.select(F.col("src").alias("id")).distinct()
+        if nodes is not None:
+            base = base.unionByName(nodes.toDF("id")).distinct()
+        out = (base.join(F.broadcast(comp), "id", "left")
+               .select("id", F.coalesce("component", "id").alias("component"))
+               .localCheckpoint())
+        edges.unpersist(blocking=False)
+        return out
     spread = pairs.sparkSession.sparkContext.defaultParallelism
     width = max(1, min(spread, n_edges // 50_000))
     edges = edges.repartition(width, "src")

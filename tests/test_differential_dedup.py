@@ -312,9 +312,13 @@ def py_components(pairs, nodes):
     return {n: find(n) for n in nodes}
 
 
-def test_connected_components_match_union_find(spark):
+@pytest.mark.parametrize("driver_max_edges", [100_000, 0],
+                         ids=["driver-unionfind", "distributed-loop"])
+def test_connected_components_match_union_find(spark, driver_max_edges):
     """Random graph with chains, triangles, and singletons — chains
-    exercise multi-round label propagation."""
+    exercise multi-round label propagation. Both regimes (the
+    small-edge-set driver union-find and the distributed pointer-
+    jumping loop) must agree with the independent Python union-find."""
     import random
     rng = random.Random(7)
     nodes = list(range(120))
@@ -333,18 +337,20 @@ def test_connected_components_match_union_find(spark):
     pdf = spark.createDataFrame(sorted(pairs), ["id_a", "id_b"])
     ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
     got = {r["id"]: r["component"]
-           for r in D.connected_components(pdf, nodes=ndf).collect()}
+           for r in D.connected_components(
+               pdf, nodes=ndf, driver_max_edges=driver_max_edges).collect()}
     assert got == py_components(sorted(pairs), nodes)
 
 
 def test_connected_components_warns_on_max_iters(spark, caplog):
     """A 10-chain cannot converge in 2 rounds — the truncation must be
-    loud (no silent caps)."""
+    loud (no silent caps). driver_max_edges=0 forces the iterative
+    path (the driver union-find has no rounds to cap)."""
     import logging
     pairs = [(i, i + 1) for i in range(10)]
     pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
     with caplog.at_level(logging.WARNING, logger="agensgraph_spark.pipeline.dedup"):
-        D.connected_components(pdf, max_iters=2).collect()
+        D.connected_components(pdf, max_iters=2, driver_max_edges=0).collect()
     assert any("max_iters" in r.message for r in caplog.records)
 
 
@@ -440,7 +446,10 @@ def test_range_join_random_differential_vs_duckdb(spark):
 
 def test_connected_components_random_vs_duckdb(spark):
     """Random 300-node pair graph vs a DuckDB recursive-CTE min-reach —
-    a second independent oracle beside the union-find replay."""
+    a second independent oracle beside the union-find replay.
+    driver_max_edges=0 keeps this one on the DISTRIBUTED loop (the
+    driver union-find path is covered by the parametrized union-find
+    differential and the gated dedup_cluster row)."""
     import random
 
     import duckdb
@@ -451,7 +460,8 @@ def test_connected_components_random_vs_duckdb(spark):
     pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
     nodes = spark.createDataFrame([(n,) for n in range(300)], ["id"])
     got = {r["id"]: r["component"]
-           for r in D.connected_components(pdf, nodes=nodes).collect()}
+           for r in D.connected_components(
+               pdf, nodes=nodes, driver_max_edges=0).collect()}
 
     con = duckdb.connect()
     con.execute("CREATE TABLE p (a BIGINT, b BIGINT)")
