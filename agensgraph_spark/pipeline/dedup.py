@@ -672,19 +672,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # hamming distances
         raise ValueError("simhash: bits must be <= 60 when hash_fn='md5' "
                          "(the md5-prefix hash is 60-bit)")
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
-    ).withColumn("_h", _str_hash(F.col("_tok"), hash_fn))
+    # SQL-string construction, same rationale as _str_hash_sql: the
+    # 32 per-bit aggregates + 32-term majority expression cost ~0.8s
+    # of py4j plan-construction per invocation through the Column API
+    toks = df.selectExpr(
+        f"`{id_col}` AS _id",
+        f"explode(split(trim(lower(`{text_col}`)), '\\\\s+')) AS _tok",
+    ).selectExpr("_id", f"{_str_hash_sql('_tok', hash_fn)} AS _h")
     bit_sums = toks.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}") for j in range(bits)],
+        F.expr("count(1)").alias("_n"),
+        *[F.expr(f"sum(shiftrightunsigned(_h, {j}) & 1)").alias(f"_b{j}")
+          for j in range(bits)],
     )
-    sim = None
-    for j in range(bits):
-        bit = (F.col(f"_b{j}") * 2 > F.col("_n")).cast("long") * F.lit(1 << j)
-        sim = bit if sim is None else sim + bit
-    return bit_sums.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+    terms = " + ".join(
+        f"(CASE WHEN _b{j} * 2 > _n THEN {1 << j}L ELSE 0L END)"
+        for j in range(bits))
+    return bit_sums.selectExpr(f"_id AS `{id_col}`", f"({terms}) AS simhash")
 
 
 def connected_components(
