@@ -334,17 +334,15 @@ def _candidates_from_sigs(
     # oracle grouping by the RAW slice produces identical buckets →
     # identical member sets → identical pairs (md5-portable parity is
     # unaffected; asserted by the gate oracle and the md5 differential).
-    def _band_key(b: int) -> Column:
-        cat = F.concat_ws(",", *[
-            F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)])
-        return F.xxhash64(cat)
+    def _band_key_sql(b: int) -> str:
+        cat = ", ".join(
+            f"CAST(element_at(_sig, {b * rows_per_band + r + 1}) AS STRING)"
+            for r in range(rows_per_band))
+        return f"xxhash64(concat_ws(',', {cat}))"
 
-    banded = sig.select(
-        "_id",
-        F.posexplode(F.array(*[_band_key(b) for b in range(bands)]))
-         .alias("_band", "_bhash"),
-    )
+    keys = ", ".join(_band_key_sql(b) for b in range(bands))
+    banded = sig.selectExpr(
+        "_id", f"posexplode(array({keys})) AS (_band, _bhash)")
     grouped = (banded.groupBy("_band", "_bhash")
                .agg(F.array_sort(F.collect_list("_id")).alias("_ms"))
                .filter(F.size("_ms") >= 2))
@@ -526,17 +524,15 @@ def lsh_skew_stats(
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn) \
         .select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("_sig"))
 
-    def _band_key(b: int) -> Column:
-        cat = F.concat_ws(",", *[
-            F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)])
-        return F.xxhash64(cat)
+    def _band_key_sql(b: int) -> str:
+        cat = ", ".join(
+            f"CAST(element_at(_sig, {b * rows_per_band + r + 1}) AS STRING)"
+            for r in range(rows_per_band))
+        return f"xxhash64(concat_ws(',', {cat}))"
 
-    banded = sig.select(
-        "_id",
-        F.posexplode(F.array(*[_band_key(b) for b in range(bands)]))
-         .alias("_band", "_bhash"),
-    )
+    keys = ", ".join(_band_key_sql(b) for b in range(bands))
+    banded = sig.selectExpr(
+        "_id", f"posexplode(array({keys})) AS (_band, _bhash)")
     sizes = banded.groupBy("_band", "_bhash").agg(F.count(F.lit(1)).alias("_n"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
