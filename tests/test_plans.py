@@ -305,3 +305,30 @@ def test_quantize_embeddings_map_only(spark):
     plan = physical(df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_signatures_single_exchange_no_python(spark):
+    """The signature stage is map-only after ONE spread repartition:
+    exactly one Exchange (the explicit spread), zero Python eval nodes
+    — the shape that keeps a 100-TB signature pass embarrassingly
+    parallel."""
+    from agensgraph_spark.pipeline import dedup as D
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for hash_fn in ("xxh64", "md5"):
+        plan = physical(D.minhash_signatures(docs, hash_fn=hash_fn))
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_small_graph_broadcasts(spark):
+    """The driver union-find path must join its edge-bounded label map
+    to the node universe as a BROADCAST (the universe side can be
+    arbitrarily large; shuffling it to serve a tiny map is the wrong
+    plan)."""
+    from agensgraph_spark.pipeline import dedup as D
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    out = D.connected_components(pairs, nodes=nodes)
+    # the output is localCheckpoint-materialized; assert on the labels
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
