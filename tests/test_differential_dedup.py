@@ -186,6 +186,22 @@ def test_minhash_signatures_match_python(spark, hash_fn):
 
 
 @pytest.mark.parametrize("hash_fn", HASH_FNS)
+def test_minhash_signature_column_variant_agrees(spark, hash_fn):
+    """The single-column minhash_signature (pure Column expression)
+    must produce the same slots as the frame-level minhash_signatures
+    (selectExpr path) — both derive from the same slot construction."""
+    docs = make_corpus(n_base=4, variants=1)
+    df = _docs_df(spark, docs)
+    col_sigs = {r["doc_id"]: list(r["sig"]) for r in df.select(
+        "doc_id",
+        D.minhash_signature(F.col("text"), hash_fn=hash_fn).alias("sig"),
+    ).collect()}
+    frame_sigs = {r["_id"]: [r[f"h{i}"] for i in range(32)]
+                  for r in D.minhash_signatures(df, hash_fn=hash_fn).collect()}
+    assert col_sigs == frame_sigs
+
+
+@pytest.mark.parametrize("hash_fn", HASH_FNS)
 def test_minhash_lsh_pipeline_matches_python(spark, hash_fn):
     """The exact gated-query pipeline (workload._q_minhash_lsh):
     banding candidates (min_est=0.3) -> exact shingle-Jaccard >= 0.4.
