@@ -765,8 +765,14 @@ def connected_components(
         labels = [(x, find(x)) for x in
                   {v for row in local for v in (row["src"], row["dst"])}]
         spark = pairs.sparkSession
-        comp = spark.createDataFrame(labels, "id long, component long") \
-            if labels else spark.createDataFrame([], "id long, component long")
+        # label map inherits the id type (graph ids are longs, doc keys
+        # may be strings — Python min and F.least order both the same
+        # way, so the min-label contract holds for either)
+        import pyspark.sql.types as T
+        id_dt = edges.schema["src"].dataType
+        comp_schema = T.StructType([T.StructField("id", id_dt),
+                                    T.StructField("component", id_dt)])
+        comp = spark.createDataFrame(labels, comp_schema)
         base = edges.select(F.col("src").alias("id")).distinct()
         if nodes is not None:
             base = base.unionByName(nodes.toDF("id")).distinct()

@@ -358,6 +358,19 @@ def test_connected_components_match_union_find(spark, driver_max_edges):
     assert got == py_components(sorted(pairs), nodes)
 
 
+def test_connected_components_string_ids(spark):
+    """Non-long id types ride both paths: the driver label map must
+    inherit the edge column type (regression: the fast path hardcoded
+    longs and graph_wcc's string vertex keys blew up)."""
+    pairs = [("s1", "s2"), ("s2", "s3"), ("x9", "x8")]
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    for dme in (100_000, 0):
+        got = {r["id"]: r["component"] for r in D.connected_components(
+            pdf, driver_max_edges=dme).collect()}
+        assert got == {"s1": "s1", "s2": "s1", "s3": "s1",
+                       "x8": "x8", "x9": "x8"}
+
+
 def test_connected_components_warns_on_max_iters(spark, caplog):
     """A 10-chain cannot converge in 2 rounds — the truncation must be
     loud (no silent caps). driver_max_edges=0 forces the iterative
