@@ -69,6 +69,7 @@ def main() -> None:
     # whipsawed round-over-round comparisons; the minimum of two runs is
     # the standard steady-state estimator and both passes are emitted
     # for transparency.
+    import gc
     passes: list[dict[str, float]] = []
     for p in range(2):
         timings: dict[str, float] = {}
@@ -80,6 +81,12 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = dt
             print(f"# pass{p + 1} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # iterative operators (paths, CC, dedup) release superseded
+        # localCheckpoint RDDs on GC; dozens of queries between Python
+        # collections can leave executor storage pinned and whipsaw
+        # late-section timings (observed: a 20x dijkstra outlier in the
+        # 100x probe that vanished in a fresh session)
+        gc.collect()
         passes.append(timings)
 
     best = {name: min(ps[name] for ps in passes) for name in HEADLINE}
@@ -107,6 +114,7 @@ def main() -> None:
     top5 = sorted(best, key=lambda q: best[q], reverse=True)[:5]
     if (data_ratio is not None and os.path.isdir(probe_dir)
             and os.path.abspath(probe_dir) != os.path.abspath(sf_dir)):
+        gc.collect()  # release checkpoint pins before the probe timings
         probe: dict[str, dict] = {}
         for name in top5:
             t0 = time.time()
@@ -133,6 +141,7 @@ def main() -> None:
                     os.path.dirname(os.path.abspath(__file__)), "tools"))
                 import gen_scale_corpus
                 gen_scale_corpus.generate(spark, big_dir)
+            gc.collect()
             probe2: dict[str, dict] = {}
             for name in top5:
                 t0 = time.time()
