@@ -115,11 +115,22 @@ def main() -> None:
     if (data_ratio is not None and os.path.isdir(probe_dir)
             and os.path.abspath(probe_dir) != os.path.abspath(sf_dir)):
         gc.collect()  # release checkpoint pins before the probe timings
+
+        def best_of_2(name: str, d: str) -> float:
+            # probe timings get the same best-of-2 estimator as the
+            # headline: single-shot probe numbers late in a 65-query
+            # session whipsawed run-over-run (one-off GC/cleaner
+            # hiccups read as fake super-linear ratios)
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, d).count()
+                ts.append(round(time.time() - t0, 3))
+            return min(ts)
+
         probe: dict[str, dict] = {}
         for name in top5:
-            t0 = time.time()
-            queries[name](spark, probe_dir).count()
-            small = round(time.time() - t0, 3)
+            small = best_of_2(name, probe_dir)
             probe[name] = {
                 "small": small, "big": best[name],
                 "ratio": round(best[name] / small, 2) if small > 0 else None,
@@ -144,9 +155,7 @@ def main() -> None:
             gc.collect()
             probe2: dict[str, dict] = {}
             for name in top5:
-                t0 = time.time()
-                queries[name](spark, big_dir).count()
-                t_big = round(time.time() - t0, 3)
+                t_big = best_of_2(name, big_dir)
                 probe2[name] = {
                     "mid": best[name], "big": t_big,
                     "ratio": round(t_big / best[name], 2) if best[name] > 0 else None,
