@@ -119,9 +119,14 @@ class InList(Expr):
 
 @dataclass
 class StringOp(Expr):
-    op: str  # starts_with | ends_with | contains | regex
+    # starts_with | ends_with | contains | regex
+    # | [not_]like | [not_]ilike | [not_]similar (gram.y:13560-13640:
+    # LIKE/ILIKE/SIMILAR TO [ESCAPE] are a_expr productions, so the
+    # reference accepts them inside Cypher expressions too)
+    op: str
     left: Expr
     right: Expr
+    escape: "Expr | None" = None
 
 
 @dataclass

@@ -488,7 +488,34 @@ class ExprCompiler:
             if isinstance(e.right, A.Lit) and isinstance(e.right.value, str):
                 return TC(lc.rlike(f"^(?:{e.right.value})$"), T.BooleanType())
             return TC(lc.rlike(F.concat(F.lit("^(?:"), r.col.cast("string"), F.lit(")$"))), T.BooleanType())
+        if e.op in ("like", "not_like", "ilike", "not_ilike"):
+            # gram.y:13560-13607 — LIKE/ILIKE [ESCAPE]; Spark's LIKE has
+            # the same %/_ wildcards and backslash default escape
+            esc = self._escape_literal(e, default="\\")
+            fn = F.ilike if e.op.endswith("ilike") else F.like
+            col = fn(lc, r.col.cast("string"), F.lit(esc))
+            return TC(~col if e.op.startswith("not_") else col, T.BooleanType())
+        if e.op in ("similar", "not_similar"):
+            # gram.y:13609-13640 — SIMILAR TO [ESCAPE] rewrites the SQL
+            # regex through similar_escape (regexp.c) and matches with ~
+            if not (isinstance(e.right, A.Lit) and isinstance(e.right.value, str)):
+                raise NotImplementedError(
+                    "SIMILAR TO pattern must be a string literal (the "
+                    "pattern->regex translation runs at compile time)")
+            from agensgraph_spark.sqlfuncs import similar_escape
+            esc = self._escape_literal(e, default="\\")
+            rx = similar_escape(e.right.value, esc or None)
+            col = lc.rlike(rx)
+            return TC(~col if e.op.startswith("not_") else col, T.BooleanType())
         raise NotImplementedError(e.op)
+
+    @staticmethod
+    def _escape_literal(e: A.StringOp, default: str) -> str:
+        if e.escape is None:
+            return default
+        if not (isinstance(e.escape, A.Lit) and isinstance(e.escape.value, str)):
+            raise NotImplementedError("ESCAPE must be a string literal")
+        return e.escape.value
 
     def _c_Case(self, e: A.Case) -> TC:
         out = None

@@ -19,6 +19,8 @@ KEYWORDS = {
     "detach", "on", "union", "intersect", "except", "all", "any", "none",
     "single", "exists",
     "case", "when", "then", "else", "end", "count", "load", "from", "only",
+    # PostgreSQL a_expr pattern operators (gram.y:13560-13640)
+    "like", "ilike", "similar", "to", "escape",
 }
 
 TWO_CHAR = ("<=", ">=", "<>", "=~", "->", "<-", "+=", "..", "||", "::")

@@ -535,6 +535,27 @@ class Parser:
                 self.next()
                 parts.append(A.StringOp("contains", cur, self.parse_additive()))
                 break
+            # PostgreSQL a_expr pattern ops inside Cypher
+            # (gram.y:13560-13640): [NOT] LIKE/ILIKE/SIMILAR TO
+            # [ESCAPE e]
+            neg = ""
+            if self.peek_kw("not") and self.peek_kw(
+                    "like", "ilike", "similar", off=1):
+                self.next()
+                neg = "not_"
+            if self.peek_kw("like", "ilike"):
+                op = self.next().lower()
+                right = self.parse_additive()
+                parts.append(A.StringOp(neg + op, cur, right,
+                                        escape=self._parse_escape()))
+                break
+            if self.peek_kw("similar"):
+                self.next()
+                self.expect_kw("to")
+                right = self.parse_additive()
+                parts.append(A.StringOp(neg + "similar", cur, right,
+                                        escape=self._parse_escape()))
+                break
             if self.peek_kw("is"):
                 self.next()
                 neg = bool(self.accept_kw("not"))
@@ -547,6 +568,11 @@ class Parser:
         if len(parts) == 1:
             return parts[0]
         return A.BoolOp("and", parts)
+
+    def _parse_escape(self) -> "A.Expr | None":
+        if self.accept_kw("escape"):
+            return self.parse_additive()
+        return None
 
     def parse_additive(self) -> A.Expr:
         left = self.parse_multiplicative()

@@ -425,3 +425,47 @@ def test_pg_cast_syntax_and_bigint_literals(eng):
     lo, hi = -(1 << 63) - 1, (1 << 63)
     got = eng.cypher(f"RETURN {lo} AS lo, {hi} AS hi").collect()[0]
     assert int(got["lo"]) == lo and int(got["hi"]) == hi
+
+
+# --- PostgreSQL pattern operators in Cypher a_exprs (gram.y:13560-13640) ---
+
+@pytest.fixture(scope="module")
+def like_eng(spark):
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark)
+    eng.cypher("CREATE GRAPH likeops")
+    eng.cypher("UNWIND ['cold widget', 'blue rod', 'LARGE BOLT', "
+               "'50% off', null] AS t CREATE (:lk {t: t})")
+    return eng
+
+
+def _lk(eng, cond):
+    return sorted(r["x"] for r in eng.cypher(
+        f"MATCH (d:lk) WHERE {cond} RETURN d.t AS x").collect())
+
+
+def test_cypher_like_ilike(like_eng):
+    assert _lk(like_eng, "d.t LIKE '%widget'") == ["cold widget"]
+    assert _lk(like_eng, "d.t ILIKE 'large%'") == ["LARGE BOLT"]
+    # case-sensitive: only the capital-O row survives NOT LIKE '%o%'
+    assert _lk(like_eng, "d.t NOT LIKE '%o%'") == ["LARGE BOLT"]
+    assert _lk(like_eng, "d.t LIKE '50#% %' ESCAPE '#'") == ["50% off"]
+
+
+def test_cypher_similar_to(like_eng):
+    assert _lk(like_eng, "d.t SIMILAR TO '%(widget|rod)'") == \
+        ["blue rod", "cold widget"]
+    assert _lk(like_eng, "d.t SIMILAR TO 'bl_e [a-z]+'") == ["blue rod"]
+    # every non-null row contains o or O; NULL stays NULL (filtered)
+    assert _lk(like_eng, "d.t NOT SIMILAR TO '%(o|O)%'") == []
+
+
+def test_cypher_like_keywords_still_identifiers(like_eng):
+    # 'to'/'escape'/'like' remain valid property names (ident() accepts
+    # keywords) — the new reserved-word set must not break property
+    # access
+    like_eng.cypher("CREATE (:lkp {to: 1, escape: 2, like: 3})")
+    got = like_eng.cypher(
+        "MATCH (n:lkp) RETURN n.to AS a, n.escape AS b, n.like AS c"
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 2, 3)]
