@@ -122,6 +122,19 @@ GRAPH_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT p_partkey AS pkey, p_name AS pname FROM part "
         "WHERE p_name LIKE 's%' AND p_name LIKE '%g%'",
     ),
+    # PostgreSQL pattern operators inside Cypher a_exprs
+    # (gram.y:13560-13640); the oracle pins the similar_escape
+    # translation against DuckDB's regex engine
+    "cy_like_similar": (
+        "MATCH (p:part) WHERE p.p_name SIMILAR TO '%(widget|rod)' "
+        "AND p.p_name NOT LIKE 'b%' "
+        "RETURN p.p_partkey AS pkey, p.p_name AS pname, "
+        "p.p_name ILIKE 'COLD%' AS is_cold",
+        "SELECT p_partkey AS pkey, p_name AS pname, "
+        "p_name ILIKE 'COLD%' AS is_cold FROM part "
+        "WHERE regexp_matches(p_name, '^(?:.*(?:widget|rod))$') "
+        "AND p_name NOT LIKE 'b%'",
+    ),
     "cy_union": (
         "MATCH (n:nation) RETURN n.n_name AS name UNION MATCH (r:region) RETURN r.r_name AS name",
         "SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region",
