@@ -112,6 +112,15 @@ class IsNull(Expr):
 
 
 @dataclass
+class DistinctFrom(Expr):
+    """a IS [NOT] DISTINCT FROM b — null-safe comparison
+    (gram.y a_expr; negated=True is IS NOT DISTINCT FROM)."""
+    left: Expr
+    right: Expr
+    negated: bool = False
+
+
+@dataclass
 class InList(Expr):
     item: Expr
     container: Expr

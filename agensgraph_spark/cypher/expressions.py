@@ -429,6 +429,18 @@ class ExprCompiler:
         }
         return TC(ops[e.op](l.col, r.col), T.BooleanType())
 
+    def _c_DistinctFrom(self, e: A.DistinctFrom) -> TC:
+        """IS [NOT] DISTINCT FROM: null-safe equality (two NULLs are
+        not distinct; NULL vs non-NULL is distinct) — Spark's
+        eqNullSafe has exactly the PostgreSQL truth table."""
+        lid, rid = self.entity_id(e.left), self.entity_id(e.right)
+        if lid is not None and rid is not None:
+            lc, rc = lid, rid
+        else:
+            lc, rc = self.tc(e.left).col, self.tc(e.right).col
+        eq = lc.eqNullSafe(rc)
+        return TC(eq if e.negated else ~eq, T.BooleanType())
+
     def _c_BoolOp(self, e: A.BoolOp) -> TC:
         cols = [self.bool_col(a) for a in e.args]
         out = cols[0]

@@ -21,6 +21,8 @@ KEYWORDS = {
     "case", "when", "then", "else", "end", "count", "load", "from", "only",
     # PostgreSQL a_expr pattern operators (gram.y:13560-13640)
     "like", "ilike", "similar", "to", "escape",
+    # PostgreSQL a_expr range / null-safe comparison
+    "between", "symmetric", "asymmetric",
 }
 
 TWO_CHAR = ("<=", ">=", "<>", "=~", "->", "<-", "+=", "..", "||", "::")

@@ -540,9 +540,27 @@ class Parser:
             # [ESCAPE e]
             neg = ""
             if self.peek_kw("not") and self.peek_kw(
-                    "like", "ilike", "similar", off=1):
+                    "like", "ilike", "similar", "between", off=1):
                 self.next()
                 neg = "not_"
+            if self.peek_kw("between"):
+                # a [NOT] BETWEEN [SYMMETRIC] x AND y (gram.y a_expr):
+                # desugared exactly as PostgreSQL does — three-valued
+                # logic is preserved by the AND/OR composition
+                self.next()
+                sym = bool(self.accept_kw("symmetric"))
+                if not sym:
+                    self.accept_kw("asymmetric")
+                lo = self.parse_additive()
+                self.expect_kw("and")
+                hi = self.parse_additive()
+                rng: A.Expr = A.BoolOp(
+                    "and", [A.Cmp(">=", cur, lo), A.Cmp("<=", cur, hi)])
+                if sym:
+                    rng = A.BoolOp("or", [rng, A.BoolOp(
+                        "and", [A.Cmp(">=", cur, hi), A.Cmp("<=", cur, lo)])])
+                parts.append(A.Not(rng) if neg else rng)
+                break
             if self.peek_kw("like", "ilike"):
                 op = self.next().lower()
                 right = self.parse_additive()
@@ -558,9 +576,14 @@ class Parser:
                 break
             if self.peek_kw("is"):
                 self.next()
-                neg = bool(self.accept_kw("not"))
+                neg_is = bool(self.accept_kw("not"))
+                if self.accept_kw("distinct"):
+                    self.expect_kw("from")
+                    parts.append(A.DistinctFrom(
+                        cur, self.parse_additive(), negated=neg_is))
+                    break
                 self.expect_kw("null")
-                parts.append(A.IsNull(cur, negated=neg))
+                parts.append(A.IsNull(cur, negated=neg_is))
                 break
             break
         if not parts:

@@ -469,3 +469,30 @@ def test_cypher_like_keywords_still_identifiers(like_eng):
         "MATCH (n:lkp) RETURN n.to AS a, n.escape AS b, n.like AS c"
     ).collect()
     assert [tuple(r) for r in got] == [(1, 2, 3)]
+
+
+def test_cypher_between(like_eng):
+    eng = like_eng
+    eng.cypher("UNWIND [1, 5, 10, null] AS v CREATE (:btw {v: v})")
+
+    def q(c):
+        rows = eng.cypher(f"MATCH (b:btw) WHERE {c} RETURN b.v AS x").collect()
+        return sorted((None if r["x"] is None else int(r["x"]) for r in rows),
+                      key=lambda x: (x is None, x))
+    assert q("toInteger(b.v) BETWEEN 2 AND 9") == [5]
+    assert q("toInteger(b.v) NOT BETWEEN 2 AND 9") == [1, 10]
+    # SYMMETRIC swaps the bounds when reversed (gram.y a_expr)
+    assert q("toInteger(b.v) BETWEEN SYMMETRIC 9 AND 2") == [5]
+
+
+def test_cypher_is_distinct_from(like_eng):
+    eng = like_eng
+
+    def q(c):
+        rows = eng.cypher(f"MATCH (b:btw) WHERE {c} RETURN b.v AS x").collect()
+        return sorted((None if r["x"] is None else int(r["x"]) for r in rows),
+                      key=lambda x: (x is None, x))
+    # NULL IS DISTINCT FROM 5 is TRUE (not NULL) — the whole point
+    assert q("toInteger(b.v) IS DISTINCT FROM 5") == [1, 10, None]
+    assert q("b.v IS NOT DISTINCT FROM null") == [None]
+    assert q("b.v IS DISTINCT FROM null") == [1, 5, 10]
