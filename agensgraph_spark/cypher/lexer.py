@@ -22,7 +22,7 @@ KEYWORDS = {
     # PostgreSQL a_expr pattern operators (gram.y:13560-13640)
     "like", "ilike", "similar", "to", "escape",
     # PostgreSQL a_expr range / null-safe comparison
-    "between", "symmetric", "asymmetric",
+    "between", "symmetric", "asymmetric", "unknown",
 }
 
 TWO_CHAR = ("<=", ">=", "<>", "=~", "->", "<-", "+=", "..", "||", "::")

@@ -582,6 +582,20 @@ class Parser:
                     parts.append(A.DistinctFrom(
                         cur, self.parse_additive(), negated=neg_is))
                     break
+                # IS [NOT] TRUE/FALSE (null-safe: NULL IS TRUE = false)
+                # and IS [NOT] UNKNOWN (= IS NULL on booleans) —
+                # gram.y a_expr BooleanTest productions
+                if self.accept_kw("true"):
+                    parts.append(A.DistinctFrom(
+                        cur, A.Lit(True), negated=not neg_is))
+                    break
+                if self.accept_kw("false"):
+                    parts.append(A.DistinctFrom(
+                        cur, A.Lit(False), negated=not neg_is))
+                    break
+                if self.accept_kw("unknown"):
+                    parts.append(A.IsNull(cur, negated=neg_is))
+                    break
                 self.expect_kw("null")
                 parts.append(A.IsNull(cur, negated=neg_is))
                 break

@@ -496,3 +496,14 @@ def test_cypher_is_distinct_from(like_eng):
     assert q("toInteger(b.v) IS DISTINCT FROM 5") == [1, 10, None]
     assert q("b.v IS NOT DISTINCT FROM null") == [None]
     assert q("b.v IS DISTINCT FROM null") == [1, 5, 10]
+
+
+def test_cypher_boolean_test(eng):
+    # gram.y BooleanTest: null-safe IS TRUE/FALSE; IS UNKNOWN = IS NULL
+    assert one(eng, "(1 > 0) IS TRUE") is True
+    assert one(eng, "(null > 0) IS TRUE") is False
+    assert one(eng, "(null > 0) IS NOT TRUE") is True
+    assert one(eng, "(1 > 2) IS FALSE") is True
+    assert one(eng, "(null > 0) IS FALSE") is False
+    assert one(eng, "(null > 0) IS UNKNOWN") is True
+    assert one(eng, "(1 > 0) IS NOT UNKNOWN") is True
