@@ -420,3 +420,52 @@ def tfidf_scores(
     return df.select(F.col(id_col)).join(
         scored.select(F.col("_id").alias(id_col), "score"), id_col, "left") \
         .select(id_col, F.coalesce(F.round("score", 6), F.lit(0.0)).alias("tfidf_mean"))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line/paragraph deduplication (the CCNet-style
+    boilerplate pass): a line that appears in at least ``min_docs``
+    DISTINCT documents is boilerplate (headers, footers, nav chrome,
+    license blurbs) and is removed from every document. Returns
+    (id, n_lines, n_kept, text_clean) with the surviving lines
+    re-joined in their original order; fully-boilerplate documents
+    come back with an empty string, not a dropped row.
+
+    Scale shape: explode to (doc, pos, line) rows, one hash aggregate
+    for line document-frequencies (map-side combined; the frequency
+    table is distinct-line-sized, NOT corpus-sized), an anti-join
+    against the boilerplate subset, and one regroup that re-assembles
+    documents via sort_array(collect_list(struct(pos, line))) — two
+    shuffles of scalar rows plus the regroup, no UDFs, no window over
+    the whole corpus. Lines are compared exactly (trimmed); hash them
+    first if line text is long relative to a 64-bit digest.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_raw"),
+    ).select("_id", "_pos", F.trim(F.col("_raw")).alias("_line"))
+    boiler = (lines.groupBy("_line")
+              .agg(F.countDistinct("_id").alias("_df"))
+              .filter(F.col("_df") >= min_docs)
+              .select("_line"))
+    kept = lines.join(boiler, "_line", "left_anti")
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_pos", "_line"))),
+                            lambda s: s["_line"]),
+                        sep).alias("text_clean")))
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (totals.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))

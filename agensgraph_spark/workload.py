@@ -2618,6 +2618,25 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 12, n_tables: int = 4,
         FROM ranked WHERE rank <= {k}"""
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line/boilerplate dedup (text.line_dedup): the
+    driver's documents have no line structure, so both engines first
+    wrap each doc into 6-token lines with the SAME deterministic
+    expression; a line appearing in >= 3 distinct docs is boilerplate.
+    text_clean is compared through md5 to keep the row narrow while
+    staying value-exact."""
+    docs = read_table(spark, sf_dir, "documents")
+    ml = docs.selectExpr(
+        "doc_id",
+        "array_join(transform("
+        "sequence(0, CAST(ceil(size(split(text, ' ')) / 6.0) AS INT) - 1), "
+        "i -> array_join(slice(split(text, ' '), i*6+1, 6), ' ')), '\\n')"
+        " AS text")
+    out = TX.line_dedup(ml, min_docs=3)
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5(F.col("text_clean")).alias("clean_md5"))
+
+
 def _q_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface: SIMILAR TO via the similar_escape translation
     (reference regexp.c:similar_escape_internal) — anchored rlike,
@@ -2648,6 +2667,36 @@ def _q_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # CCNet-style corpus boilerplate removal: full-pipeline DuckDB
+    # replay (line wrap -> trim -> doc-frequency -> anti-join ->
+    # ordered re-assembly -> md5 of the cleaned text)
+    "text_line_dedup": (_q_line_dedup, r"""
+        WITH parts AS (
+          SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        ml AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(range(0, CAST(ceil(len(p) / 6.0) AS INT)),
+                                  i -> array_to_string(p[i*6+1 : i*6+6], ' ')),
+                   chr(10)) AS text
+          FROM parts),
+        lines AS (
+          SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                                         (x, i) -> {'pos': i, 'line': trim(x)})) AS u
+            FROM ml)),
+        freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        boiler AS (SELECT line FROM freq WHERE df >= 3),
+        kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line = b.line),
+        rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS text_clean
+          FROM kept GROUP BY doc_id),
+        totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+               md5(coalesce(r.text_clean, '')) AS clean_md5
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"""),
     # SQL scalar surface the SQL_QUERIES block can't carry (Spark SQL
     # has no SIMILAR TO / regexp_match); oracles pin the translated
     # regexes against DuckDB's regex engine

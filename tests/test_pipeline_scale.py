@@ -518,3 +518,31 @@ def test_train_ivf_reduces_quantization_error(spark):
     c3 = train_ivf_centroids(emb, n_lists=8, rounds=3, dim=64)
     assert distortion(c3) <= distortion(c0) + 1e-9
     assert len(c3) == 8 and len(c3[0]) == 64
+
+
+def test_line_dedup_semantics(spark):
+    from agensgraph_spark.pipeline.text import line_dedup
+    rows = [
+        (1, "copyright foo\nunique one\nunique two"),
+        (2, "copyright foo\ndifferent body"),
+        (3, "copyright foo"),                  # fully boilerplate
+        (4, "  copyright foo  \nkept line"),   # trimmed match
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+           for r in line_dedup(df, min_docs=3).collect()}
+    # 'copyright foo' appears (trimmed) in 4 >= 3 docs -> removed
+    assert got[1] == (3, 2, "unique one\nunique two")
+    assert got[2] == (2, 1, "different body")
+    assert got[3] == (1, 0, "")   # row survives with empty text
+    assert got[4] == (2, 1, "kept line")
+
+
+def test_line_dedup_preserves_order(spark):
+    from agensgraph_spark.pipeline.text import line_dedup
+    text = "\n".join(f"line {i}" for i in range(20))
+    df = spark.createDataFrame([(1, text), (2, "nothing shared")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_clean"]
+           for r in line_dedup(df, min_docs=2).collect()}
+    assert got[1] == text  # nothing removed, original order intact
