@@ -61,6 +61,13 @@ class Graph:
         if label not in self.catalog.labels:
             raise ValueError(f"label {label!r} not in catalog")
         self.frames[label] = df
+        # any frame change invalidates the cached statistics: the
+        # reference maintains ag_graphmeta incrementally from write stats
+        # (regather_graphmeta, graphmeta.c); our snapshot analog is
+        # invalidate-on-write + lazy recompute at next read, so a stats
+        # read is never stale relative to the installed frames
+        self._label_counts = None
+        self._edge_triples = None
 
     def label_df(self, label: str) -> DataFrame:
         return self.frames[label]
@@ -180,7 +187,7 @@ class Graph:
         if self._edge_triples is None:
             self._edge_triples = [
                 (r["edge_label"], r["start_labid"], r["end_labid"], r["edgecount"])
-                for r in self.edge_stats().collect()]
+                for r in self._edge_stats_distributed().collect()]
         return self._edge_triples
 
     def edge_triples(self) -> "list[tuple[str, int, int, int]] | None":
@@ -189,9 +196,31 @@ class Graph:
 
     def edge_stats(self) -> DataFrame:
         """Edge-count statistics per (edge label, start labid, end
-        labid) — the join-order/costing input the reference keeps in
-        ag_graphmeta. One aggregate over each edge frame; labels are
-        recovered from the ids' high bits so no vertex join happens."""
+        labid) — the ag_graphmeta analog. Reads are CATALOG lookups in
+        the reference (ag_graphmeta rows maintained from write stats,
+        src/backend/utils/adt/graphmeta.c), not edge rescans — so when
+        the triples have already been gathered for this exact snapshot
+        (collect_edge_stats(), invalidated by every set_label_df) this
+        serves a driver-local 6-ish-row DataFrame instead of re-scanning
+        every edge frame. Cold path computes distributed."""
+        if self._edge_triples:  # empty [] falls through (VALUES () is invalid)
+            spark = SparkSession.getActiveSession()
+            # VALUES → LocalRelation: constant-folds driver-side, no
+            # tasks at all (createDataFrame would plan an RDD scan)
+            vals = ", ".join(
+                "('{}', {}, {}, {})".format(str(e).replace("'", "''"),
+                                            int(s), int(t), int(n))
+                for e, s, t, n in self._edge_triples)
+            return spark.sql(
+                "SELECT col1 AS edge_label, CAST(col2 AS LONG) AS start_labid,"
+                " CAST(col3 AS LONG) AS end_labid, CAST(col4 AS LONG) AS"
+                f" edgecount FROM (VALUES {vals})")
+        return self._edge_stats_distributed()
+
+    def _edge_stats_distributed(self) -> DataFrame:
+        """The gather job behind ``edge_stats``/``collect_edge_stats``:
+        one aggregate over each edge frame; labels are recovered from
+        the ids' high bits so no vertex join happens."""
         from agensgraph_spark.graphid import labid_col
         out = None
         for lbl in self.catalog.elabels():

@@ -332,3 +332,34 @@ def test_connected_components_small_graph_broadcasts(spark):
     # the output is localCheckpoint-materialized; assert on the labels
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+
+
+def test_graphmeta_read_is_catalog_lookup(eng):
+    """ag_graphmeta reads are catalog lookups in the reference (rows
+    maintained by regather_graphmeta, graphmeta.c), not edge rescans.
+    After collect_edge_stats() the edge_stats() plan must be a
+    LocalRelation — zero file scans, zero exchanges — and any
+    set_label_df must invalidate the cache so reads are never stale."""
+    g = eng.graph
+    g.collect_edge_stats()
+    df = g.edge_stats()
+    plan = physical(df)
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert "Exchange" not in plan, plan
+    cached = {tuple(r) for r in df.collect()}
+
+    # invalidation: swapping a frame drops the cache -> distributed plan
+    lbl = "in_region"
+    old = g.frames[lbl]
+    try:
+        g.set_label_df(lbl, old.limit(3))
+        assert g._edge_triples is None and g._label_counts is None
+        fresh = {tuple(r) for r in
+                 g.edge_stats().filter("edge_label = 'in_region'").collect()}
+        assert fresh == {("in_region", 5, 6, 3)}
+    finally:
+        g.set_label_df(lbl, old)
+
+    # recompute after restore matches the pre-invalidation catalog
+    g.collect_edge_stats()
+    assert {tuple(r) for r in g.edge_stats().collect()} == cached
