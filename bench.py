@@ -64,14 +64,18 @@ def main() -> None:
     workload._engine(spark, sf_dir).cypher(
         "MATCH (n:nation)-[:in_region]->(r:region) RETURN count(*) AS n").count()
 
-    # Two full passes, report best-of-2 per query: single-pass timings
-    # at sf0.1 carry ±40% sub-second scheduler/GC noise that has
-    # whipsawed round-over-round comparisons; the minimum of two runs is
-    # the standard steady-state estimator and both passes are emitted
-    # for transparency.
+    # N full passes (default 3), report min AND median per query:
+    # single-pass timings at sf0.1 carry ±40% sub-second scheduler/GC
+    # noise that has whipsawed round-over-round comparisons (the round-8
+    # cy_* "regression" was mostly ambient load — load1 6.35 at exit).
+    # min is the steady-state estimator; the min/median spread plus the
+    # per-pass load1 capture makes noise-vs-regression DECIDABLE from
+    # the artifact alone. All passes are emitted on stderr.
     import gc
+    n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
-    for p in range(2):
+    pass_load: list[float] = [round(os.getloadavg()[0], 2)]
+    for p in range(n_passes):
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries[name]
@@ -88,15 +92,27 @@ def main() -> None:
         # 100x probe that vanished in a fresh session)
         gc.collect()
         passes.append(timings)
+        pass_load.append(round(os.getloadavg()[0], 2))
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
     best = {name: min(ps[name] for ps in passes) for name in HEADLINE}
+    med = {name: _median([ps[name] for ps in passes]) for name in HEADLINE}
     total = round(sum(best.values()), 3)
     # Per-pass detail goes to STDERR only: round 5 embedded the full
     # `passes` array in the final stdout line and the driver's tail
     # capture could no longer parse the headline JSON. The LAST stdout
     # line must stay the compact shape the driver parses.
     print(f"# passes: {json.dumps(passes)}", file=sys.stderr)
-    print(f"# load1_at_exit: {round(os.getloadavg()[0], 2)}", file=sys.stderr)
+    print(f"# load1_per_pass (before p1, after p1..pN): {pass_load}",
+          file=sys.stderr)
+    for name in HEADLINE:
+        ts = sorted(ps[name] for ps in passes)
+        print(f"# spread {name}: min={ts[0]} med={med[name]} max={ts[-1]}",
+              file=sys.stderr)
 
     # Scale probe: re-run the 5 most expensive headline queries at a
     # 10x-smaller scale factor and report the time ratio — a direct
@@ -111,7 +127,13 @@ def main() -> None:
         data_ratio = round(float(sf) / 0.01)
     except ValueError:
         data_ratio = None
-    top5 = sorted(best, key=lambda q: best[q], reverse=True)[:5]
+    # 7 probe queries: the two iterative pipeline operators the round-8
+    # probe set missed (dedup_cluster, graph_pagerank) are always in —
+    # the probe must cover every iterative family — and the rest
+    # backfill most-expensive-first
+    by_cost = sorted(best, key=lambda q: best[q], reverse=True)
+    top5 = ["dedup_cluster", "graph_pagerank"]
+    top5 += [q for q in by_cost if q not in top5][:5]
     if (data_ratio is not None and os.path.isdir(probe_dir)
             and os.path.abspath(probe_dir) != os.path.abspath(sf_dir)):
         gc.collect()  # release checkpoint pins before the probe timings
@@ -171,8 +193,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": best,
-        # cold (pass 1: codegen + parquet footers) vs warm (pass 2)
-        # totals, reported separately — the headline stays best-of-2
+        # median-of-N alongside the min: a drift that shows in the min
+        # but not the median is noise; in both, a real regression
+        "queries_median": med,
+        "n_passes": n_passes,
+        # load1 sampled before pass 1 and after each pass — high ambient
+        # load explains (and disqualifies) whipsawed sub-second timings
+        "load1_per_pass": pass_load,
+        # cold (pass 1: codegen + parquet footers) vs warm (last pass)
+        # totals, reported separately — the headline stays min-of-N
         "cold_total_sec": round(sum(passes[0].values()), 3),
         "warm_total_sec": round(sum(passes[-1].values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
