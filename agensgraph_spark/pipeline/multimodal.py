@@ -15,15 +15,16 @@ analog is `bytea`): the Spark-native pattern for multimodal corpora is
   per batch, not once per row.
 
 Image payloads are REAL binary netpbm images (P6/PPM — the public
-format, header ``P6\\n{w} {h}\\n255\\n`` + raw interleaved RGB bytes),
-encoded and decoded by the pure-numpy codec below; no codec library is
-required for them. Compressed formats (png/jpeg) route through
+format, header ``P6\\n{w} {h}\\n255\\n`` + raw interleaved RGB bytes)
+and audio payloads are REAL RIFF/WAV files (PCM 16-bit mono), encoded
+and decoded by the pure-numpy codecs below; no codec library is
+required for either. Compressed formats (png/jpeg) route through
 ``decode_real``, which dispatches to PIL when installed and fails
 loudly when not — the engine never silently fakes data it cannot
-decode. Audio/video payloads remain opaque blobs whose kernels operate
-on metadata only (frame sampling) or on a hash-seeded deterministic
-stand-in (feature extraction), as a real deployment would swap in
-soundfile/ffmpeg there.
+decode. Video payloads remain opaque blobs whose kernels operate on
+metadata only (frame sampling) or on a hash-seeded deterministic
+stand-in (feature extraction) — the one remaining stand-in, as a real
+deployment would swap in ffmpeg there.
 """
 
 from __future__ import annotations
@@ -97,6 +98,52 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, c)
 
 
+# ---------------------------------------------------------------------------
+# WAV/RIFF codec — a real public audio container (PCM 16-bit), pure numpy
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a canonical
+    RIFF/WAVE file: RIFF header + 'fmt ' chunk (PCM) + 'data' chunk."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    import struct
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                   sample_rate * ch * 2, ch * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload (PCM, 16-bit) to ((n, ch) int16
+    samples, sample_rate) — chunk-walk header parse + frombuffer, no
+    codec library. Fails loudly on non-PCM / non-16-bit encodings."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {payload[:4]!r})")
+    import struct
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE payload missing fmt or data chunk")
+    audio_format, ch, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM 16-bit WAV is supported (format {audio_format}, "
+            f"{bits}-bit)")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, ch), sample_rate
+
+
 def decode_real(payload: bytes, fmt: str | None = None) -> np.ndarray:
     """The production decode path: netpbm decodes natively; compressed
     formats dispatch to PIL when installed and fail loudly when not —
@@ -127,6 +174,23 @@ def _image_pixels(mid: int, w: int, h: int) -> np.ndarray:
         .astype(np.uint8).reshape(h, w, 3)
 
 
+def _audio_n_samples(mid: int) -> int:
+    """Sample count for the synthetic audio corpus (a multiple of the
+    256-sample tile period, so the column-expression encoder repeats a
+    fixed tile)."""
+    return 2048 + (mid % 8) * 512
+
+
+def _audio_samples(mid: int, n: int) -> np.ndarray:
+    """Closed-form int16 PCM samples: sample j holds the signed
+    reinterpretation of (mid*37 + j*256) mod 65536 — stepping by 256
+    makes the little-endian byte pair (const, (base+j) mod 256), so the
+    encoder can tile it JVM-side, and a SQL oracle can replay any
+    sample statistic with a generate_series scan."""
+    v = (mid * 37 + 256 * np.arange(n, dtype=np.int64)) % 65536
+    return np.where(v >= 32768, v - 65536, v).astype(np.int16)
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Derive a deterministic media table from the documents table
     (the container ships no real binaries). Image payloads are REAL
@@ -136,10 +200,12 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     metadata-level operator, and the pixel formula lets them replay
     image statistics too.
 
-    The encode is PURE COLUMN EXPRESSIONS (no Python): because
+    The encodes are PURE COLUMN EXPRESSIONS (no Python): because
     gcd(7, 256) = 1, the pixel sequence (mid*31 + 7j) mod 256 has
-    period exactly 256, so the body is one hex-encoded 256-byte tile
-    repeated w*h*3/256 times and unhexed once. Keeping it JVM-side
+    period exactly 256, so the image body is one hex-encoded 256-byte
+    tile repeated w*h*3/256 times and unhexed once; the audio samples
+    step by 256, so the little-endian int16 pair is (const byte,
+    (base+j) mod 256) — again a 256-sample tile. Keeping it JVM-side
     means Catalyst PRUNES the payload away for metadata-only consumers
     (frame sampling, meta scans) — at 100 TB the payload bytes are
     only materialized by operators that decode them."""
@@ -160,17 +226,48 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
                            1, (n * 2).cast("int"))
     image_payload = F.concat(header, F.unhex(body_hex))
 
+    # RIFF/WAVE header (PCM mono 16-bit @ 16 kHz) + tiled sample body.
+    # Sample j = signed((mid*37 + 256j) mod 65536): LE bytes are
+    # (mid*37 mod 256, (mid*37 div 256 + j) mod 256) — a 256-sample tile.
+    def le_hex(col, nbytes):  # little-endian fixed-width hex of a long
+        return F.concat(*[
+            F.lpad(F.hex((col / (256 ** b)).cast("long") % 256), 2, "0")
+            for b in range(nbytes)])
+
+    n_samp = (F.lit(2048) + (i % 8) * 512).cast("long")
+    ds = n_samp * 2
+    b0_hex = F.lpad(F.hex((i * 37) % 256), 2, "0")
+    c1 = ((i * 37) / 256).cast("long")
+    audio_tile_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(255)),
+                    lambda j: F.concat(b0_hex,
+                                       F.lpad(F.hex((c1 + j) % 256), 2, "0"))),
+        "")
+    audio_body_hex = F.substring(
+        F.repeat(audio_tile_hex, ((n_samp + 255) / 256).cast("int")),
+        1, (ds * 2).cast("int"))
+    # constants: "WAVE" "fmt " size=16 fmt=PCM ch=1 rate=16000
+    # byte_rate=32000 align=2 bits=16, then "data"
+    audio_hdr_hex = F.concat(
+        F.lit("52494646"), le_hex(ds + 36, 4),                   # "RIFF" size
+        F.lit("57415645666D74201000000001000100803E0000007D000002001000"),
+        F.lit("64617461"), le_hex(ds, 4))                        # "data" size
+    audio_payload = F.unhex(F.concat(audio_hdr_hex, audio_body_hex))
+
     return docs.select(
         i.alias("media_id"),
         kind.alias("kind"),
         F.when(kind == "image", image_payload)
+         .when(kind == "audio", audio_payload)
          .otherwise(F.col(text_col).cast("binary")).alias("payload"),
         F.struct(
             w.alias("width"),
             h.alias("height"),
             F.when(i % 3 == 0, 3).otherwise(1).cast("int").alias("channels"),
             F.when(kind == "audio", 16000).otherwise(0).cast("int").alias("sample_rate"),
-            F.when(kind == "video", (i % 240 + 1)).otherwise(1).cast("int").alias("n_frames"),
+            F.when(kind == "video", (i % 240 + 1))
+             .when(kind == "audio", n_samp)
+             .otherwise(1).cast("int").alias("n_frames"),
             F.element_at(F.array(F.lit("ppm"), F.lit("wav"), F.lit("mp4")), (i % 3 + 1).cast("int"))
              .alias("format"),
         ).alias("meta"),
@@ -203,6 +300,34 @@ def image_stats(media: DataFrame) -> DataFrame:
                 "media_id", "n_pixels", "mean_value", "std_value", "min_value", "max_value"])
 
     return imgs.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, n_samples long, sample_rate long, mean_value double, "
+    "min_value long, max_value long"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode each audio payload (REAL RIFF/WAV PCM parse — chunk walk
+    + frombuffer, nothing taken from metadata) and emit per-clip sample
+    statistics. Arrow-batched mapInPandas, one Python roundtrip per
+    batch of payloads — the same shape as image_stats."""
+    clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_wav(bytes(r.payload))
+                s = samples.astype(np.int64)
+                rows.append((r.media_id, int(s.size), int(rate),
+                             float(s.mean()), int(s.min()), int(s.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "sample_rate", "mean_value",
+                "min_value", "max_value"])
+
+    return clips.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -243,19 +368,23 @@ FEATURE_SCHEMA = "media_id long, feature array<double>"
 
 
 def _seeded_signal_stub(payload: bytes, n: int) -> np.ndarray:
-    """Deterministic stand-in for audio/video sample decode (the
-    soundfile/ffmpeg analog): values derive from the payload-hash seed,
-    so features are reproducible and content-sensitive."""
+    """Deterministic stand-in for VIDEO frame decode (the ffmpeg
+    analog — the one remaining non-real kernel): values derive from the
+    payload-hash seed, so features are reproducible and
+    content-sensitive."""
     seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(int(seed))
     return rng.integers(0, 256, size=n, dtype=np.int64)
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Feature extraction: decode → pooled feature vector per payload.
-    Images decode for real (netpbm) and pool mean intensity per flat
-    chunk; audio/video pool the seeded stand-in signal. Batch-shaped
-    like a real vision-encoder inference stage."""
+    """Feature extraction: decode → pooled feature vector per payload,
+    every value normalized into [0, 1]. Images decode for real (netpbm)
+    and pool mean intensity per flat chunk; audio decodes for real
+    (RIFF/WAV PCM) and pools mean amplitude per chunk (int16 shifted to
+    unsigned / 65535); video pools the seeded stand-in signal (the last
+    stand-in — a real deployment swaps in ffmpeg). Batch-shaped like a
+    real vision-encoder inference stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -264,9 +393,15 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 pay = bytes(r.payload)
                 if pay[:2] in (b"P5", b"P6"):
                     flat = decode_netpbm(pay).astype(np.float64).ravel()
+                    scale = 255.0
+                elif pay[:4] == b"RIFF":
+                    samples, _rate = decode_wav(pay)
+                    flat = samples.astype(np.float64).ravel() + 32768.0
+                    scale = 65535.0
                 else:
                     flat = _seeded_signal_stub(pay, max(dim * 8, 64)).astype(np.float64)
-                vec = [float(chunk.mean()) / 255.0
+                    scale = 255.0
+                vec = [float(chunk.mean()) / scale
                        for chunk in np.array_split(flat, dim)]
                 rows.append((r.media_id, vec))
             yield pd.DataFrame(rows, columns=["media_id", "feature"])

@@ -1296,6 +1296,20 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_sampled")))
 
 
+def _q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RIFF/WAV PCM decode (multimodal.py decode_wav) over every
+    synthetic audio clip; the DuckDB oracle replays the closed-form
+    samples ((mid*37 + j*256) % 65536, signed) with a generate_series
+    scan. Integer sums stay far below 2^53, so mean is exact to the
+    last ulp on both sides and the rounding is hash-stability
+    cosmetics."""
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
+    return MM.audio_stats(media).select(
+        "media_id", "n_samples", "sample_rate",
+        F.round("mean_value", 4).alias("mean_value"),
+        "min_value", "max_value")
+
+
 def _q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real netpbm decode (multimodal.py decode_netpbm) over every
     synthetic image; the DuckDB oracle replays the closed-form pixels
@@ -2869,13 +2883,18 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
                CAST(48 + (doc_id % 6) * 16 AS BIGINT) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
-               CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 240 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 240 + 1
+                         WHEN doc_id % 3 = 1 THEN 2048 + (doc_id % 8) * 512
+                         ELSE 1 END AS BIGINT) AS n_frames,
                CAST(CASE WHEN doc_id % 3 = 0 THEN
                          -- netpbm P6: 'P6\\n' + '{w} {h}\\n' + '255\\n' + rgb
                          3 + length(CAST(64 + (doc_id % 8) * 16 AS VARCHAR))
                            + 1 + length(CAST(48 + (doc_id % 6) * 16 AS VARCHAR))
                            + 1 + 4
                            + (64 + (doc_id % 8) * 16) * (48 + (doc_id % 6) * 16) * 3
+                    WHEN doc_id % 3 = 1 THEN
+                         -- RIFF/WAV PCM 16-bit mono: 44-byte header + 2n
+                         44 + 2 * (2048 + (doc_id % 8) * 512)
                     ELSE octet_length(encode(text)) END AS BIGINT) AS payload_bytes
         FROM documents"""),
     "mm_frame_sample": (_q_mm_frame_sample, """
@@ -2900,6 +2919,25 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(MIN(v) AS BIGINT) AS min_value,
                CAST(MAX(v) AS BIGINT) AS max_value
         FROM px GROUP BY mid, n"""),
+    # full-pipeline replay: the oracle regenerates every PCM sample of
+    # every synthetic clip (signed((mid*37 + j*256) % 65536) —
+    # multimodal._audio_samples) with a generate_series scan and
+    # recomputes the statistics the Spark side obtains by actually
+    # DECODING the RIFF/WAV payloads (chunk walk + frombuffer)
+    "mm_audio_stats": (_q_mm_audio_stats, """
+        WITH m AS (SELECT CAST(doc_id AS BIGINT) AS mid,
+                          2048 + (doc_id % 8) * 512 AS n
+                   FROM documents WHERE doc_id % 3 = 1),
+        j AS (SELECT mid, n, unnest(generate_series(0, n - 1)) AS j FROM m),
+        s AS (SELECT mid, n,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+              FROM (SELECT mid, n, (mid * 37 + j * 256) % 65536 AS v FROM j))
+        SELECT mid AS media_id, CAST(n AS BIGINT) AS n_samples,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               ROUND(AVG(s), 4) AS mean_value,
+               CAST(MIN(s) AS BIGINT) AS min_value,
+               CAST(MAX(s) AS BIGINT) AS max_value
+        FROM s GROUP BY mid, n"""),
     # Fuzzy dedup runs in hash_fn='md5' portable mode so DuckDB replays
     # the ENTIRE pipeline (shingle hash → min-hash → banding → est →
     # exact verify); the xxh64 fast path keeps its exact pure-Python
