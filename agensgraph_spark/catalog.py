@@ -37,6 +37,16 @@ class LabelMeta:
     parents: list[str] = field(default_factory=list)
     # property name -> Spark DDL type string ("bigint", "string", "double", ...)
     props: dict[str, str] = field(default_factory=dict)
+    # ALTER VLABEL/ELABEL ... OWNER TO (gram.y OWNER TO RoleSpec):
+    # pure catalog metadata, the pg_class.relowner analog
+    owner: str | None = None
+    # ALTER ... CLUSTER ON <index> (gram.y CLUSTER ON name): the
+    # recorded physical-order directive — snapshot writes lay the
+    # label out range-partitioned+sorted on these property columns so
+    # Parquet min/max footers prune on the indexed expression (the
+    # Spark analog of PostgreSQL CLUSTER's heap rewrite)
+    clustered_on: str | None = None   # index name, for catalog display
+    cluster_keys: list[str] = field(default_factory=list)
 
     def to_dict(self) -> dict:
         return {
@@ -45,6 +55,9 @@ class LabelMeta:
             "kind": self.kind,
             "parents": list(self.parents),
             "props": dict(self.props),
+            "owner": self.owner,
+            "clustered_on": self.clustered_on,
+            "cluster_keys": list(self.cluster_keys),
         }
 
 
@@ -214,6 +227,8 @@ class GraphCatalog:
             cat.labels[m["name"]] = LabelMeta(
                 name=m["name"], labid=m["labid"], kind=m["kind"],
                 parents=list(m.get("parents", [])), props=dict(m.get("props", {})),
+                owner=m.get("owner"), clustered_on=m.get("clustered_on"),
+                cluster_keys=list(m.get("cluster_keys", [])),
             )
         return cat
 

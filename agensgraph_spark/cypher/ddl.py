@@ -123,12 +123,29 @@ _RE = {
         r"(?:\s+inherits\s*\(\s*([\w\s,]+?)\s*\))?$", re.I),
     "drop_label": re.compile(
         r"^drop\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)(\s+cascade)?$", re.I),
-    # ALTER VLABEL/ELABEL (gram.y:16784-16915): logical subset —
-    # RENAME TO / [NO] INHERIT; storage options are n/a by design
+    # ALTER VLABEL/ELABEL (gram.y:16784-16915): every production is
+    # either implemented (RENAME TO, [NO] INHERIT, OWNER TO, CLUSTER
+    # ON, SET WITHOUT CLUSTER) or refused LOUDLY with its rationale
+    # (heap-storage productions with no snapshot analog — see
+    # alter_storage_na)
     "alter_rename": re.compile(
         r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+rename\s+to\s+(\w+)$", re.I),
     "alter_inherit": re.compile(
         r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+(no\s+)?inherit\s+(\w+)$", re.I),
+    "alter_owner": re.compile(
+        r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+owner\s+to\s+(\w+)$", re.I),
+    "alter_cluster": re.compile(
+        r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+cluster\s+on\s+(\w+)$", re.I),
+    "alter_nocluster": re.compile(
+        r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+set\s+without\s+cluster$", re.I),
+    # storage-layer productions: SET STORAGE / SET TABLESPACE / SET
+    # [UN]LOGGED / REPLICA IDENTITY / DISABLE INDEX act on the heap or
+    # WAL, which immutable Parquet snapshots replace wholesale — parse
+    # them so the refusal is explicit and names the production
+    "alter_storage_na": re.compile(
+        r"^alter\s+(vlabel|elabel)\s+(if\s+exists\s+)?(\w+)\s+"
+        r"(set\s+storage\s+\w+|set\s+tablespace\s+\w+|set\s+logged|"
+        r"set\s+unlogged|replica\s+identity\s+.+|disable\s+index)$", re.I),
     "create_index": re.compile(
         r"^create\s+(unique\s+)?property\s+index\s+(?:(\w+)\s+)?"
         r"on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)$", re.I),
@@ -254,6 +271,65 @@ def execute_ddl(store: GraphStore, text: str) -> bool:
             raise ValueError(f"{m.group(1).lower()} {m.group(3)!r} does not exist")
         g.catalog.set_inherit(m.group(3), m.group(5), add=not m.group(4))
         return True
+    m = _RE["alter_owner"].match(s)
+    if m:
+        g = store.current()
+        kind = "v" if m.group(1).lower() == "vlabel" else "e"
+        meta = g.catalog.labels.get(m.group(3))
+        if meta is None or meta.kind != kind:
+            if m.group(2):
+                log.info("graph label %r does not exist, skipping", m.group(3))
+                return True
+            raise ValueError(f"{m.group(1).lower()} {m.group(3)!r} does not exist")
+        meta.owner = m.group(4)  # pg_class.relowner analog
+        return True
+    m = _RE["alter_cluster"].match(s)
+    if m:
+        g = store.current()
+        kind = "v" if m.group(1).lower() == "vlabel" else "e"
+        lbl, idx_name = m.group(3), m.group(4)
+        meta = g.catalog.labels.get(lbl)
+        if meta is None or meta.kind != kind:
+            if m.group(2):
+                log.info("graph label %r does not exist, skipping", lbl)
+                return True
+            raise ValueError(f"{m.group(1).lower()} {lbl!r} does not exist")
+        idx = next((ix for ix in store.indexes.get(store.graph_path, [])
+                    if ix.name == idx_name and ix.label == lbl), None)
+        if idx is None:
+            raise ValueError(
+                f"property index {idx_name!r} on label {lbl!r} does not "
+                "exist (CLUSTER ON requires the named index)")
+        # the snapshot analog of PostgreSQL CLUSTER's heap rewrite:
+        # record the directive; write_snapshot lays the label out
+        # range-partitioned + sorted on these property columns so
+        # Parquet min/max footers prune on the indexed expression
+        meta.clustered_on = idx_name
+        meta.cluster_keys = list(idx.props)
+        return True
+    m = _RE["alter_nocluster"].match(s)
+    if m:
+        g = store.current()
+        kind = "v" if m.group(1).lower() == "vlabel" else "e"
+        meta = g.catalog.labels.get(m.group(3))
+        if meta is None or meta.kind != kind:
+            if m.group(2):
+                log.info("graph label %r does not exist, skipping", m.group(3))
+                return True
+            raise ValueError(f"{m.group(1).lower()} {m.group(3)!r} does not exist")
+        meta.clustered_on = None
+        meta.cluster_keys = []
+        return True
+    m = _RE["alter_storage_na"].match(s)
+    if m:
+        raise NotImplementedError(
+            f"ALTER {m.group(1).upper()} ... {m.group(4).upper()}: this "
+            "production acts on the PostgreSQL heap/WAL (storage mode, "
+            "tablespace, loggedness, replica identity), which immutable "
+            "Parquet snapshots replace wholesale — n/a by design "
+            "(reference: gram.y:16784-16915); the logical productions "
+            "RENAME TO / [NO] INHERIT / OWNER TO / CLUSTER ON / SET "
+            "WITHOUT CLUSTER are all supported")
     m = _RE["create_index"].match(s)
     if m:
         # no-op planning hint: Parquet column stats + predicate pushdown

@@ -313,6 +313,17 @@ class Graph:
         for lbl, df in self.frames.items():
             meta = self.catalog.labels[lbl]
             path = f"{base}/{meta.kind}_{lbl}"
+            keys = [prop_col_name(k) for k in meta.cluster_keys
+                    if prop_col_name(k) in df.columns]
+            if keys:
+                # ALTER ... CLUSTER ON <index>: the PostgreSQL CLUSTER
+                # heap-rewrite analog — range-partition + sort on the
+                # indexed property columns so Parquet min/max footers
+                # prune files AND row groups on the indexed expression
+                out = (df.repartitionByRange(partitions, *keys) if partitions
+                       else df.repartitionByRange(*keys))
+                out.sortWithinPartitions(*keys).write.mode("overwrite").parquet(path)
+                continue
             key = "id" if meta.kind == "v" else "start"
             out = df.repartition(partitions, key) if partitions else df.repartition(F.col(key))
             out.sortWithinPartitions(key).write.mode("overwrite").parquet(path)

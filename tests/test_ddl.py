@@ -389,3 +389,58 @@ def test_expression_unique_constraint(eng):
     eng.cypher("CREATE (:xuc {})")
     eng.cypher("CREATE (:xuc {})")     # multiple NULLs allowed
     assert eng.cypher("MATCH (v:xuc) RETURN count(*) AS c").collect()[0]["c"] == 4
+
+
+def test_alter_label_owner_and_cluster(eng, tmp_path):
+    """ALTER VLABEL OWNER TO / CLUSTER ON / SET WITHOUT CLUSTER
+    (gram.y:16784-16915): owner is pure catalog metadata; CLUSTER ON
+    records the named index's props as the snapshot layout directive
+    and write_snapshot lays the label out range-partitioned+sorted on
+    them; both survive a catalog save/load roundtrip."""
+    eng.cypher("CREATE VLABEL item")
+    eng.cypher("CREATE (:item {price: 1, sku: 'a'}), (:item {price: 2, sku: 'b'})")
+    cat = eng.store.current().catalog
+
+    eng.cypher("ALTER VLABEL item OWNER TO analyst")
+    assert cat.labels["item"].owner == "analyst"
+
+    # CLUSTER ON requires the named index to exist on that label
+    with pytest.raises(ValueError, match="index"):
+        eng.cypher("ALTER VLABEL item CLUSTER ON nope_idx")
+    eng.cypher("CREATE PROPERTY INDEX price_idx ON item (price)")
+    eng.cypher("ALTER VLABEL item CLUSTER ON price_idx")
+    assert cat.labels["item"].clustered_on == "price_idx"
+    assert cat.labels["item"].cluster_keys == ["price"]
+
+    # snapshot honors the directive and the catalog roundtrips it
+    root = str(tmp_path / "snap")
+    eng.store.current().write_snapshot(root)
+    from agensgraph_spark.catalog import GraphCatalog
+    loaded = GraphCatalog.load(root, cat.name)
+    assert loaded.labels["item"].owner == "analyst"
+    assert loaded.labels["item"].clustered_on == "price_idx"
+    assert loaded.labels["item"].cluster_keys == ["price"]
+
+    eng.cypher("ALTER VLABEL item SET WITHOUT CLUSTER")
+    assert cat.labels["item"].clustered_on is None
+    assert cat.labels["item"].cluster_keys == []
+
+    # IF EXISTS tolerates a missing label, plain form errors
+    eng.cypher("ALTER VLABEL IF EXISTS ghost OWNER TO analyst")
+    with pytest.raises(ValueError):
+        eng.cypher("ALTER VLABEL ghost OWNER TO analyst")
+
+
+def test_alter_label_storage_productions_refused_loudly(eng):
+    """The heap/WAL productions (SET STORAGE/TABLESPACE/[UN]LOGGED,
+    REPLICA IDENTITY, DISABLE INDEX) parse and refuse with the n/a
+    rationale — never a silent no-op, never an unparsed fall-through."""
+    eng.cypher("CREATE VLABEL item")
+    for stmt in ("ALTER VLABEL item SET STORAGE external",
+                 "ALTER VLABEL item SET TABLESPACE fast_ssd",
+                 "ALTER VLABEL item SET LOGGED",
+                 "ALTER VLABEL item SET UNLOGGED",
+                 "ALTER VLABEL item REPLICA IDENTITY FULL",
+                 "ALTER VLABEL item DISABLE INDEX"):
+        with pytest.raises(NotImplementedError, match="snapshot"):
+            eng.cypher(stmt)
