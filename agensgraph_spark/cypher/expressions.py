@@ -502,10 +502,26 @@ class ExprCompiler:
             return TC(lc.rlike(F.concat(F.lit("^(?:"), r.col.cast("string"), F.lit(")$"))), T.BooleanType())
         if e.op in ("like", "not_like", "ilike", "not_ilike"):
             # gram.y:13560-13607 — LIKE/ILIKE [ESCAPE]; Spark's LIKE has
-            # the same %/_ wildcards and backslash default escape
+            # the same %/_ wildcards and backslash default escape.
+            # ESCAPE '' (reference: like.c — no escape character) can't
+            # go through F.like (Spark requires exactly one char), so it
+            # compiles to the equivalent anchored regex instead.
             esc = self._escape_literal(e, default="\\")
-            fn = F.ilike if e.op.endswith("ilike") else F.like
-            col = fn(lc, r.col.cast("string"), F.lit(esc))
+            ci = e.op.endswith("ilike")
+            if esc == "":
+                if not (isinstance(e.right, A.Lit) and isinstance(e.right.value, str)):
+                    raise NotImplementedError(
+                        "LIKE ... ESCAPE '' needs a literal pattern (the "
+                        "no-escape pattern->regex translation runs at "
+                        "compile time)")
+                rx = ("(?i)" if ci else "") + "^(?:" + "".join(
+                    ".*" if ch == "%" else "." if ch == "_"
+                    else "\\" + ch if ch in r"\.^$|?*+()[]{}" else ch
+                    for ch in e.right.value) + ")$"
+                col = lc.rlike(rx)
+            else:
+                fn = F.ilike if ci else F.like
+                col = fn(lc, r.col.cast("string"), F.lit(esc))
             return TC(~col if e.op.startswith("not_") else col, T.BooleanType())
         if e.op in ("similar", "not_similar"):
             # gram.y:13609-13640 — SIMILAR TO [ESCAPE] rewrites the SQL

@@ -657,7 +657,17 @@ class WriteMixin:
                 self._pattern_prop_exprs([m.pattern]))
             lim = getattr(self.engine, "sequential_merge_rows", 0) or 0
             if lim > 0:
-                rows = self.df.limit(lim + 1).collect()
+                # collect() order is not guaranteed to match pipeline
+                # row order on multi-partition frames; the reference's
+                # per-row accumulation is order-sensitive (ON MATCH SET
+                # n.last = i), so carry a monotonic row index (partition
+                # -ordered — the frame's logical row order) and sort the
+                # collected rows by it before folding
+                idxed = self.df.withColumn(
+                    "__merge_ord", F.monotonically_increasing_id())
+                rows = sorted(idxed.limit(lim + 1).collect(),
+                              key=lambda r: r["__merge_ord"])
+                rows = [tuple(r)[:-1] for r in rows]
                 if 1 < len(rows) <= lim:
                     return self._compile_merge_sequential(m, rows)
         self._compile_merge_batch(m, first)

@@ -446,9 +446,13 @@ def line_dedup(
     the whole corpus. Lines are compared exactly (trimmed); hash them
     first if line text is long relative to a 64-bit digest.
     """
+    # F.split takes a REGEX but array_join rejoins LITERALLY — quote the
+    # separator (\Q...\E) so e.g. sep='.' or '|' splits on the literal
+    # character, not on every position
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_raw"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E"))
+        .alias("_pos", "_raw"),
     ).select("_id", "_pos", F.trim(F.col("_raw")).alias("_line"))
     boiler = (lines.groupBy("_line")
               .agg(F.countDistinct("_id").alias("_df"))

@@ -26,8 +26,6 @@ Divergences (documented, not silent):
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -51,6 +49,15 @@ def similar_escape(pattern: str, escape: str | None = "\\",
     positions differ — which is the point). The default (reference-
     faithful) output is what the translation pins test against.
     """
+    return _similar_escape(pattern, escape, _lazy_part1)[0]
+
+
+def _similar_escape(pattern: str, escape: str | None = "\\",
+                    _lazy_part1: bool = False) -> tuple[str, int]:
+    """similar_escape plus the separator count (0 or 2) — SUBSTRING
+    needs to know whether the pattern had escape-double-quote
+    separators at all (regexp.c: 'With none, we act as though part1
+    and part3 are empty' — the whole match is the answer)."""
     if escape is not None and len(escape) != 1:
         raise ValueError("escape string must be empty or one character")
     out: list[str] = ["^(?:"]
@@ -99,7 +106,7 @@ def similar_escape(pattern: str, escape: str | None = "\\",
         else:
             out.append(c)
     out.append(")$")
-    return "".join(out)
+    return "".join(out), nquotes
 
 
 def similar_to(col: Column | str, pattern: str,
@@ -123,10 +130,42 @@ def substring_similar(col: Column | str, pattern: str,
     Java regex does not propagate PostgreSQL's subexpression
     non-greediness, and SQL requires part1 to match the SMALLEST
     prefix. Non-``%`` greedy constructs in part1 keep Java
-    semantics — a documented divergence."""
+    semantics — a documented divergence.
+
+    A pattern with NO separators has no capture group — the reference
+    acts as though part1/part3 are empty (regexp.c:729-733), i.e. the
+    whole match is the answer: extract group 0."""
     c = F.col(col) if isinstance(col, str) else col
-    rx = similar_escape(pattern, escape, _lazy_part1=True)
-    return F.when(c.rlike(rx), F.regexp_extract(c, rx, 1))
+    rx, nquotes = _similar_escape(pattern, escape, _lazy_part1=True)
+    return F.when(c.rlike(rx), F.regexp_extract(c, rx, 1 if nquotes else 0))
+
+
+def _count_capture_groups(pattern: str) -> int:
+    """Capturing groups counted LEXICALLY (unescaped ``(`` not followed
+    by ``?``, outside char classes; Java named groups ``(?<name>...)``
+    count too) — NOT by compiling with Python's ``re``: matching runs
+    in Java regex, and a pattern valid in Java but not Python (e.g.
+    possessive ``a*+``) must not fail at plan-construction time."""
+    n, i, incls = 0, 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if incls:
+            if ch == "]":
+                incls = False
+        elif ch == "[":
+            incls = True
+        elif ch == "(":
+            nxt = pattern[i + 1:i + 2]
+            if nxt != "?":
+                n += 1
+            elif (pattern[i + 2:i + 3] == "<"
+                  and pattern[i + 3:i + 4] not in ("=", "!")):
+                n += 1  # (?<name>...) — capturing in Java
+        i += 1
+    return n
 
 
 def regexp_match(col: Column | str, pattern: str) -> Column:
@@ -135,7 +174,7 @@ def regexp_match(col: Column | str, pattern: str) -> Column:
     capture-group texts of the FIRST match (the whole match when the
     pattern has no groups)."""
     c = F.col(col) if isinstance(col, str) else col
-    ngroups = re.compile(pattern).groups
+    ngroups = _count_capture_groups(pattern)
     idxs = range(1, ngroups + 1) if ngroups else (0,)
     return F.when(
         c.rlike(pattern),

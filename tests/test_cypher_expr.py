@@ -450,6 +450,10 @@ def test_cypher_like_ilike(like_eng):
     # case-sensitive: only the capital-O row survives NOT LIKE '%o%'
     assert _lk(like_eng, "d.t NOT LIKE '%o%'") == ["LARGE BOLT"]
     assert _lk(like_eng, "d.t LIKE '50#% %' ESCAPE '#'") == ["50% off"]
+    # ESCAPE '' disables escaping (like.c): '%' is a plain wildcard,
+    # backslash is a literal character
+    assert _lk(like_eng, "d.t LIKE '50% %' ESCAPE ''") == ["50% off"]
+    assert _lk(like_eng, "d.t ILIKE 'LARGE%' ESCAPE ''") == ["LARGE BOLT"]
 
 
 def test_cypher_similar_to(like_eng):

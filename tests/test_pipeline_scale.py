@@ -546,3 +546,14 @@ def test_line_dedup_preserves_order(spark):
     got = {r["doc_id"]: r["text_clean"]
            for r in line_dedup(df, min_docs=2).collect()}
     assert got[1] == text  # nothing removed, original order intact
+
+
+def test_line_dedup_literal_separator(spark):
+    """The separator is a LITERAL, not a regex: sep='.' must split on
+    periods (and rejoin with them), not on every character."""
+    from agensgraph_spark.pipeline.text import line_dedup
+    rows = [(1, "shared clause.unique a"), (2, "shared clause.unique b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_lines"], r["text_clean"])
+           for r in line_dedup(df, sep=".", min_docs=2).collect()}
+    assert got == {1: (2, "unique a"), 2: (2, "unique b")}

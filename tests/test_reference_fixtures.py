@@ -826,6 +826,24 @@ def test_eager_merge_set_merge_sequential_optin(spark):
     assert [r["c"] for r in got] == [2]
 
 
+def test_sequential_merge_respects_pipeline_row_order(spark):
+    """The per-row fold must consume input rows in PIPELINE order even
+    when the frame is multi-partition (the collected rows are sorted by
+    a monotonic row index): ON MATCH SET n.last = i is order-sensitive
+    — the surviving value must come from the LAST input row."""
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark, sequential_merge_rows=64)
+    eng.cypher("CREATE GRAPH seqorder")
+    eng.cypher("CREATE VLABEL v3")
+    # spread the UNWIND over several partitions so naive collect order
+    # could diverge from pipeline order
+    eng.cypher("UNWIND range(1, 12) AS i "
+               "MERGE (n:v3 {no: 1}) "
+               "ON CREATE SET n.last = i ON MATCH SET n.last = i")
+    got = eng.cypher("MATCH (n:v3) RETURN toInteger(n.last) AS l").collect()
+    assert [r["l"] for r in got] == [12]
+
+
 def test_pathfind_expression_composites(sp_chain):
     """Composites project through nodes()/relationships() of an
     EXPRESSION-position shortestpath (ids(nodes(shortestpath(...))) in

@@ -79,3 +79,30 @@ def test_regexp_match_no_groups_whole_match(names):
         "id", regexp_match("name", r"b\w+").alias("m")).collect()}
     assert rows[2] == ["blue"] and rows[3] == ["bolt"]
     assert rows[1] is None
+
+
+def test_substring_similar_no_separators_whole_match(spark):
+    """A pattern with no escape-double-quote separators has no capture
+    group; the reference acts as though part1/part3 are empty —
+    SUBSTRING returns the whole match (regexp.c:729-733)."""
+    df = spark.createDataFrame([("abcdef",), ("xyz",)], ["s"])
+    got = {r["s"]: r["m"] for r in df.select(
+        "s", substring_similar(F.col("s"), "abc%").alias("m")).collect()}
+    assert got == {"abcdef": "abcdef", "xyz": None}
+    # one separator: part3 acts empty — part2 runs to the end
+    got1 = df.select(
+        substring_similar(F.col("s"), 'ab\\"c%').alias("m")).collect()
+    assert {r["m"] for r in got1} == {"cdef", None}
+
+
+def test_regexp_match_java_only_pattern(spark):
+    """Group counting is lexical, so a pattern valid in Java regex but
+    not Python (possessive quantifier) must plan and match."""
+    df = spark.createDataFrame([("aaab",), ("b",), ("c",)], ["s"])
+    got = [r["m"] for r in df.select(
+        regexp_match(F.col("s"), "(a*+)b").alias("m")).collect()]
+    assert got == [["aaa"], [""], None]
+    # named group (capturing in Java), lookbehind (not capturing)
+    got2 = df.select(
+        regexp_match(F.col("s"), "(?<as>a+)(?=b)").alias("m")).collect()
+    assert [r["m"] for r in got2] == [["aaa"], None, None]
