@@ -548,12 +548,26 @@ def jaccard_char_pairs(
     id_col: str = "doc_id",
     max_id: int | None = None,
     threshold: float = 0.0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact character-set Jaccard over a bounded id range (the
-    verification step of near-dup detection; at scale, feed LSH
-    candidates instead of a range). Returns (id_a, id_b, inter, uni)
-    as exact integers — callers derive the ratio."""
+    """Exact character-set Jaccard over an explicitly BOUNDED scope
+    (the verification step of near-dup detection): either an id range
+    (``max_id``) or a candidate id frame (``candidates`` — one ``_id``/
+    first column per doc, e.g. LSH bucket members). All-pairs on an
+    unbounded corpus is a scale-killer, so the bound is REQUIRED — the
+    function raises rather than silently planning a corpus² crossJoin.
+    Returns (id_a, id_b, inter, uni) as exact integers — callers
+    derive the ratio."""
+    if max_id is None and candidates is None:
+        raise ValueError(
+            "jaccard_char_pairs is all-pairs within its scope; pass "
+            "max_id=<bound> or candidates=<id frame> (at scale, feed "
+            "LSH candidates — ngram_jaccard_pairs — instead)")
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    if candidates is not None:
+        cand_ids = candidates.select(
+            F.col(candidates.columns[0]).alias("_id")).distinct()
+        base = base.join(cand_ids, "_id", "left_semi")
     if max_id is not None:
         base = base.filter(F.col("_id") < max_id)
     chars = base.select(

@@ -504,3 +504,22 @@ def test_connected_components_random_vs_duckdb(spark):
             SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
         SELECT id, min(r) FROM reach GROUP BY id""").fetchall())
     assert got == exp
+
+
+def test_jaccard_char_pairs_requires_bound(spark):
+    """All-pairs char Jaccard without an explicit scope is a corpus²
+    crossJoin — the public API must refuse it loudly, and the
+    candidate-frame scope must produce exactly the bounded result."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "abcdefg"[: 3 + i % 4]) for i in range(10)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_id"):
+        D.jaccard_char_pairs(docs)
+
+    by_range = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+                for r in D.jaccard_char_pairs(docs, max_id=4).collect()}
+    cand = spark.createDataFrame([(i,) for i in range(4)], ["_id"])
+    by_cand = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+               for r in D.jaccard_char_pairs(docs, candidates=cand).collect()}
+    assert by_range == by_cand and len(by_range) == 6
