@@ -2971,6 +2971,26 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 # the front of the registry must cover every operator family — core graph,
 # relational SQL, dedup, ANN, text, multimodal, streaming, hybrid — not
 # just the graph/SQL prefix. Entries beyond 50 still run in pytest/bench.
+#
+# GATE-SELECTION POLICY (applied whenever the registry grows):
+# 1. RISK FIRST — a gate slot goes to the rows where a silent wrong
+#    answer is most likely and hardest to spot locally: the write
+#    roundtrips (MERGE/SET mutate state), the iterative path operators
+#    (VLE/shortestpath/dijkstra — frontier logic), the fuzzy dedup
+#    pipeline (probabilistic stages with exact oracles), streaming-vs-
+#    batch equivalence, and hybrid SQL<->Cypher composition.
+# 2. ONE GATED ROW PER FAMILY MINIMUM — every family keeps at least one
+#    gate representative even when all its rows are individually
+#    low-risk (e.g. graphmeta, mm_frame_sample), so a family-wide
+#    loader/registration break cannot hide in the tail.
+# 3. NOTHING FALLS OFF THE BOARD — every row displaced past the cap is
+#    value-verified by tests/test_oracle_parity_tail.py at sf0.001 with
+#    the driver's own comparison, and that module's guard fails CI if
+#    any registry entry ever loses its oracle. Displacements are chosen
+#    from single-operator rows whose family keeps another gate seat
+#    (each displacement is annotated inline below).
+# tests/test_workload_gate.py pins this policy: exactly 50 entries, the
+# high-risk set present, every gate name resolvable in the registry.
 PRIORITY_50: tuple[str, ...] = (
     # core graph / Cypher (16)
     "cy_match_1hop", "cy_match_2hop_agg", "cy_optional_match",
