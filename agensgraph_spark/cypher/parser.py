@@ -805,7 +805,15 @@ class Parser:
         raise ParseError(f"unexpected token {t.text!r} at {t.pos}")
 
     def _looks_like_pattern(self) -> bool:
-        """At '(' — is this a path pattern like (a)-[...]->(b) or (a:L)?"""
+        """At '(' — is this a path pattern like (a)-[...]->(b) or (a:L)?
+
+        A bare '-' after the closing paren is NOT enough: '(a + b) - c'
+        is subtraction (gram.y resolves the same ambiguity by
+        precedence). After ')', a pattern continuation must be '<-',
+        '-[', or '--(' — anything else is an arithmetic follower."""
+        def kind(j: int) -> str:
+            return self.toks[j].kind if j < len(self.toks) else "EOF"
+
         depth = 0
         j = self.i
         while j < len(self.toks):
@@ -815,8 +823,13 @@ class Parser:
             elif k == ")":
                 depth -= 1
                 if depth == 0:
-                    nxt = self.toks[j + 1].kind if j + 1 < len(self.toks) else "EOF"
-                    return nxt in ("-", "<-")
+                    nxt = kind(j + 1)
+                    if nxt == "<-":
+                        return True
+                    if nxt != "-":
+                        return False
+                    nxt2 = kind(j + 2)
+                    return nxt2 == "[" or (nxt2 == "-" and kind(j + 3) == "(")
             elif depth == 1 and k == ":" and j == self.i + 2:
                 return True  # (x:Label ...
             elif depth >= 1 and k in (";", "EOF"):

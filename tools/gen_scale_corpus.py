@@ -118,7 +118,10 @@ def generate(spark: SparkSession, out_dir: str = DEFAULT_OUT,
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-        out.coalesce(8).write.mode("overwrite").parquet(dst + ".tmp")
+        # >=16 files so a full scan reaches local[32]'s parallelism —
+        # an 8-file 100 MB table caps q1-style scans at 8 tasks and
+        # fakes a supra-linear ratio vs the (16-file) true corpus
+        out.coalesce(16).write.mode("overwrite").parquet(dst + ".tmp")
         os.rename(dst + ".tmp", dst)
     return out_dir
 
