@@ -14,17 +14,16 @@ analog is `bytea`): the Spark-native pattern for multimodal corpora is
   ``mapInPandas`` stages — payloads cross the JVM→Python boundary once
   per batch, not once per row.
 
-Image payloads are REAL binary netpbm images (P6/PPM — the public
-format, header ``P6\\n{w} {h}\\n255\\n`` + raw interleaved RGB bytes)
-and audio payloads are REAL RIFF/WAV files (PCM 16-bit mono), encoded
-and decoded by the pure-numpy codecs below; no codec library is
-required for either. Compressed formats (png/jpeg) route through
-``decode_real``, which dispatches to PIL when installed and fails
-loudly when not — the engine never silently fakes data it cannot
-decode. Video payloads remain opaque blobs whose kernels operate on
-metadata only (frame sampling) or on a hash-seeded deterministic
-stand-in (feature extraction) — the one remaining stand-in, as a real
-deployment would swap in ffmpeg there.
+ALL THREE modalities carry REAL public formats, encoded and decoded by
+the pure-numpy codecs below (no codec library required): images are
+binary netpbm (P6/PPM — header ``P6\\n{w} {h}\\n255\\n`` + raw
+interleaved RGB), audio is RIFF/WAV (PCM 16-bit mono), video is
+YUV4MPEG2 (stream header + per-frame ``FRAME\\n`` markers + raw C444
+planes). Nothing is a stand-in: every decode kernel parses its
+payload's own header and bytes. Compressed formats (png/jpeg) route
+through ``decode_real``, which dispatches to PIL when installed and
+fails loudly when not — the engine never silently fakes data it
+cannot decode.
 """
 
 from __future__ import annotations
@@ -144,6 +143,68 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, ch), sample_rate
 
 
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 (y4m) codec — a real public raw-video container, pure numpy
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode an (n_frames, h, w, 3) uint8 array as YUV4MPEG2 with
+    C444 (full-resolution planes): stream header + per-frame
+    ``FRAME\\n`` markers + raw Y, U, V planes. The three channels are
+    stored as the three planes verbatim (C444 carries one byte per
+    pixel per plane — no subsampling, no colorspace math here)."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()]
+    planes = np.ascontiguousarray(
+        frames.transpose(0, 3, 1, 2), dtype=np.uint8)  # (n, 3, h, w)
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(planes[f].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a YUV4MPEG2 payload (C444) to ((n_frames, h, w, 3)
+    uint8, fps) — header token parse + frombuffer per frame, no codec
+    library. Fails loudly on subsampled colorspaces (C420 etc.)."""
+    if payload[:9] != b"YUV4MPEG2":
+        raise ValueError(f"not a YUV4MPEG2 payload (magic {payload[:9]!r})")
+    eol = payload.index(b"\n")
+    header = payload[:eol].split(b" ")
+    w = h = fps = None
+    colorspace = b"C420jpeg"  # the format's default when absent
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if w is None or h is None:
+        raise ValueError("YUV4MPEG2 header missing W or H")
+    if colorspace != b"444":
+        raise ValueError(
+            f"only C444 (full-res planes) is supported, got C{colorspace.decode()}")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = eol + 1
+    while pos < len(payload):
+        feol = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        body = payload[feol + 1:feol + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError("truncated frame body")
+        frames.append(np.frombuffer(body, dtype=np.uint8)
+                      .reshape(3, h, w).transpose(1, 2, 0))
+        pos = feol + 1 + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), \
+        (fps or 25)
+
+
 def decode_real(payload: bytes, fmt: str | None = None) -> np.ndarray:
     """The production decode path: netpbm decodes natively; compressed
     formats dispatch to PIL when installed and fail loudly when not —
@@ -189,6 +250,23 @@ def _audio_samples(mid: int, n: int) -> np.ndarray:
     sample statistic with a generate_series scan."""
     v = (mid * 37 + 256 * np.arange(n, dtype=np.int64)) % 65536
     return np.where(v >= 32768, v - 65536, v).astype(np.int16)
+
+
+def _video_dims(mid: int) -> tuple[int, int, int]:
+    """(n_frames, height, width) for the synthetic video corpus."""
+    return mid % 24 + 1, 12 + (mid % 3) * 4, 16 + (mid % 4) * 4
+
+
+def _video_frames(mid: int, nf: int, h: int, w: int) -> np.ndarray:
+    """Closed-form video pixels: byte t of frame f's plane body (Y
+    then U then V, C444) holds (mid*29 + f*17 + 3t) mod 256 — period
+    256 in t, so the encoder tiles one 256-byte run per frame and a
+    SQL oracle replays any pixel statistic with a generate_series
+    scan over (f, t)."""
+    f = np.arange(nf, dtype=np.int64)[:, None]
+    t = np.arange(3 * h * w, dtype=np.int64)[None, :]
+    body = ((mid * 29 + f * 17 + 3 * t) % 256).astype(np.uint8)
+    return body.reshape(nf, 3, h, w).transpose(0, 2, 3, 1)
 
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -254,21 +332,47 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.lit("64617461"), le_hex(ds, 4))                        # "data" size
     audio_payload = F.unhex(F.concat(audio_hdr_hex, audio_body_hex))
 
+    # YUV4MPEG2 header + per-frame "FRAME\n" markers + tiled C444
+    # plane bodies. Frame f's byte t holds (mid*29 + f*17 + 3t) mod 256
+    # — one 256-byte tile per frame, frames composed by an outer
+    # transform; all column expressions.
+    nf = (i % 24 + 1).cast("int")
+    wv = (F.lit(16) + (i % 4) * 4).cast("int")
+    hv = (F.lit(12) + (i % 3) * 4).cast("int")
+    fbytes = (wv * hv * 3).cast("long")
+    video_header = F.concat(
+        F.lit("YUV4MPEG2 W"), wv.cast("string"), F.lit(" H"),
+        hv.cast("string"), F.lit(" F25:1 Ip A1:1 C444\n")).cast("binary")
+
+    def frame_hex(f):
+        tile = F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(255)),
+                        lambda j: F.lpad(
+                            F.hex((i * 29 + f * 17 + 3 * j) % 256), 2, "0")),
+            "")
+        body = F.substring(F.repeat(tile, ((fbytes + 255) / 256).cast("int")),
+                           1, (fbytes * 2).cast("int"))
+        return F.concat(F.lit("4652414D450A"), body)  # "FRAME\n" + planes
+
+    video_body_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), nf - 1), frame_hex), "")
+    video_payload = F.concat(video_header, F.unhex(video_body_hex))
+
     return docs.select(
         i.alias("media_id"),
         kind.alias("kind"),
         F.when(kind == "image", image_payload)
          .when(kind == "audio", audio_payload)
-         .otherwise(F.col(text_col).cast("binary")).alias("payload"),
+         .otherwise(video_payload).alias("payload"),
         F.struct(
-            w.alias("width"),
-            h.alias("height"),
-            F.when(i % 3 == 0, 3).otherwise(1).cast("int").alias("channels"),
+            F.when(kind == "video", wv).otherwise(w).alias("width"),
+            F.when(kind == "video", hv).otherwise(h).alias("height"),
+            F.when(kind == "audio", 1).otherwise(3).cast("int").alias("channels"),
             F.when(kind == "audio", 16000).otherwise(0).cast("int").alias("sample_rate"),
-            F.when(kind == "video", (i % 240 + 1))
+            F.when(kind == "video", nf)
              .when(kind == "audio", n_samp)
              .otherwise(1).cast("int").alias("n_frames"),
-            F.element_at(F.array(F.lit("ppm"), F.lit("wav"), F.lit("mp4")), (i % 3 + 1).cast("int"))
+            F.element_at(F.array(F.lit("ppm"), F.lit("wav"), F.lit("y4m")), (i % 3 + 1).cast("int"))
              .alias("format"),
         ).alias("meta"),
     )
@@ -330,6 +434,35 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return clips.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
+VIDEO_STATS_SCHEMA = (
+    "media_id long, n_frames long, frame_h long, frame_w long, "
+    "mean_value double, min_value long, max_value long"
+)
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """Decode each video payload (REAL YUV4MPEG2 parse — header
+    tokens, FRAME markers, frombuffer per plane body; nothing taken
+    from metadata) and emit per-video pixel statistics over all
+    frames/planes. Arrow-batched mapInPandas."""
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, _fps = decode_y4m(bytes(r.payload))
+                px = frames.astype(np.int64)
+                rows.append((r.media_id, frames.shape[0], frames.shape[1],
+                             frames.shape[2], float(px.mean()),
+                             int(px.min()), int(px.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_frames", "frame_h", "frame_w",
+                "mean_value", "min_value", "max_value"])
+
+    return vids.mapInPandas(batches, schema=VIDEO_STATS_SCHEMA)
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Resize: decode (netpbm) → nearest-neighbor resample → re-encode
     as netpbm, so the output payload is itself decodable; metadata is
@@ -367,24 +500,15 @@ def frame_index(media: DataFrame, every_n: int = 10) -> DataFrame:
 FEATURE_SCHEMA = "media_id long, feature array<double>"
 
 
-def _seeded_signal_stub(payload: bytes, n: int) -> np.ndarray:
-    """Deterministic stand-in for VIDEO frame decode (the ffmpeg
-    analog — the one remaining non-real kernel): values derive from the
-    payload-hash seed, so features are reproducible and
-    content-sensitive."""
-    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    rng = np.random.default_rng(int(seed))
-    return rng.integers(0, 256, size=n, dtype=np.int64)
-
-
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Feature extraction: decode → pooled feature vector per payload,
-    every value normalized into [0, 1]. Images decode for real (netpbm)
-    and pool mean intensity per flat chunk; audio decodes for real
-    (RIFF/WAV PCM) and pools mean amplitude per chunk (int16 shifted to
-    unsigned / 65535); video pools the seeded stand-in signal (the last
-    stand-in — a real deployment swaps in ffmpeg). Batch-shaped like a
-    real vision-encoder inference stage."""
+    every value normalized into [0, 1]. ALL THREE modalities decode for
+    real: images (netpbm) pool mean intensity per flat chunk; audio
+    (RIFF/WAV PCM) pools mean amplitude per chunk (int16 shifted to
+    unsigned / 65535); video (YUV4MPEG2) pools mean plane value across
+    all frames. Unknown payload formats raise — the engine never
+    silently fakes features for data it cannot decode. Batch-shaped
+    like a real vision-encoder inference stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -398,9 +522,14 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     samples, _rate = decode_wav(pay)
                     flat = samples.astype(np.float64).ravel() + 32768.0
                     scale = 65535.0
-                else:
-                    flat = _seeded_signal_stub(pay, max(dim * 8, 64)).astype(np.float64)
+                elif pay[:9] == b"YUV4MPEG2":
+                    frames, _fps = decode_y4m(pay)
+                    flat = frames.astype(np.float64).ravel()
                     scale = 255.0
+                else:
+                    raise ValueError(
+                        f"unknown payload format (magic {pay[:9]!r}); "
+                        "supported: netpbm P5/P6, RIFF/WAV PCM, YUV4MPEG2")
                 vec = [float(chunk.mean()) / scale
                        for chunk in np.array_split(flat, dim)]
                 rows.append((r.media_id, vec))

@@ -1310,6 +1310,19 @@ def _q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value", "max_value")
 
 
+def _q_mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real YUV4MPEG2 decode (multimodal.py decode_y4m) over every
+    synthetic video; the DuckDB oracle replays the closed-form pixels
+    ((mid*29 + f*17 + 3t) % 256) with a generate_series scan over
+    (frame, byte). Integer sums stay far below 2^53, so mean is exact
+    to the last ulp on both sides."""
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
+    return MM.video_stats(media).select(
+        "media_id", "n_frames", "frame_h", "frame_w",
+        F.round("mean_value", 4).alias("mean_value"),
+        "min_value", "max_value")
+
+
 def _q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real netpbm decode (multimodal.py decode_netpbm) over every
     synthetic image; the DuckDB oracle replays the closed-form pixels
@@ -2880,10 +2893,12 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "mm_media_meta": (_q_mm_media_meta, """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
-               CAST(48 + (doc_id % 6) * 16 AS BIGINT) AS height,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
-               CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 240 + 1
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 16 + (doc_id % 4) * 4
+                         ELSE 64 + (doc_id % 8) * 16 END AS BIGINT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 12 + (doc_id % 3) * 4
+                         ELSE 48 + (doc_id % 6) * 16 END AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 24 + 1
                          WHEN doc_id % 3 = 1 THEN 2048 + (doc_id % 8) * 512
                          ELSE 1 END AS BIGINT) AS n_frames,
                CAST(CASE WHEN doc_id % 3 = 0 THEN
@@ -2895,11 +2910,18 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                     WHEN doc_id % 3 = 1 THEN
                          -- RIFF/WAV PCM 16-bit mono: 44-byte header + 2n
                          44 + 2 * (2048 + (doc_id % 8) * 512)
-                    ELSE octet_length(encode(text)) END AS BIGINT) AS payload_bytes
+                    ELSE
+                         -- YUV4MPEG2: 'YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\\n'
+                         -- + nf * ('FRAME\\n' + 3wh)
+                         33 + length(CAST(16 + (doc_id % 4) * 4 AS VARCHAR))
+                            + length(CAST(12 + (doc_id % 3) * 4 AS VARCHAR))
+                            + (doc_id % 24 + 1)
+                              * (6 + 3 * (16 + (doc_id % 4) * 4) * (12 + (doc_id % 3) * 4))
+                    END AS BIGINT) AS payload_bytes
         FROM documents"""),
     "mm_frame_sample": (_q_mm_frame_sample, """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
-               CAST(((doc_id % 240 + 1) + 9) // 10 AS BIGINT) AS n_sampled
+               CAST(((doc_id % 24 + 1) + 9) // 10 AS BIGINT) AS n_sampled
         FROM documents WHERE doc_id % 3 = 2"""),
     # full-pipeline replay: the oracle regenerates every pixel of every
     # synthetic image ((mid*31 + j*7) % 256 — multimodal._image_pixels)
@@ -2938,6 +2960,30 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(MIN(s) AS BIGINT) AS min_value,
                CAST(MAX(s) AS BIGINT) AS max_value
         FROM s GROUP BY mid, n"""),
+    # full-pipeline replay: the oracle regenerates every pixel byte of
+    # every synthetic video ((mid*29 + f*17 + 3t) % 256 —
+    # multimodal._video_frames) with a generate_series scan over
+    # (frame, byte) and recomputes the statistics the Spark side
+    # obtains by actually DECODING the YUV4MPEG2 payloads
+    "mm_video_stats": (_q_mm_video_stats, """
+        WITH m AS (SELECT CAST(doc_id AS BIGINT) AS mid,
+                          doc_id % 24 + 1 AS nf,
+                          12 + (doc_id % 3) * 4 AS h,
+                          16 + (doc_id % 4) * 4 AS w
+                   FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT mid, nf, h, w, unnest(generate_series(0, nf - 1)) AS f
+              FROM m),
+        t AS (SELECT mid, nf, h, w, f,
+                     unnest(generate_series(0, 3 * h * w - 1)) AS t
+              FROM f),
+        px AS (SELECT mid, nf, h, w,
+                      (mid * 29 + f * 17 + 3 * t) % 256 AS v FROM t)
+        SELECT mid AS media_id, CAST(nf AS BIGINT) AS n_frames,
+               CAST(h AS BIGINT) AS frame_h, CAST(w AS BIGINT) AS frame_w,
+               ROUND(AVG(v), 4) AS mean_value,
+               CAST(MIN(v) AS BIGINT) AS min_value,
+               CAST(MAX(v) AS BIGINT) AS max_value
+        FROM px GROUP BY mid, nf, h, w"""),
     # Fuzzy dedup runs in hash_fn='md5' portable mode so DuckDB replays
     # the ENTIRE pipeline (shingle hash → min-hash → banding → est →
     # exact verify); the xxh64 fast path keeps its exact pure-Python
