@@ -202,6 +202,68 @@ def ivf_cosine_topk(
                     F.col("rank").cast("long").alias("rank")))
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    cents: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    coarse-cluster every vector to its nearest centroid (the same
+    seeded-unit-direction quantizer as ``ivf_cosine_topk``; pass
+    ``cents`` for trained centroids), then WITHIN each cluster drop any
+    item whose cosine to some lower-id cluster-mate reaches ``tau`` —
+    the deterministic keep-lowest-id variant of the SemDeDup rule.
+
+    Returns (vec_id, cluster, max_lower_cos, keep): ``keep`` marks the
+    cluster-canonical survivors; ``max_lower_cos`` is NULL for the
+    lowest id of its cluster.
+
+    Scale shape: one narrow tag pass (persistable with the snapshot),
+    then a self-join confined within clusters — expected list size is
+    corpus/n_lists, so raise ``n_lists`` with corpus size to keep the
+    quadratic term bounded; the corpus never crosses clusters and is
+    never broadcast."""
+    if cents is not None:
+        n_lists = len(cents)
+        cm = np.asarray(cents, dtype=float)
+    else:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        cm = rng.standard_normal((n_lists, dim))
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+
+    cmat = F.lit([[float(x) for x in c] for c in cm])
+    base = corpus.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+    base = base.select("_id", "_v", norm(F.col("_v")).alias("_n"))
+    # argmax over centroid dots; tie -> higher index (same order as
+    # ivf_cosine_topk's reverse(array_sort(struct(s, i))))
+    sims = F.transform(cmat, lambda c: dot(F.col("_v"), c))
+    idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    tagged = base.withColumn(
+        "_list", F.reverse(F.array_sort(pairs)).getItem(0).getField("i"))
+
+    a = tagged.select(F.col("_id").alias("vec_id"), F.col("_v").alias("va"),
+                      F.col("_n").alias("na"), F.col("_list").alias("cluster"))
+    b = tagged.select(F.col("_id").alias("_ib"), F.col("_v").alias("vb"),
+                      F.col("_n").alias("nb"), F.col("_list").alias("cluster"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    lower = (a.join(b, "cluster").filter(F.col("_ib") < F.col("vec_id"))
+              .groupBy("vec_id").agg(F.max(cos).alias("max_lower_cos")))
+    return (a.select("vec_id", "cluster").join(lower, "vec_id", "left")
+             .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                     F.round("max_lower_cos", 6).alias("max_lower_cos"),
+                     (F.coalesce(F.col("max_lower_cos") < tau, F.lit(True)))
+                     .alias("keep")))
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -422,6 +422,57 @@ def tfidf_scores(
         .select(id_col, F.coalesce(F.round("score", 6), F.lit(0.0)).alias("tfidf_mean"))
 
 
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a corpus-trained
+    bigram model: documents whose token transitions the corpus finds
+    improbable (high perplexity) are low-quality/outlier candidates.
+
+    Model: whitespace tokens (lowercased); P(w2|w1) = (c(w1,w2) + k) /
+    (c(w1) + k*V) with add-k smoothing, c(w1) the CONTEXT count (number
+    of bigrams starting w1) and V the corpus vocabulary size. Score:
+    avg_nll = mean of -ln P over the doc's bigrams; perplexity =
+    exp(avg_nll). Docs with fewer than 2 tokens keep their row with
+    n_bigrams 0 and NULL scores.
+
+    Scale shape: bigram extraction is map-only (one transform over the
+    token array — no positional self-join); training is two hash
+    aggregates (bigram and context counts, map-side combined, output
+    linear in distinct bigrams); scoring is two shuffle joins of the
+    doc-bigram stream against those tables plus a 1-row vocab
+    cross-join — nothing corpus-sized is broadcast or collected."""
+    t = F.lower(F.trim(F.col(text_col)))
+    docs = df.select(F.col(id_col).alias("_id"),
+                     F.when(F.length(t) == 0, F.array().cast("array<string>"))
+                      .otherwise(F.split(t, r"\s+")).alias("_a"))
+    big = (docs.filter(F.size("_a") >= 2)
+           .select("_id", F.explode(F.transform(
+               F.sequence(F.lit(0), F.size("_a") - 2),
+               lambda j: F.struct(F.get(F.col("_a"), j).alias("w1"),
+                                  F.get(F.col("_a"), j + 1).alias("w2"))))
+               .alias("_b"))
+           .select("_id", "_b.w1", "_b.w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (docs.select(F.explode("_a").alias("_w"))
+             .agg(F.countDistinct("_w").alias("_V")))
+    nll = (big.join(c2, ["w1", "w2"]).join(c1, "w1").crossJoin(vocab)
+           .select("_id", (-F.log((F.col("_c2") + add_k)
+                                  / (F.col("_c1") + add_k * F.col("_V"))))
+                   .alias("_nll")))
+    agg = nll.groupBy("_id").agg(F.count(F.lit(1)).alias("n_bigrams"),
+                                 F.avg("_nll").alias("_avg"))
+    return (docs.select("_id").join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.round("_avg", 6).alias("avg_nll"),
+                    F.round(F.exp("_avg"), 4).alias("perplexity")))
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

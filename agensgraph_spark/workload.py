@@ -1372,6 +1372,15 @@ def _q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.heuristic_filter(read_table(spark, sf_dir, "documents"))
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lm_perplexity(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, tau=0.2, dim=_emb_dim(emb, sf_dir))
+
+
 def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_stats(read_table(spark, sf_dir, "documents"))
 
@@ -2552,6 +2561,65 @@ def _lang_id_oracle() -> str:
         FROM sc"""
 
 
+def _semdedup_oracle(dim: int = 64, n_lists: int = 16, tau: float = 0.2,
+                     seed: int = 42) -> str:
+    """DuckDB replay of S.semantic_dedup: the SAME seeded centroid
+    matrix, nearest-centroid tag via list_dot_product (argmax tie ->
+    higher index, mirroring Spark's reverse(array_sort(struct(s,i)))),
+    then the within-cluster max cosine to any lower id and the
+    keep-lowest-id SemDeDup rule."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+        WITH cents(li, cv) AS (VALUES {rows}),
+        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        tag AS (
+          SELECT vec_id, li AS cluster FROM (
+            SELECT c.vec_id, cents.li,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.li DESC) AS rn
+            FROM corpus c CROSS JOIN cents) WHERE rn = 1),
+        low AS (
+          SELECT a.vec_id, max(list_cosine_similarity(av.v, bv.v)) AS mlc
+          FROM tag a JOIN tag b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+          JOIN corpus av ON av.vec_id = a.vec_id
+          JOIN corpus bv ON bv.vec_id = b.vec_id
+          GROUP BY a.vec_id)
+        SELECT t.vec_id, CAST(t.cluster AS BIGINT) AS cluster,
+               ROUND(low.mlc, 6) AS max_lower_cos,
+               COALESCE(low.mlc < {tau}, TRUE) AS keep
+        FROM tag t LEFT JOIN low USING (vec_id)"""
+
+
+_LM_PERPLEXITY_ORACLE = r"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                      END AS a
+               FROM documents),
+    b AS (SELECT id, a[i] AS w1, a[i + 1] AS w2
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+          WHERE len(a) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+    v AS (SELECT count(DISTINCT t) AS vv
+          FROM (SELECT unnest(a) AS t FROM d)),
+    nll AS (SELECT b.id, -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vv)) AS nll
+            FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    agg AS (SELECT id, count(*) AS n_bigrams, avg(nll) AS avg_nll
+            FROM nll GROUP BY id)
+    SELECT d.id AS doc_id,
+           COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           ROUND(agg.avg_nll, 6) AS avg_nll,
+           ROUND(EXP(agg.avg_nll), 4) AS perplexity
+    FROM d LEFT JOIN agg ON agg.id = d.id"""
+
+
 def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
                 k: int = 5, seed: int = 42) -> str:
     """DuckDB replay of S.ivf_cosine_topk: the SAME seeded centroid
@@ -3008,6 +3076,12 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
     "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
     "ann_ivf_pq_topk": (_q_ann_ivf_pq, _ivf_pq_oracle()),
+    # corpus-trained bigram LM quality scoring (CCNet's perplexity
+    # filter analog) — full pipeline replayed in DuckDB
+    "text_lm_perplexity": (_q_lm_perplexity, _LM_PERPLEXITY_ORACLE),
+    # SemDeDup-style semantic dedup: centroid tag + within-cluster
+    # keep-lowest-id rule — full pipeline replayed in DuckDB
+    "dedup_semantic": (_q_dedup_semantic, _semdedup_oracle()),
 }
 
 

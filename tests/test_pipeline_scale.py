@@ -3,6 +3,7 @@ be size-conditional — an unconditional hint on a corpus-sized table
 OOMs at 100 TB, so past the estimate limit the frame passes through
 unhinted and AQE picks the strategy."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from agensgraph_spark.pipeline import dedup as D
@@ -557,3 +558,55 @@ def test_line_dedup_literal_separator(spark):
     got = {r["doc_id"]: (r["n_lines"], r["text_clean"])
            for r in line_dedup(df, sep=".", min_docs=2).collect()}
     assert got == {1: (2, "unique a"), 2: (2, "unique b")}
+
+
+def test_lm_perplexity_semantics(spark):
+    """Bigram-LM scoring replayed driver-side in pure Python: counts,
+    add-k smoothing, per-doc mean NLL, short-doc NULL rows."""
+    import math
+    from collections import Counter
+
+    from agensgraph_spark.pipeline.text import lm_perplexity
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "dog"),           # 1 token -> no bigrams
+            (4, "  "),            # blank -> no tokens
+            (5, "the cat sat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["perplexity"])
+           for r in lm_perplexity(df).collect()}
+
+    docs = {i: t.strip().lower().split() for i, t in rows}
+    bigs = {i: list(zip(a, a[1:])) for i, a in docs.items() if len(a) >= 2}
+    c2 = Counter(b for bs in bigs.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigs.values() for b in bs)
+    V = len({w for a in docs.values() for w in a})
+    for i, bs in bigs.items():
+        nll = [-math.log((c2[b] + 0.5) / (c1[b[0]] + 0.5 * V)) for b in bs]
+        avg = sum(nll) / len(nll)
+        assert got[i][0] == len(bs)
+        assert got[i][1] == pytest.approx(round(avg, 6), abs=1e-9)
+        assert got[i][2] == pytest.approx(round(math.exp(avg), 4), abs=1e-9)
+    assert got[3] == (0, None, None) and got[4] == (0, None, None)
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """With explicit centroids the cluster tag is deterministic; the
+    keep rule drops exactly the higher-id member of a same-cluster
+    near-identical pair and keeps singleton clusters."""
+    from agensgraph_spark.pipeline.similarity import semantic_dedup
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]),   # same cluster, near-dup
+        (3, [0.0, 1.0]),                        # other cluster, alone
+        (4, [-1.0, 0.05]),                      # cluster 0? no: dot with c0 negative
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semantic_dedup(df, tau=0.9,
+                                   cents=[[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert out[1] == (0, True)      # lowest id of its cluster
+    assert out[2] == (0, False)     # near-dup of 1 -> dropped
+    assert out[3] == (1, True)
+    # vec 4 points away from c0: argmax dot picks c1; alone there? no —
+    # shares cluster 1 with vec 3 but cosine is ~0 -> kept
+    assert out[4][1] is True
