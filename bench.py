@@ -46,6 +46,11 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "graph_pagerank",
+    # round-9 additions — the headline total grew by their cost (~1.8s
+    # at sf0.1); round-over-round comparisons should use per-query
+    # values or the shared-29 subset
+    "text_lm_perplexity",
+    "dedup_semantic",
 ]
 
 
