@@ -103,6 +103,34 @@ class Gen:
         v = self.r.choice(["a", "ab", "Ab", "", "x"])
         return f"'{v}'", f"'{v}'"
 
+    def str_expr(self, depth=0):
+        if depth >= 2 or self.r.random() < 0.5:
+            return self.str_atom()
+        kind = self.r.choice(["concat", "case_fn", "trim", "reverse",
+                              "substring", "replace"])
+        a_c, a_s = self.str_expr(depth + 1)
+        if kind == "concat":
+            b_c, b_s = self.str_expr(depth + 1)
+            # Cypher + is string concat; SQL standard is || (both
+            # NULL-propagating, unlike DuckDB's concat())
+            return f"({a_c} + {b_c})", f"({a_s} || {b_s})"
+        if kind == "case_fn":
+            fn = self.r.choice([("toUpper", "UPPER"), ("toLower", "LOWER")])
+            return f"{fn[0]}({a_c})", f"{fn[1]}({a_s})"
+        if kind == "trim":
+            return f"trim({a_c})", f"TRIM({a_s})"
+        if kind == "reverse":
+            return f"reverse({a_c})", f"REVERSE({a_s})"
+        if kind == "substring":
+            # Cypher substring is 0-based, SQL substr 1-based
+            start = self.r.randint(0, 3)
+            ln = self.r.randint(0, 3)
+            return (f"substring({a_c}, {start}, {ln})",
+                    f"SUBSTR({a_s}, {start + 1}, {ln})")
+        b_c, b_s = self.str_atom()
+        return (f"replace({a_c}, 'a', {b_c})",
+                f"REPLACE({a_s}, 'a', {b_s})")
+
     # ---- bool-valued ----
     def bool_atom(self):
         kind = self.r.choice(
@@ -183,11 +211,17 @@ class Gen:
 
     # ---- top-level scalar (what a case projects) ----
     def scalar(self):
-        kind = self.r.choice(["bool", "bool", "int", "case", "coalesce"])
+        kind = self.r.choice(["bool", "bool", "int", "str", "strlen",
+                              "case", "coalesce"])
         if kind == "bool":
             return self.bool_expr()
         if kind == "int":
             return self.int_expr()
+        if kind == "str":
+            return self.str_expr()
+        if kind == "strlen":
+            a_c, a_s = self.str_expr()
+            return f"size({a_c})", f"LENGTH({a_s})"
         if kind == "case":
             c_c, c_s = self.bool_expr()
             t_c, t_s = self.int_expr()
