@@ -189,7 +189,20 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(
             f"only C444 (full-res planes) is supported, got C{colorspace.decode()}")
     frame_bytes = 3 * w * h
-    frames = []
+    # fast path: parameterless FRAME lines make every record exactly
+    # (6 + frame_bytes) bytes — one frombuffer + reshape parses the
+    # whole stream, with every marker still validated (a stats pass
+    # over thousands of clips is 20x faster than a per-frame Python
+    # loop); FRAME lines carrying parameters fall back to the loop
+    tail = np.frombuffer(payload, dtype=np.uint8, offset=eol + 1)
+    rec = 6 + frame_bytes
+    marker = np.frombuffer(b"FRAME\n", dtype=np.uint8)
+    if tail.size % rec == 0:
+        recs = tail.reshape(-1, rec)
+        if recs.size == 0 or bool((recs[:, :6] == marker).all()):
+            frames = recs[:, 6:].reshape(-1, 3, h, w).transpose(0, 2, 3, 1)
+            return frames, (fps or 25)
+    frames_list = []
     pos = eol + 1
     while pos < len(payload):
         feol = payload.index(b"\n", pos)
@@ -198,11 +211,11 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[feol + 1:feol + 1 + frame_bytes]
         if len(body) != frame_bytes:
             raise ValueError("truncated frame body")
-        frames.append(np.frombuffer(body, dtype=np.uint8)
-                      .reshape(3, h, w).transpose(1, 2, 0))
+        frames_list.append(np.frombuffer(body, dtype=np.uint8)
+                           .reshape(3, h, w).transpose(1, 2, 0))
         pos = feol + 1 + frame_bytes
-    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), \
-        (fps or 25)
+    return (np.stack(frames_list) if frames_list
+            else np.zeros((0, h, w, 3), np.uint8)), (fps or 25)
 
 
 def decode_real(payload: bytes, fmt: str | None = None) -> np.ndarray:
@@ -287,6 +300,12 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     means Catalyst PRUNES the payload away for metadata-only consumers
     (frame sampling, meta scans) — at 100 TB the payload bytes are
     only materialized by operators that decode them."""
+    # spread the (payload-free, tiny) doc rows BEFORE construction: the
+    # payload expressions are CPU-bound and land below any later
+    # exchange, so they'd otherwise run on the scan's split count (a
+    # single-file corpus = one core; measured 4.8s -> ~1s for the
+    # video-stats pass at sf0.1)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     i = F.col(id_col).cast("long")
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int"))
     w = (F.lit(64) + (i % 8) * 16).cast("int")
@@ -333,9 +352,12 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     audio_payload = F.unhex(F.concat(audio_hdr_hex, audio_body_hex))
 
     # YUV4MPEG2 header + per-frame "FRAME\n" markers + tiled C444
-    # plane bodies. Frame f's byte t holds (mid*29 + f*17 + 3t) mod 256
-    # — one 256-byte tile per frame, frames composed by an outer
-    # transform; all column expressions.
+    # plane bodies. Frame f's byte t holds (mid*29 + f*17 + 3t) mod 256.
+    # Because gcd(3, 256) = 1, frame f's 256-byte tile is frame 0's tile
+    # ROTATED by d_f = 17·f·3⁻¹ mod 256 (3⁻¹ = 171), so the encoder
+    # builds ONE doubled base tile per doc and each frame is a
+    # substring of it — no per-frame 256-element transform (which made
+    # video synthesis ~5x the cost of the other modalities).
     nf = (i % 24 + 1).cast("int")
     wv = (F.lit(16) + (i % 4) * 4).cast("int")
     hv = (F.lit(12) + (i % 3) * 4).cast("int")
@@ -343,13 +365,15 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     video_header = F.concat(
         F.lit("YUV4MPEG2 W"), wv.cast("string"), F.lit(" H"),
         hv.cast("string"), F.lit(" F25:1 Ip A1:1 C444\n")).cast("binary")
+    vtile0 = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(255)),
+                    lambda j: F.lpad(F.hex((i * 29 + 3 * j) % 256), 2, "0")),
+        "")
+    vtile2 = F.concat(vtile0, vtile0)  # doubled: rotations are substrings
 
     def frame_hex(f):
-        tile = F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(255)),
-                        lambda j: F.lpad(
-                            F.hex((i * 29 + f * 17 + 3 * j) % 256), 2, "0")),
-            "")
+        d = (f * 17 * 171) % 256
+        tile = F.substring(vtile2, (d * 2 + 1).cast("int"), 512)
         body = F.substring(F.repeat(tile, ((fbytes + 255) / 256).cast("int")),
                            1, (fbytes * 2).cast("int"))
         return F.concat(F.lit("4652414D450A"), body)  # "FRAME\n" + planes
@@ -381,6 +405,16 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # ---------------------------------------------------------------------------
 # operators
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the session's parallelism before an
+    Arrow decode stage: the decode kernels are CPU-bound and must not
+    inherit the scan's split count (a single-file local corpus
+    otherwise runs every decode on ONE core; at 100 TB the scan has
+    thousands of splits and this exchange is a no-op by comparison)."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(spread)
+
 IMAGE_STATS_SCHEMA = (
     "media_id long, n_pixels long, mean_value double, std_value double, min_value int, max_value int"
 )
@@ -391,7 +425,7 @@ def image_stats(media: DataFrame) -> DataFrame:
     frombuffer, nothing taken from metadata) and emit per-image pixel
     statistics. Arrow-batched mapInPandas: one Python roundtrip per
     batch of payloads."""
-    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    imgs = _spread(media.filter(F.col("kind") == "image").select("media_id", "payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -417,7 +451,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
     + frombuffer, nothing taken from metadata) and emit per-clip sample
     statistics. Arrow-batched mapInPandas, one Python roundtrip per
     batch of payloads — the same shape as image_stats."""
-    clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    clips = _spread(media.filter(F.col("kind") == "audio").select("media_id", "payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -445,7 +479,7 @@ def video_stats(media: DataFrame) -> DataFrame:
     tokens, FRAME markers, frombuffer per plane body; nothing taken
     from metadata) and emit per-video pixel statistics over all
     frames/planes. Arrow-batched mapInPandas."""
-    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    vids = _spread(media.filter(F.col("kind") == "video").select("media_id", "payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -467,7 +501,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Resize: decode (netpbm) → nearest-neighbor resample → re-encode
     as netpbm, so the output payload is itself decodable; metadata is
     rewritten to match."""
-    imgs = media.filter(F.col("kind") == "image")
+    imgs = _spread(media.filter(F.col("kind") == "image"))
     schema = MEDIA_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -535,4 +569,4 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 rows.append((r.media_id, vec))
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
-    return media.select("media_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return _spread(media.select("media_id", "payload")).mapInPandas(batches, schema=FEATURE_SCHEMA)
