@@ -363,3 +363,28 @@ def test_graphmeta_read_is_catalog_lookup(eng):
     # recompute after restore matches the pre-invalidation catalog
     g.collect_edge_stats()
     assert {tuple(r) for r in g.edge_stats().collect()} == cached
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """Bigram-LM scoring stays JVM-side and never goes quadratic: no
+    Python eval nodes, no cartesian product — the vocab scalar enters
+    as a broadcast-style 1-row join, bigram extraction is map-only."""
+    from agensgraph_spark.loader import read_table
+    from agensgraph_spark.pipeline import text as TX
+    plan = physical(TX.lm_perplexity(read_table(spark, SF, "documents")))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """SemDeDup's pair join is confined WITHIN centroid clusters: no
+    Python eval, no cartesian product, and the self-join keys on the
+    cluster tag (corpus never crosses clusters wholesale)."""
+    from agensgraph_spark.loader import read_table
+    from agensgraph_spark.pipeline import similarity as S
+    emb = read_table(spark, SF, "embeddings")
+    plan = physical(S.semantic_dedup(emb, dim=64))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and any("cluster#" in ln for ln in join_lines), join_lines
