@@ -829,7 +829,12 @@ class Parser:
                     if nxt != "-":
                         return False
                     nxt2 = kind(j + 2)
-                    return nxt2 == "[" or (nxt2 == "-" and kind(j + 3) == "(")
+                    # '-->' lexes as '-' + '->' so a trailing '->' is a
+                    # valid bare-arrow continuation: (a)-->(b).
+                    return (
+                        nxt2 in ("[", "->")
+                        or (nxt2 == "-" and kind(j + 3) == "(")
+                    )
             elif depth == 1 and k == ":" and j == self.i + 2:
                 return True  # (x:Label ...
             elif depth >= 1 and k in (";", "EOF"):

@@ -657,17 +657,19 @@ class WriteMixin:
                 self._pattern_prop_exprs([m.pattern]))
             lim = getattr(self.engine, "sequential_merge_rows", 0) or 0
             if lim > 0:
-                # collect() order is not guaranteed to match pipeline
-                # row order on multi-partition frames; the reference's
-                # per-row accumulation is order-sensitive (ON MATCH SET
-                # n.last = i), so carry a monotonic row index (partition
-                # -ordered — the frame's logical row order) and sort the
-                # collected rows by it before folding
-                idxed = self.df.withColumn(
-                    "__merge_ord", F.monotonically_increasing_id())
-                rows = sorted(idxed.limit(lim + 1).collect(),
-                              key=lambda r: r["__merge_ord"])
-                rows = [tuple(r)[:-1] for r in rows]
+                # fold order contract: rows fold in collect() order —
+                # partition-major, positions preserved within each
+                # partition. When the pipeline established an order
+                # (ORDER BY in a preceding WITH), Spark's range-
+                # partitioned sort makes that the GLOBAL order, so the
+                # fold is order-faithful exactly when the query defined
+                # one; otherwise row order is implementation-defined,
+                # matching the reference (PG heap order without ORDER
+                # BY is likewise arbitrary). A monotonically_increasing
+                # _id sort would be a no-op here — it encodes the same
+                # (partition, position) order collect() already returns
+                # — so no index column is carried.
+                rows = [tuple(r) for r in self.df.limit(lim + 1).collect()]
                 if 1 < len(rows) <= lim:
                     return self._compile_merge_sequential(m, rows)
         self._compile_merge_batch(m, first)

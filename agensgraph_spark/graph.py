@@ -204,7 +204,18 @@ class Graph:
         serves a driver-local 6-ish-row DataFrame instead of re-scanning
         every edge frame. Cold path computes distributed."""
         if self._edge_triples:  # empty [] falls through (VALUES () is invalid)
-            spark = SparkSession.getActiveSession()
+            # getActiveSession() is thread-local and returns None off
+            # the driver thread that created the session; prefer the
+            # session of an installed frame, then the active one, and
+            # fall back to the distributed path rather than crash
+            spark = None
+            for frame in self.frames.values():
+                if frame is not None:
+                    spark = frame.sparkSession
+                    break
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                return self._edge_stats_distributed()
             # VALUES → LocalRelation: constant-folds driver-side, no
             # tasks at all (createDataFrame would plan an RDD scan)
             vals = ", ".join(

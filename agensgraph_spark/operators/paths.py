@@ -283,11 +283,18 @@ def bfs_shortest(
                                ["seed", "target"], "left_anti").isEmpty()):
             break
 
-    _unpersist(pairs_pin, edges)
     if zero is not None:
         # zero-length hits merge at the end: depth 0 beats any loop
         # depth, and seed==target pairs never entered the loop's search
         found = zero if found is None else found.unionByName(zero)
+    if found is not None:
+        # materialize BEFORE releasing the cached pairs/edges: the lazy
+        # hit union still references them, and unpersisting first would
+        # re-derive pairs' distinct from raw lineage on every final
+        # evaluation (and diverge if the caller's frame is
+        # non-deterministic)
+        found = found.localCheckpoint(eager=True)
+    _unpersist(pairs_pin, edges)
     if found is None or not found.take(1):
         return pairs.limit(0).select(
             F.col("seed"), F.col("target"),

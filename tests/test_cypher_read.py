@@ -220,6 +220,23 @@ def test_size_pattern_in_return(engine, spark):
     assert rows(got) == rows(exp)
 
 
+def test_bare_arrow_pattern_in_expression(engine):
+    # regression (ADVICE r10): '-->' lexes as '-' + '->'; the pattern
+    # lookahead must accept the trailing '->' or bare-arrow patterns in
+    # expression position raise ParseError.
+    got = engine.cypher(
+        "MATCH (n:nation) WHERE (n)-->() RETURN count(*) AS n")
+    assert rows(got) == [(25,)]
+    got = engine.cypher(
+        "MATCH (n:nation) RETURN size((n)-->()) AS deg ORDER BY deg LIMIT 1")
+    assert rows(got) == [(1,)]
+    # and '(expr) - expr' must still parse as subtraction
+    got = engine.cypher(
+        "MATCH (a:nation) RETURN (a.n_nationkey + 1) - 2 AS k "
+        "ORDER BY k LIMIT 1")
+    assert rows(got) == [(-1,)]
+
+
 def test_exists_pattern_inside_or(engine):
     # non-top-level pattern predicate: hoisted match-count column, not
     # the semi-join fast path
