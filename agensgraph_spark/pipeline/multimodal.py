@@ -282,7 +282,8 @@ def _video_frames(mid: int, nf: int, h: int, w: int) -> np.ndarray:
     return body.reshape(nf, 3, h, w).transpose(0, 2, 3, 1)
 
 
-def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", spread: bool = True) -> DataFrame:
     """Derive a deterministic media table from the documents table
     (the container ships no real binaries). Image payloads are REAL
     netpbm/P6 encodings of closed-form pixels (``_image_pixels``);
@@ -300,12 +301,19 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     means Catalyst PRUNES the payload away for metadata-only consumers
     (frame sampling, meta scans) — at 100 TB the payload bytes are
     only materialized by operators that decode them."""
-    # spread the (payload-free, tiny) doc rows BEFORE construction: the
+    # spread=True (the default, right for payload consumers): exchange
+    # the (payload-free, tiny) doc rows BEFORE construction — the
     # payload expressions are CPU-bound and land below any later
-    # exchange, so they'd otherwise run on the scan's split count (a
-    # single-file corpus = one core; measured 4.8s -> ~1s for the
-    # video-stats pass at sf0.1)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # exchange (a repartition of the constructed frame sits ABOVE the
+    # projection), so without this they run on the scan's split count
+    # (a single-file corpus = one core; measured 4.8s -> ~1s for the
+    # video-stats pass at sf0.1). Metadata-only consumers (frame
+    # sampling, meta scans) pass spread=False to keep the bare scan:
+    # column pruning already drops the payload expressions for them,
+    # and the exchange would be pure overhead.
+    if spread:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism)
     i = F.col(id_col).cast("long")
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int"))
     w = (F.lit(64) + (i % 8) * 16).cast("int")
@@ -410,9 +418,16 @@ def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the rows across the session's parallelism before an
     Arrow decode stage: the decode kernels are CPU-bound and must not
     inherit the scan's split count (a single-file local corpus
-    otherwise runs every decode on ONE core; at 100 TB the scan has
-    thousands of splits and this exchange is a no-op by comparison)."""
+    otherwise runs every decode on ONE core). Skipped when the frame
+    already has at least that many partitions — e.g. media synthesized
+    with spread=True, or a 100 TB corpus whose scan has thousands of
+    splits — so already-parallel payload bytes are never re-shuffled."""
     spread = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= spread:
+            return df
+    except Exception:
+        pass  # un-plannable edge (e.g. streaming frame): keep the exchange
     return df.repartition(spread)
 
 IMAGE_STATS_SCHEMA = (

@@ -1291,7 +1291,10 @@ def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"))
+    # metadata-only consumer: frame_index reads meta.n_frames, never the
+    # payload — spread=False keeps the bare pruned scan (no exchange)
+    media = MM.synthesize_media(read_table(spark, sf_dir, "documents"),
+                                spread=False)
     return (MM.frame_index(media, every_n=10)
             .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_sampled")))
 

@@ -388,3 +388,38 @@ def test_semantic_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
     assert join_lines and any("cluster#" in ln for ln in join_lines), join_lines
+
+
+def test_frame_sample_plan_is_metadata_only(spark):
+    """Frame sampling reads only meta.n_frames: the plan must contain
+    NO payload construction (no unhex/repeat expressions) and no
+    Exchange below the explode — the pruned scan feeds the Generate
+    directly (r9 regression: an unconditional synthesis repartition
+    cost 2.5x on this metadata-only consumer)."""
+    import __spark_entry__ as m
+    plan = physical(m.queries()["mm_frame_sample"](spark, SF))
+    low = plan.lower()
+    assert "unhex" not in low and "repeat(" not in low, plan
+    # nothing below the Generate but project/filter/scan
+    below = plan[plan.index("Generate"):]
+    assert "Exchange" not in below, plan
+    # and the scan is pruned to the id column alone
+    assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), plan
+
+
+def test_synthesized_decode_plan_spreads_before_payload(spark):
+    """Payload-consuming decode stages must construct payload bytes
+    ABOVE the spread exchange (payload CPU runs on full parallelism)
+    and must not re-shuffle the constructed bytes through a second
+    exchange."""
+    from agensgraph_spark.loader import read_table
+    from agensgraph_spark.pipeline import multimodal as MM
+    media = MM.synthesize_media(read_table(spark, SF, "documents"))
+    stats = MM.video_stats(media)
+    plan = physical(stats)
+    # exactly one round-robin exchange, and the payload expressions
+    # (unhex of the tiled hex body) sit above it
+    rr = [m.start() for m in re.finditer(r"Exchange RoundRobinPartitioning", plan)]
+    assert len(rr) == 1, plan
+    first_unhex = plan.lower().index("unhex")
+    assert first_unhex < rr[0], "payload built below the spread exchange"
