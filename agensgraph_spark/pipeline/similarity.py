@@ -12,11 +12,16 @@ deterministic run-to-run and cluster-layout-independent.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from agensgraph_spark.pipeline.dedup import _warn_async
 from agensgraph_spark.pipeline.util import maybe_broadcast
+
+log = logging.getLogger(__name__)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -202,6 +207,63 @@ def ivf_cosine_topk(
                     F.col("rank").cast("long").alias("rank")))
 
 
+def unit_normalized(cents: "list[list[float]]") -> "list[list[float]]":
+    """Row-normalize a centroid matrix to unit vectors (zero rows pass
+    through unchanged). The dot-product quantizers in this module
+    (``semantic_dedup``, ``ivf_cosine_topk``) assume unit centroids —
+    trained centroids from ``train_ivf_centroids`` are per-cluster
+    MEANS, so normalize them before use. Per-row argmax is unchanged
+    relative to cosine against the raw means (dividing by the row norm
+    is a per-row constant), which is what external oracles replay."""
+    a = np.asarray(cents, dtype=float)
+    n = np.linalg.norm(a, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return [[float(x) for x in c] for c in (a / n)]
+
+
+def _resolve_cents(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    dim: int | None,
+    cents: "list[list[float]] | None",
+) -> np.ndarray:
+    """Caller-supplied (trained) centroids, else seeded random unit
+    directions — the shared quantizer-default of ivf_cosine_topk /
+    semantic_dedup / ivf_pq_topk."""
+    if cents is not None:
+        return np.asarray(cents, dtype=float)
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    cm = rng.standard_normal((n_lists, dim))
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    return cm
+
+
+def _centroid_tagged(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cm: np.ndarray,
+) -> DataFrame:
+    """(_id, _v, _n, _list) frame: each row tagged with its nearest
+    centroid by dot-product argmax; tie -> higher index (same order as
+    ivf_cosine_topk's reverse(array_sort(struct(s, i)))). One narrow
+    map-only pass — persistable with the snapshot at scale."""
+    n_lists = len(cm)
+    cmat = F.lit([[float(x) for x in c] for c in cm])
+    base = corpus.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+    base = base.select("_id", "_v", norm(F.col("_v")).alias("_n"))
+    sims = F.transform(cmat, lambda c: dot(F.col("_v"), c))
+    idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    return base.withColumn(
+        "_list", F.reverse(F.array_sort(pairs)).getItem(0).getField("i"))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     tau: float = 0.2,
@@ -211,11 +273,16 @@ def semantic_dedup(
     seed: int = 42,
     dim: int | None = None,
     cents: "list[list[float]] | None" = None,
+    max_cluster: "int | None" = 10_000,
+    audit_cap: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     coarse-cluster every vector to its nearest centroid (the same
     seeded-unit-direction quantizer as ``ivf_cosine_topk``; pass
-    ``cents`` for trained centroids), then WITHIN each cluster drop any
+    ``cents`` for trained centroids — ``unit_normalized(
+    train_ivf_centroids(...))`` is the production path, since the
+    seeded random directions give unbalanced clusters on real
+    non-isotropic embeddings), then WITHIN each cluster drop any
     item whose cosine to some lower-id cluster-mate reaches ``tau`` —
     the deterministic keep-lowest-id variant of the SemDeDup rule.
 
@@ -227,33 +294,53 @@ def semantic_dedup(
     then a self-join confined within clusters — expected list size is
     corpus/n_lists, so raise ``n_lists`` with corpus size to keep the
     quadratic term bounded; the corpus never crosses clusters and is
-    never broadcast."""
-    if cents is not None:
-        n_lists = len(cents)
-        cm = np.asarray(cents, dtype=float)
-    else:
-        if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
-        rng = np.random.default_rng(seed)
-        cm = rng.standard_normal((n_lists, dim))
-        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    never broadcast.
 
-    cmat = F.lit([[float(x) for x in c] for c in cm])
-    base = corpus.select(F.col(id_col).alias("_id"),
-                         F.col(vec_col).cast("array<double>").alias("_v"))
-    base = base.select("_id", "_v", norm(F.col("_v")).alias("_n"))
-    # argmax over centroid dots; tie -> higher index (same order as
-    # ivf_cosine_topk's reverse(array_sort(struct(s, i))))
-    sims = F.transform(cmat, lambda c: dot(F.col("_v"), c))
-    idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
-    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-    tagged = base.withColumn(
-        "_list", F.reverse(F.array_sort(pairs)).getItem(0).getField("i"))
+    ``max_cluster`` is the skew guard (mirroring minhash's
+    ``max_bucket``): the within-cluster term is quadratic, so ONE hot
+    cluster — likely with the untrained default quantizer — silently
+    degrades toward all-pairs. With the cap, each row compares only
+    against the ``max_cluster`` LOWEST-id members of its cluster,
+    bounding the join at size x cap (linear in the hot cluster)
+    instead of size². Rows inside the head keep exact semantics (all
+    their lower-id mates are in the head); overflow rows get a lower
+    bound of max_lower_cos — near-dup mass concentrates on the
+    canonical low-id survivors, so the keep rule degrades gracefully.
+    The cap is never silent: always announced via log; pass
+    ``audit_cap=True`` to count capped rows inside the normal job
+    (Observation — no extra Spark job) and WARN with the number, or
+    run ``semdedup_skew_stats()`` for the deterministic audit."""
+    cm = _resolve_cents(corpus, vec_col, n_lists, seed, dim, cents)
+    tagged = _centroid_tagged(corpus, id_col, vec_col, cm)
 
     a = tagged.select(F.col("_id").alias("vec_id"), F.col("_v").alias("va"),
                       F.col("_n").alias("na"), F.col("_list").alias("cluster"))
     b = tagged.select(F.col("_id").alias("_ib"), F.col("_v").alias("vb"),
                       F.col("_n").alias("nb"), F.col("_list").alias("cluster"))
+    if max_cluster is not None:
+        # rank-by-id within each cluster on the b side only; the
+        # window partitions on the same key as the pair join, so the
+        # exchange is shared — the cap adds a sort, not a shuffle
+        wb = Window.partitionBy("cluster").orderBy(F.col("_ib").asc())
+        b = b.withColumn("_rnb", F.row_number().over(wb))
+        if audit_cap:
+            obs = Observation()
+            b = b.observe(
+                obs, F.sum((F.col("_rnb") > max_cluster).cast("long"))
+                .alias("capped_members"))
+            _warn_async(obs, "capped_members",
+                        "semantic_dedup: %s cluster member(s) beyond "
+                        f"max_cluster={max_cluster} excluded from the "
+                        "comparison head — a hot cluster (untrained "
+                        "centroids?) only lower-bounds max_lower_cos "
+                        "for its overflow rows")
+        else:
+            log.info(
+                "semantic_dedup: skew cap max_cluster=%d active — "
+                "overflow rows of a hot cluster compare only against "
+                "the cluster head; pass audit_cap=True or run "
+                "semdedup_skew_stats() to count them", max_cluster)
+        b = b.filter(F.col("_rnb") <= max_cluster).drop("_rnb")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     lower = (a.join(b, "cluster").filter(F.col("_ib") < F.col("vec_id"))
               .groupBy("vec_id").agg(F.max(cos).alias("max_lower_cos")))
@@ -262,6 +349,37 @@ def semantic_dedup(
                      F.round("max_lower_cos", 6).alias("max_lower_cos"),
                      (F.coalesce(F.col("max_lower_cos") < tau, F.lit(True)))
                      .alias("keep")))
+
+
+def semdedup_skew_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    cents: "list[list[float]] | None" = None,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """Deterministic audit for semantic_dedup's cluster-skew cap
+    (mirror of dedup.lsh_skew_stats): the cluster-size distribution
+    the SAME quantizer parameters would induce, and how many clusters
+    overflow ``max_cluster``. One aggregate job over the tag pass —
+    run it before committing to a quantizer on a new corpus; a large
+    ``max_cluster_size``/``sum_sq_sizes`` with the seeded default says
+    train centroids (``train_ivf_centroids`` + ``unit_normalized``)
+    or raise ``n_lists``. ``sum_sq_sizes`` is the uncapped pair-join
+    row count — the actual quadratic cost driver."""
+    cm = _resolve_cents(corpus, vec_col, n_lists, seed, dim, cents)
+    tagged = _centroid_tagged(corpus, id_col, vec_col, cm)
+    sizes = tagged.groupBy("_list").agg(F.count(F.lit(1)).alias("_n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("_n") >= 2).cast("long")).alias("n_pairable"),
+        F.sum((F.col("_n") > max_cluster).cast("long")).alias("n_over_cap"),
+        F.max("_n").alias("max_cluster_size"),
+        F.sum(F.col("_n") * F.col("_n")).alias("sum_sq_sizes"),
+    )
 
 
 def lsh_cosine_topk(

@@ -1379,9 +1379,24 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lm_perplexity(read_table(spark, sf_dir, "documents"))
 
 
+# trained quantizer cache: centroids are a dataset constant — at scale
+# they are trained once offline and persisted with the snapshot, so the
+# workload row trains once per sf_dir (one kmeans_update pass), not per
+# invocation (same caching rationale as _EMB_DIM)
+_SEMDEDUP_CENTS: dict[str, "list[list[float]]"] = {}
+
+
 def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, tau=0.2, dim=_emb_dim(emb, sf_dir))
+    cents = _SEMDEDUP_CENTS.get(sf_dir)
+    if cents is None:
+        # ONE Lloyd round from the seeded init — the trained-quantizer
+        # production path (balanced clusters on non-isotropic data);
+        # unit-normalized because semantic_dedup tags by raw dot
+        cents = S.unit_normalized(S.train_ivf_centroids(
+            emb, n_lists=16, rounds=1, dim=_emb_dim(emb, sf_dir)))
+        _SEMDEDUP_CENTS[sf_dir] = cents
+    return S.semantic_dedup(emb, tau=0.2, cents=cents)
 
 
 def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2566,11 +2581,17 @@ def _lang_id_oracle() -> str:
 
 def _semdedup_oracle(dim: int = 64, n_lists: int = 16, tau: float = 0.2,
                      seed: int = 42) -> str:
-    """DuckDB replay of S.semantic_dedup: the SAME seeded centroid
-    matrix, nearest-centroid tag via list_dot_product (argmax tie ->
-    higher index, mirroring Spark's reverse(array_sort(struct(s,i)))),
-    then the within-cluster max cosine to any lower id and the
-    keep-lowest-id SemDeDup rule."""
+    """DuckDB replay of the TRAINED dedup_semantic row: the SAME
+    seeded init matrix, then ONE Lloyd round exactly as
+    S.train_ivf_centroids(rounds=1) computes it — cosine-argmax
+    assignment (tie -> higher index, mirroring Spark's
+    reverse(array_sort(struct(s,i)))), per-cluster element-wise mean,
+    empty clusters keep their init centroid — then S.semantic_dedup's
+    nearest-centroid tag, within-cluster max cosine to any lower id,
+    and the keep-lowest-id SemDeDup rule. The engine tags by raw dot
+    against UNIT-NORMALIZED trained centroids; the oracle's cosine
+    against the raw per-cluster means has the same per-row argmax
+    (both scalings are positive per-row / per-cluster constants)."""
     import numpy as np
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_lists, dim))
@@ -2579,13 +2600,29 @@ def _semdedup_oracle(dim: int = 64, n_lists: int = 16, tau: float = 0.2,
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(cents))
     return f"""
-        WITH cents(li, cv) AS (VALUES {rows}),
+        WITH cents0(li, cv) AS (VALUES {rows}),
         corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        asg AS (
+          SELECT vec_id, li FROM (
+            SELECT c.vec_id, cents0.li,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cents0.cv) DESC, cents0.li DESC) AS rn
+            FROM corpus c CROSS JOIN cents0) WHERE rn = 1),
+        upd AS (
+          SELECT li, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.li, g.i AS pos, avg(c.v[g.i]) AS m
+            FROM asg a JOIN corpus c USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) g
+            GROUP BY a.li, g.i)
+          GROUP BY li),
+        cents(li, cv) AS (
+          SELECT c0.li, COALESCE(u.cv, c0.cv)
+          FROM cents0 c0 LEFT JOIN upd u ON u.li = c0.li),
         tag AS (
           SELECT vec_id, li AS cluster FROM (
             SELECT c.vec_id, cents.li,
                    ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                       ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.li DESC) AS rn
+                       ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.li DESC) AS rn
             FROM corpus c CROSS JOIN cents) WHERE rn = 1),
         low AS (
           SELECT a.vec_id, max(list_cosine_similarity(av.v, bv.v)) AS mlc
@@ -3136,12 +3173,22 @@ PRIORITY_50: tuple[str, ...] = (
     # keeps every displaced row externally verified at sf0.001)
     "sql_percentile", "sql_recursive_cte",
     # LLM-pipeline: dedup + similarity (6; dedup_bykey — the same
-    # exact_dedup operator dedup_exact gates — moved to the tail, where
-    # tests/test_oracle_parity_tail.py keeps it externally verified)
+    # exact_dedup operator dedup_exact gates — moved to the tail in
+    # round 5; dedup_embedding_cosine — a bounded exact pair join in a
+    # family that keeps dedup_exact/minhash/simhash/cluster seats —
+    # displaced in round 11 for dedup_semantic, per policy rule 1: the
+    # trained-quantizer SemDeDup pipeline is probabilistic and
+    # multi-stage, exactly where the gate belongs;
+    # tests/test_oracle_parity_tail.py keeps every displaced row
+    # externally verified)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_ivf",
-    # LLM-pipeline: text (4)
-    "text_stats", "text_bpe_tokens", "lang_id", "quality_score",
+    "dedup_semantic", "ann_cosine_topk", "ann_cosine_ivf",
+    # LLM-pipeline: text (4; text_bpe_tokens — a deterministic
+    # tokenizer-regex row in a family that keeps text_stats, lang_id
+    # and quality_score seats — displaced to the tail in round 11 for
+    # text_lm_perplexity, per policy rule 1: the corpus-trained LM
+    # pipeline is where a silent wrong answer hides)
+    "text_stats", "lang_id", "quality_score", "text_lm_perplexity",
     # LLM-pipeline round-5 additions: clustering dedup, quality gate,
     # mix sampling, temporal join, graph analytics, end-to-end funnel (6)
     "dedup_cluster", "heuristic_filter", "mix_sample",

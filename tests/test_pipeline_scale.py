@@ -610,3 +610,76 @@ def test_semantic_dedup_keep_rule(spark):
     # vec 4 points away from c0: argmax dot picks c1; alone there? no —
     # shares cluster 1 with vec 3 but cosine is ~0 -> kept
     assert out[4][1] is True
+
+
+def test_semdedup_skew_stats_flags_hot_cluster(spark):
+    """All vectors pointing the same way land in ONE cluster: the
+    audit must report it over the cap, with sum_sq_sizes exposing the
+    quadratic pair-join cost the uncapped op would pay."""
+    from agensgraph_spark.pipeline.similarity import semdedup_skew_stats
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = semdedup_skew_stats(df, cents=[[1.0, 0.0], [0.0, 1.0]],
+                              max_cluster=10).collect()[0]
+    assert got["n_clusters"] == 1
+    assert got["n_over_cap"] == 1
+    assert got["max_cluster_size"] == 40
+    assert got["sum_sq_sizes"] == 1600
+
+
+def test_semantic_dedup_cap_bounds_hot_cluster(spark):
+    """With max_cluster=3 every row compares only against the 3
+    lowest-id cluster-mates: head rows keep exact semantics, overflow
+    rows get max cosine over the head (a lower bound), and the join is
+    size x cap, not size². audit_cap=True must run the same values
+    through the Observation branch."""
+    from agensgraph_spark.pipeline.similarity import cosine, semantic_dedup
+    rows = [(i, [1.0, float(i)]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+
+    def run(**kw):
+        return {r["vec_id"]: r["max_lower_cos"]
+                for r in semantic_dedup(df, tau=2.0, cents=cents, **kw).collect()}
+
+    import math
+
+    def cos(i, j):
+        a, b = (1.0, float(i)), (1.0, float(j))
+        d = a[0] * b[0] + a[1] * b[1]
+        return round(d / (math.hypot(*a) * math.hypot(*b)), 6)
+
+    exact = run(max_cluster=None)
+    capped = run(max_cluster=3)
+    audited = run(max_cluster=3, audit_cap=True)
+    assert capped == audited
+    for i in range(8):
+        want_full = max((cos(i, j) for j in range(i)), default=None)
+        want_head = max((cos(i, j) for j in range(min(i, 3))), default=None)
+        assert exact[i] == want_full
+        assert capped[i] == want_head
+    # overflow rows (id >= 3) are lower-bounded, never raised
+    assert all(capped[i] <= exact[i] for i in range(4, 8))
+
+
+def test_semantic_dedup_trained_vs_seeded_quantizer(spark):
+    """Trained (1 Lloyd round, unit-normalized) centroids on the real
+    embeddings table: the quantizer path semantic_dedup's workload row
+    uses. The trained tag must (a) produce a valid partition of the
+    corpus, (b) not be MORE skewed than the seeded default on the
+    quadratic cost metric, and (c) leave per-cluster keep semantics
+    intact (lowest id of every cluster survives)."""
+    from agensgraph_spark.pipeline.similarity import (
+        semantic_dedup, semdedup_skew_stats, train_ivf_centroids,
+        unit_normalized)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = unit_normalized(train_ivf_centroids(emb, n_lists=16, rounds=1,
+                                                dim=64))
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    seeded = semdedup_skew_stats(emb, dim=64).collect()[0]
+    trained = semdedup_skew_stats(emb, cents=cents).collect()[0]
+    assert trained["sum_sq_sizes"] <= seeded["sum_sq_sizes"] * 1.25
+    out = semantic_dedup(emb, tau=0.2, cents=cents).toPandas()
+    assert len(out) == emb.count()
+    firsts = out.sort_values("vec_id").groupby("cluster").first()
+    assert bool(firsts["keep"].all())  # lowest id per cluster survives

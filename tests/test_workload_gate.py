@@ -11,8 +11,11 @@ HIGH_RISK = {
     "cy_write_set_roundtrip", "cy_write_merge_roundtrip",
     # iterative path operators
     "cy_vle_reach", "cy_shortestpath", "cy_dijkstra",
-    # fuzzy dedup pipeline
+    # fuzzy/probabilistic dedup + quality pipelines (dedup_semantic and
+    # text_lm_perplexity seated in round 11 — trained-quantizer and
+    # corpus-trained-LM stages are where silent wrong answers hide)
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
+    "dedup_semantic", "text_lm_perplexity",
     # streaming-vs-batch and hybrid composition
     "stream_events_hourly", "hybrid_correlated_subquery",
 }
