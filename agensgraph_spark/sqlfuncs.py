@@ -30,7 +30,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["similar_escape", "similar_to", "regexp_match",
-           "substring_similar"]
+           "substring_similar", "to_char", "age_parts", "age",
+           "make_date"]
 
 
 def similar_escape(pattern: str, escape: str | None = "\\",
@@ -179,3 +180,253 @@ def regexp_match(col: Column | str, pattern: str) -> Column:
     return F.when(
         c.rlike(pattern),
         F.array(*[F.regexp_extract(c, pattern, i) for i in idxs]))
+
+
+# ---------------------------------------------------------------------------
+# PostgreSQL formatting-function shims (reference:
+# src/backend/utils/adt/formatting.c — to_char template parsing;
+# src/backend/utils/adt/timestamp.c:timestamp_age — symbolic age;
+# src/backend/utils/adt/date.c:make_date). A user porting PG SQL hits
+# to_char almost immediately; the common template patterns translate
+# to Spark's JVM-side date_format / calendar functions — pure column
+# expressions, no UDF. Unsupported patterns REFUSE LOUDLY at plan
+# construction (ValueError naming the token) instead of silently
+# emitting wrong text.
+
+
+def _c(col: "Column | str") -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _fmt(pat: str):
+    return lambda ts, fm: F.date_format(ts, pat)
+
+
+def _num(pat: str, fn):
+    """Zero-padded via date_format normally; FM (fill mode) drops the
+    leading zeros — the calendar-field integer rendered bare."""
+    return lambda ts, fm: (fn(ts).cast("string") if fm
+                           else F.date_format(ts, pat))
+
+
+def _name(pat: str, case: str, pad: int | None):
+    """Day/month names: PG blank-pads Day/Month to 9 chars (the
+    longest English name) unless FM; DAY/MON etc. select the case."""
+    def build(ts: Column, fm: bool) -> Column:
+        c = F.date_format(ts, pat)
+        if case == "upper":
+            c = F.upper(c)
+        elif case == "lower":
+            c = F.lower(c)
+        if pad is not None and not fm:
+            c = F.rpad(c, pad, " ")
+        return c
+    return build
+
+
+def _hh12_bare(ts: Column) -> Column:
+    h = F.hour(ts) % 12
+    return F.when(h == 0, F.lit(12)).otherwise(h)
+
+
+def _meridiem(upper: bool, dots: bool):
+    def build(ts: Column, fm: bool) -> Column:
+        if not dots:
+            c = F.date_format(ts, "a")
+            return c if upper else F.lower(c)
+        am, pm = ("A.M.", "P.M.") if upper else ("a.m.", "p.m.")
+        return F.when(F.hour(ts) < 12, F.lit(am)).otherwise(F.lit(pm))
+    return build
+
+
+def _ww(ts: Column, fm: bool) -> Column:
+    # PG WW: week of year where week 1 starts Jan 1 (formatting.c:
+    # (doy - 1) / 7 + 1), not ISO
+    w = ((F.dayofyear(ts) - 1) / 7).cast("int") + 1
+    return w.cast("string") if fm else F.lpad(w.cast("string"), 2, "0")
+
+
+def _iw(ts: Column, fm: bool) -> Column:
+    w = F.weekofyear(ts)
+    return w.cast("string") if fm else F.lpad(w.cast("string"), 2, "0")
+
+
+# Longest-match token table. Callable -> supported; None -> recognized
+# PG token this shim deliberately refuses (loudly).
+_TOCHAR_TOKENS: "list[tuple[str, object]]" = [
+    ("A.M.", _meridiem(True, True)), ("P.M.", _meridiem(True, True)),
+    ("a.m.", _meridiem(False, True)), ("p.m.", _meridiem(False, True)),
+    ("Y,YYY", None),
+    ("YYYY", _num("yyyy", F.year)), ("YYY", None),
+    ("YY", _fmt("yy")), ("IYYY", None), ("IYY", None), ("IY", None),
+    ("MONTH", _name("MMMM", "upper", 9)),
+    ("Month", _name("MMMM", "title", 9)),
+    ("month", _name("MMMM", "lower", 9)),
+    ("MON", _name("MMM", "upper", None)),
+    ("Mon", _name("MMM", "title", None)),
+    ("mon", _name("MMM", "lower", None)),
+    ("MM", _num("MM", F.month)),
+    ("MI", _num("mm", F.minute)),
+    ("MS", _fmt("SSS")),
+    ("DAY", _name("EEEE", "upper", 9)),
+    ("Day", _name("EEEE", "title", 9)),
+    ("day", _name("EEEE", "lower", 9)),
+    ("DDD", _num("DDD", F.dayofyear)),
+    ("DD", _num("dd", F.dayofmonth)),
+    ("DY", _name("EEE", "upper", None)),
+    ("Dy", _name("EEE", "title", None)),
+    ("dy", _name("EEE", "lower", None)),
+    ("ID", lambda ts, fm: (((F.dayofweek(ts) + 5) % 7) + 1).cast("string")),
+    ("D", lambda ts, fm: F.dayofweek(ts).cast("string")),
+    ("HH24", _num("HH", F.hour)),
+    ("HH12", lambda ts, fm: (_hh12_bare(ts).cast("string") if fm
+                             else F.date_format(ts, "hh"))),
+    ("HH", lambda ts, fm: (_hh12_bare(ts).cast("string") if fm
+                           else F.date_format(ts, "hh"))),
+    ("SSSS", None), ("SS", _num("ss", F.second)),
+    ("US", _fmt("SSSSSS")),
+    ("AM", _meridiem(True, False)), ("PM", _meridiem(True, False)),
+    ("am", _meridiem(False, False)), ("pm", _meridiem(False, False)),
+    ("IW", _iw), ("WW", _ww), ("W", None),
+    ("Q", _num("Q", F.quarter)),
+    ("CC", None), ("J", None), ("RM", None), ("rm", None),
+    ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
+    ("BC", None), ("AD", None), ("B.C.", None), ("A.D.", None),
+]
+
+
+def to_char(col: "Column | str", pattern: str) -> Column:
+    """PostgreSQL ``to_char(timestamp, text)`` for the common template
+    patterns (formatting.c:DCH_to_char): YYYY/YY, MM, DD/DDD, HH24/
+    HH12/HH, MI, SS, MS/US, Mon/Month/Dy/Day families in all three
+    cases, AM/PM (incl. dotted), D/ID, Q, WW/IW, double-quoted
+    literals, and the FM fill-mode prefix (modifies the NEXT field:
+    drops numeric leading zeros and name blank-padding, per the PG
+    doc). Everything composes into JVM-side date_format/calendar
+    expressions — codegen-friendly, no UDF, no per-row Python.
+
+    Recognized-but-unsupported PG tokens (Julian day J, century CC,
+    roman-numeral RM, timezone TZ/OF, ISO years, seconds-past-midnight
+    SSSS, era BC/AD, Y,YYY digit grouping) and any OTHER alphanumeric
+    template character raise ValueError at plan time — a silently
+    wrong literal in formatted output is the failure mode this shim
+    exists to prevent."""
+    ts = _c(col)
+    segs: list[Column] = []
+    lit: list[str] = []
+    i, n = 0, len(pattern)
+    fm = False
+
+    def flush() -> None:
+        if lit:
+            segs.append(F.lit("".join(lit)))
+            lit.clear()
+
+    while i < n:
+        ch = pattern[i]
+        if ch == '"':
+            j = pattern.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"to_char: unterminated quoted literal in {pattern!r}")
+            lit.append(pattern[i + 1:j])
+            i = j + 1
+            continue
+        if pattern.startswith("FM", i):
+            fm = True
+            i += 2
+            continue
+        tok = None
+        for name, build in _TOCHAR_TOKENS:
+            if pattern.startswith(name, i):
+                tok = (name, build)
+                break
+        if tok is not None:
+            name, build = tok
+            if build is None:
+                raise ValueError(
+                    f"to_char: pattern {name!r} is not supported by this "
+                    f"shim (in {pattern!r}) — PG token recognized but "
+                    "deliberately refused; see sqlfuncs.to_char")
+            flush()
+            segs.append(build(ts, fm))
+            fm = False
+            i += len(name)
+            continue
+        if ch.isalnum():
+            raise ValueError(
+                f"to_char: unrecognized template character {ch!r} at "
+                f"position {i} in {pattern!r}")
+        lit.append(ch)
+        i += 1
+    flush()
+    if not segs:
+        return F.lit("")
+    return segs[0] if len(segs) == 1 else F.concat(*segs)
+
+
+def age_parts(ts1: "Column | str", ts2: "Column | str") -> Column:
+    """PostgreSQL ``age(timestamp, timestamp)`` as a struct of
+    symbolic fields (years, months, days, hours, mins, secs) — the
+    field-by-field difference with borrows of
+    timestamp.c:timestamp_age: seconds borrow from minutes, ... days
+    borrow the length of the EARLIER timestamp's month, months borrow
+    12; when ts1 < ts2 the magnitudes are computed on the swapped pair
+    and every field is negated (PG's sign-recovery step). A struct
+    rather than an interval so results stay comparable across engines;
+    ``age`` wraps it into a Spark interval."""
+    a0, b0 = _c(ts1), _c(ts2)
+    neg = a0 < b0
+    a = F.when(neg, b0).otherwise(a0)
+    b = F.when(neg, a0).otherwise(b0)
+
+    secs = F.second(a) - F.second(b)
+    mins = F.minute(a) - F.minute(b)
+    hours = F.hour(a) - F.hour(b)
+    days = F.dayofmonth(a) - F.dayofmonth(b)
+    months = F.month(a) - F.month(b)
+    years = F.year(a) - F.year(b)
+
+    mins = F.when(secs < 0, mins - 1).otherwise(mins)
+    secs = F.when(secs < 0, secs + 60).otherwise(secs)
+    hours = F.when(mins < 0, hours - 1).otherwise(hours)
+    mins = F.when(mins < 0, mins + 60).otherwise(mins)
+    days = F.when(hours < 0, days - 1).otherwise(days)
+    hours = F.when(hours < 0, hours + 24).otherwise(hours)
+    # day borrow: length of the earlier timestamp's month (timestamp_age
+    # uses tm2's year/month for day_tab); one borrow always suffices
+    # because that month contains day(b), so its length >= day(b)
+    dim_b = F.dayofmonth(F.last_day(b))
+    months = F.when(days < 0, months - 1).otherwise(months)
+    days = F.when(days < 0, days + dim_b).otherwise(days)
+    years = F.when(months < 0, years - 1).otherwise(years)
+    months = F.when(months < 0, months + 12).otherwise(months)
+
+    sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1))
+    return F.struct(
+        (sign * years).cast("int").alias("years"),
+        (sign * months).cast("int").alias("months"),
+        (sign * days).cast("int").alias("days"),
+        (sign * hours).cast("int").alias("hours"),
+        (sign * mins).cast("int").alias("mins"),
+        (sign * secs).cast("int").alias("secs"),
+    )
+
+
+def age(ts1: "Column | str", ts2: "Column | str") -> Column:
+    """PostgreSQL ``age(a, b)`` as a Spark interval (make_interval over
+    ``age_parts``) — use ``age_parts`` directly when the result feeds
+    cross-engine comparison or arithmetic on individual fields."""
+    p = age_parts(ts1, ts2)
+    return F.make_interval(
+        p.getField("years"), p.getField("months"), F.lit(0),
+        p.getField("days"), p.getField("hours"), p.getField("mins"),
+        p.getField("secs").cast("double"))
+
+
+def make_date(year: "Column | str", month: "Column | str",
+              day: "Column | str") -> Column:
+    """PostgreSQL ``make_date(y, m, d)`` — Spark ships the identical
+    builtin (out-of-range parts error in both engines); aliased here so
+    the PG formatting surface is importable from one module
+    (reference: src/backend/utils/adt/date.c:make_date)."""
+    return F.make_date(_c(year), _c(month), _c(day))

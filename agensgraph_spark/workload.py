@@ -2801,6 +2801,31 @@ def _q_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface: PostgreSQL formatting shims (reference
+    formatting.c:DCH_to_char, timestamp.c:timestamp_age,
+    date.c:make_date) — to_char template translation incl. FM fill
+    mode, quoted literals, 12-hour clock and week numbers; symbolic
+    age() fields; make_date. All pure JVM column expressions."""
+    from agensgraph_spark import sqlfuncs as SQLF
+    ev = read_table(spark, sf_dir, "events")
+    ref = F.lit("1997-06-15").cast("timestamp")
+    day = F.date_trunc("day", F.col("ts"))
+    ap = SQLF.age_parts(day, ref)
+    return ev.select(
+        "event_id",
+        SQLF.to_char("ts", "YYYY-MM-DD HH24:MI:SS").alias("iso"),
+        SQLF.to_char("ts", 'FMDay, DD "of" FMMonth YYYY').alias("verbose"),
+        SQLF.to_char("ts", "Mon DD, YYYY (Dy) Q/WW/IW").alias("pretty"),
+        SQLF.to_char("ts", "HH12:MI am").alias("clock12"),
+        ap.getField("years").alias("age_y"),
+        ap.getField("months").alias("age_m"),
+        ap.getField("days").alias("age_d"),
+        SQLF.make_date(F.year("ts"), F.month("ts"), F.lit(1))
+            .cast("string").alias("month_start"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # CCNet-style corpus boilerplate removal: full-pipeline DuckDB
     # replay (line wrap -> trim -> doc-frequency -> anti-join ->
@@ -2850,6 +2875,50 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CASE WHEN regexp_matches(p_name, '^(\w+) (\w+)$')
                     THEN regexp_extract(p_name, '^(\w+) (\w+)$', 2) END AS g2
         FROM part"""),
+    # PG formatting shims: to_char replayed via strftime, age via the
+    # PG field-borrow algorithm spelled out in CASE stages (DuckDB's
+    # own age() returns a flat day count, not PG's symbolic fields)
+    "sql_to_char": (_q_to_char, r"""
+        WITH base AS (
+          SELECT event_id, ts,
+                 date_trunc('day', ts) AS a,
+                 TIMESTAMP '1997-06-15' AS b
+          FROM events),
+        s AS (
+          SELECT *, CASE WHEN a < b THEN -1 ELSE 1 END AS sgn,
+                 CASE WHEN a < b THEN b ELSE a END AS hi,
+                 CASE WHEN a < b THEN a ELSE b END AS lo
+          FROM base),
+        d AS (
+          SELECT *,
+                 date_part('day', hi) - date_part('day', lo) AS dd0,
+                 date_part('month', hi) - date_part('month', lo) AS mm0,
+                 date_part('year', hi) - date_part('year', lo) AS yy0,
+                 date_part('day', last_day(lo)) AS dim_lo
+          FROM s),
+        f AS (
+          SELECT *, CASE WHEN dd0 < 0 THEN mm0 - 1 ELSE mm0 END AS mm1,
+                 CASE WHEN dd0 < 0 THEN dd0 + dim_lo ELSE dd0 END AS dd1
+          FROM d),
+        g AS (
+          SELECT *, CASE WHEN mm1 < 0 THEN yy0 - 1 ELSE yy0 END AS yy2,
+                 CASE WHEN mm1 < 0 THEN mm1 + 12 ELSE mm1 END AS mm2
+          FROM f)
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+               strftime(ts, '%A, %d of %B %Y') AS verbose,
+               strftime(ts, '%b %d, %Y (%a) ')
+                 || CAST(quarter(ts) AS VARCHAR) || '/'
+                 || lpad(CAST((dayofyear(ts) - 1) // 7 + 1 AS VARCHAR), 2, '0') || '/'
+                 || lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0') AS pretty,
+               strftime(ts, '%I:%M ') || lower(strftime(ts, '%p')) AS clock12,
+               CAST(sgn * yy2 AS INTEGER) AS age_y,
+               CAST(sgn * mm2 AS INTEGER) AS age_m,
+               CAST(sgn * dd1 AS INTEGER) AS age_d,
+               CAST(make_date(CAST(date_part('year', ts) AS INTEGER),
+                              CAST(date_part('month', ts) AS INTEGER), 1)
+                    AS VARCHAR) AS month_start
+        FROM g"""),
     "dedup_exact": (_q_dedup_exact,
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"),
     "dedup_bykey": (_q_dedup_bykey,

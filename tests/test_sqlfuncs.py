@@ -106,3 +106,103 @@ def test_regexp_match_java_only_pattern(spark):
     got2 = df.select(
         regexp_match(F.col("s"), "(?<as>a+)(?=b)").alias("m")).collect()
     assert [r["m"] for r in got2] == [["aaa"], None, None]
+
+
+# --- PG formatting shims: to_char / age / make_date ---
+
+def _fmt_one(spark, ts, pattern):
+    from agensgraph_spark.sqlfuncs import to_char
+    df = spark.sql(f"SELECT timestamp'{ts}' AS ts")
+    return df.select(to_char("ts", pattern).alias("v")).first()["v"]
+
+
+# pins follow PostgreSQL's documented to_char output (formatting.c);
+# spot-checked against `SELECT to_char(timestamp '2024-02-05
+# 13:07:09.123456', ...)` semantics from the PG docs' pattern table
+@pytest.mark.parametrize("pattern,expected", [
+    ("YYYY-MM-DD", "2024-02-05"),
+    ("YYYY-MM-DD HH24:MI:SS", "2024-02-05 13:07:09"),
+    ("YY/MM", "24/02"),
+    ("HH12:MI:SS AM", "01:07:09 PM"),
+    ("HH:MI pm", "01:07 pm"),
+    ("HH12:MI P.M.", "01:07 P.M."),
+    ("MS.US", "123.123456"),
+    ("Mon DD, YYYY", "Feb 05, 2024"),
+    ("MON mon", "FEB feb"),
+    ("Month", "February "),          # blank-padded to 9 (PG fill mode)
+    ("FMMonth", "February"),          # FM suppresses padding
+    ("MONTH", "FEBRUARY "),
+    ("FMmonth", "february"),
+    ("Day", "Monday   "),
+    ("FMDay, FMDD", "Monday, 5"),     # FM modifies only the next field
+    ("Dy DY dy", "Mon MON mon"),
+    ("DDD/WW/IW", "036/06/06"),
+    ("D ID Q", "2 1 1"),              # PG D: Sunday=1 -> Monday=2
+    ('"week" WW "of" YYYY', "week 06 of 2024"),
+    ("FMDD FMMM FMHH24 FMMI FMSS", "5 2 13 7 9"),
+    ("FMHH12", "1"),
+])
+def test_to_char_pattern_table(spark, pattern, expected):
+    assert _fmt_one(spark, "2024-02-05 13:07:09.123456", pattern) == expected
+
+
+def test_to_char_midnight_noon_hh12(spark):
+    # PG: HH12 renders 00:30 as 12:30 AM, 12:30 as 12:30 PM
+    assert _fmt_one(spark, "2024-02-05 00:30:00", "FMHH12:MI AM") == "12:30 AM"
+    assert _fmt_one(spark, "2024-02-05 12:30:00", "FMHH12:MI AM") == "12:30 PM"
+
+
+@pytest.mark.parametrize("pattern", ["J", "CC", "RM", "TZ", "OF", "SSSS",
+                                     "IYYY", "Y,YYY", "BC", "XYZZY"])
+def test_to_char_refuses_unsupported_loudly(spark, pattern):
+    from agensgraph_spark.sqlfuncs import to_char
+    with pytest.raises(ValueError):
+        to_char(F.col("ts"), pattern)
+
+
+def test_to_char_unterminated_quote(spark):
+    from agensgraph_spark.sqlfuncs import to_char
+    with pytest.raises(ValueError, match="unterminated"):
+        to_char(F.col("ts"), 'YYYY "oops')
+
+
+def _age_one(spark, a, b):
+    from agensgraph_spark.sqlfuncs import age_parts
+    df = spark.sql(f"SELECT timestamp'{a}' AS a, timestamp'{b}' AS b")
+    r = df.select(age_parts("a", "b").alias("p")).first()["p"]
+    return (r["years"], r["months"], r["days"],
+            r["hours"], r["mins"], r["secs"])
+
+
+@pytest.mark.parametrize("a,b,expected", [
+    # PG docs example: age('2001-04-10','1957-06-13') = 43y 9m 27d
+    ("2001-04-10 00:00:00", "1957-06-13 00:00:00", (43, 9, 27, 0, 0, 0)),
+    # month-end borrow uses the EARLIER month's length (Jan = 31)
+    ("2000-03-01 00:00:00", "2000-01-31 00:00:00", (0, 1, 1, 0, 0, 0)),
+    # leap February
+    ("2024-03-01 00:00:00", "2024-02-28 00:00:00", (0, 0, 2, 0, 0, 0)),
+    ("2023-03-01 00:00:00", "2023-02-28 00:00:00", (0, 0, 1, 0, 0, 0)),
+    # time-of-day borrows cascade into days
+    ("2024-02-05 00:00:01", "2024-02-04 23:59:59", (0, 0, 0, 0, 0, 2)),
+    ("2024-02-05 10:00:00", "2024-02-04 11:30:15", (0, 0, 0, 22, 29, 45)),
+    # identical
+    ("2024-02-05 10:00:00", "2024-02-05 10:00:00", (0, 0, 0, 0, 0, 0)),
+])
+def test_age_parts_borrow_table(spark, a, b, expected):
+    assert _age_one(spark, a, b) == expected
+
+
+def test_age_parts_negative_is_field_negation(spark):
+    # PG: age(a,b) with a<b = -age(b,a) field by field
+    fwd = _age_one(spark, "2001-06-15 00:00:00", "2000-01-31 00:00:00")
+    rev = _age_one(spark, "2000-01-31 00:00:00", "2001-06-15 00:00:00")
+    assert rev == tuple(-x for x in fwd)
+    assert fwd == (1, 4, 15, 0, 0, 0)
+
+
+def test_make_date_roundtrip(spark):
+    from agensgraph_spark.sqlfuncs import make_date
+    got = (spark.sql("SELECT 2024 AS y, 2 AS m, 29 AS d")
+           .select(make_date("y", "m", "d").cast("string").alias("v"))
+           .first()["v"])
+    assert got == "2024-02-29"
