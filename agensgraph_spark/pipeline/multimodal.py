@@ -414,20 +414,76 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
 # operators
 
 
+_SPREAD_SAFE_NODES = frozenset({
+    "Project", "Filter", "LogicalRelation", "LogicalRDD",
+    "SubqueryAlias", "GlobalLimit", "LocalLimit", "View", "Sample"})
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the rows across the session's parallelism before an
     Arrow decode stage: the decode kernels are CPU-bound and must not
     inherit the scan's split count (a single-file local corpus
-    otherwise runs every decode on ONE core). Skipped when the frame
-    already has at least that many partitions — e.g. media synthesized
-    with spread=True, or a 100 TB corpus whose scan has thousands of
-    splits — so already-parallel payload bytes are never re-shuffled."""
+    otherwise runs every decode on ONE core).
+
+    Skip detection works WITHOUT ``df.rdd``: under AQE that probe
+    eagerly executes upstream shuffle stages at plan-construction time
+    (AdaptiveSparkPlanExec materializes query stages), so a
+    spread=True synthesized frame would run its round-robin map job
+    once for the probe and again for the real action. Instead the
+    ANALYZED logical plan (no execution) decides:
+
+    - a round-robin ``Repartition n, true`` node with n >= parallelism
+      below us (synthesize_media's own spread) is balanced by
+      construction — skip;
+    - a SHUFFLE-FREE frame (pure scan/filter/projection nodes only) is
+      safe to probe for its partition count — ``df.rdd`` then costs a
+      file listing, not a stage execution — so a wide 100 TB scan with
+      thousands of splits keeps its natural parallelism. Caveat
+      (documented, accepted): partition COUNT does not imply balance —
+      a highly selective filter over a clustered corpus can leave many
+      near-empty splits and the skip then under-parallelizes the
+      decode; callers with that shape should repartition explicitly.
+      Parquet splits are size-bounded, so the imbalance is bounded by
+      the filter's selectivity skew, not unbounded;
+    - anything else (joins/aggregates below, streaming relations, an
+      un-stringifiable plan) keeps the exchange."""
     spread = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= spread:
+        root = df._jdf.queryExecution().analyzed()
+
+        def _rr_path(node) -> "list | None":
+            """Root path to the first round-robin Repartition with
+            numPartitions >= parallelism, or None."""
+            if (node.nodeName() == "Repartition" and node.shuffle()
+                    and node.numPartitions() >= spread):
+                return [node]
+            ch = node.children()
+            for i in range(ch.length()):
+                p = _rr_path(ch.apply(i))
+                if p is not None:
+                    return [node] + p
+            return None
+
+        def _names(node, acc: set) -> set:
+            acc.add(node.nodeName())
+            ch = node.children()
+            for i in range(ch.length()):
+                _names(ch.apply(i), acc)
+            return acc
+
+        path = _rr_path(root)
+        if path is not None and all(
+                n.nodeName() in _SPREAD_SAFE_NODES for n in path[:-1]):
+            # the round-robin spread still governs the output layout:
+            # everything above it is narrow
             return df
+        if _names(root, set()) <= _SPREAD_SAFE_NODES:
+            # shuffle-free frame (pure scan/projection): the partition
+            # count probe costs a file listing, not a stage execution
+            if df.rdd.getNumPartitions() >= spread:
+                return df
     except Exception:
-        pass  # un-plannable edge (e.g. streaming frame): keep the exchange
+        pass  # un-introspectable plan (e.g. streaming): keep the exchange
     return df.repartition(spread)
 
 IMAGE_STATS_SCHEMA = (

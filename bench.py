@@ -80,6 +80,10 @@ def main() -> None:
     n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
     pass_load: list[float] = [round(os.getloadavg()[0], 2)]
+    if pass_load[0] > float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5")):
+        print(f"# WARN: ambient load1={pass_load[0]} before pass 1 — "
+              "timings below are suspect (see README noise methodology); "
+              "the final JSON carries load1_warn=true", file=sys.stderr)
     for p in range(n_passes):
         timings: dict[str, float] = {}
         for name in HEADLINE:
@@ -205,6 +209,15 @@ def main() -> None:
         # load1 sampled before pass 1 and after each pass — high ambient
         # load explains (and disqualifies) whipsawed sub-second timings
         "load1_per_pass": pass_load,
+        # self-describing loud-run flag: only the PRE-pass-1 sample is
+        # ambient (later samples reflect the bench's own 32-thread
+        # work), so the guard keys on it; a warned run's timings are
+        # suspect per the README noise methodology (min-of-N mitigates
+        # but does not erase contention)
+        "load1_warn": pass_load[0] > float(
+            os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5")),
+        "load1_warn_threshold": float(
+            os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5")),
         # cold (pass 1: codegen + parquet footers) vs warm (last pass)
         # totals, reported separately — the headline stays min-of-N
         "cold_total_sec": round(sum(passes[0].values()), 3),

@@ -400,7 +400,10 @@ def test_frame_sample_plan_is_metadata_only(spark):
     plan = physical(m.queries()["mm_frame_sample"](spark, SF))
     low = plan.lower()
     assert "unhex" not in low and "repeat(" not in low, plan
-    # nothing below the Generate but project/filter/scan
+    # nothing below the Generate but project/filter/scan (assert
+    # membership first: .index on a missing node raises ValueError
+    # without the plan dump)
+    assert "Generate" in plan, plan
     below = plan[plan.index("Generate"):]
     assert "Exchange" not in below, plan
     # and the scan is pruned to the id column alone
