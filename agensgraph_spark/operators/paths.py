@@ -25,8 +25,11 @@ Scale notes:
   Retired generations can in principle be needed again if a healthy
   executor drops a MEMORY_AND_DISK block of the live generation — that
   does not happen short of executor loss, which already invalidates
-  ``localCheckpoint`` lineage (its documented tradeoff; a reliable
-  checkpoint dir is the production answer).
+  ``localCheckpoint`` lineage (its documented tradeoff). Production
+  deployments that must survive executor loss set the engine conf
+  ``spark.agensgraph.checkpointDir`` to a reliable (HDFS/object-store)
+  path: every iterative operator then truncates lineage with reliable
+  ``DataFrame.checkpoint`` instead (see ``_ckpt``).
 
 Edge input convention: a DataFrame with columns
 ``src, dst, eid`` (+ ``w`` for Dijkstra) — already direction-normalized
@@ -46,9 +49,33 @@ log = logging.getLogger(__name__)
 DEFAULT_MAX_HOPS = 12
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Generation materialization with lineage truncation. Default:
+    ``localCheckpoint`` — fastest, but blocks live on executors and do
+    NOT survive executor loss (module docstring tradeoff). Production
+    opt-in: set the engine conf ``spark.agensgraph.checkpointDir`` to
+    a reliable (HDFS / object-store) path and EVERY iterative path
+    operator switches to reliable ``DataFrame.checkpoint`` — state
+    survives executor loss at the cost of one write+read per
+    generation. The SparkContext checkpoint dir is adopted from the
+    conf lazily; an explicitly pre-set ``setCheckpointDir`` is
+    respected."""
+    spark = df.sparkSession
+    try:
+        d = spark.conf.get("spark.agensgraph.checkpointDir", "")
+    except Exception:  # pragma: no cover - conf service unavailable
+        d = ""
+    if d:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(d)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _maybe_checkpoint(df: DataFrame, k: int, every: int | None) -> DataFrame:
     if every and k % every == 0:
-        return df.localCheckpoint(eager=True)
+        return _ckpt(df)
     return df
 
 
@@ -164,7 +191,7 @@ def vle_expand(
         out = out.coalesce(2 * spread)
         # materialize the expansion once, then release the edge pin:
         # the checkpointed result no longer references the relation
-        out = out.localCheckpoint(eager=True)
+        out = _ckpt(out)
         _unpersist(edges)
     return out
 
@@ -231,7 +258,8 @@ def bfs_shortest(
         F.array().cast("array<long>").alias("eids"),
         F.array().cast("array<long>").alias("vids"),
         F.lit(0).cast("long").alias("len"),
-    ).localCheckpoint(eager=True)
+    )
+    frontier = _ckpt(frontier)
     found: DataFrame | None = None  # accumulated hits (lazy union of
     # per-round joins whose parents are all checkpointed/cached)
     visited = frontier.select("seed", "cur")  # vertices seen at depth <= k
@@ -253,12 +281,12 @@ def bfs_shortest(
             # one representative path per (seed, vertex)
             w = Window.partitionBy("seed", "cur").orderBy(F.col("eids").getItem(0))
             nxt = nxt.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        frontier = nxt.localCheckpoint(eager=True)
+        frontier = _ckpt(nxt)
         # visited checkpoints per round: a lazy union would re-run every
         # prior generation's distinct in each round's anti-join (O(k²)
         # shuffles); the narrow (seed, cur) checkpoint is one small job
-        visited = visited.unionByName(frontier.select("seed", "cur").distinct()) \
-                         .localCheckpoint(eager=True)
+        visited = _ckpt(
+            visited.unionByName(frontier.select("seed", "cur").distinct()))
 
         # this round's hits join the full (cached, small) pair set: BFS
         # visited-pruning guarantees a (seed, target) vertex appears in
@@ -293,7 +321,7 @@ def bfs_shortest(
         # re-derive pairs' distinct from raw lineage on every final
         # evaluation (and diverge if the caller's frame is
         # non-deterministic)
-        found = found.localCheckpoint(eager=True)
+        found = _ckpt(found)
     _unpersist(pairs_pin, edges)
     if found is None or not found.take(1):
         return pairs.limit(0).select(
@@ -402,7 +430,8 @@ def dijkstra_paths(
         F.array().cast("array<long>").alias("vids"),
         F.lit(0).cast("long").alias("len"),
         F.lit(0.0).alias("weight"),
-    ).localCheckpoint(eager=True)
+    )
+    paths = _ckpt(paths)
     frontier = paths
     # frontier size is unknown until the loop's own count at the end of
     # each round — spending a dedicated job up front costs more than the
@@ -463,11 +492,12 @@ def dijkstra_paths(
         else:
             # one checkpoint job materializes the whole round (hop join
             # + rank); the anti-join then reads stored blocks only
-            new_paths = new_paths.localCheckpoint(eager=True)
+            new_paths = _ckpt(new_paths)
             new_frontier = new_paths.join(
                 paths.select("seed", "cur", "eids"),
                 ["seed", "cur", "eids"], "left_anti",
-            ).localCheckpoint(eager=True)
+            )
+            new_frontier = _ckpt(new_frontier)
         fcount = new_frontier.count()
         paths, frontier = new_paths, new_frontier
         if k >= cp_from and early_gens:

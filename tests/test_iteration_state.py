@@ -147,3 +147,39 @@ def test_lsh_default_cap_keeps_buckets(spark):
         [(i, "the same exact text in every copy of this document") for i in range(4)],
         "doc_id long, text string")
     assert D.minhash_lsh_candidates(docs).count() == 6  # all 4C2 pairs
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """With spark.agensgraph.checkpointDir set, the iterative path
+    operators truncate lineage via reliable DataFrame.checkpoint —
+    results identical to the default localCheckpoint mode, and the
+    checkpoint files actually land in the configured directory (the
+    executor-loss survival story depends on them existing)."""
+    import os
+    edges = chain_edges(spark, 8)
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    pairs = spark.createDataFrame([(0, 6)], "seed long, target long")
+
+    def run_all():
+        vle = sorted(tuple(r) for r in P.vle_expand(
+            edges, seeds, 1, 7, checkpoint_every=2).select(
+                "seed", "dst", "len").collect())
+        bfs = sorted(tuple(r) for r in P.bfs_shortest(
+            edges, pairs, 1, 7).select("seed", "target", "len").collect())
+        dij = sorted(tuple(r) for r in P.dijkstra_paths(
+            edges, pairs, max_iters=10).select(
+                "seed", "target", "len", "weight").collect())
+        return vle, bfs, dij
+
+    base = run_all()
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set("spark.agensgraph.checkpointDir", ckdir)
+    try:
+        reliable = run_all()
+    finally:
+        spark.conf.unset("spark.agensgraph.checkpointDir")
+    assert reliable == base
+    assert base[1] == [(0, 6, 6)]
+    # reliable checkpoint files were written under the configured dir
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs]
+    assert files, f"no checkpoint files under {ckdir}"
