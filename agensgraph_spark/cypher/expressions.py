@@ -868,9 +868,20 @@ class ExprCompiler:
         return TC(F.slice(t.col, 2, F.greatest(F.size(t.col) - 1, F.lit(0))), t.dtype)
 
     def _f_range(self, e: A.FuncCall) -> TC:
+        # openCypher extension (no reference analog): Neo4j semantics —
+        # a direction-mismatched range (start > end with positive step,
+        # or start < end with negative step) is EMPTY, whereas Spark's
+        # sequence() would either infer a descending step (2-arg form,
+        # silently wrong order) or raise (explicit step); found by the
+        # round-11 expression fuzzer
         args = [self.tc(a).col.cast("long") for a in e.args]
         step = args[2] if len(args) > 2 else F.lit(1).cast("long")
-        return TC(F.sequence(args[0], args[1], step), T.ArrayType(T.LongType()))
+        # mismatch -> []; NULL bounds fall through to sequence() and
+        # propagate NULL; step = 0 falls through and raises, like Neo4j
+        mismatch = (args[1] - args[0]) * step < 0
+        return TC(F.when(mismatch, F.array().cast("array<long>"))
+                  .otherwise(F.sequence(args[0], args[1], step)),
+                  T.ArrayType(T.LongType()))
 
     def _f_coalesce(self, e: A.FuncCall) -> TC:
         ts = [self.tc(a) for a in e.args]
@@ -1117,6 +1128,25 @@ class ExprCompiler:
 
     def _f_timestamp(self, e: A.FuncCall) -> TC:
         return TC((F.unix_timestamp(F.current_timestamp()) * 1000).cast("long"), T.LongType())
+
+    # ---- temporal (reference: PG date/timestamp functions the Cypher
+    # position reaches through function-call syntax — date.c,
+    # timestamp.c). date_add/date_sub need dedicated impls: Cypher
+    # integers are BIGINT and Spark's date_add requires INT, so the
+    # generic fallback fails analysis on any Cypher-supplied day count.
+    def _f_date_add(self, e: A.FuncCall) -> TC:
+        d = self.tc(e.args[0]).col
+        n = self.tc(e.args[1]).col.cast("int")
+        return TC(F.date_add(d, n), T.DateType())
+
+    def _f_date_sub(self, e: A.FuncCall) -> TC:
+        d = self.tc(e.args[0]).col
+        n = self.tc(e.args[1]).col.cast("int")
+        return TC(F.date_sub(d, n), T.DateType())
+
+    def _f_datediff(self, e: A.FuncCall) -> TC:
+        a, b = self.tc(e.args[0]).col, self.tc(e.args[1]).col
+        return TC(F.datediff(a, b).cast("long"), T.LongType())
 
     def _generic_func(self, e: A.FuncCall) -> TC:
         """Fallback: any pyspark.sql.functions name (SQL-side surface)."""

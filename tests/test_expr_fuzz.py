@@ -26,7 +26,7 @@ import random
 import duckdb
 import pytest
 
-N_CASES = 600
+N_CASES = 960
 BATCH = 20
 SEED = 20260815
 
@@ -209,10 +209,106 @@ class Gen:
         b_c, b_s = self.bool_expr(depth + 1)
         return f"({a_c} {op} {b_c})", f"({a_s} {op} {b_s})"
 
+    # ---- date/timestamp-valued (round-11 expansion) ----
+    DATES = ["2024-01-15", "2024-02-29", "2023-12-31", "2000-03-01",
+             "1997-06-15"]
+    TSS = ["2024-01-15 13:07:09", "2023-12-31 23:59:59",
+           "2024-02-29 00:30:00"]
+
+    def date_expr(self, depth=0):
+        d = self.r.choice(self.DATES)
+        base = (f"to_date('{d}')", f"DATE '{d}'")
+        if depth >= 1 or self.r.random() < 0.45:
+            return base
+        # date +/- int days (columns included: NULL-propagating both
+        # ways; engine casts the Cypher BIGINT day count to INT)
+        i_c, i_s = self.int_expr(depth=1)
+        fn, op = self.r.choice([("date_add", "+"), ("date_sub", "-")])
+        a_c, a_s = self.date_expr(depth + 1)
+        return (f"{fn}({a_c}, {i_c})",
+                f"({a_s} {op} CAST({i_s} AS INTEGER))")
+
+    # ---- list-valued (round-11 expansion) ----
+    def list_expr(self, depth=0):
+        kind = self.r.choice(["lit", "lit", "range", "tail", "slice"])
+        if kind == "lit" or depth >= 2:
+            items = [self.r.choice([self.int_atom, self.int_atom,
+                                    lambda: ("null", "NULL")])()
+                     for _ in range(self.r.randint(1, 4))]
+            return (f"[{', '.join(c for c, _ in items)}]",
+                    f"[{', '.join(s for _, s in items)}]")
+        if kind == "range":
+            # Cypher range() is INCLUSIVE; direction mismatch -> [],
+            # NULL bound -> NULL — both matching generate_series
+            a_c, a_s = self.int_atom()
+            b_c, b_s = self.int_atom()
+            return (f"range({a_c}, {b_c})",
+                    f"generate_series({a_s}, {b_s})")
+        a_c, a_s = self.list_expr(depth + 1)
+        if kind == "tail":
+            # tail = [1..n]: 0-based lo=1 -> 1-based 2, through the end
+            return (f"tail({a_c})",
+                    f"list_slice({a_s}, 2, 2147483647)")
+        # constant-bound slice: 0-based hi-exclusive -> DuckDB 1-based
+        # inclusive (lo>=0: +1; hi>=0: unchanged; negatives: lo as-is,
+        # hi-1) — the full [-6,6)^2 translation matrix is validated
+        # against list_slice
+        lo = self.r.randint(-4, 4)
+        hi = self.r.randint(-4, 4)
+        lo_d = lo + 1 if lo >= 0 else lo
+        hi_d = hi if hi >= 0 else hi - 1
+        return (f"({a_c}[{lo}..{hi}])",
+                f"list_slice({a_s}, {lo_d}, {hi_d})")
+
     # ---- top-level scalar (what a case projects) ----
     def scalar(self):
         kind = self.r.choice(["bool", "bool", "int", "str", "strlen",
-                              "case", "coalesce"])
+                              "case", "coalesce",
+                              # round-11 temporal/list expansion
+                              "date", "datestr", "datediff", "datepart",
+                              "epoch", "list", "listsize", "listidx",
+                              "listhead"])
+        if kind == "date":
+            return self.date_expr()
+        if kind == "datestr":
+            a_c, a_s = self.date_expr()
+            return f"toString({a_c})", f"CAST({a_s} AS VARCHAR)"
+        if kind == "datediff":
+            a_c, a_s = self.date_expr()
+            b_c, b_s = self.date_expr()
+            return f"datediff({a_c}, {b_c})", f"({a_s} - {b_s})"
+        if kind == "datepart":
+            fld_cy, fld_sql = self.r.choice(
+                [("year", "year"), ("month", "month"),
+                 ("dayofmonth", "day"), ("dayofyear", "dayofyear"),
+                 ("quarter", "quarter"), ("weekofyear", "weekofyear")])
+            a_c, a_s = self.date_expr()
+            return (f"{fld_cy}({a_c})",
+                    f"CAST(date_part('{fld_sql}', {a_s}) AS BIGINT)")
+        if kind == "epoch":
+            t = self.r.choice(self.TSS)
+            return (f"unix_timestamp(to_timestamp('{t}'))",
+                    f"CAST(epoch(TIMESTAMP '{t}') AS BIGINT)")
+        if kind == "list":
+            return self.list_expr()
+        if kind == "listsize":
+            a_c, a_s = self.list_expr()
+            return f"size({a_c})", f"len({a_s})"
+        if kind == "listidx":
+            # Cypher 0-based with negative wrap; out-of-range/NULL -> NULL
+            a_c, a_s = self.list_expr()
+            if self.r.random() < 0.6:
+                i = self.r.randint(-5, 5)
+                i_d = i + 1 if i >= 0 else i
+                return f"({a_c}[{i}])", f"({a_s}[{i_d}])"
+            i_c, i_s = self.int_atom()
+            return (f"({a_c}[{i_c}])",
+                    f"({a_s}[CASE WHEN {i_s} >= 0 THEN {i_s} + 1 "
+                    f"ELSE {i_s} END])")
+        if kind == "listhead":
+            fn_cy, idx = self.r.choice([("head", "1"), ("last", "-1")])
+            a_c, a_s = self.list_expr()
+            return f"{fn_cy}({a_c})", f"({a_s}[{idx}])"
         if kind == "bool":
             return self.bool_expr()
         if kind == "int":
@@ -237,8 +333,13 @@ class Gen:
 
 
 def _norm(v):
+    import datetime
     if isinstance(v, bool) or v is None or isinstance(v, str):
         return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return int(v)
 
 
