@@ -30,8 +30,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["similar_escape", "similar_to", "regexp_match",
-           "substring_similar", "to_char", "age_parts", "age",
-           "make_date"]
+           "substring_similar", "to_char", "to_char_number",
+           "age_parts", "age", "make_date"]
 
 
 def similar_escape(pattern: str, escape: str | None = "\\",
@@ -430,3 +430,251 @@ def make_date(year: "Column | str", month: "Column | str",
     the PG formatting surface is importable from one module
     (reference: src/backend/utils/adt/date.c:make_date)."""
     return F.make_date(_c(year), _c(month), _c(day))
+
+
+# ---------------------------------------------------------------------------
+# PostgreSQL numeric to_char (formatting.c:NUM_processor). The digit
+# picture (9/0/G/D + S/MI/PR sign modes + FM) compiles into pure column
+# expressions: one decimal cast fixes the scale (PG round-half-away
+# matches Java HALF_UP on the cast), then a bounded CASE over the
+# integer-digit count selects among precomputed slot templates — every
+# branch is a concat of literals and substrings, JVM-side, no UDF.
+# Behavior is pinned against the reference's own regression outputs
+# (src/test/regress/expected/numeric.out:1479-1720).
+
+_NUM_REFUSED = ("EEEE", "RN", "rn", "TH", "th", "SG", "PL", "L", "V", "B")
+
+
+def _parse_num_pattern(pattern: str):
+    pre: list = []   # ('d', '9'|'0') | ('s', literal)
+    post: list = []
+    fm = False
+    sign = "default"  # default | S_lead | S_trail | MI_lead | MI_trail | PR
+    cur = pre
+    i, n = 0, len(pattern)
+    seen_digit = False
+    while i < n:
+        ch = pattern[i]
+        for bad in _NUM_REFUSED:
+            if pattern.startswith(bad, i):
+                raise ValueError(
+                    f"to_char_number: pattern {bad!r} not supported by this "
+                    f"shim (in {pattern!r}) — refused loudly, see sqlfuncs")
+        if pattern.startswith("FM", i):
+            fm = True
+            i += 2
+            continue
+        if pattern.startswith("MI", i):
+            if sign != "default":
+                raise ValueError(f"to_char_number: multiple sign tokens in {pattern!r}")
+            sign = "MI_lead" if not seen_digit else "MI_trail"
+            i += 2
+            continue
+        if pattern.startswith("PR", i):
+            if sign != "default" or i + 2 != n:
+                raise ValueError(f"to_char_number: PR must be the trailing token in {pattern!r}")
+            sign = "PR"
+            i += 2
+            continue
+        if ch == "S":
+            if sign != "default":
+                raise ValueError(f"to_char_number: multiple sign tokens in {pattern!r}")
+            sign = "S_lead" if not seen_digit else "S_trail"
+            i += 1
+            continue
+        if ch in "90":
+            cur.append(("d", ch))
+            seen_digit = True
+            i += 1
+            continue
+        if ch in "D.":
+            if cur is post:
+                raise ValueError(f"to_char_number: multiple decimal points in {pattern!r}")
+            cur = post
+            i += 1
+            continue
+        if ch in "G,":
+            cur.append(("s", ","))
+            i += 1
+            continue
+        if ch == '"':
+            j = pattern.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"to_char_number: unterminated quoted literal in {pattern!r}")
+            cur.append(("s", pattern[i + 1:j]))
+            i = j + 1
+            continue
+        if ch.isalnum():
+            raise ValueError(
+                f"to_char_number: unrecognized template character {ch!r} "
+                f"at position {i} in {pattern!r}")
+        cur.append(("s", ch))
+        i += 1
+    has_d = pattern.count("D") + pattern.count(".") > 0
+    return pre, post, has_d, fm, sign
+
+
+def to_char_number(col: "Column | str", pattern: str) -> Column:
+    """PostgreSQL ``to_char(numeric, text)`` for the digit-picture
+    surface: 9/0 digit slots (0 = zero-fill from its position), D/. ,
+    G/, (positional separators, blanked left of the number), quoted
+    and punctuation literals, FM fill mode (drops padding blanks and
+    trailing fraction zeros down to the last 0 slot, keeping the
+    decimal point — reference behavior), and the sign modes: default
+    (floating '-'/blank slot), S leading/trailing (+/-), MI
+    leading (fixed slot) / trailing, PR (<...> for negatives).
+    Refuses EEEE/RN/TH/SG/PL/L/V/B loudly. Overflow (more integer
+    digits than slots) renders '#' in every digit slot, PG-style.
+    Pinned against the reference regression outputs
+    (src/test/regress/expected/numeric.out:1479-1720)."""
+    c = _c(col)
+    pre, post, has_d, fm, sign = _parse_num_pattern(pattern)
+    n_pre = sum(1 for k, _ in pre if k == "d")
+    n_post = sum(1 for k, _ in post if k == "d")
+    if n_pre == 0 and n_post == 0:
+        raise ValueError(f"to_char_number: no digit slots in {pattern!r}")
+    if n_pre + n_post > 37:
+        raise ValueError(f"to_char_number: more than 37 digit slots in {pattern!r}")
+
+    # scale-fixing cast: decimal HALF_UP == PG numeric round-half-away
+    dec = c.cast(f"decimal(38,{n_post})")
+    neg = dec < 0
+    s_all = F.abs(dec).cast("string")
+    if n_post > 0:
+        istr0 = F.substring_index(s_all, ".", 1)
+        fstr = F.substring_index(s_all, ".", -1)
+    else:
+        istr0 = s_all
+        fstr = F.lit("")
+
+    # integer-digit zero-fill: digits from the leftmost '0' slot on
+    digit_idxs = [i for i, (k, _) in enumerate(pre) if k == "d"]
+    zero_digit_orders = [o for o, i in enumerate(digit_idxs) if pre[i][1] == "0"]
+    min_int = (n_pre - zero_digit_orders[0]) if zero_digit_orders else 0
+    post_digit_orders = [o for o, (k, v) in enumerate(
+        [p for p in post if p[0] == "d"]) if v == "0"]
+    min_post = (post_digit_orders[-1] + 1) if post_digit_orders else 0
+
+    izero = istr0 == "0"
+    istr = F.when(F.length(istr0) < min_int,
+                  F.lpad(istr0, max(min_int, 1), "0")).otherwise(istr0)
+    # blank-zero rule: a zero integer part renders empty when the
+    # fraction will carry digits (non-FM: always at n_post>0; FM: when
+    # the trimmed fraction is non-empty), else as '0'
+    if n_post > 0:
+        if fm:
+            trimmed_len = F.length(F.regexp_replace(fstr, "0+$", ""))
+            kept_n = F.greatest(trimmed_len, F.lit(min_post))
+            frac_empty = kept_n == 0
+        else:
+            kept_n = F.lit(n_post)
+            frac_empty = F.lit(False)
+    else:
+        kept_n = F.lit(0)
+        frac_empty = F.lit(True)
+    blank_int = izero & (min_int == 0) & ~frac_empty
+    istr = F.when(blank_int, F.lit("")).otherwise(istr)
+    ilen = F.length(istr)
+
+    # ---- rendering. Everything below avoids per-branch expression
+    # explosion (a 17-way CASE over the digit count, each branch
+    # re-inlining the istr tree per slot, generated megabytes of Java
+    # and failed janino's method limit): digit areas are substrings of
+    # ONE padded string chunked by separator runs, separators are
+    # 2-way conditionals on the digit COUNT alone, and the floating
+    # sign is a single regexp overlay of the last leading blank.
+
+    # fraction: digits left-to-right from fstr; a separator renders
+    # only when another kept digit follows it
+    def _frac() -> Column:
+        pieces: list[Column] = []
+        order = 0
+        for k, v in post:
+            if k == "d":
+                pieces.append(F.substring(
+                    fstr, order + 1,
+                    F.greatest(F.least(kept_n, F.lit(order + 1)) - order,
+                               F.lit(0))))
+                order += 1
+            else:
+                pieces.append(F.when(kept_n > order, F.lit(v))
+                              .otherwise(F.lit("") if fm else F.lit(" " * len(v))))
+        return F.concat(*pieces) if pieces else F.lit("")
+
+    frac = _frac() if n_post > 0 else F.lit("")
+    dot = F.lit(".") if has_d else F.lit("")
+
+    # pre: right-align istr into the digit slots via one lpad, chunk by
+    # runs between separators; a separator renders only when a digit
+    # lands strictly left of it (d_right = digit slots to its right)
+    padded = F.lpad(istr, n_pre, " ") if n_pre > 0 else F.lit("")
+    pieces: list[Column] = []
+    run_start = None  # digit-order of the current run's first slot
+    order = 0
+    for k, v in pre:
+        if k == "d":
+            if run_start is None:
+                run_start = order
+            order += 1
+        else:
+            if run_start is not None:
+                pieces.append(F.substring(padded, run_start + 1, order - run_start))
+                run_start = None
+            d_right = n_pre - order
+            pieces.append(F.when(ilen > d_right, F.lit(v))
+                          .otherwise(F.lit(" " * len(v))))
+    if run_start is not None:
+        pieces.append(F.substring(padded, run_start + 1, order - run_start))
+    pre_body = F.concat(*pieces) if pieces else F.lit("")
+
+    # sign pieces per mode (leading signs FLOAT against the number in
+    # default/S/PR mode; MI is positional)
+    if sign == "S_lead":
+        sgn = F.when(neg, F.lit("-")).otherwise(F.lit("+"))
+        trail = F.lit("")
+    elif sign == "S_trail":
+        sgn = None
+        trail = F.when(neg, F.lit("-")).otherwise(F.lit("+"))
+    elif sign == "MI_lead":
+        sgn = None
+        trail = F.lit("")
+    elif sign == "MI_trail":
+        sgn = None
+        trail = F.when(neg, F.lit("-")).otherwise(
+            F.lit("") if fm else F.lit(" "))
+    elif sign == "PR":
+        sgn = F.when(neg, F.lit("<")).otherwise(
+            F.lit("") if fm else F.lit(" "))
+        trail = F.when(neg, F.lit(">")).otherwise(
+            F.lit("") if fm else F.lit(" "))
+    else:
+        sgn = F.when(neg, F.lit("-")).otherwise(
+            F.lit("") if fm else F.lit(" "))
+        trail = F.lit("")
+
+    if fm:
+        core = F.concat(F.ltrim(pre_body), dot, frac)
+        body = F.concat(sgn, core, trail) if sgn is not None \
+            else F.concat(core, trail)
+    else:
+        core = F.concat(pre_body, dot, frac)
+        if sgn is not None:
+            # float the sign into the last blank before the number:
+            # one extra lead slot, then overlay (positive signs are a
+            # blank, so the overlay is a no-op for them)
+            body = F.regexp_replace(
+                F.concat(F.lit(" "), core, trail),
+                F.lit(r"^( *) (?=\S)"), F.concat(F.lit("$1"), sgn))
+        else:
+            body = F.concat(core, trail)
+
+    if sign == "MI_lead":
+        mi = F.when(neg, F.lit("-")).otherwise(F.lit("") if fm else F.lit(" "))
+        body = F.concat(mi, body)
+
+    # overflow: more integer digits than slots -> '#' per digit slot
+    sharp_pre = "".join("#" if k == "d" else v for k, v in pre)
+    sharp_post = "".join("#" if k == "d" else v for k, v in post)
+    over_txt = (" " if not fm else "") + sharp_pre + ("." if has_d else "") + sharp_post
+    out = F.when(ilen > n_pre, F.lit(over_txt)).otherwise(body)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)

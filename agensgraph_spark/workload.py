@@ -2826,6 +2826,35 @@ def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_to_char_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface: PostgreSQL numeric to_char digit pictures
+    (reference formatting.c:NUM_processor; behavior pinned against
+    src/test/regress/expected/numeric.out) — group separators,
+    zero-fill, S sign, trailing MI, FM trimming, and the '#'
+    overflow fill, over the events value column."""
+    from agensgraph_spark import sqlfuncs as SQLF
+    ev = read_table(spark, sf_dir, "events")
+    # decimal-FIRST: the 3-decimal value column recovers exactly into
+    # decimal(38,3) in both engines, and every later rescale then
+    # rounds identical decimal digits (half-away both sides). Feeding
+    # raw doubles instead makes the final rounding depend on how each
+    # engine converts binary doubles at .xx5 boundaries (Spark rounds
+    # the binary value, DuckDB the shortest decimal repr — observed
+    # off-by-0.1 on 1.7% of rows). decimal(18,3), not (38,3): the
+    # x12345 product must stay within precision 38 so Spark performs
+    # the multiply EXACTLY at scale 3 — a precision-overflow product
+    # would be rounded at an engine-chosen scale instead
+    v = F.col("value").cast("decimal(18,3)")
+    return ev.select(
+        "event_id",
+        SQLF.to_char_number(v * 12345, "9G999G999D99").alias("grouped"),
+        SQLF.to_char_number(v - 50, "S0999D999").alias("signed"),
+        SQLF.to_char_number(F.lit(50) - v, "999D9MI").alias("mi"),
+        SQLF.to_char_number(v * 100, "999D9").alias("ovf"),
+        SQLF.to_char_number(v, "FM990D099").alias("fmz"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # CCNet-style corpus boilerplate removal: full-pipeline DuckDB
     # replay (line wrap -> trim -> doc-frequency -> anti-join ->
@@ -2919,6 +2948,53 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                               CAST(date_part('month', ts) AS INTEGER), 1)
                     AS VARCHAR) AS month_start
         FROM g"""),
+    # numeric to_char replayed with string assembly (decimal casts
+    # round half-away in both engines; format('{:,}') supplies the
+    # 3-digit grouping; the blank-zero-integer and '#' overflow rules
+    # spelled out as CASEs)
+    "sql_to_char_num": (_q_to_char_num, r"""
+        WITH dec AS (
+          SELECT event_id, CAST(value AS DECIMAL(18,3)) AS v FROM events),
+        -- DuckDB's decimal downscale cast TRUNCATES; round() rounds
+        -- half away like PG numeric / Spark's decimal cast, so every
+        -- rescale goes through round() first
+        base AS (
+          SELECT event_id,
+                 CAST(round(v * 12345, 2) AS DECIMAL(38,2)) AS g,
+                 CAST(v - 50 AS DECIMAL(38,3)) AS s,
+                 CAST(round(50 - v, 1) AS DECIMAL(38,1)) AS m,
+                 CAST(round(v * 100, 1) AS DECIMAL(38,1)) AS o,
+                 v AS z
+          FROM dec),
+        parts AS (
+          SELECT *,
+                 CAST(trunc(abs(g)) AS BIGINT) AS g_ip,
+                 substr(CAST(abs(g) AS VARCHAR), -2) AS g_fp,
+                 CAST(trunc(abs(s)) AS BIGINT) AS s_ip,
+                 substr(CAST(abs(s) AS VARCHAR), -3) AS s_fp,
+                 CAST(trunc(abs(m)) AS BIGINT) AS m_ip,
+                 substr(CAST(abs(m) AS VARCHAR), -1) AS m_fp,
+                 CAST(trunc(abs(o)) AS BIGINT) AS o_ip,
+                 substr(CAST(abs(o) AS VARCHAR), -1) AS o_fp,
+                 CAST(trunc(abs(z)) AS BIGINT) AS z_ip,
+                 substr(CAST(abs(z) AS VARCHAR), -3) AS z_fp
+          FROM base)
+        SELECT event_id,
+               lpad(CASE WHEN g_ip = 0 THEN '' ELSE format('{:,}', g_ip) END
+                    || '.' || g_fp, 13, ' ') AS grouped,
+               (CASE WHEN s < 0 THEN '-' ELSE '+' END)
+                    || lpad(CAST(s_ip AS VARCHAR), 4, '0') || '.' || s_fp AS signed,
+               lpad((CASE WHEN m_ip = 0 THEN '' ELSE CAST(m_ip AS VARCHAR) END)
+                    || '.' || m_fp, 5, ' ')
+                    || (CASE WHEN m < 0 THEN '-' ELSE ' ' END) AS mi,
+               CASE WHEN length(CAST(o_ip AS VARCHAR)) > 3 THEN ' ###.#'
+                    ELSE lpad((CASE WHEN o_ip = 0 THEN '' ELSE CAST(o_ip AS VARCHAR) END)
+                         || '.' || o_fp, 6, ' ') END AS ovf,
+               CAST(z_ip AS VARCHAR) || '.' ||
+                 (CASE WHEN regexp_replace(z_fp, '0+$', '') = ''
+                       THEN substr(z_fp, 1, 1)
+                       ELSE regexp_replace(z_fp, '0+$', '') END) AS fmz
+        FROM parts"""),
     "dedup_exact": (_q_dedup_exact,
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"),
     "dedup_bykey": (_q_dedup_bykey,

@@ -206,3 +206,102 @@ def test_make_date_roundtrip(spark):
            .select(make_date("y", "m", "d").cast("string").alias("v"))
            .first()["v"])
     assert got == "2024-02-29"
+
+
+# --- numeric to_char: pinned against the reference's own regression
+# outputs (src/test/regress/expected/numeric.out:1479-1720, num_data)
+
+_NUM_OUT = "/root/reference/src/test/regress/expected/numeric.out"
+_NUM_VALS = ["0", "0", "-34338492.215397047", "4.31", "7799461.4119",
+             "16397.038491", "93901.57763026", "-83028485", "74881",
+             "-24926804.045047420"]
+_NUM_PATTERNS = [
+    "9G999G999G999G999G999",
+    "9G999G999G999G999G999D999G999G999G999G999",
+    "9999999999999999.999999999999999PR",
+    "9999999999999999.999999999999999S",
+    "MI9999999999999999.999999999999999",
+    "FMS9999999999999999.999999999999999",
+    "0999999999999999.999999999999999",
+    "S0999999999999999.999999999999999",
+    "FM0999999999999999.999999999999999",
+    "FM9999999999999999.099999999999999",
+    "FM9999999999990999.990999999999999",
+    "FM0999999999999999.999909999999999",
+    "FM9999999990999999.099999999999999",
+]
+
+
+def _reference_num_pins():
+    import os
+    import re
+    if not os.path.exists(_NUM_OUT):  # pragma: no cover
+        pytest.skip("reference regression outputs not available")
+    out = open(_NUM_OUT).read().splitlines()
+    pins, i = {}, 0
+    while i < len(out):
+        m = re.search(r"SELECT to_char\(val, '([^']+)'\)", out[i])
+        if m and m.group(1) in _NUM_PATTERNS and m.group(1) not in pins:
+            j = i + 1
+            while not re.match(r"^-+$", out[j].strip()):
+                j += 1
+            rows = []
+            j += 1
+            while not out[j].startswith("("):
+                rows.append(out[j][1:])  # psql 1-space left pad
+                j += 1
+            pins[m.group(1)] = rows
+            i = j
+        i += 1
+    return pins
+
+
+def test_to_char_number_reference_pins(spark):
+    """Every supported digit-picture mode (G separators, fraction
+    separators, PR, trailing S, leading MI, zero-fill, FM with 0
+    minimums) produces the reference's exact regression output for
+    the num_data values. psql right-pads short rows, so values
+    compare rstripped with a separate fixed-width check for non-FM
+    patterns (to_char output is fixed-width there; the check pins the
+    trailing sign/PR blanks the rstrip would hide)."""
+    from agensgraph_spark.sqlfuncs import to_char_number
+    pins = _reference_num_pins()
+    assert set(pins) == set(_NUM_PATTERNS)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_NUM_VALS)], "i int, v string") \
+        .select("i", F.col("v").cast("decimal(38,18)").alias("v"))
+    cols = [to_char_number("v", p).alias(f"c{k}")
+            for k, p in enumerate(_NUM_PATTERNS)]
+    rows = df.orderBy("i").select(*cols).collect()
+    for k, p in enumerate(_NUM_PATTERNS):
+        got = [r[f"c{k}"] for r in rows]
+        want = pins[p]
+        assert [g.rstrip() for g in got] == [w.rstrip() for w in want], p
+        if not p.startswith("FM"):
+            assert len({len(g) for g in got}) == 1, (p, got)
+
+
+def test_to_char_number_edges(spark):
+    from agensgraph_spark.sqlfuncs import to_char_number
+
+    def one(v, pat):
+        df = spark.sql(f"SELECT CAST({v} AS DECIMAL(38,6)) AS v")
+        return df.select(to_char_number("v", pat).alias("o")).first()["o"]
+
+    assert one("485", "999") == " 485"
+    assert one("-485", "999") == "-485"
+    assert one("1234", "999") == " ###"          # overflow
+    assert one("1234.56", "99D9") == " ##.#"
+    assert one("0.5", "99D9") == "   .5"          # blank zero int
+    assert one("0", "99") == "  0"                # int-only zero keeps 0
+    assert one("485.7", "999") == " 486"          # rounds half away
+    assert one("NULL", "999") is None
+    assert one("485", '999 "kg"') == " 485 kg"    # quoted literal
+
+
+@pytest.mark.parametrize("pattern", ["9.999EEEE", "RN", "999TH", "SG999",
+                                     "L999", "99V99", "9B9"])
+def test_to_char_number_refuses_loudly(spark, pattern):
+    from agensgraph_spark.sqlfuncs import to_char_number
+    with pytest.raises(ValueError):
+        to_char_number(F.col("v"), pattern)

@@ -31,10 +31,7 @@ SRC = "/root/testdata/sf0.1"
 DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".scaledata", "sf1_true")
 
-SCALE = 10  # vs sf0.1
-N_CUST, N_SUPP, N_PART = 15000 * SCALE, 1000 * SCALE, 20000 * SCALE
-N_ORDERS, N_EVENTS = 150000 * SCALE, 100000 * SCALE
-N_DOCS, N_VECS = 5000 * SCALE, 2000 * SCALE
+SCALE = 10  # default: sf1 (vs sf0.1); generate(scale=100) -> sf10
 
 
 def _u(col, salt: int):
@@ -57,10 +54,22 @@ def _day_ts(base: str, days):
         F.unix_timestamp(F.lit(base), "yyyy-MM-dd") + days * 86400)
 
 
-def generate(spark: SparkSession, out_dir: str = DEFAULT_OUT) -> str:
+def generate(spark: SparkSession, out_dir: str = DEFAULT_OUT,
+             scale: int = SCALE) -> str:
+    """Row counts and output file counts scale linearly with ``scale``
+    (10 = sf1, 100 = sf10); every value stays a pure function of
+    (row id, column salt), so a smaller corpus is NOT a prefix of a
+    larger one only where counts enter a hash domain (keys, user ids,
+    template ids) — exactly like re-running a real generator at a
+    bigger scale factor."""
+    N_CUST, N_SUPP, N_PART = 15000 * scale, 1000 * scale, 20000 * scale
+    N_ORDERS, N_EVENTS = 150000 * scale, 100000 * scale
+    N_DOCS, N_VECS = 5000 * scale, 2000 * scale
+    fmul = max(1, scale // 10)
     os.makedirs(out_dir, exist_ok=True)
 
     def write(name: str, df: DataFrame, parts: int = 8) -> None:
+        parts = parts * fmul if parts > 1 else parts
         dst = f"{out_dir}/{name}.parquet"
         if os.path.exists(dst):
             return
@@ -144,7 +153,7 @@ def generate(spark: SparkSession, out_dir: str = DEFAULT_OUT) -> str:
         F.timestamp_seconds(
             F.unix_timestamp(F.lit("2024-01-01"), "yyyy-MM-dd")
             + _u(cid, 26) * 30 * 86400).alias("ts"),
-        _ui(cid, 27, 1500 * SCALE).alias("user_id"),
+        _ui(cid, 27, 1500 * scale).alias("user_id"),
         _pick(cid, 28, ["signup", "click", "error", "view", "purchase"])
         .alias("event_type"),
         F.round(_u(cid, 29) * 100, 3).alias("value"),

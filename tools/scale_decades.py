@@ -1,0 +1,91 @@
+"""Three-decade scale probe: the bench's 7-query probe set timed at
+sf0.1 -> sf1 -> sf10 (two genuine 10x data decades on the hash-seeded
+corpus from tools/gen_true_sf1.py — no replica uniformity, the honest
+shape for SQL/graph/path queries; see scale_audit.py for the full
+headline set at one decade).
+
+Per-decade time ratios near the 10x data ratio (or below) mean the
+plans are data-bound — no supra-linear term has appeared by 100x the
+bench corpus. Each dataset gets one untimed JIT/warm circuit, then a
+warm pass, then the timed pass (min of 2), same methodology as
+bench.py's sf_scale_probe.
+
+Usage: PYTHONPATH=. python tools/scale_decades.py
+(sf10 generation ~60M lineitem rows; first run takes a few minutes to
+write ~2 GB of parquet under .scaledata/sf10_true)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agensgraph_spark import get_spark, workload  # noqa: E402
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the bench's probe-7: both iterative pipeline operators are always in,
+# the rest are the most expensive headline queries (BENCH_r10 order)
+PROBE7 = ["dedup_cluster", "graph_pagerank", "dedup_minhash_lsh",
+          "cy_dijkstra", "cy_match_2hop_agg", "sql_tpch_q5",
+          "cy_shortestpath"]
+
+
+def main() -> None:
+    spark = get_spark("scale-decades")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = workload.all_queries()
+    import gen_true_sf1
+
+    sf1_dir = os.path.join(_ROOT, ".scaledata", "sf1_true")
+    sf10_dir = os.path.join(_ROOT, ".scaledata", "sf10_true")
+    if not os.path.isdir(sf1_dir):
+        gen_true_sf1.generate(spark, sf1_dir, scale=10)
+    if not os.path.isdir(sf10_dir):
+        t0 = time.time()
+        gen_true_sf1.generate(spark, sf10_dir, scale=100)
+        print(f"# sf10 generated in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    datasets = [("/root/testdata/sf0.1", "sf0.1"),
+                (sf1_dir, "sf1"), (sf10_dir, "sf10")]
+    # untimed JIT circuit over every dataset (scale_audit.py rationale)
+    for d, _ in datasets:
+        for name in PROBE7:
+            qs[name](spark, d).count()
+    gc.collect()
+    results: dict[str, dict[str, float]] = {}
+    for d, tag in datasets:
+        for name in PROBE7:               # per-dataset warm pass
+            qs[name](spark, d).count()
+        gc.collect()
+        for name in PROBE7:               # timed: min of 2
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, d).count()
+                ts.append(time.time() - t0)
+            results.setdefault(name, {})[tag] = round(min(ts), 2)
+        gc.collect()
+
+    print(f"{'query':22s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
+          "r(0.1->1) r(1->10)   (10x data per decade)")
+    payload = {}
+    for name in PROBE7:
+        r = results[name]
+        r1 = r["sf1"] / max(r["sf0.1"], 0.01)
+        r2 = r["sf10"] / max(r["sf1"], 0.01)
+        payload[name] = {**r, "ratio_decade1": round(r1, 2),
+                         "ratio_decade2": round(r2, 2)}
+        print(f"{name:22s} {r['sf0.1']:7.2f} {r['sf1']:7.2f} "
+              f"{r['sf10']:8.2f} {r1:9.2f} {r2:8.2f}")
+    print(json.dumps({"scale_decades": payload}))
+
+
+if __name__ == "__main__":
+    main()
