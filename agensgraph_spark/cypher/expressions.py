@@ -1148,6 +1148,40 @@ class ExprCompiler:
         a, b = self.tc(e.args[0]).col, self.tc(e.args[1]).col
         return TC(F.datediff(a, b).cast("long"), T.LongType())
 
+    def _f_to_char(self, e: A.FuncCall) -> TC:
+        """PG to_char reachable from the query dialect exactly as the
+        reference's Cypher reaches PG functions (formatting.c). The
+        pattern must be a string literal (it drives plan construction);
+        dispatch on the argument's compiled type — temporal templates
+        vs numeric digit pictures (a picture always contains 9/0,
+        temporal templates never do, so unknown types fall back to the
+        pattern shape)."""
+        from agensgraph_spark import sqlfuncs as SQLF
+        if len(e.args) != 2 or not (isinstance(e.args[1], A.Lit)
+                                    and isinstance(e.args[1].value, str)):
+            raise NotImplementedError(
+                "to_char requires (expr, 'pattern literal')")
+        t = self.tc(e.args[0])
+        pat = e.args[1].value
+        if isinstance(t.dtype, (T.DateType, T.TimestampType)):
+            return TC(SQLF.to_char(t.col, pat), T.StringType())
+        if isinstance(t.dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType, T.FloatType, T.DoubleType,
+                                T.DecimalType)):
+            return TC(SQLF.to_char_number(t.col, pat), T.StringType())
+        if any(ch in pat for ch in "90"):
+            return TC(SQLF.to_char_number(t.col, pat), T.StringType())
+        return TC(SQLF.to_char(t.col, pat), T.StringType())
+
+    def _f_age(self, e: A.FuncCall) -> TC:
+        from agensgraph_spark import sqlfuncs as SQLF
+        a, b = self.tc(e.args[0]).col, self.tc(e.args[1]).col
+        return TC(SQLF.age(a, b), None)
+
+    def _f_make_date(self, e: A.FuncCall) -> TC:
+        y, m, d = [self.tc(a).col for a in e.args]
+        return TC(F.make_date(y, m, d), T.DateType())
+
     def _generic_func(self, e: A.FuncCall) -> TC:
         """Fallback: any pyspark.sql.functions name (SQL-side surface)."""
         fn = getattr(F, e.name, None)

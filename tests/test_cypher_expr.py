@@ -511,3 +511,34 @@ def test_cypher_boolean_test(eng):
     assert one(eng, "(null > 0) IS FALSE") is False
     assert one(eng, "(null > 0) IS UNKNOWN") is True
     assert one(eng, "(1 > 0) IS NOT UNKNOWN") is True
+
+
+def test_to_char_reachable_from_cypher(spark):
+    """PG formatting functions callable from the query dialect, like
+    the reference's Cypher reaches PG functions: to_char dispatches on
+    the argument type (temporal template vs numeric digit picture),
+    age/make_date compose (reference: formatting.c, timestamp.c,
+    date.c)."""
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark)
+    r = eng.cypher(
+        "RETURN to_char(to_timestamp('2024-02-05 13:07:09'), "
+        "'FMDay, DD \"of\" FMMonth YYYY HH12:MI am') AS t, "
+        "to_char(485.7, 'FM9G999D00') AS n, "
+        "to_char(-1485, '9G999') AS m, "
+        "toString(make_date(2024, 2, 29)) AS d, "
+        "toString(datediff(to_date('2024-02-05'), "
+        "make_date(2024, 1, 1))) AS dd").collect()[0]
+    assert r["t"] == "Monday, 05 of February 2024 01:07 pm"
+    assert r["n"] == "485.70"
+    assert r["m"] == "-1,485"
+    assert r["d"] == "2024-02-29"
+    assert r["dd"] == "35"
+
+
+def test_to_char_cypher_requires_literal_pattern(spark):
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="pattern literal"):
+        eng.cypher("RETURN to_char(1, trim('999')) AS x")

@@ -305,3 +305,153 @@ def test_to_char_number_refuses_loudly(spark, pattern):
     from agensgraph_spark.sqlfuncs import to_char_number
     with pytest.raises(ValueError):
         to_char_number(F.col("v"), pattern)
+
+
+# --- randomized to_char(timestamp) differential: every supported token
+# composed randomly and checked against an independent strftime-based
+# reference (C locale month/day names match Spark's en-US default)
+
+def _py_to_char(dt, pattern):
+    import datetime as _dt
+
+    def pad9(s, fm):
+        return s if fm else s.ljust(9)
+
+    def tok(name, fm):
+        if name == "YYYY":
+            return str(dt.year) if fm else f"{dt.year:04d}"
+        if name == "YY":
+            return f"{dt.year % 100:02d}"
+        if name == "MM":
+            return str(dt.month) if fm else f"{dt.month:02d}"
+        if name == "DD":
+            return str(dt.day) if fm else f"{dt.day:02d}"
+        if name == "DDD":
+            j = dt.timetuple().tm_yday
+            return str(j) if fm else f"{j:03d}"
+        if name == "HH24":
+            return str(dt.hour) if fm else f"{dt.hour:02d}"
+        if name in ("HH12", "HH"):
+            h = dt.hour % 12 or 12
+            return str(h) if fm else f"{h:02d}"
+        if name == "MI":
+            return str(dt.minute) if fm else f"{dt.minute:02d}"
+        if name == "SS":
+            return str(dt.second) if fm else f"{dt.second:02d}"
+        if name == "MS":
+            return f"{dt.microsecond // 1000:03d}"
+        if name == "US":
+            return f"{dt.microsecond:06d}"
+        if name == "Mon":
+            return dt.strftime("%b")
+        if name == "MON":
+            return dt.strftime("%b").upper()
+        if name == "mon":
+            return dt.strftime("%b").lower()
+        if name == "Month":
+            return pad9(dt.strftime("%B"), fm)
+        if name == "MONTH":
+            return pad9(dt.strftime("%B").upper(), fm)
+        if name == "month":
+            return pad9(dt.strftime("%B").lower(), fm)
+        if name == "Dy":
+            return dt.strftime("%a")
+        if name == "DY":
+            return dt.strftime("%a").upper()
+        if name == "dy":
+            return dt.strftime("%a").lower()
+        if name == "Day":
+            return pad9(dt.strftime("%A"), fm)
+        if name == "DAY":
+            return pad9(dt.strftime("%A").upper(), fm)
+        if name == "day":
+            return pad9(dt.strftime("%A").lower(), fm)
+        if name == "D":
+            return str(dt.isoweekday() % 7 + 1)
+        if name == "ID":
+            return str(dt.isoweekday())
+        if name == "Q":
+            return str((dt.month - 1) // 3 + 1)
+        if name == "WW":
+            w = (dt.timetuple().tm_yday - 1) // 7 + 1
+            return str(w) if fm else f"{w:02d}"
+        if name == "IW":
+            w = dt.isocalendar()[1]
+            return str(w) if fm else f"{w:02d}"
+        if name == "AM" or name == "PM":
+            return "AM" if dt.hour < 12 else "PM"
+        if name == "am" or name == "pm":
+            return "am" if dt.hour < 12 else "pm"
+        if name == "A.M." or name == "P.M.":
+            return "A.M." if dt.hour < 12 else "P.M."
+        raise AssertionError(name)
+
+    out, fm, i = [], False, 0
+    toks = sorted(["YYYY", "YY", "MM", "DDD", "DD", "HH24", "HH12", "HH",
+                   "MI", "SS", "MS", "US", "Month", "MONTH", "month",
+                   "Mon", "MON", "mon", "Day", "DAY", "day", "Dy", "DY",
+                   "dy", "ID", "D", "Q", "WW", "IW", "A.M.", "P.M.",
+                   "AM", "PM", "am", "pm"], key=len, reverse=True)
+    while i < len(pattern):
+        if pattern[i] == '"':
+            j = pattern.index('"', i + 1)
+            out.append(pattern[i + 1:j])
+            i = j + 1
+            continue
+        if pattern.startswith("FM", i):
+            fm = True
+            i += 2
+            continue
+        hit = next((t for t in toks if pattern.startswith(t, i)), None)
+        if hit:
+            out.append(tok(hit, fm))
+            fm = False
+            i += len(hit)
+        else:
+            out.append(pattern[i])
+            i += 1
+    return "".join(out)
+
+
+def test_to_char_timestamp_fuzz(spark):
+    import datetime
+    import random
+
+    from agensgraph_spark.sqlfuncs import to_char
+    rng = random.Random(20260815)
+    tokens = ["YYYY", "YY", "MM", "DD", "DDD", "HH24", "HH12", "MI",
+              "SS", "MS", "US", "Mon", "MON", "mon", "Month", "month",
+              "Day", "day", "Dy", "DY", "D", "ID", "Q", "WW", "IW",
+              "AM", "pm", "A.M."]
+    seps = [" ", "-", ":", "/", ", ", "|", ""]
+    cases = []
+    for _ in range(150):
+        n = rng.randint(1, 6)
+        parts = []
+        for _k in range(n):
+            t = rng.choice(tokens)
+            if rng.random() < 0.25 and t not in ("MS", "US"):
+                t = "FM" + t
+            parts.append(t)
+            parts.append(rng.choice(seps))
+        if rng.random() < 0.2:
+            parts.insert(rng.randrange(len(parts)), '"wk "')
+        pat = "".join(parts)
+        ts = datetime.datetime(rng.randint(1971, 2030), rng.randint(1, 12),
+                               rng.randint(1, 28), rng.randint(0, 23),
+                               rng.randint(0, 59), rng.randint(0, 59),
+                               rng.randint(0, 999999))
+        cases.append((pat, ts))
+    df = spark.createDataFrame(
+        [(i, ts) for i, (_, ts) in enumerate(cases)], "i int, ts timestamp")
+    cols = [to_char(F.col("ts"), pat).alias(f"c{i}")
+            for i, (pat, _) in enumerate(cases)]
+    # one row per case: select case i's column from row i
+    rows = df.orderBy("i").select("i", *cols).collect()
+    bad = []
+    for i, (pat, ts) in enumerate(cases):
+        got = rows[i][f"c{i}"]
+        want = _py_to_char(ts, pat)
+        if got != want:
+            bad.append((pat, str(ts), got, want))
+    assert not bad, bad[:5]
