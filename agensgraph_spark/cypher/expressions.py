@@ -1178,6 +1178,24 @@ class ExprCompiler:
         a, b = self.tc(e.args[0]).col, self.tc(e.args[1]).col
         return TC(SQLF.age(a, b), None)
 
+    def _f_to_date(self, e: A.FuncCall) -> TC:
+        # 2-arg form = PG input template (formatting.c:do_to_timestamp);
+        # 1-arg form keeps Spark's ISO-string cast behavior
+        from agensgraph_spark import sqlfuncs as SQLF
+        if (len(e.args) == 2 and isinstance(e.args[1], A.Lit)
+                and isinstance(e.args[1].value, str)):
+            return TC(SQLF.to_date(self.tc(e.args[0]).col,
+                                   e.args[1].value), T.DateType())
+        return TC(F.to_date(self.tc(e.args[0]).col), T.DateType())
+
+    def _f_to_timestamp(self, e: A.FuncCall) -> TC:
+        from agensgraph_spark import sqlfuncs as SQLF
+        if (len(e.args) == 2 and isinstance(e.args[1], A.Lit)
+                and isinstance(e.args[1].value, str)):
+            return TC(SQLF.to_timestamp(self.tc(e.args[0]).col,
+                                        e.args[1].value), T.TimestampType())
+        return TC(F.to_timestamp(self.tc(e.args[0]).col), T.TimestampType())
+
     def _f_make_date(self, e: A.FuncCall) -> TC:
         y, m, d = [self.tc(a).col for a in e.args]
         return TC(F.make_date(y, m, d), T.DateType())

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["similar_escape", "similar_to", "regexp_match",
            "substring_similar", "to_char", "to_char_number",
-           "age_parts", "age", "make_date"]
+           "age_parts", "age", "make_date", "to_date", "to_timestamp"]
 
 
 def similar_escape(pattern: str, escape: str | None = "\\",
@@ -678,3 +678,93 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
     over_txt = (" " if not fm else "") + sharp_pre + ("." if has_d else "") + sharp_post
     out = F.when(ilen > n_pre, F.lit(over_txt)).otherwise(body)
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+# ---------------------------------------------------------------------------
+# PG datetime INPUT conversion — to_date/to_timestamp(text, template)
+# (reference: formatting.c:do_to_timestamp). The same template tokens
+# as to_char, translated to Spark's parse patterns; Spark's formatter
+# parses month/day names and meridiem case-insensitively, matching PG.
+
+_DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
+    ("Y,YYY", None), ("YYYY", "yyyy"), ("YYY", None), ("YY", "yy"),
+    ("IYYY", None), ("IYY", None), ("IY", None),
+    ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
+    ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
+    ("MM", "MM"), ("MI", "mm"), ("MS", "SSS"), ("US", "SSSSSS"),
+    # day-name tokens: PG parses-and-ignores them on input, but
+    # Spark >= 3.0 BANS 'E' in parse patterns entirely - refuse
+    ("DAY", None), ("Day", None), ("day", None),
+    ("DDD", "DDD"), ("DD", "dd"),
+    ("DY", None), ("Dy", None), ("dy", None),
+    ("ID", None), ("D", None),
+    ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+    ("SSSS", None), ("SS", "ss"),
+    ("A.M.", None), ("P.M.", None), ("a.m.", None), ("p.m.", None),
+    ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
+    ("IW", None), ("WW", None), ("W", None), ("Q", None),
+    ("CC", None), ("J", None), ("RM", None), ("rm", None),
+    ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
+    ("BC", None), ("AD", None),
+]
+
+
+def _dt_parse_pattern(pattern: str) -> str:
+    """PG input template -> Spark datetime parse pattern. FM is a
+    no-op for parsing (Spark's parser already accepts the values PG's
+    fill mode relaxes names for); field tokens PG cannot set from
+    input (Q, WW, D, ...) refuse loudly rather than mis-parse."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == '"':
+            j = pattern.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"to_date/to_timestamp: unterminated quoted literal in {pattern!r}")
+            lit = pattern[i + 1:j].replace("'", "''")
+            if lit:
+                out.append(f"'{lit}'")
+            i = j + 1
+            continue
+        if pattern.startswith("FM", i):
+            i += 2
+            continue
+        hit = None
+        for name, java in _DT_PARSE_TOKENS:
+            if pattern.startswith(name, i):
+                hit = (name, java)
+                break
+        if hit is not None:
+            name, java = hit
+            if java is None:
+                raise ValueError(
+                    f"to_date/to_timestamp: input pattern {name!r} is not "
+                    f"supported by this shim (in {pattern!r})")
+            out.append(java)
+            i += len(name)
+            continue
+        if ch.isalnum():
+            raise ValueError(
+                f"to_date/to_timestamp: unrecognized template character "
+                f"{ch!r} at position {i} in {pattern!r}")
+        out.append("''" if ch == "'" else ch)
+        i += 1
+    return "".join(out)
+
+
+def to_timestamp(col: "Column | str", pattern: str) -> Column:
+    """PostgreSQL ``to_timestamp(text, template)`` — the PG template is
+    translated to a Spark parse pattern, so ``'DD Mon YYYY HH12:MI am'``
+    parses the way a PG user expects (month/day names and meridiem are
+    case-insensitive in both engines). Divergence (documented): without
+    FM, PG tolerates some non-padded digit fields that Spark's strict
+    parser rejects; malformed input raises under ANSI rather than
+    returning NULL (use try_to_timestamp semantics upstream if NULLs
+    are wanted)."""
+    return F.to_timestamp(_c(col), _dt_parse_pattern(pattern))
+
+
+def to_date(col: "Column | str", pattern: str) -> Column:
+    """PostgreSQL ``to_date(text, template)`` — see ``to_timestamp``."""
+    return F.to_date(_c(col), _dt_parse_pattern(pattern))

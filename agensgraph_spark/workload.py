@@ -2826,6 +2826,23 @@ def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface: PG input templates (to_date/to_timestamp with a
+    template, reference formatting.c:do_to_timestamp) — round-trips
+    to_char output through the parse shim, incl. month names and the
+    12-hour clock."""
+    from agensgraph_spark import sqlfuncs as SQLF
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        SQLF.to_date(SQLF.to_char("ts", "DD Mon YYYY"), "DD Mon YYYY")
+            .cast("string").alias("d1"),
+        SQLF.to_timestamp(
+            SQLF.to_char("ts", "YYYY-MM-DD HH12:MI:SS AM"),
+            "YYYY-MM-DD HH12:MI:SS AM").cast("string").alias("t1"),
+    )
+
+
 def _q_to_char_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface: PostgreSQL numeric to_char digit pictures
     (reference formatting.c:NUM_processor; behavior pinned against
@@ -2948,6 +2965,14 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                               CAST(date_part('month', ts) AS INTEGER), 1)
                     AS VARCHAR) AS month_start
         FROM g"""),
+    "sql_to_date_parse": (_q_to_date_parse, """
+        SELECT event_id,
+               CAST(CAST(strptime(strftime(ts, '%d %b %Y'), '%d %b %Y')
+                    AS DATE) AS VARCHAR) AS d1,
+               CAST(CAST(strptime(strftime(ts, '%Y-%m-%d %I:%M:%S %p'),
+                                  '%Y-%m-%d %I:%M:%S %p')
+                    AS TIMESTAMP) AS VARCHAR) AS t1
+        FROM events"""),
     # numeric to_char replayed with string assembly (decimal casts
     # round half-away in both engines; format('{:,}') supplies the
     # 3-digit grouping; the blank-zero-integer and '#' overflow rules

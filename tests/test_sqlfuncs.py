@@ -455,3 +455,64 @@ def test_to_char_timestamp_fuzz(spark):
         if got != want:
             bad.append((pat, str(ts), got, want))
     assert not bad, bad[:5]
+
+
+# --- PG input templates: to_date / to_timestamp (text, template) ---
+
+@pytest.mark.parametrize("txt,pat,expected", [
+    ("05 Dec 2000", "DD Mon YYYY", "2000-12-05"),
+    ("05 DEC 2000", "DD Mon YYYY", "2000-12-05"),       # case-insensitive
+    ("December 05, 2000", "Month DD, YYYY", "2000-12-05"),
+    ("2000/12/05", "YYYY/MM/DD", "2000-12-05"),
+    ("y2000 d339", '"y"YYYY "d"DDD', "2000-12-04"),     # day-of-year
+])
+def test_to_date_pg_templates(spark, txt, pat, expected):
+    from agensgraph_spark.sqlfuncs import to_date
+    got = (spark.range(1).select(to_date(F.lit(txt), pat).cast("string")
+                                 .alias("d")).first()["d"])
+    assert got == expected
+
+
+@pytest.mark.parametrize("txt,pat,expected", [
+    ("2000-12-05 13:07:09", "YYYY-MM-DD HH24:MI:SS", "2000-12-05 13:07:09"),
+    ("2000-12-05 01:07 PM", "YYYY-MM-DD HH12:MI AM", "2000-12-05 13:07:00"),
+    ("2000-12-05 01:07 pm", "YYYY-MM-DD HH12:MI am", "2000-12-05 13:07:00"),
+    ("05.123456", "SS.US", "1970-01-01 00:00:05.123456"),
+])
+def test_to_timestamp_pg_templates(spark, txt, pat, expected):
+    from agensgraph_spark.sqlfuncs import to_timestamp
+    got = (spark.range(1).select(to_timestamp(F.lit(txt), pat)
+                                 .cast("string").alias("t")).first()["t"])
+    assert got == expected
+
+
+@pytest.mark.parametrize("pat", ["Q", "WW", "IW", "D", "ID", "J", "TZ",
+                                 "SSSS", "A.M.", "XYZ",
+                                 # Spark >= 3.0 bans day-of-week in
+                                 # parse patterns; PG would ignore it
+                                 "Dy, DD Mon YYYY"])
+def test_to_timestamp_refuses_unparseable_tokens(spark, pat):
+    from agensgraph_spark.sqlfuncs import to_timestamp
+    with pytest.raises(ValueError):
+        to_timestamp(F.col("x"), pat)
+
+
+def test_to_date_roundtrips_to_char(spark):
+    """to_char -> to_date round trip over the shared token subset."""
+    from agensgraph_spark.sqlfuncs import to_char, to_date
+    pat = "DD Mon YYYY"
+    df = spark.sql("SELECT timestamp'2024-02-29 10:00:00' AS ts")
+    got = df.select(
+        to_date(to_char("ts", pat), pat).cast("string").alias("d")
+    ).first()["d"]
+    assert got == "2024-02-29"
+
+
+def test_to_date_from_cypher(spark):
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark)
+    r = eng.cypher("RETURN toString(to_date('05 Dec 2000', 'DD Mon YYYY')) AS d, "
+                   "toString(to_timestamp('01:07 PM 2000-12-05', "
+                   "'HH12:MI AM YYYY-MM-DD')) AS t").collect()[0]
+    assert r["d"] == "2000-12-05"
+    assert r["t"] == "2000-12-05 13:07:00"
