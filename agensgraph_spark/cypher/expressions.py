@@ -1200,6 +1200,15 @@ class ExprCompiler:
         y, m, d = [self.tc(a).col for a in e.args]
         return TC(F.make_date(y, m, d), T.DateType())
 
+    def _f_to_number(self, e: A.FuncCall) -> TC:
+        from agensgraph_spark import sqlfuncs as SQLF
+        if (len(e.args) != 2 or not isinstance(e.args[1], A.Lit)
+                or not isinstance(e.args[1].value, str)):
+            raise NotImplementedError(
+                "to_number requires (expr, 'picture literal')")
+        return TC(SQLF.to_number(self.tc(e.args[0]).col,
+                                 e.args[1].value), None)
+
     def _generic_func(self, e: A.FuncCall) -> TC:
         """Fallback: any pyspark.sql.functions name (SQL-side surface)."""
         fn = getattr(F, e.name, None)

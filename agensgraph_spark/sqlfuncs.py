@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["similar_escape", "similar_to", "regexp_match",
            "substring_similar", "to_char", "to_char_number",
-           "age_parts", "age", "make_date", "to_date", "to_timestamp"]
+           "age_parts", "age", "make_date", "to_date", "to_timestamp",
+           "to_number"]
 
 
 def similar_escape(pattern: str, escape: str | None = "\\",
@@ -768,3 +769,37 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
 def to_date(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_date(text, template)`` — see ``to_timestamp``."""
     return F.to_date(_c(col), _dt_parse_pattern(pattern))
+
+
+def to_number(col: "Column | str", pattern: str) -> Column:
+    """PostgreSQL ``to_number(text, template)`` (formatting.c:
+    numeric_to_number). PG's parser is deliberately lax — it scans the
+    input for digits, one decimal point, and a sign indicator anywhere
+    ('-' in any position, a trailing '<...>' PR pair), skipping group
+    separators and literal noise; every reference regression pin
+    (numeric.out:1993-2072, incl. '.-01' -> -0.01 and the
+    space-separated picture) reproduces under exactly that rule. The
+    result is a decimal whose scale is the picture's fraction width.
+
+    Stricter-than-PG divergence (loud, documented): input carrying
+    MORE integer digits than the picture has slots raises at runtime —
+    PG silently truncates to the picture width, which is the kind of
+    silent data mangling this shim refuses to reproduce."""
+    c = _c(col)
+    pre, post, has_d, fm, sign = _parse_num_pattern(pattern)
+    n_pre = sum(1 for k, _ in pre if k == "d")
+    n_post = sum(1 for k, _ in post if k == "d")
+    if n_pre == 0 and n_post == 0:
+        raise ValueError(f"to_number: no digit slots in {pattern!r}")
+    neg = c.contains("-") | (c.contains("<") & c.contains(">"))
+    cleaned = F.regexp_replace(c, "[^0-9.]", "")
+    ipart = F.substring_index(cleaned, ".", 1)
+    int_digits = F.length(F.regexp_replace(ipart, "^0+", ""))
+    guarded = F.when(
+        int_digits > n_pre,
+        F.raise_error(F.concat(
+            F.lit(f"to_number: input has more integer digits than the "
+                  f"picture {pattern!r} ({n_pre} slots): "), c))
+    ).otherwise(cleaned)
+    signed = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), guarded)
+    return signed.cast(f"decimal(38,{n_post})")

@@ -2843,6 +2843,24 @@ def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_to_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface: PG to_number (formatting.c:numeric_to_number) —
+    parses to_char_number output (group separators, floating sign,
+    trailing MI) back to decimals."""
+    from agensgraph_spark import sqlfuncs as SQLF
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,3)")
+    return ev.select(
+        "event_id",
+        SQLF.to_number(SQLF.to_char_number(v * 12345, "9G999G999D99"),
+                       "9G999G999D99").alias("parsed_g"),
+        SQLF.to_number(SQLF.to_char_number(v - 50, "S0999D999"),
+                       "S0999D999").alias("parsed_s"),
+        SQLF.to_number(SQLF.to_char_number(F.lit(50) - v, "999D9MI"),
+                       "999D9MI").alias("parsed_mi"),
+    )
+
+
 def _q_to_char_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface: PostgreSQL numeric to_char digit pictures
     (reference formatting.c:NUM_processor; behavior pinned against
@@ -2965,6 +2983,16 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                               CAST(date_part('month', ts) AS INTEGER), 1)
                     AS VARCHAR) AS month_start
         FROM g"""),
+    # to_number round-trips to_char_number output: the oracle is the
+    # original (decimal-exact) value at the picture's scale
+    "sql_to_number": (_q_to_number, """
+        WITH dec AS (
+          SELECT event_id, CAST(value AS DECIMAL(18,3)) AS v FROM events)
+        SELECT event_id,
+               CAST(round(v * 12345, 2) AS DECIMAL(38,2)) AS parsed_g,
+               CAST(v - 50 AS DECIMAL(38,3)) AS parsed_s,
+               CAST(round(50 - v, 1) AS DECIMAL(38,1)) AS parsed_mi
+        FROM dec"""),
     "sql_to_date_parse": (_q_to_date_parse, """
         SELECT event_id,
                CAST(CAST(strptime(strftime(ts, '%d %b %Y'), '%d %b %Y')

@@ -516,3 +516,50 @@ def test_to_date_from_cypher(spark):
                    "'HH12:MI AM YYYY-MM-DD')) AS t").collect()[0]
     assert r["d"] == "2000-12-05"
     assert r["t"] == "2000-12-05 13:07:00"
+
+
+# --- to_number: pinned against numeric.out:1993-2072 ---
+
+@pytest.mark.parametrize("txt,pat,expected", [
+    ("-34,338,492", "99G999G999", "-34338492"),
+    ("-34,338,492.654,878", "99G999G999D999G999", "-34338492.654878"),
+    ("<564646.654564>", "999999.999999PR", "-564646.654564"),
+    ("0.00001-", "9.999999S", "-0.000010"),
+    ("5.01-", "FM9.999999S", "-5.010000"),
+    ("5.01-", "FM9.999999MI", "-5.010000"),
+    ("5 4 4 4 4 8 . 7 8", "9 9 9 9 9 9 . 9 9", "544448.78"),
+    (".01", "FM9.99", "0.01"),
+    (".0", "99999999.99999999", "0.00000000"),
+    ("0", "99.99", "0.00"),
+    (".-01", "S99.99", "-0.01"),
+    (".01-", "99.99S", "-0.01"),
+    (" . 0 1-", " 9 9 . 9 9 S", "-0.01"),
+])
+def test_to_number_reference_pins(spark, txt, pat, expected):
+    """Value-level parity with the reference regression outputs (the
+    decimal scale is the picture's fraction width, so trailing zeros
+    differ from psql's numeric display — compared as decimals)."""
+    from decimal import Decimal
+
+    from agensgraph_spark.sqlfuncs import to_number
+    got = (spark.range(1)
+           .select(to_number(F.lit(txt), pat).alias("n")).first()["n"])
+    assert got == Decimal(expected)
+
+
+def test_to_number_overflow_raises(spark):
+    from agensgraph_spark.sqlfuncs import to_number
+    df = spark.range(1).select(F.lit("123456").alias("s"))
+    with pytest.raises(Exception, match="more integer digits"):
+        df.select(to_number("s", "999")).collect()
+
+
+def test_to_number_roundtrips_to_char_number(spark):
+    from decimal import Decimal
+
+    from agensgraph_spark.sqlfuncs import to_char_number, to_number
+    df = spark.sql("SELECT CAST(-1234567.89 AS DECIMAL(18,2)) AS v")
+    got = df.select(
+        to_number(to_char_number("v", "S9G999G999D99"), "S9G999G999D99")
+        .alias("n")).first()["n"]
+    assert got == Decimal("-1234567.89")
