@@ -1178,23 +1178,31 @@ class ExprCompiler:
         a, b = self.tc(e.args[0]).col, self.tc(e.args[1]).col
         return TC(SQLF.age(a, b), None)
 
+    def _pg_parse_2arg(self, e: A.FuncCall, fn, dtype) -> TC:
+        # 2-arg form = PG input template (formatting.c:do_to_timestamp)
+        # and the template MUST be a string literal — a non-literal
+        # second argument refuses loudly instead of silently dropping
+        # the template (round-11 review finding); 1-arg keeps Spark's
+        # ISO-string cast behavior
+        if len(e.args) == 1:
+            base = F.to_date if dtype == "date" else F.to_timestamp
+            return TC(base(self.tc(e.args[0]).col),
+                      T.DateType() if dtype == "date" else T.TimestampType())
+        if (len(e.args) != 2 or not isinstance(e.args[1], A.Lit)
+                or not isinstance(e.args[1].value, str)):
+            raise NotImplementedError(
+                "to_date/to_timestamp require (expr) or "
+                "(expr, 'template literal')")
+        return TC(fn(self.tc(e.args[0]).col, e.args[1].value),
+                  T.DateType() if dtype == "date" else T.TimestampType())
+
     def _f_to_date(self, e: A.FuncCall) -> TC:
-        # 2-arg form = PG input template (formatting.c:do_to_timestamp);
-        # 1-arg form keeps Spark's ISO-string cast behavior
         from agensgraph_spark import sqlfuncs as SQLF
-        if (len(e.args) == 2 and isinstance(e.args[1], A.Lit)
-                and isinstance(e.args[1].value, str)):
-            return TC(SQLF.to_date(self.tc(e.args[0]).col,
-                                   e.args[1].value), T.DateType())
-        return TC(F.to_date(self.tc(e.args[0]).col), T.DateType())
+        return self._pg_parse_2arg(e, SQLF.to_date, "date")
 
     def _f_to_timestamp(self, e: A.FuncCall) -> TC:
         from agensgraph_spark import sqlfuncs as SQLF
-        if (len(e.args) == 2 and isinstance(e.args[1], A.Lit)
-                and isinstance(e.args[1].value, str)):
-            return TC(SQLF.to_timestamp(self.tc(e.args[0]).col,
-                                        e.args[1].value), T.TimestampType())
-        return TC(F.to_timestamp(self.tc(e.args[0]).col), T.TimestampType())
+        return self._pg_parse_2arg(e, SQLF.to_timestamp, "timestamp")
 
     def _f_make_date(self, e: A.FuncCall) -> TC:
         y, m, d = [self.tc(a).col for a in e.args]

@@ -136,77 +136,6 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def ivf_cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_lists: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-    dim: int | None = None,
-    cents: "list[list[float]] | None" = None,
-) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer partitions the corpus into
-    ``n_lists`` inverted lists (nearest-centroid assignment); each query
-    scans only its ``n_probe`` closest lists, then exact cosine re-ranks.
-
-    Centroids are random unit directions from a fixed seed — a real
-    deployment would k-means them, but assignment/probing mechanics
-    (the part that must scale) are identical: one narrow pass to tag
-    the corpus (the tag is persistable with the snapshot, so at 100 TB
-    assignment is written once, not recomputed per query), a bucket
-    join in place of the cross product.
-
-    ``dim`` should be passed by callers that know the embedding width
-    (it is a dataset constant) — the ``first()`` fallback costs one
-    driver-side Spark job per call."""
-    if cents is not None:
-        # trained centroids (e.g. a few kmeans_update rounds) — the
-        # production path; the seeded random directions below are the
-        # self-contained default
-        n_lists = len(cents)
-        cents = np.asarray(cents, dtype=float)
-    else:
-        if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
-        rng = np.random.default_rng(seed)
-        cents = rng.standard_normal((n_lists, dim))
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
-    def centroid_sims(vec: Column) -> Column:
-        # one nested-array literal for the centroid matrix (see
-        # lsh_signature: per-element literals explode codegen size)
-        cm = F.lit([[float(x) for x in c] for c in cents])
-        return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
-
-    def arg_top(sims: Column, n: int) -> Column:
-        idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
-        pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-        return F.slice(F.reverse(F.array_sort(pairs)), 1, n).getField("i")
-
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv")) \
-              .select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv")) \
-               .select("query_id", "qv", norm(F.col("qv")).alias("qn"))
-    c_tag = c.withColumn("_list", arg_top(centroid_sims(F.col("cv")), 1).getItem(0))
-    q_tag = q.withColumn("_list", F.explode(arg_top(centroid_sims(F.col("qv")), n_probe)))
-
-    cand = c_tag.join(F.broadcast(q_tag), "_list") \
-                .filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
-                    F.col("rank").cast("long").alias("rank")))
-
-
 def unit_normalized(cents: "list[list[float]]") -> "list[list[float]]":
     """Row-normalize a centroid matrix to unit vectors (zero rows pass
     through unchanged). The dot-product quantizers in this module
@@ -262,6 +191,68 @@ def _centroid_tagged(
     pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
     return base.withColumn(
         "_list", F.reverse(F.array_sort(pairs)).getItem(0).getField("i"))
+
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    cents: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    ``n_lists`` inverted lists (nearest-centroid assignment); each query
+    scans only its ``n_probe`` closest lists, then exact cosine re-ranks.
+
+    Centroids are random unit directions from a fixed seed — a real
+    deployment would k-means them, but assignment/probing mechanics
+    (the part that must scale) are identical: one narrow pass to tag
+    the corpus (the tag is persistable with the snapshot, so at 100 TB
+    assignment is written once, not recomputed per query), a bucket
+    join in place of the cross product.
+
+    ``dim`` should be passed by callers that know the embedding width
+    (it is a dataset constant) — the ``first()`` fallback costs one
+    driver-side Spark job per call."""
+    cents = _resolve_cents(corpus, vec_col, n_lists, seed, dim, cents)
+    n_lists = len(cents)
+
+    def centroid_sims(vec: Column) -> Column:
+        # one nested-array literal for the centroid matrix (see
+        # lsh_signature: per-element literals explode codegen size)
+        cm = F.lit([[float(x) for x in c] for c in cents])
+        return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
+
+    def arg_top(sims: Column, n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
+        pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n).getField("i")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv")) \
+              .select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")) \
+               .select("query_id", "qv", norm(F.col("qv")).alias("qn"))
+    c_tag = c.withColumn("_list", arg_top(centroid_sims(F.col("cv")), 1).getItem(0))
+    q_tag = q.withColumn("_list", F.explode(arg_top(centroid_sims(F.col("qv")), n_probe)))
+
+    cand = c_tag.join(F.broadcast(q_tag), "_list") \
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+                    F.col("rank").cast("long").alias("rank")))
 
 
 def semantic_dedup(
@@ -691,15 +682,8 @@ def ivf_pq_topk(
     Both the list tag and the codes are persistable with the snapshot:
     at scale the per-query cost is independent of corpus width.
     Returns (query_id, neighbor_id, score asc, rank)."""
-    if cents is not None:
-        n_lists = len(cents)
-        cents = np.asarray(cents, dtype=float)
-    else:
-        if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
-        rng = np.random.default_rng(seed)
-        cents = rng.standard_normal((n_lists, dim))
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = _resolve_cents(corpus, vec_col, n_lists, seed, dim, cents)
+    n_lists = len(cents)
 
     def centroid_sims(vec: Column) -> Column:
         cm = F.lit([[float(x) for x in c] for c in cents])

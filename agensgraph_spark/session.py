@@ -42,5 +42,11 @@ def get_spark(app_name: str = "agensgraph_spark", shuffle_partitions: int | None
         # 29-query bench, interleaved runs re-paid compilation every
         # pass. Static conf, so it must be set at session build.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # reliable-checkpoint mode (paths._ckpt with
+        # spark.agensgraph.checkpointDir) writes one checkpoint per
+        # generation; without this the retired generations' files
+        # accumulate until the volume fills — the ContextCleaner only
+        # deletes checkpoint data when this static conf is on
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()

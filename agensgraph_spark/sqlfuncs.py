@@ -259,7 +259,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("a.m.", _meridiem(False, True)), ("p.m.", _meridiem(False, True)),
     ("Y,YYY", None),
     ("YYYY", _num("yyyy", F.year)), ("YYY", None),
-    ("YY", _fmt("yy")), ("IYYY", None), ("IYY", None), ("IY", None),
+    ("YY", _num("yy", lambda ts: F.year(ts) % 100)),
+    ("IYYY", None), ("IYY", None), ("IY", None),
     ("MONTH", _name("MMMM", "upper", 9)),
     ("Month", _name("MMMM", "title", 9)),
     ("month", _name("MMMM", "lower", 9)),
@@ -268,7 +269,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("mon", _name("MMM", "lower", None)),
     ("MM", _num("MM", F.month)),
     ("MI", _num("mm", F.minute)),
-    ("MS", _fmt("SSS")),
+    ("MS", _num("SSS", lambda ts: (F.unix_micros(ts.cast("timestamp"))
+                                   % 1_000_000 / 1000).cast("int"))),
     ("DAY", _name("EEEE", "upper", 9)),
     ("Day", _name("EEEE", "title", 9)),
     ("day", _name("EEEE", "lower", 9)),
@@ -285,7 +287,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("HH", lambda ts, fm: (_hh12_bare(ts).cast("string") if fm
                            else F.date_format(ts, "hh"))),
     ("SSSS", None), ("SS", _num("ss", F.second)),
-    ("US", _fmt("SSSSSS")),
+    ("US", _num("SSSSSS", lambda ts: (F.unix_micros(ts.cast("timestamp"))
+                                      % 1_000_000).cast("int"))),
     ("AM", _meridiem(True, False)), ("PM", _meridiem(True, False)),
     ("am", _meridiem(False, False)), ("pm", _meridiem(False, False)),
     ("IW", _iw), ("WW", _ww), ("W", None),
@@ -380,7 +383,13 @@ def age_parts(ts1: "Column | str", ts2: "Column | str") -> Column:
     a = F.when(neg, b0).otherwise(a0)
     b = F.when(neg, a0).otherwise(b0)
 
-    secs = F.second(a) - F.second(b)
+    def sec_of_min(t: Column) -> Column:
+        # second-of-minute INCLUDING the fraction: PG's fsec is part of
+        # the borrow chain (timestamp.c), so age('..01.0','..00.9')
+        # must be 0.1s, not 1s
+        return (F.unix_micros(t.cast("timestamp")) % 60_000_000) / 1e6
+
+    secs = sec_of_min(a) - sec_of_min(b)
     mins = F.minute(a) - F.minute(b)
     hours = F.hour(a) - F.hour(b)
     days = F.dayofmonth(a) - F.dayofmonth(b)
@@ -409,7 +418,7 @@ def age_parts(ts1: "Column | str", ts2: "Column | str") -> Column:
         (sign * days).cast("int").alias("days"),
         (sign * hours).cast("int").alias("hours"),
         (sign * mins).cast("int").alias("mins"),
-        (sign * secs).cast("int").alias("secs"),
+        (sign * F.round(secs, 6)).cast("double").alias("secs"),
     )
 
 
@@ -421,7 +430,7 @@ def age(ts1: "Column | str", ts2: "Column | str") -> Column:
     return F.make_interval(
         p.getField("years"), p.getField("months"), F.lit(0),
         p.getField("days"), p.getField("hours"), p.getField("mins"),
-        p.getField("secs").cast("double"))
+        p.getField("secs"))
 
 
 def make_date(year: "Column | str", month: "Column | str",
@@ -495,7 +504,7 @@ def _parse_num_pattern(pattern: str):
             i += 1
             continue
         if ch in "G,":
-            cur.append(("s", ","))
+            cur.append(("g", ","))
             i += 1
             continue
         if ch == '"':
@@ -511,7 +520,10 @@ def _parse_num_pattern(pattern: str):
                 f"at position {i} in {pattern!r}")
         cur.append(("s", ch))
         i += 1
-    has_d = pattern.count("D") + pattern.count(".") > 0
+    # has_d from the parse, NOT a raw count: a 'D' or '.' inside a
+    # quoted literal must not fabricate a decimal point (round-11
+    # review finding)
+    has_d = cur is post
     return pre, post, has_d, fm, sign
 
 
@@ -581,12 +593,14 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
     # explosion (a 17-way CASE over the digit count, each branch
     # re-inlining the istr tree per slot, generated megabytes of Java
     # and failed janino's method limit): digit areas are substrings of
-    # ONE padded string chunked by separator runs, separators are
-    # 2-way conditionals on the digit COUNT alone, and the floating
-    # sign is a single regexp overlay of the last leading blank.
+    # ONE padded string chunked by runs, group separators are 2-way
+    # conditionals on the digit COUNT alone, literals render
+    # unconditionally (PG prints quoted/punctuation literals even left
+    # of the number), and the floating sign is ONE overlay whose
+    # position/length come from per-digit-count literal arrays.
 
-    # fraction: digits left-to-right from fstr; a separator renders
-    # only when another kept digit follows it
+    # fraction: digits left-to-right from fstr; a group separator
+    # renders only when another kept digit follows it; literals always
     def _frac() -> Column:
         pieces: list[Column] = []
         order = 0
@@ -597,17 +611,19 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
                     F.greatest(F.least(kept_n, F.lit(order + 1)) - order,
                                F.lit(0))))
                 order += 1
-            else:
+            elif k == "g":
                 pieces.append(F.when(kept_n > order, F.lit(v))
-                              .otherwise(F.lit("") if fm else F.lit(" " * len(v))))
+                              .otherwise(F.lit("") if fm else F.lit(" ")))
+            else:
+                pieces.append(F.lit(v))
         return F.concat(*pieces) if pieces else F.lit("")
 
-    frac = _frac() if n_post > 0 else F.lit("")
+    frac = _frac() if post else F.lit("")
     dot = F.lit(".") if has_d else F.lit("")
 
     # pre: right-align istr into the digit slots via one lpad, chunk by
-    # runs between separators; a separator renders only when a digit
-    # lands strictly left of it (d_right = digit slots to its right)
+    # runs; a group separator renders only when a digit lands strictly
+    # left of it (d_right = digit slots to its right); literals always
     padded = F.lpad(istr, n_pre, " ") if n_pre > 0 else F.lit("")
     pieces: list[Column] = []
     run_start = None  # digit-order of the current run's first slot
@@ -621,12 +637,23 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
             if run_start is not None:
                 pieces.append(F.substring(padded, run_start + 1, order - run_start))
                 run_start = None
-            d_right = n_pre - order
-            pieces.append(F.when(ilen > d_right, F.lit(v))
-                          .otherwise(F.lit(" " * len(v))))
+            if k == "g":
+                d_right = n_pre - order
+                pieces.append(F.when(ilen > d_right, F.lit(v))
+                              .otherwise(F.lit(" " * len(v))))
+            else:
+                pieces.append(F.lit(v))
     if run_start is not None:
         pieces.append(F.substring(padded, run_start + 1, order - run_start))
     pre_body = F.concat(*pieces) if pieces else F.lit("")
+
+    if fm and any(k == "s" and v.strip() for k, v in pre):
+        # FM drops padding blanks via ltrim; a non-blank literal in the
+        # integer part would be stripped past / reordered around the
+        # sign — refuse loudly rather than emit wrong text
+        raise ValueError(
+            f"to_char_number: FM with a literal in the integer part of "
+            f"{pattern!r} is not supported by this shim")
 
     # sign pieces per mode (leading signs FLOAT against the number in
     # default/S/PR mode; MI is positional)
@@ -657,17 +684,26 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
         core = F.concat(F.ltrim(pre_body), dot, frac)
         body = F.concat(sgn, core, trail) if sgn is not None \
             else F.concat(core, trail)
+    elif sgn is not None:
+        # float the sign against the number: PG's output is the
+        # template width PLUS one sign slot that sits immediately left
+        # of the number's first rendered char (first digit, or the
+        # decimal point when the integer part is blank) — after any
+        # leading literal, inside any blank run. For each possible
+        # integer digit count that position is a compile-time constant,
+        # so ONE overlay-insert (len 0) with the position looked up
+        # from a literal array does it; ilen is referenced once.
+        widths = [1 if k in ("d", "g") else len(v) for k, v in pre]
+        digit_items = [i for i, (k, _) in enumerate(pre) if k == "d"]
+        pos_list: list[int] = []
+        for cnt in range(0, n_pre + 1):
+            start_item = len(pre) if cnt == 0 else digit_items[n_pre - cnt]
+            pos_list.append(1 + sum(widths[:start_item]))
+        base = F.concat(pre_body, dot, frac, trail)
+        pos = F.element_at(F.lit(pos_list), ilen.cast("int") + 1)
+        body = F.overlay(base, sgn, pos, F.lit(0))
     else:
-        core = F.concat(pre_body, dot, frac)
-        if sgn is not None:
-            # float the sign into the last blank before the number:
-            # one extra lead slot, then overlay (positive signs are a
-            # blank, so the overlay is a no-op for them)
-            body = F.regexp_replace(
-                F.concat(F.lit(" "), core, trail),
-                F.lit(r"^( *) (?=\S)"), F.concat(F.lit("$1"), sgn))
-        else:
-            body = F.concat(core, trail)
+        body = F.concat(pre_body, dot, frac, trail)
 
     if sign == "MI_lead":
         mi = F.when(neg, F.lit("-")).otherwise(F.lit("") if fm else F.lit(" "))
@@ -781,6 +817,10 @@ def to_number(col: "Column | str", pattern: str) -> Column:
     space-separated picture) reproduces under exactly that rule. The
     result is a decimal whose scale is the picture's fraction width.
 
+    Fraction digits beyond the picture's slots are truncated before
+    the cast, like PG's field-wise read ('1.999' under '9.9' is 1.9,
+    not the 2.0 a rounding cast would give).
+
     Stricter-than-PG divergence (loud, documented): input carrying
     MORE integer digits than the picture has slots raises at runtime —
     PG silently truncates to the picture width, which is the kind of
@@ -794,6 +834,15 @@ def to_number(col: "Column | str", pattern: str) -> Column:
     neg = c.contains("-") | (c.contains("<") & c.contains(">"))
     cleaned = F.regexp_replace(c, "[^0-9.]", "")
     ipart = F.substring_index(cleaned, ".", 1)
+    # PG reads only as many fraction digits as the picture has slots
+    # (field-wise NUM_processor) — truncate BEFORE the decimal cast,
+    # which would otherwise round half-up ('1.999' with '9.9' is 1.9
+    # in PG, not 2.0)
+    fpart = F.when(cleaned.contains("."),
+                   F.concat(F.lit("."),
+                            F.substring(F.substring_index(cleaned, ".", -1),
+                                        1, n_post))).otherwise(F.lit(""))
+    cleaned = F.concat(ipart, fpart)
     int_digits = F.length(F.regexp_replace(ipart, "^0+", ""))
     guarded = F.when(
         int_digits > n_pre,

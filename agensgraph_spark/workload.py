@@ -1392,9 +1392,13 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cents is None:
         # ONE Lloyd round from the seeded init — the trained-quantizer
         # production path (balanced clusters on non-isotropic data);
+        # the means are SNAPPED to 9 decimals before use (the oracle
+        # rounds its avg the same way) so the cross-engine float-sum
+        # noise in avg (~1e-16) cannot sit on a tag-flip boundary;
         # unit-normalized because semantic_dedup tags by raw dot
-        cents = S.unit_normalized(S.train_ivf_centroids(
-            emb, n_lists=16, rounds=1, dim=_emb_dim(emb, sf_dir)))
+        means = S.train_ivf_centroids(emb, n_lists=16, rounds=1,
+                                      dim=_emb_dim(emb, sf_dir))
+        cents = S.unit_normalized([[round(x, 9) for x in c] for c in means])
         _SEMDEDUP_CENTS[sf_dir] = cents
     return S.semantic_dedup(emb, tau=0.2, cents=cents)
 
@@ -2610,7 +2614,7 @@ def _semdedup_oracle(dim: int = 64, n_lists: int = 16, tau: float = 0.2,
             FROM corpus c CROSS JOIN cents0) WHERE rn = 1),
         upd AS (
           SELECT li, list(m ORDER BY pos) AS cv FROM (
-            SELECT a.li, g.i AS pos, avg(c.v[g.i]) AS m
+            SELECT a.li, g.i AS pos, round(avg(c.v[g.i]), 9) AS m
             FROM asg a JOIN corpus c USING (vec_id),
                  LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) g
             GROUP BY a.li, g.i)

@@ -79,8 +79,9 @@ def main() -> None:
     import gc
     n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
+    load_warn_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5"))
     pass_load: list[float] = [round(os.getloadavg()[0], 2)]
-    if pass_load[0] > float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5")):
+    if pass_load[0] > load_warn_threshold:
         print(f"# WARN: ambient load1={pass_load[0]} before pass 1 — "
               "timings below are suspect (see README noise methodology); "
               "the final JSON carries load1_warn=true", file=sys.stderr)
@@ -214,10 +215,8 @@ def main() -> None:
         # work), so the guard keys on it; a warned run's timings are
         # suspect per the README noise methodology (min-of-N mitigates
         # but does not erase contention)
-        "load1_warn": pass_load[0] > float(
-            os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5")),
-        "load1_warn_threshold": float(
-            os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5")),
+        "load1_warn": pass_load[0] > load_warn_threshold,
+        "load1_warn_threshold": load_warn_threshold,
         # cold (pass 1: codegen + parquet footers) vs warm (last pass)
         # totals, reported separately — the headline stays min-of-N
         "cold_total_sec": round(sum(passes[0].values()), 3),

@@ -321,7 +321,7 @@ def _py_to_char(dt, pattern):
         if name == "YYYY":
             return str(dt.year) if fm else f"{dt.year:04d}"
         if name == "YY":
-            return f"{dt.year % 100:02d}"
+            return str(dt.year % 100) if fm else f"{dt.year % 100:02d}"
         if name == "MM":
             return str(dt.month) if fm else f"{dt.month:02d}"
         if name == "DD":
@@ -339,9 +339,10 @@ def _py_to_char(dt, pattern):
         if name == "SS":
             return str(dt.second) if fm else f"{dt.second:02d}"
         if name == "MS":
-            return f"{dt.microsecond // 1000:03d}"
+            ms = dt.microsecond // 1000
+            return str(ms) if fm else f"{ms:03d}"
         if name == "US":
-            return f"{dt.microsecond:06d}"
+            return str(dt.microsecond) if fm else f"{dt.microsecond:06d}"
         if name == "Mon":
             return dt.strftime("%b")
         if name == "MON":
@@ -430,7 +431,7 @@ def test_to_char_timestamp_fuzz(spark):
         parts = []
         for _k in range(n):
             t = rng.choice(tokens)
-            if rng.random() < 0.25 and t not in ("MS", "US"):
+            if rng.random() < 0.25:
                 t = "FM" + t
             parts.append(t)
             parts.append(rng.choice(seps))
@@ -563,3 +564,81 @@ def test_to_number_roundtrips_to_char_number(spark):
         to_number(to_char_number("v", "S9G999G999D99"), "S9G999G999D99")
         .alias("n")).first()["n"]
     assert got == Decimal("-1234567.89")
+
+
+# --- round-11 review-finding regressions ---
+
+def test_to_char_number_literals_always_render(spark):
+    """PG doc example: literals render even left of all digits, the
+    floating sign sits between the literal and the number (widening by
+    the sign slot), and a 'D'/'.' inside a quoted literal must not
+    fabricate a decimal point."""
+    from agensgraph_spark.sqlfuncs import to_char_number
+
+    def one(v, pat):
+        df = spark.sql(f"SELECT CAST({v} AS DECIMAL(18,3)) AS v")
+        return df.select(to_char_number("v", pat).alias("o")).first()["o"]
+
+    assert one("485", '"Good number:"999') == "Good number: 485"
+    assert one("-485", '"Good number:"999') == "Good number:-485"
+    assert one("485", '999" D"') == " 485 D"        # no fabricated dot
+    assert one("485", '999" USD"') == " 485 USD"
+    assert one("12.5", '"$"99D9') == "$ 12.5"
+    assert one("-12.5", '"$"99D9') == "$-12.5"
+    # sign still floats into blank slots when available
+    assert one("-85", "999") == " -85"
+    assert one("-85", '999"kg"') == " -85kg"
+
+
+def test_to_char_fm_yy_ms_us(spark):
+    from agensgraph_spark.sqlfuncs import to_char
+    df = spark.sql("SELECT timestamp'2005-02-05 01:02:03.045006' AS ts")
+
+    def one(pat):
+        return df.select(to_char("ts", pat).alias("o")).first()["o"]
+
+    assert one("FMYY") == "5"      # PG: FM drops leading zeros on YY too
+    assert one("YY") == "05"
+    assert one("FMMS") == "45"
+    assert one("MS") == "045"
+    assert one("FMUS") == "45006"
+    assert one("US") == "045006"
+
+
+def test_to_char_number_fm_pre_literal_refuses(spark):
+    from agensgraph_spark.sqlfuncs import to_char_number
+    with pytest.raises(ValueError, match="FM with a literal"):
+        to_char_number(F.lit(1), 'FM"N:"999')
+
+
+def test_age_parts_fractional_seconds(spark):
+    """PG's fsec participates in the borrow chain: a 0.1s difference
+    is 0.1s, not a whole second."""
+    from agensgraph_spark.sqlfuncs import age_parts
+    df = spark.sql(
+        "SELECT timestamp'2024-02-05 00:00:01.0' AS a, "
+        "timestamp'2024-02-05 00:00:00.9' AS b")
+    r = df.select(age_parts("a", "b").alias("p")).first()["p"]
+    assert (r["years"], r["months"], r["days"], r["hours"],
+            r["mins"]) == (0, 0, 0, 0, 0)
+    assert r["secs"] == pytest.approx(0.1)
+    r2 = df.select(age_parts("b", "a").alias("p")).first()["p"]
+    assert r2["secs"] == pytest.approx(-0.1)
+
+
+def test_to_number_truncates_excess_fraction(spark):
+    """PG reads only as many fraction digits as the picture has slots
+    — no rounding ('1.999' under '9.9' is 1.9, not 2.0)."""
+    from decimal import Decimal
+
+    from agensgraph_spark.sqlfuncs import to_number
+    got = (spark.range(1)
+           .select(to_number(F.lit("1.999"), "9.9").alias("n")).first()["n"])
+    assert got == Decimal("1.9")
+
+
+def test_to_date_cypher_refuses_non_literal_pattern(spark):
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark)
+    with pytest.raises(NotImplementedError, match="template literal"):
+        eng.cypher("RETURN to_date('05 Dec 2000', trim('DD Mon YYYY')) AS d")
