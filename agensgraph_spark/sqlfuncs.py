@@ -452,7 +452,7 @@ def make_date(year: "Column | str", month: "Column | str",
 # Behavior is pinned against the reference's own regression outputs
 # (src/test/regress/expected/numeric.out:1479-1720).
 
-_NUM_REFUSED = ("EEEE", "RN", "rn", "TH", "th", "SG", "PL", "L", "V", "B")
+_NUM_REFUSED = ("RN", "rn", "TH", "th", "SG", "PL", "L", "V", "B")
 
 
 def _parse_num_pattern(pattern: str):
@@ -541,6 +541,33 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
     Pinned against the reference regression outputs
     (src/test/regress/expected/numeric.out:1479-1720)."""
     c = _c(col)
+    if "EEEE" in pattern:
+        # scientific notation (formatting.c NUM_E): '9.999EEEE' style —
+        # one integer digit, a fraction width, EEEE at the end. Java's
+        # %e matches PG's mantissa rounding and e+XX exponent form
+        # (reference pins numeric.out:1675-1698); exponents beyond two
+        # digits cannot arise from decimal(38) input.
+        core = pattern[:-4] if pattern.endswith("EEEE") else None
+        if core is None:
+            raise ValueError(
+                f"to_char_number: EEEE must terminate the pattern ({pattern!r})")
+        epre, epost, ehas_d, efm, esign = _parse_num_pattern(core)
+        if (sum(1 for k, _ in epre if k == "d") != 1 or not ehas_d
+                or any(k != "d" for k, _ in epre)
+                or any(k != "d" for k, _ in epost)
+                or esign not in ("default", "S_lead")):
+            raise ValueError(
+                f"to_char_number: EEEE requires a '9.99..' style picture "
+                f"({pattern!r})")
+        n = sum(1 for k, _ in epost if k == "d")
+        sci = F.format_string(f"%.{n}e", c.cast("double"))
+        if esign == "S_lead":
+            out = F.when(c < 0, sci).otherwise(F.concat(F.lit("+"), sci))
+        elif efm:
+            out = sci
+        else:
+            out = F.when(c < 0, sci).otherwise(F.concat(F.lit(" "), sci))
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
     pre, post, has_d, fm, sign = _parse_num_pattern(pattern)
     n_pre = sum(1 for k, _ in pre if k == "d")
     n_post = sum(1 for k, _ in post if k == "d")

@@ -2830,6 +2830,45 @@ def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-skew audit semantic_dedup's cap depends on
+    (similarity.semdedup_skew_stats): cluster-size distribution of the
+    seeded default quantizer + over-cap count + sum_sq_sizes (the
+    quadratic pair-join cost driver)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.semdedup_skew_stats(emb, dim=_emb_dim(emb, sf_dir))
+
+
+def _semdedup_skew_oracle(dim: int = 64, n_lists: int = 16,
+                          seed: int = 42, max_cluster: int = 10_000) -> str:
+    """DuckDB replay of semdedup_skew_stats: the same seeded centroid
+    tag as _semdedup_oracle's untrained quantizer, then the size
+    aggregate."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+        WITH cents(li, cv) AS (VALUES {rows}),
+        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        tag AS (
+          SELECT vec_id, li AS cluster FROM (
+            SELECT c.vec_id, cents.li,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.li DESC) AS rn
+            FROM corpus c CROSS JOIN cents) WHERE rn = 1),
+        sizes AS (SELECT cluster, count(*) AS n FROM tag GROUP BY cluster)
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairable,
+               CAST(sum(CASE WHEN n > {max_cluster} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+               CAST(max(n) AS BIGINT) AS max_cluster_size,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq_sizes
+        FROM sizes"""
+
+
 def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface: PG input templates (to_date/to_timestamp with a
     template, reference formatting.c:do_to_timestamp) — round-trips
@@ -3324,6 +3363,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # SemDeDup-style semantic dedup: centroid tag + within-cluster
     # keep-lowest-id rule — full pipeline replayed in DuckDB
     "dedup_semantic": (_q_dedup_semantic, _semdedup_oracle()),
+    # the cluster-skew audit backing semantic_dedup's cap
+    "dedup_semantic_skew": (_q_semdedup_skew, _semdedup_skew_oracle()),
 }
 
 

@@ -299,8 +299,9 @@ def test_to_char_number_edges(spark):
     assert one("485", '999 "kg"') == " 485 kg"    # quoted literal
 
 
-@pytest.mark.parametrize("pattern", ["9.999EEEE", "RN", "999TH", "SG999",
-                                     "L999", "99V99", "9B9"])
+@pytest.mark.parametrize("pattern", ["RN", "999TH", "SG999",
+                                     "L999", "99V99", "9B9",
+                                     "EEEE9.99", "9G999EEEE"])
 def test_to_char_number_refuses_loudly(spark, pattern):
     from agensgraph_spark.sqlfuncs import to_char_number
     with pytest.raises(ValueError):
@@ -642,3 +643,19 @@ def test_to_date_cypher_refuses_non_literal_pattern(spark):
     eng = CypherEngine(spark)
     with pytest.raises(NotImplementedError, match="template literal"):
         eng.cypher("RETURN to_date('05 Dec 2000', trim('DD Mon YYYY')) AS d")
+
+
+def test_to_char_number_eeee_reference_pins(spark):
+    """Scientific notation pinned to numeric.out:1675-1689."""
+    from agensgraph_spark.sqlfuncs import to_char_number
+    vals = _NUM_VALS + ["-4.2", "0.000012"]
+    want = ["  0.000e+00", "  0.000e+00", " -3.434e+07", "  4.310e+00",
+            "  7.799e+06", "  1.640e+04", "  9.390e+04", " -8.303e+07",
+            "  7.488e+04", " -2.493e+07", " -4.200e+00", "  1.200e-05"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v string") \
+        .select("i", F.col("v").cast("decimal(38,18)").alias("v"))
+    got = [r["o"] for r in df.orderBy("i")
+           .select(to_char_number("v", "9.999EEEE").alias("o")).collect()]
+    # psql pins carry one leading display space; strip one from `want`
+    assert got == [w[1:] for w in want]
