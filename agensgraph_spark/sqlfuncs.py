@@ -876,6 +876,13 @@ def to_number(col: "Column | str", pattern: str) -> Column:
         F.raise_error(F.concat(
             F.lit(f"to_number: input has more integer digits than the "
                   f"picture {pattern!r} ({n_pre} slots): "), c))
+    ).when(
+        # digit-free input (e.g. to_char's '###' overflow fill) errors
+        # in PG too — raise with the offending text instead of letting
+        # the decimal cast fail on ''
+        F.length(F.regexp_replace(cleaned, r"[^0-9]", "")) == 0,
+        F.raise_error(F.concat(
+            F.lit(f"to_number: no digits in input for {pattern!r}: "), c))
     ).otherwise(cleaned)
     signed = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), guarded)
     return signed.cast(f"decimal(38,{n_post})")

@@ -659,3 +659,75 @@ def test_to_char_number_eeee_reference_pins(spark):
            .select(to_char_number("v", "9.999EEEE").alias("o")).collect()]
     # psql pins carry one leading display space; strip one from `want`
     assert got == [w[1:] for w in want]
+
+
+def test_to_char_to_number_roundtrip_property(spark):
+    """Round-trip property over randomized pictures and values:
+    to_number(to_char_number(v, pic), pic) == v rounded to the
+    picture's fraction width — across group separators, zero-fill,
+    every sign mode, FM, and literals (non-FM). One batched select."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from agensgraph_spark.sqlfuncs import to_char_number, to_number
+    rng = random.Random(20260815)
+    cases = []
+    # 60 cases: each picture pair is its own codegen unit, so the case
+    # count is compile-time-bound (~2s/case); 60 covers every mode
+    # several times over
+    for _ in range(60):
+        n_pre = rng.randint(1, 9)
+        n_post = rng.choice([0, 1, 2, 3, 6])
+        pre = []
+        for i in range(n_pre):
+            pre.append(rng.choice("90" if rng.random() < 0.3 else "9"))
+            if rng.random() < 0.25 and i + 1 < n_pre:
+                pre.append(rng.choice("G,"))
+        pic = "".join(pre)
+        if n_post:
+            pic += "D" + "".join(rng.choice("90") for _ in range(n_post))
+        mode = rng.choice(["", "S", "MI", "PR", "FM", "lit"])
+        if mode == "S":
+            pic = "S" + pic if rng.random() < 0.5 else pic + "S"
+        elif mode == "MI":
+            pic = pic + "MI"
+        elif mode == "PR":
+            pic = pic + "PR"
+        elif mode == "FM":
+            pic = "FM" + pic
+        elif mode == "lit":
+            pic = pic + rng.choice([' "kg"', ' "items"'])
+        # value fits the picture's integer width even after rounding
+        mag = rng.random() * (10 ** rng.randint(0, n_pre) - 1)
+        v = Decimal(repr(mag)).quantize(Decimal(1).scaleb(-6))
+        if rng.random() < 0.5 and mode != "PR" or mode in ("S", "MI", "PR"):
+            if rng.random() < 0.5:
+                v = -v
+        cases.append((pic, v))
+    # ONE wide row: every case's value in its own column, so each
+    # picture only ever evaluates against its own value (a row-per-case
+    # frame would apply every picture to every row and overflow on the
+    # off-diagonal cells)
+    schema = ", ".join(f"s{i} string" for i in range(len(cases)))
+    df = spark.createDataFrame(
+        [tuple(str(v) for _, v in cases)], schema)
+    cols = [to_number(
+        to_char_number(F.col(f"s{i}").cast("decimal(18,6)"), pic), pic)
+        .alias(f"c{i}") for i, (pic, _) in enumerate(cases)]
+    rows = df.select(*cols).collect()
+    bad = []
+    for i, (pic, v) in enumerate(cases):
+        n_post = len(pic.split("D")[1].strip('SMIPR "kgitems')) if "D" in pic else 0
+        want = v.quantize(Decimal(1).scaleb(-n_post) if n_post else Decimal(1),
+                          rounding=ROUND_HALF_UP)
+        got = rows[0][f"c{i}"]
+        if got != want:
+            bad.append((pic, str(v), str(got), str(want)))
+    assert not bad, bad[:8]
+
+
+def test_to_number_digit_free_input_raises_loudly(spark):
+    from agensgraph_spark.sqlfuncs import to_number
+    df = spark.range(1).select(F.lit(" ###").alias("s"))
+    with pytest.raises(Exception, match="no digits in input"):
+        df.select(to_number("s", "999")).collect()
