@@ -269,8 +269,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("mon", _name("MMM", "lower", None)),
     ("MM", _num("MM", F.month)),
     ("MI", _num("mm", F.minute)),
-    ("MS", _num("SSS", lambda ts: (F.unix_micros(ts.cast("timestamp"))
-                                   % 1_000_000 / 1000).cast("int"))),
+    ("MS", _num("SSS", lambda ts: (F.pmod(F.unix_micros(ts.cast("timestamp")),
+                                          F.lit(1_000_000)) / 1000).cast("int"))),
     ("DAY", _name("EEEE", "upper", 9)),
     ("Day", _name("EEEE", "title", 9)),
     ("day", _name("EEEE", "lower", 9)),
@@ -287,8 +287,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("HH", lambda ts, fm: (_hh12_bare(ts).cast("string") if fm
                            else F.date_format(ts, "hh"))),
     ("SSSS", None), ("SS", _num("ss", F.second)),
-    ("US", _num("SSSSSS", lambda ts: (F.unix_micros(ts.cast("timestamp"))
-                                      % 1_000_000).cast("int"))),
+    ("US", _num("SSSSSS", lambda ts: F.pmod(
+        F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000)).cast("int"))),
     ("AM", _meridiem(True, False)), ("PM", _meridiem(True, False)),
     ("am", _meridiem(False, False)), ("pm", _meridiem(False, False)),
     ("IW", _iw), ("WW", _ww), ("W", None),
@@ -386,8 +386,11 @@ def age_parts(ts1: "Column | str", ts2: "Column | str") -> Column:
     def sec_of_min(t: Column) -> Column:
         # second-of-minute INCLUDING the fraction: PG's fsec is part of
         # the borrow chain (timestamp.c), so age('..01.0','..00.9')
-        # must be 0.1s, not 1s
-        return (F.unix_micros(t.cast("timestamp")) % 60_000_000) / 1e6
+        # must be 0.1s, not 1s. pmod, NOT %: Spark's % keeps the
+        # dividend's sign, which for pre-epoch timestamps would emit a
+        # negative second-of-minute and cascade bogus borrows
+        return F.pmod(F.unix_micros(t.cast("timestamp")),
+                      F.lit(60_000_000)) / 1e6
 
     secs = sec_of_min(a) - sec_of_min(b)
     mins = F.minute(a) - F.minute(b)
@@ -552,21 +555,25 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
             raise ValueError(
                 f"to_char_number: EEEE must terminate the pattern ({pattern!r})")
         epre, epost, ehas_d, efm, esign = _parse_num_pattern(core)
+        n = sum(1 for k, _ in epost if k == "d")
         if (sum(1 for k, _ in epre if k == "d") != 1 or not ehas_d
                 or any(k != "d" for k, _ in epre)
                 or any(k != "d" for k, _ in epost)
-                or esign not in ("default", "S_lead")):
+                or esign != "default" or efm):
+            # PG itself rejects EEEE combined with anything but digits
+            # and the decimal point (S/FM included)
             raise ValueError(
-                f"to_char_number: EEEE requires a '9.99..' style picture "
-                f"({pattern!r})")
-        n = sum(1 for k, _ in epost if k == "d")
+                f"to_char_number: EEEE requires a plain '9.99..' style "
+                f"picture ({pattern!r})")
+        if n > 15:
+            # the mantissa renders through a double; beyond ~15 fraction
+            # digits the low-order digits would silently diverge from
+            # PG's exact-numeric rendering
+            raise ValueError(
+                f"to_char_number: EEEE fraction width {n} exceeds double "
+                f"precision (15) in {pattern!r}")
         sci = F.format_string(f"%.{n}e", c.cast("double"))
-        if esign == "S_lead":
-            out = F.when(c < 0, sci).otherwise(F.concat(F.lit("+"), sci))
-        elif efm:
-            out = sci
-        else:
-            out = F.when(c < 0, sci).otherwise(F.concat(F.lit(" "), sci))
+        out = F.when(c < 0, sci).otherwise(F.concat(F.lit(" "), sci))
         return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
     pre, post, has_d, fm, sign = _parse_num_pattern(pattern)
     n_pre = sum(1 for k, _ in pre if k == "d")
@@ -865,10 +872,13 @@ def to_number(col: "Column | str", pattern: str) -> Column:
     # (field-wise NUM_processor) — truncate BEFORE the decimal cast,
     # which would otherwise round half-up ('1.999' with '9.9' is 1.9
     # in PG, not 2.0)
+    # fraction = the segment after the FIRST dot (PG stops reading at
+    # a second '.'; substring_index(.., -1) would silently take the
+    # LAST segment on noisy multi-dot input)
+    first_frac = F.substring_index(F.substring_index(cleaned, ".", 2), ".", -1)
     fpart = F.when(cleaned.contains("."),
                    F.concat(F.lit("."),
-                            F.substring(F.substring_index(cleaned, ".", -1),
-                                        1, n_post))).otherwise(F.lit(""))
+                            F.substring(first_frac, 1, n_post))).otherwise(F.lit(""))
     cleaned = F.concat(ipart, fpart)
     int_digits = F.length(F.regexp_replace(ipart, "^0+", ""))
     guarded = F.when(

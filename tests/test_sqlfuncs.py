@@ -439,7 +439,7 @@ def test_to_char_timestamp_fuzz(spark):
         if rng.random() < 0.2:
             parts.insert(rng.randrange(len(parts)), '"wk "')
         pat = "".join(parts)
-        ts = datetime.datetime(rng.randint(1971, 2030), rng.randint(1, 12),
+        ts = datetime.datetime(rng.randint(1955, 2030), rng.randint(1, 12),
                                rng.randint(1, 28), rng.randint(0, 23),
                                rng.randint(0, 59), rng.randint(0, 59),
                                rng.randint(0, 999999))
@@ -731,3 +731,36 @@ def test_to_number_digit_free_input_raises_loudly(spark):
     df = spark.range(1).select(F.lit(" ###").alias("s"))
     with pytest.raises(Exception, match="no digits in input"):
         df.select(to_number("s", "999")).collect()
+
+
+def test_pre_epoch_fm_and_age(spark):
+    """Pre-1970 timestamps: pmod keeps FM MS/US and the age borrow
+    chain correct (Spark's % is sign-preserving, round-11 review)."""
+    from agensgraph_spark.sqlfuncs import age_parts, to_char
+    df = spark.sql("SELECT timestamp'1969-12-31 23:59:59.123456' AS ts, "
+                   "timestamp'1969-12-31 23:59:30' AS a, "
+                   "timestamp'1969-12-31 23:59:00' AS b")
+    r = df.select(to_char("ts", "FMUS").alias("us"),
+                  to_char("ts", "FMMS").alias("ms"),
+                  age_parts("a", "b").alias("p")).first()
+    assert r["us"] == "123456"
+    assert r["ms"] == "123"
+    assert (r["p"]["years"], r["p"]["months"], r["p"]["days"],
+            r["p"]["hours"], r["p"]["mins"], r["p"]["secs"]) == (0, 0, 0, 0, 0, 30.0)
+
+
+def test_to_number_multidot_reads_first_fraction(spark):
+    from decimal import Decimal
+
+    from agensgraph_spark.sqlfuncs import to_number
+    got = (spark.range(1)
+           .select(to_number(F.lit("1.2.3"), "9D99").alias("n")).first()["n"])
+    assert got == Decimal("1.20")
+
+
+@pytest.mark.parametrize("pat", ["S9.999EEEE", "FM9.999EEEE",
+                                 "9.9999999999999999EEEE"])
+def test_eeee_refuses_modifiers_and_overwide(spark, pat):
+    from agensgraph_spark.sqlfuncs import to_char_number
+    with pytest.raises(ValueError):
+        to_char_number(F.col("v"), pat)
