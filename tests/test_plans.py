@@ -426,3 +426,19 @@ def test_synthesized_decode_plan_spreads_before_payload(spark):
     assert len(rr) == 1, plan
     first_unhex = plan.lower().index("unhex")
     assert first_unhex < rr[0], "payload built below the spread exchange"
+
+
+def test_formatting_shims_stay_jvm_side(spark):
+    """The PG formatting family (to_char templates + numeric pictures,
+    to_date/to_timestamp/to_number, age) compiles to pure column
+    expressions: no Python eval anywhere in the plan, and the events
+    scan is pruned to the consumed columns."""
+    import __spark_entry__ as m
+    for row in ("sql_to_char", "sql_to_char_num", "sql_to_number",
+                "sql_to_date_parse"):
+        plan = physical(m.queries()[row](spark, SF))
+        assert "EvalPython" not in plan, (row, plan)
+        assert "CartesianProduct" not in plan, (row, plan)
+    plan = physical(m.queries()["sql_to_char_num"](spark, SF))
+    assert re.search(r"ReadSchema: struct<event_id:bigint,value:double>",
+                     plan), plan
