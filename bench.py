@@ -51,6 +51,10 @@ HEADLINE = [
     # values or the shared-29 subset
     "text_lm_perplexity",
     "dedup_semantic",
+    # round-11 additions (PG formatting family, ~0.5s at sf0.1):
+    # same caveat — compare per-query across rounds
+    "sql_to_char",
+    "sql_to_char_num",
 ]
 
 
