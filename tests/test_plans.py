@@ -442,3 +442,25 @@ def test_formatting_shims_stay_jvm_side(spark):
     plan = physical(m.queries()["sql_to_char_num"](spark, SF))
     assert re.search(r"ReadSchema: struct<event_id:bigint,value:double>",
                      plan), plan
+
+
+def test_semantic_dedup_cap_plan_shape(spark):
+    """The max_cluster skew guard materializes in the plan: a
+    row_number Window over the cluster key plus its rank filter on the
+    b side (bounding the within-cluster join at size x cap), sharing
+    the pair join's exchange — and disappears when the cap is off."""
+    from agensgraph_spark.loader import read_table
+    from agensgraph_spark.pipeline import similarity as S
+    emb = read_table(spark, SF, "embeddings")
+    capped = physical(S.semantic_dedup(emb, dim=64, max_cluster=100))
+    uncapped = physical(S.semantic_dedup(emb, dim=64, max_cluster=None))
+    assert "row_number" in capped and "Window" in capped, capped
+    assert "row_number" not in uncapped, uncapped
+    # cost bound: at most ONE exchange more than the uncapped plan.
+    # (On this small corpus the uncapped pair join broadcasts, so the
+    # rank window's hash partitioning shows up as +1; on a corpus-scale
+    # sort-merge join the window partitions on the same cluster key as
+    # the join and shares its exchange.)
+    def n_ex(p):
+        return len(re.findall(r"\bExchange\b", p))
+    assert n_ex(capped) <= n_ex(uncapped) + 1, (n_ex(capped), n_ex(uncapped))
