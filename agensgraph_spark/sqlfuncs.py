@@ -199,6 +199,27 @@ def _c(col: "Column | str") -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _scan_quoted(pattern: str, i: int, fn: str) -> "tuple[str, int]":
+    """Scan a double-quoted template literal starting at
+    ``pattern[i] == '"'``. PG (formatting.c) lets a backslash escape
+    the next character inside the quotes — notably ``\\\"`` embeds a
+    double quote in the output. Returns (literal text, index past the
+    closing quote); unterminated raises with the shim's name."""
+    buf: list[str] = []
+    j, n = i + 1, len(pattern)
+    while j < n:
+        c = pattern[j]
+        if c == "\\" and j + 1 < n:
+            buf.append(pattern[j + 1])
+            j += 2
+            continue
+        if c == '"':
+            return "".join(buf), j + 1
+        buf.append(c)
+        j += 1
+    raise ValueError(f"{fn}: unterminated quoted literal in {pattern!r}")
+
+
 def _fmt(pat: str):
     return lambda ts, fm: F.date_format(ts, pat)
 
@@ -252,12 +273,45 @@ def _iw(ts: Column, fm: bool) -> Column:
     return w.cast("string") if fm else F.lpad(w.cast("string"), 2, "0")
 
 
+def _tz_abbrev(upper: bool):
+    """PG TZ/tz: abbreviation of the SESSION time zone (formatting.c:
+    DCH_TZ uses tzn of the server zone; here spark.sql.session.timeZone)
+    rendered by the JVM's short zone name — upper for TZ, lower for tz.
+    FM has no effect (the abbreviation carries no padding)."""
+    def build(ts: Column, fm: bool) -> Column:
+        c = F.date_format(ts, "zzz")
+        return F.upper(c) if upper else F.lower(c)
+    return build
+
+
+def _tz_offset(ts: Column, fm: bool) -> Column:
+    """PG OF: UTC offset of the session zone, sign + zero-padded hours,
+    ':MM' only when the minute part is nonzero (formatting.c:DCH_OF
+    '%+0*ld' then optional ':%02ld'). Java 'xxx' always emits +HH:MM;
+    strip the ':00' tail, and under FM drop the hour zero-pad the way
+    PG's S_FM collapses the pad width to 0."""
+    c = F.regexp_replace(F.date_format(ts, "xxx"), ":00$", "")
+    if fm:
+        c = F.regexp_replace(c, r"^([+-])0(?=[0-9])", "$1")
+    return c
+
+
+def _y_comma(ts: Column, fm: bool) -> Column:
+    """PG Y,YYY: year with a comma after the thousands digit —
+    formatting.c:DCH_Y_YYY sprintf('%d,%03d', year/1000, year%1000),
+    identical with or without FM (the token has no fill-mode variant)."""
+    y = F.year(ts)
+    return F.concat(F.floor(y / 1000).cast("int").cast("string"),
+                    F.lit(","),
+                    F.lpad(F.pmod(y, F.lit(1000)).cast("string"), 3, "0"))
+
+
 # Longest-match token table. Callable -> supported; None -> recognized
 # PG token this shim deliberately refuses (loudly).
 _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("A.M.", _meridiem(True, True)), ("P.M.", _meridiem(True, True)),
     ("a.m.", _meridiem(False, True)), ("p.m.", _meridiem(False, True)),
-    ("Y,YYY", None),
+    ("Y,YYY", _y_comma),
     ("YYYY", _num("yyyy", F.year)), ("YYY", None),
     ("YY", _num("yy", lambda ts: F.year(ts) % 100)),
     ("IYYY", None), ("IYY", None), ("IY", None),
@@ -294,7 +348,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("IW", _iw), ("WW", _ww), ("W", None),
     ("Q", _num("Q", F.quarter)),
     ("CC", None), ("J", None), ("RM", None), ("rm", None),
-    ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
+    ("TZ", _tz_abbrev(True)), ("tz", _tz_abbrev(False)),
+    ("OF", _tz_offset), ("FX", None),
     ("BC", None), ("AD", None), ("B.C.", None), ("A.D.", None),
 ]
 
@@ -303,15 +358,16 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_char(timestamp, text)`` for the common template
     patterns (formatting.c:DCH_to_char): YYYY/YY, MM, DD/DDD, HH24/
     HH12/HH, MI, SS, MS/US, Mon/Month/Dy/Day families in all three
-    cases, AM/PM (incl. dotted), D/ID, Q, WW/IW, double-quoted
-    literals, and the FM fill-mode prefix (modifies the NEXT field:
-    drops numeric leading zeros and name blank-padding, per the PG
-    doc). Everything composes into JVM-side date_format/calendar
-    expressions — codegen-friendly, no UDF, no per-row Python.
+    cases, AM/PM (incl. dotted), D/ID, Q, WW/IW, session-timezone
+    TZ/tz/OF, Y,YYY digit grouping, double-quoted literals, and the FM
+    fill-mode prefix (modifies the NEXT field: drops numeric leading
+    zeros and name blank-padding, per the PG doc). Everything composes
+    into JVM-side date_format/calendar expressions — codegen-friendly,
+    no UDF, no per-row Python.
 
     Recognized-but-unsupported PG tokens (Julian day J, century CC,
-    roman-numeral RM, timezone TZ/OF, ISO years, seconds-past-midnight
-    SSSS, era BC/AD, Y,YYY digit grouping) and any OTHER alphanumeric
+    roman-numeral RM, ISO years, seconds-past-midnight
+    SSSS, era BC/AD) and any OTHER alphanumeric
     template character raise ValueError at plan time — a silently
     wrong literal in formatted output is the failure mode this shim
     exists to prevent."""
@@ -329,11 +385,8 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     while i < n:
         ch = pattern[i]
         if ch == '"':
-            j = pattern.find('"', i + 1)
-            if j < 0:
-                raise ValueError(f"to_char: unterminated quoted literal in {pattern!r}")
-            lit.append(pattern[i + 1:j])
-            i = j + 1
+            txt, i = _scan_quoted(pattern, i, "to_char")
+            lit.append(txt)
             continue
         if pattern.startswith("FM", i):
             fm = True
@@ -511,11 +564,8 @@ def _parse_num_pattern(pattern: str):
             i += 1
             continue
         if ch == '"':
-            j = pattern.find('"', i + 1)
-            if j < 0:
-                raise ValueError(f"to_char_number: unterminated quoted literal in {pattern!r}")
-            cur.append(("s", pattern[i + 1:j]))
-            i = j + 1
+            txt, i = _scan_quoted(pattern, i, "to_char_number")
+            cur.append(("s", txt))
             continue
         if ch.isalnum():
             raise ValueError(
@@ -780,23 +830,39 @@ _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
 ]
 
 
-def _dt_parse_pattern(pattern: str) -> str:
+# lax single-letter forms: java.time parses a single numeric pattern
+# letter as 1..max digits (appendValue(field)), which is exactly PG's
+# do_to_timestamp tolerance for non-padded digit fields ('5 Dec 2000'
+# under 'DD Mon YYYY'). Only safe when field tokens are separated by
+# literals — two adjacent variable-width fields are ambiguous.
+_DT_LAX_FORMS = {"yyyy": "y", "MM": "M", "dd": "d", "DDD": "D",
+                 "HH": "H", "hh": "h", "mm": "m", "ss": "s"}
+
+
+def _dt_parse_pattern(pattern: str, lax: bool = False) -> str:
     """PG input template -> Spark datetime parse pattern. FM is a
     no-op for parsing (Spark's parser already accepts the values PG's
     fill mode relaxes names for); field tokens PG cannot set from
-    input (Q, WW, D, ...) refuse loudly rather than mis-parse."""
+    input (Q, WW, D, ...) refuse loudly rather than mis-parse.
+
+    ``lax=True`` (the try_* variants) additionally accepts non-padded
+    digit fields the way PG's do_to_timestamp does
+    (formatting.c:from_char_parse_int reads up to the field's max
+    width, stopping at a separator) — but only when every pair of
+    field tokens in the template is separated by at least one literal
+    character; adjacent variable-width fields would be ambiguous, so
+    such templates keep the strict fixed-width forms."""
     out: list[str] = []
+    kinds: list[str] = []  # parallel: "field" | "lit" per out element
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
         if ch == '"':
-            j = pattern.find('"', i + 1)
-            if j < 0:
-                raise ValueError(f"to_date/to_timestamp: unterminated quoted literal in {pattern!r}")
-            lit = pattern[i + 1:j].replace("'", "''")
+            txt, i = _scan_quoted(pattern, i, "to_date/to_timestamp")
+            lit = txt.replace("'", "''")
             if lit:
                 out.append(f"'{lit}'")
-            i = j + 1
+                kinds.append("lit")
             continue
         if pattern.startswith("FM", i):
             i += 2
@@ -813,6 +879,7 @@ def _dt_parse_pattern(pattern: str) -> str:
                     f"to_date/to_timestamp: input pattern {name!r} is not "
                     f"supported by this shim (in {pattern!r})")
             out.append(java)
+            kinds.append("field")
             i += len(name)
             continue
         if ch.isalnum():
@@ -820,7 +887,12 @@ def _dt_parse_pattern(pattern: str) -> str:
                 f"to_date/to_timestamp: unrecognized template character "
                 f"{ch!r} at position {i} in {pattern!r}")
         out.append("''" if ch == "'" else ch)
+        kinds.append("lit")
         i += 1
+    if lax and not any(a == b == "field"
+                       for a, b in zip(kinds, kinds[1:])):
+        out = [_DT_LAX_FORMS.get(s, s) if k == "field" else s
+               for s, k in zip(out, kinds)]
     return "".join(out)
 
 
@@ -839,6 +911,24 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
 def to_date(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_date(text, template)`` — see ``to_timestamp``."""
     return F.to_date(_c(col), _dt_parse_pattern(pattern))
+
+
+def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
+    """Lax PG-style parse: NULL on malformed input instead of an ANSI
+    error, and — when the template's fields are separator-bounded —
+    non-padded digit fields parse the way PG's do_to_timestamp
+    tolerates ('2000-1-5 3:7:9' under 'YYYY-MM-DD HH24:MI:SS').
+    Closes the strict-parse divergence documented on ``to_timestamp``
+    for the common porting shapes; still a pure JVM expression
+    (Spark's try_to_timestamp)."""
+    return F.try_to_timestamp(_c(col),
+                              F.lit(_dt_parse_pattern(pattern, lax=True)))
+
+
+def try_to_date(col: "Column | str", pattern: str) -> Column:
+    """``try_to_timestamp`` truncated to a date (Spark has no
+    try_to_date; the timestamp->date cast preserves the NULL)."""
+    return try_to_timestamp(col, pattern).cast("date")
 
 
 def to_number(col: "Column | str", pattern: str) -> Column:

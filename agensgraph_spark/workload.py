@@ -2822,6 +2822,9 @@ def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
         SQLF.to_char("ts", 'FMDay, DD "of" FMMonth YYYY').alias("verbose"),
         SQLF.to_char("ts", "Mon DD, YYYY (Dy) Q/WW/IW").alias("pretty"),
         SQLF.to_char("ts", "HH12:MI am").alias("clock12"),
+        # r12: session-tz tokens (TZ/OF) and Y,YYY digit grouping —
+        # formatting.c DCH_TZ/DCH_OF/DCH_Y_YYY
+        SQLF.to_char("ts", 'Y,YYY "AD" TZ OF').alias("grouped_tz"),
         ap.getField("years").alias("age_y"),
         ap.getField("months").alias("age_m"),
         ap.getField("days").alias("age_d"),
@@ -2883,6 +2886,15 @@ def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         SQLF.to_timestamp(
             SQLF.to_char("ts", "YYYY-MM-DD HH12:MI:SS AM"),
             "YYYY-MM-DD HH12:MI:SS AM").cast("string").alias("t1"),
+        # r12 lax path: NON-PADDED digit fields (FM-rendered) parse
+        # back under try_to_timestamp the way PG's do_to_timestamp
+        # tolerates; the strict shim would raise on these
+        SQLF.try_to_timestamp(
+            SQLF.to_char("ts", "FMYYYY-FMMM-FMDD FMHH24:FMMI:FMSS"),
+            "YYYY-MM-DD HH24:MI:SS").cast("string").alias("t_lax"),
+        # malformed input -> NULL (not an ANSI error)
+        SQLF.try_to_date(F.lit("not a date"), "YYYY-MM-DD")
+            .cast("string").alias("d_null"),
     )
 
 
@@ -3019,6 +3031,11 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                  || lpad(CAST((dayofyear(ts) - 1) // 7 + 1 AS VARCHAR), 2, '0') || '/'
                  || lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0') AS pretty,
                strftime(ts, '%I:%M ') || lower(strftime(ts, '%p')) AS clock12,
+               -- TZ/OF render the SESSION zone, pinned UTC (session.py);
+               -- the zone text is therefore a constant on the oracle side
+               CAST(date_part('year', ts) // 1000 AS VARCHAR) || ','
+                 || lpad(CAST(date_part('year', ts) % 1000 AS VARCHAR), 3, '0')
+                 || ' AD UTC +00' AS grouped_tz,
                CAST(sgn * yy2 AS INTEGER) AS age_y,
                CAST(sgn * mm2 AS INTEGER) AS age_m,
                CAST(sgn * dd1 AS INTEGER) AS age_d,
@@ -3042,7 +3059,10 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                     AS DATE) AS VARCHAR) AS d1,
                CAST(CAST(strptime(strftime(ts, '%Y-%m-%d %I:%M:%S %p'),
                                   '%Y-%m-%d %I:%M:%S %p')
-                    AS TIMESTAMP) AS VARCHAR) AS t1
+                    AS TIMESTAMP) AS VARCHAR) AS t1,
+               -- lax round-trip recovers the second-truncated ts
+               CAST(date_trunc('second', ts) AS VARCHAR) AS t_lax,
+               CAST(NULL AS VARCHAR) AS d_null
         FROM events"""),
     # numeric to_char replayed with string assembly (decimal casts
     # round half-away in both engines; format('{:,}') supplies the

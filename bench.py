@@ -84,11 +84,26 @@ def main() -> None:
     n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
     load_warn_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5"))
+    # Wait-for-quiet: BENCH_r11 archived a loud run (load1 5.11 at start)
+    # and every same-set query read +8-52% — ambient load, not a code
+    # regression, but the artifact was tainted. Rather than measure into
+    # known noise, sample load1 and wait (bounded) for the machine to go
+    # quiet; if it never does, the JSON is marked usable=false so the
+    # artifact is self-disqualifying instead of silently misleading.
+    quiet_wait_sec = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    waited = 0.0
+    while (os.getloadavg()[0] > load_warn_threshold and waited < quiet_wait_sec):
+        print(f"# waiting for quiet: load1={os.getloadavg()[0]:.2f} > "
+              f"{load_warn_threshold} ({waited:.0f}/{quiet_wait_sec:.0f}s)",
+              file=sys.stderr)
+        time.sleep(15)
+        waited += 15
     pass_load: list[float] = [round(os.getloadavg()[0], 2)]
     if pass_load[0] > load_warn_threshold:
-        print(f"# WARN: ambient load1={pass_load[0]} before pass 1 — "
-              "timings below are suspect (see README noise methodology); "
-              "the final JSON carries load1_warn=true", file=sys.stderr)
+        print(f"# WARN: ambient load1={pass_load[0]} before pass 1 after "
+              f"{waited:.0f}s wait-for-quiet — timings below are suspect "
+              "(see README noise methodology); the final JSON carries "
+              "load1_warn=true AND usable=false", file=sys.stderr)
     for p in range(n_passes):
         timings: dict[str, float] = {}
         for name in HEADLINE:
@@ -221,6 +236,11 @@ def main() -> None:
         # but does not erase contention)
         "load1_warn": pass_load[0] > load_warn_threshold,
         "load1_warn_threshold": load_warn_threshold,
+        # usable=false ⇔ the pre-pass-1 sample stayed loud after the
+        # bounded wait-for-quiet loop: round-over-round comparisons MUST
+        # skip this artifact (the r11 lesson — a loud archived run is
+        # worse than no run)
+        "usable": pass_load[0] <= load_warn_threshold,
         # cold (pass 1: codegen + parquet footers) vs warm (last pass)
         # totals, reported separately — the headline stays min-of-N
         "cold_total_sec": round(sum(passes[0].values()), 3),

@@ -141,6 +141,16 @@ def _fmt_one(spark, ts, pattern):
     ('"week" WW "of" YYYY', "week 06 of 2024"),
     ("FMDD FMMM FMHH24 FMMI FMSS", "5 2 13 7 9"),
     ("FMHH12", "1"),
+    # session-tz tokens (tests pin session tz = UTC, session.py:26);
+    # PG: TZ upper abbreviation, tz lower, OF signed offset with the
+    # ':MM' tail only when minutes are nonzero, FMOF unpadded
+    ("HH24:MI TZ", "13:07 UTC"),
+    ("HH24:MI tz", "13:07 utc"),
+    ("HH24:MI OF", "13:07 +00"),
+    ("FMOF", "+0"),
+    # Y,YYY digit grouping (formatting.c DCH_Y_YYY '%d,%03d')
+    ("Y,YYY", "2,024"),
+    ('"y" Y,YYY "q" Q', "y 2,024 q 1"),
 ])
 def test_to_char_pattern_table(spark, pattern, expected):
     assert _fmt_one(spark, "2024-02-05 13:07:09.123456", pattern) == expected
@@ -152,8 +162,8 @@ def test_to_char_midnight_noon_hh12(spark):
     assert _fmt_one(spark, "2024-02-05 12:30:00", "FMHH12:MI AM") == "12:30 PM"
 
 
-@pytest.mark.parametrize("pattern", ["J", "CC", "RM", "TZ", "OF", "SSSS",
-                                     "IYYY", "Y,YYY", "BC", "XYZZY"])
+@pytest.mark.parametrize("pattern", ["J", "CC", "RM", "SSSS",
+                                     "IYYY", "YYY", "BC", "XYZZY"])
 def test_to_char_refuses_unsupported_loudly(spark, pattern):
     from agensgraph_spark.sqlfuncs import to_char
     with pytest.raises(ValueError):
@@ -386,14 +396,25 @@ def _py_to_char(dt, pattern):
             return "am" if dt.hour < 12 else "pm"
         if name == "A.M." or name == "P.M.":
             return "A.M." if dt.hour < 12 else "P.M."
+        # session-tz tokens: the test session pins UTC (session.py:26)
+        if name == "TZ":
+            return "UTC"
+        if name == "tz":
+            return "utc"
+        if name == "OF":
+            return "+0" if fm else "+00"
+        if name == "Y,YYY":
+            return f"{dt.year // 1000},{dt.year % 1000:03d}"
         raise AssertionError(name)
 
     out, fm, i = [], False, 0
-    toks = sorted(["YYYY", "YY", "MM", "DDD", "DD", "HH24", "HH12", "HH",
+    toks = sorted(["Y,YYY", "YYYY", "YY", "MM", "DDD", "DD", "HH24",
+                   "HH12", "HH",
                    "MI", "SS", "MS", "US", "Month", "MONTH", "month",
                    "Mon", "MON", "mon", "Day", "DAY", "day", "Dy", "DY",
                    "dy", "ID", "D", "Q", "WW", "IW", "A.M.", "P.M.",
-                   "AM", "PM", "am", "pm"], key=len, reverse=True)
+                   "AM", "PM", "am", "pm", "TZ", "tz", "OF"],
+                  key=len, reverse=True)
     while i < len(pattern):
         if pattern[i] == '"':
             j = pattern.index('"', i + 1)
@@ -424,10 +445,11 @@ def test_to_char_timestamp_fuzz(spark):
     tokens = ["YYYY", "YY", "MM", "DD", "DDD", "HH24", "HH12", "MI",
               "SS", "MS", "US", "Mon", "MON", "mon", "Month", "month",
               "Day", "day", "Dy", "DY", "D", "ID", "Q", "WW", "IW",
-              "AM", "pm", "A.M."]
+              "AM", "pm", "A.M.", "TZ", "tz", "OF", "Y,YYY"]
     seps = [" ", "-", ":", "/", ", ", "|", ""]
     cases = []
-    for _ in range(150):
+    cols = []
+    while len(cases) < 150:
         n = rng.randint(1, 6)
         parts = []
         for _k in range(n):
@@ -439,15 +461,21 @@ def test_to_char_timestamp_fuzz(spark):
         if rng.random() < 0.2:
             parts.insert(rng.randrange(len(parts)), '"wk "')
         pat = "".join(parts)
+        try:
+            # the empty separator can merge adjacent tokens into a
+            # refused one (SS+SS -> SSSS); to_char refuses those loudly
+            # at plan time — re-draw, deterministically
+            col = to_char(F.col("ts"), pat).alias(f"c{len(cases)}")
+        except ValueError:
+            continue
         ts = datetime.datetime(rng.randint(1955, 2030), rng.randint(1, 12),
                                rng.randint(1, 28), rng.randint(0, 23),
                                rng.randint(0, 59), rng.randint(0, 59),
                                rng.randint(0, 999999))
         cases.append((pat, ts))
+        cols.append(col)
     df = spark.createDataFrame(
         [(i, ts) for i, (_, ts) in enumerate(cases)], "i int, ts timestamp")
-    cols = [to_char(F.col("ts"), pat).alias(f"c{i}")
-            for i, (pat, _) in enumerate(cases)]
     # one row per case: select case i's column from row i
     rows = df.orderBy("i").select("i", *cols).collect()
     bad = []
@@ -486,6 +514,62 @@ def test_to_timestamp_pg_templates(spark, txt, pat, expected):
     got = (spark.range(1).select(to_timestamp(F.lit(txt), pat)
                                  .cast("string").alias("t")).first()["t"])
     assert got == expected
+
+
+def test_to_char_escaped_quote_literal(spark):
+    # PG: backslash escapes an embedded double quote inside "..."
+    assert _fmt_one(spark, "2024-02-05 13:07:09",
+                    '"say \\"hi\\" at "HH24:MI') == 'say "hi" at 13:07'
+    from agensgraph_spark.sqlfuncs import to_char_number
+    df = spark.range(1).select(F.lit(7).alias("v"))
+    got = df.select(to_char_number(
+        "v", '"\\"n\\"="9').alias("o")).first()["o"]
+    assert got == '"n"= 7'
+
+
+# --- lax parse: try_to_timestamp / try_to_date ---
+
+@pytest.mark.parametrize("txt,pat,expected", [
+    # PG tolerates non-padded digit fields (do_to_timestamp); the
+    # strict shim raises on these at runtime under ANSI
+    ("2000-1-5 3:7:9", "YYYY-MM-DD HH24:MI:SS", "2000-01-05 03:07:09"),
+    ("5 Dec 2000", "DD Mon YYYY", "2000-12-05 00:00:00"),
+    ("476-3-1", "YYYY-MM-DD", "0476-03-01 00:00:00"),
+    # padded input still parses on the lax path
+    ("2000-12-05 13:07:09", "YYYY-MM-DD HH24:MI:SS", "2000-12-05 13:07:09"),
+    ("2000-12-05 1:07 pm", "YYYY-MM-DD HH12:MI AM", "2000-12-05 13:07:00"),
+    # malformed -> NULL, never an ANSI error
+    ("not a date", "YYYY-MM-DD", None),
+    ("2000-13-05", "YYYY-MM-DD", None),
+])
+def test_try_to_timestamp_lax(spark, txt, pat, expected):
+    from agensgraph_spark.sqlfuncs import try_to_timestamp
+    got = (spark.range(1).select(try_to_timestamp(F.lit(txt), pat)
+                                 .cast("string").alias("t")).first()["t"])
+    assert got == expected
+
+
+def test_try_to_date(spark):
+    from agensgraph_spark.sqlfuncs import try_to_date
+    df = spark.createDataFrame([("5 Dec 2000",), ("garbage",)], ["s"])
+    got = [r["d"] for r in df.select(
+        try_to_date("s", "DD Mon YYYY").cast("string").alias("d")).collect()]
+    assert got == ["2000-12-05", None]
+
+
+def test_try_to_timestamp_adjacent_fields_stay_strict(spark):
+    # adjacent variable-width fields are ambiguous — the lax rewrite
+    # must NOT fire; fixed-width 'YYYYMMDD' keeps parsing
+    from agensgraph_spark.sqlfuncs import try_to_timestamp
+    df = spark.range(1)
+    got = df.select(try_to_timestamp(F.lit("20001205"), "YYYYMMDD")
+                    .cast("string").alias("t")).first()["t"]
+    assert got == "2000-12-05 00:00:00"
+    # and non-padded input against the adjacent template is NULL, not
+    # a mis-parse
+    got2 = df.select(try_to_timestamp(F.lit("200015"), "YYYYMMDD")
+                     .cast("string").alias("t")).first()["t"]
+    assert got2 is None
 
 
 @pytest.mark.parametrize("pat", ["Q", "WW", "IW", "D", "ID", "J", "TZ",
