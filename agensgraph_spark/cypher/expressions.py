@@ -877,8 +877,12 @@ class ExprCompiler:
         args = [self.tc(a).col.cast("long") for a in e.args]
         step = args[2] if len(args) > 2 else F.lit(1).cast("long")
         # mismatch -> []; NULL bounds fall through to sequence() and
-        # propagate NULL; step = 0 falls through and raises, like Neo4j
-        mismatch = (args[1] - args[0]) * step < 0
+        # propagate NULL; step = 0 falls through and raises, like Neo4j.
+        # Sign comparison, NOT (end-start)*step < 0: the product can
+        # overflow BIGINT for extreme bounds/steps and ANSI mode would
+        # raise where Neo4j just returns the range/empty list
+        mismatch = (((args[1] > args[0]) & (step < 0))
+                    | ((args[1] < args[0]) & (step > 0)))
         return TC(F.when(mismatch, F.array().cast("array<long>"))
                   .otherwise(F.sequence(args[0], args[1], step)),
                   T.ArrayType(T.LongType()))

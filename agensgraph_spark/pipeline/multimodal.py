@@ -28,6 +28,7 @@ cannot decode.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -482,8 +485,14 @@ def _spread(df: DataFrame) -> DataFrame:
             # count probe costs a file listing, not a stage execution
             if df.rdd.getNumPartitions() >= spread:
                 return df
-    except Exception:
-        pass  # un-introspectable plan (e.g. streaming): keep the exchange
+    except Exception as exc:
+        # un-introspectable plan (e.g. streaming) — keep the exchange.
+        # Logged: this walk uses private Py4J internals (queryExecution,
+        # node.shuffle()), so a Spark minor-version rename would land
+        # here and silently re-pay the exchange for already-spread
+        # frames; a debug line makes that perf regression diagnosable
+        log.debug("_spread: plan walk failed (%s: %s) — keeping the "
+                  "round-robin exchange", type(exc).__name__, exc)
     return df.repartition(spread)
 
 IMAGE_STATS_SCHEMA = (

@@ -126,6 +126,15 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     nested-array literal — building it per-element (n_planes × dim
     Literal nodes) makes Catalyst analysis and whole-stage codegen the
     dominant cost, megabytes of generated code for a cheap kernel."""
+    if len(planes) > 52:
+        # pow-based bit packing is exact only while 2^j fits a double's
+        # mantissa (j <= 52), and the single-long signature caps at 64
+        # planes regardless — a silent wrong signature is worse than a
+        # refusal (split into multiple <=52-bit words upstream if more
+        # planes are ever needed)
+        raise ValueError(
+            f"lsh_signature: n_planes={len(planes)} exceeds the 52-plane "
+            "single-long packing limit (2^j double exactness)")
     pm = F.lit([[float(x) for x in p] for p in planes])
     dots = F.transform(pm, lambda p: dot(vec, p))
     idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
@@ -277,9 +286,13 @@ def semantic_dedup(
     item whose cosine to some lower-id cluster-mate reaches ``tau`` —
     the deterministic keep-lowest-id variant of the SemDeDup rule.
 
-    Returns (vec_id, cluster, max_lower_cos, keep): ``keep`` marks the
-    cluster-canonical survivors; ``max_lower_cos`` is NULL for the
-    lowest id of its cluster.
+    Returns (vec_id, cluster, max_lower_cos, keep, capped): ``keep``
+    marks the cluster-canonical survivors; ``max_lower_cos`` is NULL
+    for the lowest id of its cluster; ``capped`` is True exactly for
+    the rows whose ``max_lower_cos`` is only a LOWER bound under the
+    ``max_cluster`` skew cap (rank > max_cluster + 1 within the
+    cluster — a rank cap+1 row still sees all its lower-id mates) so
+    downstream keep/drop pipelines can route them to a verify stage.
 
     Scale shape: one narrow tag pass (persistable with the snapshot),
     then a self-join confined within clusters — expected list size is
@@ -314,6 +327,13 @@ def semantic_dedup(
         # exchange is shared — the cap adds a sort, not a shuffle
         wb = Window.partitionBy("cluster").orderBy(F.col("_ib").asc())
         b = b.withColumn("_rnb", F.row_number().over(wb))
+        # per-row audit flag, derived from the SAME ranked frame so the
+        # window's exchange is reused, not recomputed: a row at rank r
+        # only misses mates at ranks max_cluster+1..r-1, so
+        # max_lower_cos is exact through rank max_cluster+1 and a
+        # LOWER BOUND beyond — `capped` marks exactly those rows
+        flags = b.select(F.col("_ib").alias("vec_id"), "cluster",
+                         (F.col("_rnb") > max_cluster + 1).alias("_capped"))
         if audit_cap:
             obs = Observation()
             b = b.observe(
@@ -332,14 +352,18 @@ def semantic_dedup(
                 "the cluster head; pass audit_cap=True or run "
                 "semdedup_skew_stats() to count them", max_cluster)
         b = b.filter(F.col("_rnb") <= max_cluster).drop("_rnb")
+        out = flags
+    else:
+        out = a.select("vec_id", "cluster", F.lit(False).alias("_capped"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     lower = (a.join(b, "cluster").filter(F.col("_ib") < F.col("vec_id"))
               .groupBy("vec_id").agg(F.max(cos).alias("max_lower_cos")))
-    return (a.select("vec_id", "cluster").join(lower, "vec_id", "left")
-             .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
-                     F.round("max_lower_cos", 6).alias("max_lower_cos"),
-                     (F.coalesce(F.col("max_lower_cos") < tau, F.lit(True)))
-                     .alias("keep")))
+    return (out.join(lower, "vec_id", "left")
+               .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                       F.round("max_lower_cos", 6).alias("max_lower_cos"),
+                       (F.coalesce(F.col("max_lower_cos") < tau, F.lit(True)))
+                       .alias("keep"),
+                       F.col("_capped").alias("capped")))
 
 
 def semdedup_skew_stats(

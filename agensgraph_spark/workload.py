@@ -1382,13 +1382,29 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trained quantizer cache: centroids are a dataset constant — at scale
 # they are trained once offline and persisted with the snapshot, so the
 # workload row trains once per sf_dir (one kmeans_update pass), not per
-# invocation (same caching rationale as _EMB_DIM)
-_SEMDEDUP_CENTS: dict[str, "list[list[float]]"] = {}
+# invocation (same caching rationale as _EMB_DIM). Keyed on
+# (sf_dir, mtime of the embeddings parquet) so a path whose data is
+# regenerated in-process (e.g. scale tooling rewriting a dir) retrains
+# instead of reusing stale centroids and diverging from the oracle.
+_SEMDEDUP_CENTS: dict[tuple, "list[list[float]]"] = {}
+
+
+def _emb_mtime(sf_dir: str) -> float:
+    import os as _os
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if _os.path.isdir(p):
+            return max((e.stat().st_mtime for e in _os.scandir(p)),
+                       default=0.0)
+        return _os.path.getmtime(p)
+    except OSError:
+        return 0.0
 
 
 def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = _SEMDEDUP_CENTS.get(sf_dir)
+    _ck = (sf_dir, _emb_mtime(sf_dir))
+    cents = _SEMDEDUP_CENTS.get(_ck)
     if cents is None:
         # ONE Lloyd round from the seeded init — the trained-quantizer
         # production path (balanced clusters on non-isotropic data);
@@ -1399,7 +1415,7 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         means = S.train_ivf_centroids(emb, n_lists=16, rounds=1,
                                       dim=_emb_dim(emb, sf_dir))
         cents = S.unit_normalized([[round(x, 9) for x in c] for c in means])
-        _SEMDEDUP_CENTS[sf_dir] = cents
+        _SEMDEDUP_CENTS[_ck] = cents
     return S.semantic_dedup(emb, tau=0.2, cents=cents)
 
 
@@ -2636,7 +2652,12 @@ def _semdedup_oracle(dim: int = 64, n_lists: int = 16, tau: float = 0.2,
           GROUP BY a.vec_id)
         SELECT t.vec_id, CAST(t.cluster AS BIGINT) AS cluster,
                ROUND(low.mlc, 6) AS max_lower_cos,
-               COALESCE(low.mlc < {tau}, TRUE) AS keep
+               COALESCE(low.mlc < {tau}, TRUE) AS keep,
+               -- the engine's capped flag fires only for within-cluster
+               -- rank > max_cluster + 1; tests/test_similarity.py pins
+               -- n_over_cap == 0 for every oracle-replayed corpus, so
+               -- the unmodeled cap cannot bite parity silently
+               FALSE AS capped
         FROM tag t LEFT JOIN low USING (vec_id)"""
 
 

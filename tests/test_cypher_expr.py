@@ -163,6 +163,13 @@ def test_math(eng, expr, expected):
 def test_range_fn(eng):
     assert one(eng, "range(1, 5)") == [1, 2, 3, 4, 5]
     assert one(eng, "range(0, 10, 3)") == [0, 3, 6, 9]
+    # direction mismatch -> [] even at BIGINT extremes: the mismatch
+    # test compares signs, never (end-start)*step, which would overflow
+    # under ANSI where Neo4j just returns the empty list
+    assert one(eng, "range(9223372036854775807, "
+                    "-9223372036854775808, 2)") == []
+    assert one(eng, "range(-9223372036854775808, "
+                    "9223372036854775807, -3)") == []
 
 
 # --- hybrid SQL <-> Cypher (reference: cypher_dml.sql:26,50-52) ---

@@ -660,6 +660,47 @@ def test_semantic_dedup_cap_bounds_hot_cluster(spark):
         assert capped[i] == want_head
     # overflow rows (id >= 3) are lower-bounded, never raised
     assert all(capped[i] <= exact[i] for i in range(4, 8))
+    # the per-row audit flag marks exactly the rows whose
+    # max_lower_cos is a lower bound: rank > cap+1 (a rank cap+1 row
+    # still sees all its lower-id mates in the head)
+    flags = {r["vec_id"]: r["capped"]
+             for r in semantic_dedup(df, tau=2.0, cents=cents,
+                                     max_cluster=3).collect()}
+    assert flags == {i: (i > 3) for i in range(8)}
+    uncapped_flags = {r["vec_id"]: r["capped"]
+                      for r in semantic_dedup(df, tau=2.0, cents=cents,
+                                              max_cluster=None).collect()}
+    assert set(uncapped_flags.values()) == {False}
+
+
+def test_semdedup_oracle_corpora_never_hit_cap(spark):
+    """The DuckDB gate/tail oracles do NOT model the max_cluster cap
+    (their `capped` column is a constant FALSE) — legal only while no
+    oracle-replayed corpus has a cluster beyond the cap. Pin that for
+    both oracle scale dirs under the TRAINED quantizer the workload row
+    uses, so the unmodeled cap can never bite parity silently."""
+    from agensgraph_spark import workload as W
+    from agensgraph_spark.pipeline.similarity import semdedup_skew_stats
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        W._q_dedup_semantic(spark, sf_dir)  # trains + caches the cents
+        cents = W._SEMDEDUP_CENTS[(sf_dir, W._emb_mtime(sf_dir))]
+        got = semdedup_skew_stats(emb, cents=cents).collect()[0]
+        assert got["n_over_cap"] == 0, (sf_dir, got)
+        assert got["max_cluster_size"] <= 10_000, (sf_dir, got)
+
+
+def test_lsh_signature_refuses_oversized_plane_count(spark):
+    """pow-based bit packing is exact only to 2^52; a 53+-plane matrix
+    must refuse loudly instead of emitting silently wrong signatures."""
+    import pytest as _pytest
+
+    from agensgraph_spark.pipeline.similarity import (_hyperplanes,
+                                                      lsh_signature)
+    with _pytest.raises(ValueError, match="52-plane"):
+        lsh_signature(F.col("v"), _hyperplanes(4, 53))
+    # 52 is the boundary and stays accepted
+    lsh_signature(F.col("v"), _hyperplanes(4, 52))
 
 
 def test_semantic_dedup_trained_vs_seeded_quantizer(spark):

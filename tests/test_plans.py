@@ -456,11 +456,19 @@ def test_semantic_dedup_cap_plan_shape(spark):
     uncapped = physical(S.semantic_dedup(emb, dim=64, max_cluster=None))
     assert "row_number" in capped and "Window" in capped, capped
     assert "row_number" not in uncapped, uncapped
-    # cost bound: at most ONE exchange more than the uncapped plan.
-    # (On this small corpus the uncapped pair join broadcasts, so the
-    # rank window's hash partitioning shows up as +1; on a corpus-scale
-    # sort-merge join the window partitions on the same cluster key as
-    # the join and shares its exchange.)
+    # cost bound: at most TWO exchanges more than the uncapped plan —
+    # the b-side rank window plus the narrow (vec_id, cluster, capped)
+    # flags window that feeds the per-row `capped` output column. On
+    # this small corpus the uncapped pair join broadcasts, so both
+    # cluster-key windows surface their own hash partitioning; on a
+    # corpus-scale sort-merge join they partition on the same cluster
+    # key as the join and share its exchange. The b-side branch must
+    # keep the WindowGroupLimit pushdown (rank filter prunes shuffle
+    # rows before the exchange).
     def n_ex(p):
         return len(re.findall(r"\bExchange\b", p))
-    assert n_ex(capped) <= n_ex(uncapped) + 1, (n_ex(capped), n_ex(uncapped))
+    assert n_ex(capped) <= n_ex(uncapped) + 2, (n_ex(capped), n_ex(uncapped))
+    assert "WindowGroupLimit" in capped, capped
+    # the capped output column is present in both shapes
+    for p in (capped, uncapped):
+        assert "capped" in p, p
