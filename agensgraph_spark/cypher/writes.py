@@ -672,7 +672,70 @@ class WriteMixin:
                 rows = [tuple(r) for r in self.df.limit(lim + 1).collect()]
                 if 1 < len(rows) <= lim:
                     return self._compile_merge_sequential(m, rows)
+                if len(rows) > lim and self._merge_accumulates(m):
+                    raise NotImplementedError(
+                        "MERGE ... ON MATCH/ON CREATE SET reads the merge "
+                        "variable's own properties (per-input-row "
+                        "accumulation, e.g. SET a.cnt = a.cnt + 1) and the "
+                        f"input exceeds sequential_merge_rows={lim}: batch "
+                        "execution applies SET once per statement and would "
+                        "silently diverge from the reference's row-at-a-time "
+                        "semantics (execCypherMerge.c:35). Raise "
+                        "sequential_merge_rows or restructure the query.")
+            elif self._merge_accumulates(m) \
+                    and len(self.df.limit(2).collect()) > 1:
+                raise NotImplementedError(
+                    "MERGE ... ON MATCH/ON CREATE SET reads the merge "
+                    "variable's own properties (per-input-row accumulation, "
+                    "e.g. SET a.cnt = a.cnt + 1) over a multi-row input: "
+                    "batch execution applies SET once per statement and "
+                    "would silently diverge from the reference's "
+                    "row-at-a-time semantics (execCypherMerge.c:35; "
+                    "cypher_eager.sql:112-156). Opt in to the bounded "
+                    "per-row fold with "
+                    "CypherEngine(sequential_merge_rows=N).")
         self._compile_merge_batch(m, first)
+
+    def _merge_accumulates(self, m: A.Merge) -> bool:
+        """Compile-time detection of the self-referential MERGE
+        accumulation shape — an ON MATCH/ON CREATE SET whose RHS reads
+        a property of a variable this MERGE itself binds (e.g.
+        ``SET a.cnt = a.cnt + 1``). The analog of the reference's
+        eagerness analysis (parse_graph.c:5641 ``assign_query_eager``):
+        under row-at-a-time OLTP execution later input rows of the SAME
+        statement observe earlier rows' updates, so batch-once SET is
+        the one place a PG user silently gets a different answer —
+        refuse loudly instead (or fold, under sequential_merge_rows)."""
+        import dataclasses as _dc
+        merge_vars = {el.var for el in m.pattern.elements
+                      if getattr(el, "var", None)}
+        if not merge_vars:
+            return False
+
+        def reads(e) -> bool:
+            if isinstance(e, A.Prop):
+                base = e.base
+                while isinstance(base, A.Prop):
+                    base = base.base
+                if isinstance(base, A.Var) and base.name in merge_vars:
+                    return True
+            if _dc.is_dataclass(e) and not isinstance(e, type):
+                for f in _dc.fields(e):
+                    v = getattr(e, f.name)
+                    if isinstance(v, A.Expr) and reads(v):
+                        return True
+                    if isinstance(v, (list, tuple)):
+                        for x in v:
+                            if isinstance(x, A.Expr) and reads(x):
+                                return True
+                            if (isinstance(x, tuple) and any(
+                                    isinstance(y, A.Expr) and reads(y)
+                                    for y in x)):
+                                return True
+            return False
+
+        return any(it.value is not None and reads(it.value)
+                   for it in (m.on_match + m.on_create))
 
     def _compile_merge_sequential(self, m: A.Merge, rows: list) -> None:
         """Opt-in OLTP-fidelity MERGE (engine.sequential_merge_rows):

@@ -789,19 +789,30 @@ def test_eager_merge_merge_inheritance_visibility(eager_graph):
                             ("v3", 1), ("v3", 2), ("v3", 3)]
 
 
-@pytest.mark.xfail(reason="per-input-row sequential MERGE accumulation "
-                   "(ON MATCH SET cnt = cnt + 1 observing earlier rows of "
-                   "the SAME statement, cypher_eager.out:144-156) is OLTP "
-                   "row-at-a-time execution — batch snapshot writes apply "
-                   "SET once per statement; documented deviation "
-                   "(BASELINE.md: transactional updates re-imagined as "
-                   "batch)", strict=True)
-def test_eager_merge_set_merge_sequential(eager_graph):
+def test_eager_merge_set_merge_sequential_batch_refuses(eager_graph):
+    """Formerly a strict xfail (batch-once SET silently diverged from
+    the reference's per-input-row accumulation, cypher_eager.out:
+    144-156). r12: the self-referential accumulation shape is detected
+    at compile time (writes._merge_accumulates, the assign_query_eager
+    analog, parse_graph.c:5641) and batch mode refuses LOUDLY, naming
+    the sequential_merge_rows opt-in — no silent wrong answer."""
     eng = eager_graph
-    out = eng.cypher("MATCH (:v1) MERGE (a:v2 {no: 1}) "
-                     "ON MATCH SET a.cnt = a.cnt + 1 ON CREATE SET a.cnt = 0 "
-                     "MERGE (b:v2 {cnt: 2}) RETURN a = b AS eq")
-    assert [r["eq"] for r in out.collect()] == [True, True, True]
+    with pytest.raises(Exception, match="sequential_merge_rows"):
+        eng.cypher("MATCH (:v1) MERGE (a:v2 {no: 1}) "
+                   "ON MATCH SET a.cnt = a.cnt + 1 ON CREATE SET a.cnt = 0 "
+                   "MERGE (b:v2 {cnt: 2}) RETURN a = b AS eq").collect()
+
+
+def test_merge_non_accumulating_set_stays_batch(eager_graph):
+    """Constant / outer-var SETs are NOT the accumulation shape: the
+    detector must not force (or refuse) batch MERGE for them even over
+    multi-row input."""
+    eng = eager_graph
+    eng.cypher("MATCH (x:v1) MERGE (a:v2 {no: x.no}) "
+               "ON MATCH SET a.seen = true ON CREATE SET a.src = x.no")
+    got = eng.cypher(
+        "MATCH (a:v2) RETURN a.no AS no ORDER BY no").toPandas()
+    assert list(got["no"]) == [1, 2, 3]
 
 
 def test_eager_merge_set_merge_sequential_optin(spark):
