@@ -433,11 +433,15 @@ def dijkstra_paths(
     )
     paths = _ckpt(paths)
     frontier = paths
-    # frontier size is unknown until the loop's own count at the end of
-    # each round — spending a dedicated job up front costs more than the
-    # first-iteration broadcast hint could save, so iteration 1 leaves
-    # the strategy to AQE and later rounds use the tracked count
-    fcount: int | None = None
+    # seed count: paths is ALREADY eagerly checkpointed, so this count
+    # reads materialized blocks (~ms) — and knowing it up front lets
+    # iteration 1 broadcast a small frontier instead of leaving the
+    # strategy to AQE, which materializes a full shuffle of the edge
+    # relation on BOTH sides before flipping to broadcast (measured at
+    # the sf10 decade: the 60M-edge exchange was the dominant job,
+    # 1.3s of the 5s total, plus its 0.9s AQE companion — for a
+    # 25-seed frontier)
+    fcount: int | None = paths.count()
 
     cp_from = 4  # first round that truncates lineage per generation
     early_gens: list[DataFrame] = []  # cache()-era frames to retire

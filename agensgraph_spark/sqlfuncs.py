@@ -306,15 +306,93 @@ def _y_comma(ts: Column, fm: bool) -> Column:
                     F.lpad(F.pmod(y, F.lit(1000)).cast("string"), 3, "0"))
 
 
+def _y_tail(n: int):
+    """PG YYY/YY/Y-style year-digit tails: the last ``n`` digits of the
+    year, zero-padded to ``n`` unless FM (formatting.c DCH_YYY
+    '%0*d' with width 0 under S_FM)."""
+    def build(ts: Column, fm: bool) -> Column:
+        v = F.pmod(F.year(ts), F.lit(10 ** n))
+        return v.cast("string") if fm else F.lpad(v.cast("string"), n, "0")
+    return build
+
+
+def _century(ts: Column, fm: bool) -> Column:
+    """PG CC: century, 21st starts 2001-01-01 (formatting.c DCH_CC —
+    ceil(year/100) for AD years), 2-digit zero-padded unless FM."""
+    c = F.ceil(F.year(ts) / 100).cast("int")
+    return c.cast("string") if fm else F.lpad(c.cast("string"), 2, "0")
+
+
+def _julian_day(ts: Column, fm: bool) -> Column:
+    """PG J: Julian Day number (days since 4714-11-24 BC proleptic
+    Gregorian; 2000-01-01 = 2451545, matching date2j, datetime.c).
+    Computed as days-since-epoch + 2440588 — pure column arithmetic."""
+    return (F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date"))
+            + F.lit(2440588)).cast("string")
+
+
+def _ssss(ts: Column, fm: bool) -> Column:
+    """PG SSSS: seconds past midnight (0-86399), no padding."""
+    return (F.hour(ts) * 3600 + F.minute(ts) * 60
+            + F.second(ts)).cast("string")
+
+
+_RM_UPPER = ["I", "II", "III", "IV", "V", "VI",
+             "VII", "VIII", "IX", "X", "XI", "XII"]
+
+
+def _roman_month(upper: bool):
+    """PG RM/rm: month in Roman numerals, left-justified blank-padded
+    to 4 unless FM (formatting.c DCH_RM '%*s' width -4)."""
+    vals = _RM_UPPER if upper else [m.lower() for m in _RM_UPPER]
+
+    def build(ts: Column, fm: bool) -> Column:
+        c = F.element_at(F.lit(vals), F.month(ts))
+        return c if fm else F.rpad(c, 4, " ")
+    return build
+
+
+def _iso_year_col(ts: Column) -> Column:
+    # ISO week-numbering year = calendar year of the ISO week's
+    # Thursday (shift the date to its week's Thursday, take the year)
+    d = ts.cast("date")
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1  # Mon=1..Sun=7
+    return F.year(F.date_add(d, 4 - iso_dow))
+
+
+def _iso_year(n: int):
+    """PG IYYY/IYY/IY/I: ISO 8601 week-numbering year, last ``n``
+    digits, zero-padded unless FM (formatting.c DCH_IYYY family)."""
+    def build(ts: Column, fm: bool) -> Column:
+        v = F.pmod(_iso_year_col(ts), F.lit(10 ** n)) if n < 4 \
+            else _iso_year_col(ts)
+        s = v.cast("string")
+        return s if fm else F.lpad(s, n, "0")
+    return build
+
+
+def _era(upper: bool, dots: bool):
+    """PG AD/BC (and dotted / lowercase) era tokens: Spark's proleptic
+    ISO year <= 0 is BC (year 0 = 1 BC); FM has no effect."""
+    def build(ts: Column, fm: bool) -> Column:
+        if dots:
+            ad, bc = ("A.D.", "B.C.") if upper else ("a.d.", "b.c.")
+        else:
+            ad, bc = ("AD", "BC") if upper else ("ad", "bc")
+        return F.when(F.year(ts) > 0, F.lit(ad)).otherwise(F.lit(bc))
+    return build
+
+
 # Longest-match token table. Callable -> supported; None -> recognized
 # PG token this shim deliberately refuses (loudly).
 _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("A.M.", _meridiem(True, True)), ("P.M.", _meridiem(True, True)),
     ("a.m.", _meridiem(False, True)), ("p.m.", _meridiem(False, True)),
     ("Y,YYY", _y_comma),
-    ("YYYY", _num("yyyy", F.year)), ("YYY", None),
+    ("YYYY", _num("yyyy", F.year)), ("YYY", _y_tail(3)),
     ("YY", _num("yy", lambda ts: F.year(ts) % 100)),
-    ("IYYY", None), ("IYY", None), ("IY", None),
+    ("Y", _y_tail(1)),
+    ("IYYY", _iso_year(4)), ("IYY", _iso_year(3)), ("IY", _iso_year(2)),
     ("MONTH", _name("MMMM", "upper", 9)),
     ("Month", _name("MMMM", "title", 9)),
     ("month", _name("MMMM", "lower", 9)),
@@ -340,17 +418,25 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
                              else F.date_format(ts, "hh"))),
     ("HH", lambda ts, fm: (_hh12_bare(ts).cast("string") if fm
                            else F.date_format(ts, "hh"))),
-    ("SSSS", None), ("SS", _num("ss", F.second)),
+    ("SSSS", _ssss), ("SS", _num("ss", F.second)),
     ("US", _num("SSSSSS", lambda ts: F.pmod(
         F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000)).cast("int"))),
+    ("A.D.", _era(True, True)), ("B.C.", _era(True, True)),
+    ("a.d.", _era(False, True)), ("b.c.", _era(False, True)),
     ("AM", _meridiem(True, False)), ("PM", _meridiem(True, False)),
     ("am", _meridiem(False, False)), ("pm", _meridiem(False, False)),
-    ("IW", _iw), ("WW", _ww), ("W", None),
+    ("IW", _iw), ("I", _iso_year(1)),
+    ("WW", _ww),
+    # PG W: week of month, (day-1)/7+1 (formatting.c DCH_W)
+    ("W", lambda ts, fm: (((F.dayofmonth(ts) - 1) / 7).cast("int")
+                          + 1).cast("string")),
     ("Q", _num("Q", F.quarter)),
-    ("CC", None), ("J", None), ("RM", None), ("rm", None),
+    ("CC", _century), ("J", _julian_day),
+    ("RM", _roman_month(True)), ("rm", _roman_month(False)),
     ("TZ", _tz_abbrev(True)), ("tz", _tz_abbrev(False)),
     ("OF", _tz_offset), ("FX", None),
-    ("BC", None), ("AD", None), ("B.C.", None), ("A.D.", None),
+    ("BC", _era(True, False)), ("AD", _era(True, False)),
+    ("bc", _era(False, False)), ("ad", _era(False, False)),
 ]
 
 
@@ -358,16 +444,19 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_char(timestamp, text)`` for the common template
     patterns (formatting.c:DCH_to_char): YYYY/YY, MM, DD/DDD, HH24/
     HH12/HH, MI, SS, MS/US, Mon/Month/Dy/Day families in all three
-    cases, AM/PM (incl. dotted), D/ID, Q, WW/IW, session-timezone
-    TZ/tz/OF, Y,YYY digit grouping, double-quoted literals, and the FM
-    fill-mode prefix (modifies the NEXT field: drops numeric leading
-    zeros and name blank-padding, per the PG doc). Everything composes
-    into JVM-side date_format/calendar expressions — codegen-friendly,
-    no UDF, no per-row Python.
+    cases, AM/PM (incl. dotted), D/ID, Q, W/WW/IW, session-timezone
+    TZ/tz/OF, Y,YYY digit grouping and the Y/YYY year tails, ISO
+    week-numbering years IYYY/IYY/IY/I, century CC, Julian day J,
+    seconds-past-midnight SSSS, Roman-numeral months RM/rm, era
+    AD/BC (incl. dotted + lowercase), double-quoted literals (with
+    backslash-escaped embedded quotes), and the FM fill-mode prefix
+    (modifies the NEXT field: drops numeric leading zeros and name
+    blank-padding, per the PG doc). Everything composes into JVM-side
+    date_format/calendar expressions — codegen-friendly, no UDF, no
+    per-row Python.
 
-    Recognized-but-unsupported PG tokens (Julian day J, century CC,
-    roman-numeral RM, ISO years, seconds-past-midnight
-    SSSS, era BC/AD) and any OTHER alphanumeric
+    Recognized-but-unsupported PG tokens (only FX — fixed-format
+    input mode, meaningless on output) and any OTHER alphanumeric
     template character raise ValueError at plan time — a silently
     wrong literal in formatted output is the failure mode this shim
     exists to prevent."""

@@ -2846,6 +2846,9 @@ def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: session-tz tokens (TZ/OF) and Y,YYY digit grouping —
         # formatting.c DCH_TZ/DCH_OF/DCH_Y_YYY
         SQLF.to_char("ts", 'Y,YYY "AD" TZ OF').alias("grouped_tz"),
+        # r12 long tail: century, Julian day, seconds past midnight,
+        # Roman month, ISO year, week-of-month, era
+        SQLF.to_char("ts", 'CC J SSSS RM IYYY "w"W AD').alias("longtail"),
         ap.getField("years").alias("age_y"),
         ap.getField("months").alias("age_m"),
         ap.getField("days").alias("age_d"),
@@ -3057,6 +3060,19 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(date_part('year', ts) // 1000 AS VARCHAR) || ','
                  || lpad(CAST(date_part('year', ts) % 1000 AS VARCHAR), 3, '0')
                  || ' AD UTC +00' AS grouped_tz,
+               lpad(CAST((date_part('year', ts) + 99) // 100 AS VARCHAR), 2, '0')
+                 || ' ' || CAST(datediff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) + 2440588 AS VARCHAR)
+                 -- floor, not CAST: the decimal cast rounds the
+                 -- fractional second up while SSSS truncates
+                 || ' ' || CAST(CAST(floor(epoch(ts) -
+                                           epoch(date_trunc('day', ts)))
+                                     AS BIGINT) AS VARCHAR)
+                 || ' ' || rpad(['I','II','III','IV','V','VI','VII','VIII',
+                                 'IX','X','XI','XII'][CAST(month(ts) AS INT)], 4, ' ')
+                 || ' ' || lpad(CAST(isoyear(ts) AS VARCHAR), 4, '0')
+                 || ' w' || CAST((date_part('day', ts) - 1) // 7 + 1 AS VARCHAR)
+                 || ' AD' AS longtail,
                CAST(sgn * yy2 AS INTEGER) AS age_y,
                CAST(sgn * mm2 AS INTEGER) AS age_m,
                CAST(sgn * dd1 AS INTEGER) AS age_d,

@@ -151,9 +151,29 @@ def _fmt_one(spark, ts, pattern):
     # Y,YYY digit grouping (formatting.c DCH_Y_YYY '%d,%03d')
     ("Y,YYY", "2,024"),
     ('"y" Y,YYY "q" Q', "y 2,024 q 1"),
+    # r12 long-tail tokens, pinned to PG's documented table
+    ("YYY Y", "024 4"),               # year digit tails
+    ("FMYYY", "24"),
+    ("CC", "21"),                     # 21st century starts 2001-01-01
+    ("FMCC", "21"),
+    ("J", "2460346"),                 # Julian day of 2024-02-05
+    ("SSSS", "47229"),                # 13*3600 + 7*60 + 9
+    ("RM rm", "II   ii  "),           # Roman month, blank-padded to 4
+    ("FMRM", "II"),
+    ("IYYY IYY IY I", "2024 024 24 4"),
+    ("AD ad A.D. a.d. BC", "AD ad A.D. a.d. AD"),
+    ("W", "1"),                       # week of month, (day-1)/7+1
 ])
 def test_to_char_pattern_table(spark, pattern, expected):
     assert _fmt_one(spark, "2024-02-05 13:07:09.123456", pattern) == expected
+
+
+def test_to_char_iso_year_boundaries(spark):
+    # ISO week-numbering year differs from the calendar year at the
+    # January/December boundary weeks (PG doc: IYYY follows the week)
+    assert _fmt_one(spark, "2021-01-01 00:00:00", "IYYY-YYYY") == "2020-2021"
+    assert _fmt_one(spark, "2019-12-30 00:00:00", "IYYY-YYYY") == "2020-2019"
+    assert _fmt_one(spark, "2024-12-30 00:00:00", "IYYY IW") == "2025 01"
 
 
 def test_to_char_midnight_noon_hh12(spark):
@@ -162,8 +182,7 @@ def test_to_char_midnight_noon_hh12(spark):
     assert _fmt_one(spark, "2024-02-05 12:30:00", "FMHH12:MI AM") == "12:30 PM"
 
 
-@pytest.mark.parametrize("pattern", ["J", "CC", "RM", "SSSS",
-                                     "IYYY", "YYY", "BC", "XYZZY"])
+@pytest.mark.parametrize("pattern", ["FX", "XYZZY", "KLM", "YYYY-ZZ"])
 def test_to_char_refuses_unsupported_loudly(spark, pattern):
     from agensgraph_spark.sqlfuncs import to_char
     with pytest.raises(ValueError):
@@ -405,15 +424,43 @@ def _py_to_char(dt, pattern):
             return "+0" if fm else "+00"
         if name == "Y,YYY":
             return f"{dt.year // 1000},{dt.year % 1000:03d}"
+        if name == "YYY":
+            v = dt.year % 1000
+            return str(v) if fm else f"{v:03d}"
+        if name == "Y":
+            return str(dt.year % 10)
+        if name == "CC":
+            c = (dt.year + 99) // 100
+            return str(c) if fm else f"{c:02d}"
+        if name == "J":
+            return str(dt.toordinal() + 1721425)
+        if name == "SSSS":
+            return str(dt.hour * 3600 + dt.minute * 60 + dt.second)
+        if name in ("RM", "rm"):
+            r = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII",
+                 "IX", "X", "XI", "XII"][dt.month - 1]
+            r = r if name == "RM" else r.lower()
+            return r if fm else r.ljust(4)
+        if name == "IYYY":
+            y = dt.isocalendar()[0]
+            return str(y) if fm else f"{y:04d}"
+        if name == "W":
+            return str((dt.day - 1) // 7 + 1)
+        if name in ("AD", "BC"):
+            return "AD"      # fuzz years are all positive
+        if name in ("ad", "bc"):
+            return "ad"
         raise AssertionError(name)
 
     out, fm, i = [], False, 0
-    toks = sorted(["Y,YYY", "YYYY", "YY", "MM", "DDD", "DD", "HH24",
-                   "HH12", "HH",
+    toks = sorted(["Y,YYY", "YYYY", "YYY", "YY", "Y", "MM", "DDD", "DD",
+                   "HH24", "HH12", "HH",
                    "MI", "SS", "MS", "US", "Month", "MONTH", "month",
                    "Mon", "MON", "mon", "Day", "DAY", "day", "Dy", "DY",
                    "dy", "ID", "D", "Q", "WW", "IW", "A.M.", "P.M.",
-                   "AM", "PM", "am", "pm", "TZ", "tz", "OF"],
+                   "AM", "PM", "am", "pm", "TZ", "tz", "OF",
+                   "CC", "J", "SSSS", "RM", "rm", "IYYY", "W",
+                   "AD", "BC", "ad", "bc"],
                   key=len, reverse=True)
     while i < len(pattern):
         if pattern[i] == '"':

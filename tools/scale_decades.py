@@ -35,6 +35,12 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE7 = ["dedup_cluster", "graph_pagerank", "dedup_minhash_lsh",
           "cy_dijkstra", "cy_match_2hop_agg", "sql_tpch_q5",
           "cy_shortestpath"]
+# r12 extension: the newest gate rows (r9-r11 seats) get third-decade
+# evidence too — trained-quantizer dedup, corpus-trained LM scoring,
+# IVF ANN, and the multimodal metadata path
+PROBE_EXTRA = ["dedup_semantic", "text_lm_perplexity", "ann_cosine_ivf",
+               "mm_frame_sample"]
+PROBE = PROBE7 + PROBE_EXTRA
 
 
 def main() -> None:
@@ -56,27 +62,32 @@ def main() -> None:
                 (sf1_dir, "sf1"), (sf10_dir, "sf10")]
     # untimed JIT circuit over every dataset (scale_audit.py rationale)
     for d, _ in datasets:
-        for name in PROBE7:
+        for name in PROBE:
             qs[name](spark, d).count()
     gc.collect()
     results: dict[str, dict[str, float]] = {}
     for d, tag in datasets:
-        for name in PROBE7:               # per-dataset warm pass
+        for name in PROBE:               # per-dataset warm pass
             qs[name](spark, d).count()
         gc.collect()
-        for name in PROBE7:               # timed: min of 2
+        for name in PROBE:               # timed: min of 2
             ts = []
             for _ in range(2):
                 t0 = time.time()
                 qs[name](spark, d).count()
                 ts.append(time.time() - t0)
             results.setdefault(name, {})[tag] = round(min(ts), 2)
-        gc.collect()
+            # per-query GC: the r12 11-query probe showed the iterative
+            # operators' superseded localCheckpoint blocks inflating
+            # LATER queries' timings at sf10 (dedup_cluster read 3.8s in
+            # the 33-run sequence vs 1.2s isolated in a fresh session);
+            # releasing Python refs per query keeps executor storage flat
+            gc.collect()
 
     print(f"{'query':22s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
           "r(0.1->1) r(1->10)   (10x data per decade)")
     payload = {}
-    for name in PROBE7:
+    for name in PROBE:
         r = results[name]
         r1 = r["sf1"] / max(r["sf0.1"], 0.01)
         r2 = r["sf10"] / max(r["sf1"], 0.01)
