@@ -1182,16 +1182,22 @@ class ExprCompiler:
         a, b = self.tc(e.args[0]).col, self.tc(e.args[1]).col
         return TC(SQLF.age(a, b), None)
 
-    def _pg_parse_2arg(self, e: A.FuncCall, fn, dtype) -> TC:
+    def _pg_parse_2arg(self, e: A.FuncCall, fn, dtype,
+                       lax: bool = False) -> TC:
         # 2-arg form = PG input template (formatting.c:do_to_timestamp)
         # and the template MUST be a string literal — a non-literal
         # second argument refuses loudly instead of silently dropping
         # the template (round-11 review finding); 1-arg keeps Spark's
         # ISO-string cast behavior
         if len(e.args) == 1:
-            base = F.to_date if dtype == "date" else F.to_timestamp
-            return TC(base(self.tc(e.args[0]).col),
-                      T.DateType() if dtype == "date" else T.TimestampType())
+            if lax:
+                c = F.try_to_timestamp(self.tc(e.args[0]).col)
+                c = c.cast("date") if dtype == "date" else c
+            else:
+                base = F.to_date if dtype == "date" else F.to_timestamp
+                c = base(self.tc(e.args[0]).col)
+            return TC(c, T.DateType() if dtype == "date"
+                      else T.TimestampType())
         if (len(e.args) != 2 or not isinstance(e.args[1], A.Lit)
                 or not isinstance(e.args[1].value, str)):
             raise NotImplementedError(
@@ -1207,6 +1213,17 @@ class ExprCompiler:
     def _f_to_timestamp(self, e: A.FuncCall) -> TC:
         from agensgraph_spark import sqlfuncs as SQLF
         return self._pg_parse_2arg(e, SQLF.to_timestamp, "timestamp")
+
+    def _f_try_to_date(self, e: A.FuncCall) -> TC:
+        # lax PG-style parse: NULL on malformed input, non-padded digit
+        # fields tolerated (sqlfuncs.try_to_date)
+        from agensgraph_spark import sqlfuncs as SQLF
+        return self._pg_parse_2arg(e, SQLF.try_to_date, "date", lax=True)
+
+    def _f_try_to_timestamp(self, e: A.FuncCall) -> TC:
+        from agensgraph_spark import sqlfuncs as SQLF
+        return self._pg_parse_2arg(e, SQLF.try_to_timestamp, "timestamp",
+                                   lax=True)
 
     def _f_make_date(self, e: A.FuncCall) -> TC:
         y, m, d = [self.tc(a).col for a in e.args]

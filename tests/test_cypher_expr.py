@@ -543,6 +543,25 @@ def test_to_char_reachable_from_cypher(spark):
     assert r["dd"] == "35"
 
 
+def test_try_parse_and_longtail_tokens_reachable_from_cypher(spark):
+    """r12 surface through the dialect: lax try_to_timestamp/try_to_date
+    (NULL on malformed, non-padded digits tolerated) and the long-tail
+    to_char tokens (RM, IYYY, J, CC, SSSS, TZ/OF, Y,YYY)."""
+    from agensgraph_spark.cypher import CypherEngine
+    eng = CypherEngine(spark)
+    r = eng.cypher(
+        "RETURN toString(try_to_timestamp('2000-1-5 3:7:9', "
+        "'YYYY-MM-DD HH24:MI:SS')) AS a, "
+        "try_to_date('garbage', 'YYYY-MM-DD') AS b, "
+        "toString(try_to_date('5 Dec 2000', 'DD Mon YYYY')) AS c, "
+        "to_char(to_timestamp('2024-02-05 13:07:09'), "
+        "'RM IYYY J CC SSSS TZ OF Y,YYY') AS d").collect()[0]
+    assert r["a"] == "2000-01-05 03:07:09"
+    assert r["b"] is None
+    assert r["c"] == "2000-12-05"
+    assert r["d"] == "II   2024 2460346 21 47229 UTC +00 2,024"
+
+
 def test_to_char_cypher_requires_literal_pattern(spark):
     from agensgraph_spark.cypher import CypherEngine
     eng = CypherEngine(spark)
