@@ -161,8 +161,24 @@ def vle_expand(
     if min_hops == 0:
         results.append(frontier.select("seed", F.col("cur").alias("dst"), "eids", "vids", "len"))
 
+    # seed-round frontier size: one cheap job over the small distinct
+    # seed set. Knowing it lets hop 1 BROADCAST a small frontier so the
+    # big pinned edge relation never shuffles — without the hint AQE
+    # materializes the edge shuffle's map side before flipping to
+    # broadcast (the dijkstra r12 finding; at cluster scale that is a
+    # full shuffle write of the edge relation). Later rounds' frontiers
+    # are lazy (checkpointed only every `checkpoint_every`), so their
+    # sizes are unknown between checkpoints and AQE keeps the decision.
+    fcount: int | None = None
+    if pinned and not small:
+        fcount = seeds.count()
+
     for k in range(1, max_hops + 1):
-        step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner")
+        if not small and fcount is not None and fcount <= BROADCAST_FRONTIER_LIMIT:
+            fside = F.broadcast(frontier)
+        else:
+            fside = frontier
+        step = fside.join(_hop_side(edges, small), frontier.cur == edges.src, "inner")
         if unique_edges:
             step = step.filter(~F.array_contains(F.col("eids"), F.col("eid")))
         frontier = step.select(
@@ -172,7 +188,11 @@ def vle_expand(
             F.concat(F.col("vids"), F.array(F.col("dst"))).alias("vids"),
             F.lit(k).cast("long").alias("len"),
         )
+        fcount = None
         frontier = _maybe_checkpoint(frontier, k, checkpoint_every)
+        if checkpoint_every and k % checkpoint_every == 0:
+            # the frame is materialized — the count reads stored blocks
+            fcount = frontier.count()
         if k >= min_hops:
             results.append(frontier.select("seed", F.col("cur").alias("dst"), "eids", "vids", "len"))
         # stop early once the frontier drains; the isEmpty probe is a
@@ -260,12 +280,21 @@ def bfs_shortest(
         F.lit(0).cast("long").alias("len"),
     )
     frontier = _ckpt(frontier)
+    # every generation is eagerly checkpointed, so the per-round count
+    # reads materialized blocks (~ms) — it powers BOTH the drain probe
+    # (replacing isEmpty) and the broadcast hint that keeps the pinned
+    # edge relation from shuffling under AQE (dijkstra r12 finding)
+    fcount: int | None = frontier.count()
     found: DataFrame | None = None  # accumulated hits (lazy union of
     # per-round joins whose parents are all checkpointed/cached)
     visited = frontier.select("seed", "cur")  # vertices seen at depth <= k
 
     for k in range(1, max_hops + 1):
-        step = frontier.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
+        if not small and fcount is not None and fcount <= BROADCAST_FRONTIER_LIMIT:
+            fside = F.broadcast(frontier)
+        else:
+            fside = frontier
+        step = fside.join(_hop_side(edges, small), frontier.cur == edges.src, "inner") \
                        .filter(~F.array_contains(F.col("eids"), F.col("eid")))
         nxt = step.select(
             "seed",
@@ -300,11 +329,13 @@ def bfs_shortest(
             (F.col("f.seed") == F.col("r.seed")) & (F.col("f.cur") == F.col("r.target")),
         ).select(F.col("f.seed").alias("seed"), F.col("f.cur").alias("target"), "eids", "vids", "len")
         found = hit if found is None else found.unionByName(hit)
-        # early-exit probes: frontier.isEmpty is ~free on the
-        # checkpointed frame; the all-pairs-satisfied probe re-runs the
-        # accumulated hit joins (each a small join against materialized
-        # frontiers), so only probe on even rounds with real depth left
-        if k < max_hops and frontier.isEmpty():
+        # early-exit probes: the count is ~free on the checkpointed
+        # frame (and feeds next round's broadcast hint); the
+        # all-pairs-satisfied probe re-runs the accumulated hit joins
+        # (each a small join against materialized frontiers), so only
+        # probe on even rounds with real depth left
+        fcount = frontier.count()
+        if k < max_hops and fcount == 0:
             break
         if (k < max_hops and (max_hops - k > 2) and k % 2 == 0
                 and pairs.join(found.select("seed", "target").distinct(),
