@@ -678,7 +678,10 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
     decimal point — reference behavior), and the sign modes: default
     (floating '-'/blank slot), S leading/trailing (+/-), MI
     leading (fixed slot) / trailing, PR (<...> for negatives).
-    Refuses EEEE/RN/TH/SG/PL/L/V/B loudly. Overflow (more integer
+    Scientific notation via a terminal EEEE over a plain '9.99..'
+    picture (formatting.c NUM_E). Refuses RN/TH/SG/PL/L/V/B loudly,
+    and EEEE combined with signs/FM/literals (as PG does). Overflow
+    (more integer
     digits than slots) renders '#' in every digit slot, PG-style.
     Pinned against the reference regression outputs
     (src/test/regress/expected/numeric.out:1479-1720)."""
