@@ -672,70 +672,118 @@ class WriteMixin:
                 rows = [tuple(r) for r in self.df.limit(lim + 1).collect()]
                 if 1 < len(rows) <= lim:
                     return self._compile_merge_sequential(m, rows)
-                if len(rows) > lim and self._merge_accumulates(m):
+                acc = self._merge_accumulating_vars(m)
+                if (len(rows) > lim and acc
+                        and self._merge_rows_can_collide(m, acc)):
                     raise NotImplementedError(
                         "MERGE ... ON MATCH/ON CREATE SET reads the merge "
-                        "variable's own properties (per-input-row "
-                        "accumulation, e.g. SET a.cnt = a.cnt + 1) and the "
+                        "variable's own properties/entity (per-input-row "
+                        "accumulation, e.g. SET a.cnt = a.cnt + 1) over "
+                        "input rows that can probe the SAME entity, and the "
                         f"input exceeds sequential_merge_rows={lim}: batch "
                         "execution applies SET once per statement and would "
                         "silently diverge from the reference's row-at-a-time "
                         "semantics (execCypherMerge.c:35). Raise "
                         "sequential_merge_rows or restructure the query.")
-            elif self._merge_accumulates(m) \
-                    and len(self.df.limit(2).collect()) > 1:
-                raise NotImplementedError(
-                    "MERGE ... ON MATCH/ON CREATE SET reads the merge "
-                    "variable's own properties (per-input-row accumulation, "
-                    "e.g. SET a.cnt = a.cnt + 1) over a multi-row input: "
-                    "batch execution applies SET once per statement and "
-                    "would silently diverge from the reference's "
-                    "row-at-a-time semantics (execCypherMerge.c:35; "
-                    "cypher_eager.sql:112-156). Opt in to the bounded "
-                    "per-row fold with "
-                    "CypherEngine(sequential_merge_rows=N).")
+            else:
+                acc = self._merge_accumulating_vars(m)
+                if (acc and len(self.df.limit(2).collect()) > 1
+                        and self._merge_rows_can_collide(m, acc)):
+                    raise NotImplementedError(
+                        "MERGE ... ON MATCH/ON CREATE SET reads the merge "
+                        "variable's own properties/entity (per-input-row "
+                        "accumulation, e.g. SET a.cnt = a.cnt + 1) over "
+                        "input rows that can probe the SAME entity: batch "
+                        "execution applies SET once per statement and "
+                        "would silently diverge from the reference's "
+                        "row-at-a-time semantics (execCypherMerge.c:35; "
+                        "cypher_eager.sql:112-156). Opt in to the bounded "
+                        "per-row fold with "
+                        "CypherEngine(sequential_merge_rows=N).")
         self._compile_merge_batch(m, first)
 
-    def _merge_accumulates(self, m: A.Merge) -> bool:
+    def _merge_accumulating_vars(self, m: A.Merge) -> set:
         """Compile-time detection of the self-referential MERGE
         accumulation shape — an ON MATCH/ON CREATE SET whose RHS reads
-        a property of a variable this MERGE itself binds (e.g.
-        ``SET a.cnt = a.cnt + 1``). The analog of the reference's
-        eagerness analysis (parse_graph.c:5641 ``assign_query_eager``):
-        under row-at-a-time OLTP execution later input rows of the SAME
-        statement observe earlier rows' updates, so batch-once SET is
-        the one place a PG user silently gets a different answer —
-        refuse loudly instead (or fold, under sequential_merge_rows)."""
+        a variable this MERGE itself binds, either a property
+        (``SET a.cnt = a.cnt + 1``) or the whole entity
+        (``SET a.snap = properties(a)``). Returns the set of merge-bound
+        variable names so read. The analog of the reference's eagerness
+        analysis (parse_graph.c:5641 ``assign_query_eager``): under
+        row-at-a-time OLTP execution later input rows of the SAME
+        statement observe earlier rows' updates, so batch-once SET can
+        silently give a PG user a different answer — refuse loudly
+        (or fold, under sequential_merge_rows) unless
+        ``_merge_rows_can_collide`` proves the rows independent."""
         import dataclasses as _dc
         merge_vars = {el.var for el in m.pattern.elements
                       if getattr(el, "var", None)}
         if not merge_vars:
-            return False
+            return set()
+        acc: set = set()
 
-        def reads(e) -> bool:
-            if isinstance(e, A.Prop):
-                base = e.base
-                while isinstance(base, A.Prop):
-                    base = base.base
-                if isinstance(base, A.Var) and base.name in merge_vars:
-                    return True
+        def walk(e) -> None:
+            # a bare Var read (inside any function/expression) reads the
+            # entity's current properties just like a Prop chain does
+            if isinstance(e, A.Var) and e.name in merge_vars:
+                acc.add(e.name)
             if _dc.is_dataclass(e) and not isinstance(e, type):
                 for f in _dc.fields(e):
                     v = getattr(e, f.name)
-                    if isinstance(v, A.Expr) and reads(v):
-                        return True
-                    if isinstance(v, (list, tuple)):
+                    if isinstance(v, A.Expr):
+                        walk(v)
+                    elif isinstance(v, (list, tuple)):
                         for x in v:
-                            if isinstance(x, A.Expr) and reads(x):
-                                return True
-                            if (isinstance(x, tuple) and any(
-                                    isinstance(y, A.Expr) and reads(y)
-                                    for y in x)):
-                                return True
-            return False
+                            if isinstance(x, A.Expr):
+                                walk(x)
+                            elif isinstance(x, tuple):
+                                for y in x:
+                                    if isinstance(y, A.Expr):
+                                        walk(y)
 
-        return any(it.value is not None and reads(it.value)
-                   for it in (m.on_match + m.on_create))
+        for it in (m.on_match + m.on_create):
+            if it.value is not None:
+                walk(it.value)
+        return acc
+
+    def _merge_rows_can_collide(self, m: A.Merge, acc_vars: set) -> bool:
+        """False only when every accumulating variable's OWN pattern
+        element carries a property map whose evaluated key tuple is
+        DISTINCT across the input rows: then no two rows can probe (or
+        create) the same entity for that variable, each entity's SET
+        applies at most once, and batch equals row-at-a-time — the
+        refusal would be a false positive (e.g. ``MERGE (a:v {no: x.no})
+        ON MATCH SET a.cnt = a.cnt + 1`` over distinct x.no). A shared
+        element (constant or absent key), an uncompilable key, or any
+        duplicate/NULL key tuple stays conservative (True). Cost: one
+        small aggregate per accumulating element, only on the already-
+        suspicious shape."""
+        for el in m.pattern.elements:
+            var = getattr(el, "var", None)
+            if var not in acc_vars:
+                continue
+            props = getattr(el, "props", None)
+            items = getattr(props, "items", None) if props is not None else None
+            if not items:
+                return True
+            try:
+                ec = self._ec()
+                cols = [ec.col(v) for _, v in items]
+                r = (self.df
+                     .select(*[c.alias(f"__k{i}")
+                               for i, c in enumerate(cols)])
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.count_distinct(
+                              *[F.col(f"__k{i}")
+                                for i in range(len(cols))]).alias("d"))
+                     .first())
+            except Exception:
+                return True
+            # count_distinct drops NULL-keyed rows, so n != d also
+            # catches NULL probe keys — conservative, as intended
+            if r["n"] != r["d"]:
+                return True
+        return False
 
     def _compile_merge_sequential(self, m: A.Merge, rows: list) -> None:
         """Opt-in OLTP-fidelity MERGE (engine.sequential_merge_rows):

@@ -196,9 +196,12 @@ def vle_expand(
         if k >= min_hops:
             results.append(frontier.select("seed", F.col("cur").alias("dst"), "eids", "vids", "len"))
         # stop early once the frontier drains; the isEmpty probe is a
-        # Spark job, so only pay for it when enough depth remains
-        if k < max_hops and (max_hops - k > 2) and frontier.isEmpty():
-            break
+        # Spark job, so only pay for it when enough depth remains — and
+        # skip it entirely on checkpoint rounds where fcount was just
+        # computed from the materialized frame
+        if k < max_hops and (max_hops - k > 2):
+            if (fcount == 0) if fcount is not None else frontier.isEmpty():
+                break
 
     out = results[0]
     for r in results[1:]:
@@ -333,10 +336,12 @@ def bfs_shortest(
         # frame (and feeds next round's broadcast hint); the
         # all-pairs-satisfied probe re-runs the accumulated hit joins
         # (each a small join against materialized frontiers), so only
-        # probe on even rounds with real depth left
-        fcount = frontier.count()
-        if k < max_hops and fcount == 0:
-            break
+        # probe on even rounds with real depth left. On the FINAL round
+        # there is no next round to hint or break out of — skip the job
+        if k < max_hops:
+            fcount = frontier.count()
+            if fcount == 0:
+                break
         if (k < max_hops and (max_hops - k > 2) and k % 2 == 0
                 and pairs.join(found.select("seed", "target").distinct(),
                                ["seed", "target"], "left_anti").isEmpty()):

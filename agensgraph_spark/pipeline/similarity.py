@@ -121,8 +121,9 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane sign bits packed into one long per 64 planes
-    (here n_planes <= 32 → a single long). The plane matrix is ONE
+    """Random-hyperplane sign bits packed into ONE long (n_planes <= 52,
+    guarded below — pow-based packing is exact only while 2^j fits a
+    double's mantissa). The plane matrix is ONE
     nested-array literal — building it per-element (n_planes × dim
     Literal nodes) makes Catalyst analysis and whole-stage codegen the
     dominant cost, megabytes of generated code for a cheap kernel."""
@@ -139,7 +140,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     dots = F.transform(pm, lambda p: dot(vec, p))
     idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
     # 2^j via pow (shiftleft needs a literal shift amount); exact for
-    # j <= 52 in double arithmetic, and n_planes <= 32 here
+    # j <= 52 in double arithmetic, enforced by the guard above
     bits = F.zip_with(dots, idx,
                       lambda d, j: (d > 0).cast("long") * F.pow(F.lit(2.0), j).cast("long"))
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -327,11 +328,16 @@ def semantic_dedup(
         # exchange is shared — the cap adds a sort, not a shuffle
         wb = Window.partitionBy("cluster").orderBy(F.col("_ib").asc())
         b = b.withColumn("_rnb", F.row_number().over(wb))
-        # per-row audit flag, derived from the SAME ranked frame so the
-        # window's exchange is reused, not recomputed: a row at rank r
+        # per-row audit flag over the ranked frame: a row at rank r
         # only misses mates at ranks max_cluster+1..r-1, so
         # max_lower_cos is exact through rank max_cluster+1 and a
-        # LOWER BOUND beyond — `capped` marks exactly those rows
+        # LOWER BOUND beyond — `capped` marks exactly those rows.
+        # Cost: ONE extra narrow (id, cluster, bool) window branch; on
+        # broadcast small-corpus plans it surfaces its own cluster-key
+        # exchange (the b branch's WindowGroupLimit pushdown makes the
+        # two subtrees differ, so no exchange reuse — test_plans.py:447
+        # pins the <= +2 exchange bound); on corpus-scale sort-merge
+        # plans both windows partition on the pair join's cluster key
         flags = b.select(F.col("_ib").alias("vec_id"), "cluster",
                          (F.col("_rnb") > max_cluster + 1).alias("_capped"))
         if audit_cap:

@@ -301,9 +301,25 @@ def _y_comma(ts: Column, fm: bool) -> Column:
     formatting.c:DCH_Y_YYY sprintf('%d,%03d', year/1000, year%1000),
     identical with or without FM (the token has no fill-mode variant)."""
     y = F.year(ts)
-    return F.concat(F.floor(y / 1000).cast("int").cast("string"),
-                    F.lit(","),
-                    F.lpad(F.pmod(y, F.lit(1000)).cast("string"), 3, "0"))
+    s = F.concat(F.floor(y / 1000).cast("int").cast("string"),
+                 F.lit(","),
+                 F.lpad(F.pmod(y, F.lit(1000)).cast("string"), 3, "0"))
+    return _ad_guard(ts, s, "Y,YYY")
+
+
+def _ad_guard(ts: Column, v: Column, tok: str) -> Column:
+    """Year-digit tokens mirror PG only for AD years: PG renders BC
+    years 1-based with the era carried by BC/AD tokens, while Spark's
+    proleptic year <= 0 would feed these digit extractions silently
+    wrong values (ceil(0/100) = '00' centuries, negative Y,YYY heads).
+    Policy here is refuse loudly, so BC inputs raise at runtime."""
+    return F.when(
+        F.year(ts) <= 0,
+        F.raise_error(F.lit(
+            f"to_char: {tok} is not supported for BC timestamps by this "
+            "shim (PG renders BC years 1-based; use the AD/BC era "
+            "tokens to detect them)")).cast("string"),
+    ).otherwise(v)
 
 
 def _y_tail(n: int):
@@ -312,7 +328,8 @@ def _y_tail(n: int):
     '%0*d' with width 0 under S_FM)."""
     def build(ts: Column, fm: bool) -> Column:
         v = F.pmod(F.year(ts), F.lit(10 ** n))
-        return v.cast("string") if fm else F.lpad(v.cast("string"), n, "0")
+        s = v.cast("string") if fm else F.lpad(v.cast("string"), n, "0")
+        return _ad_guard(ts, s, "Y" * n)
     return build
 
 
@@ -320,7 +337,8 @@ def _century(ts: Column, fm: bool) -> Column:
     """PG CC: century, 21st starts 2001-01-01 (formatting.c DCH_CC —
     ceil(year/100) for AD years), 2-digit zero-padded unless FM."""
     c = F.ceil(F.year(ts) / 100).cast("int")
-    return c.cast("string") if fm else F.lpad(c.cast("string"), 2, "0")
+    s = c.cast("string") if fm else F.lpad(c.cast("string"), 2, "0")
+    return _ad_guard(ts, s, "CC")
 
 
 def _julian_day(ts: Column, fm: bool) -> Column:
@@ -367,7 +385,8 @@ def _iso_year(n: int):
         v = F.pmod(_iso_year_col(ts), F.lit(10 ** n)) if n < 4 \
             else _iso_year_col(ts)
         s = v.cast("string")
-        return s if fm else F.lpad(s, n, "0")
+        return _ad_guard(ts, s if fm else F.lpad(s, n, "0"),
+                         "I" + "Y" * (n - 1))
     return build
 
 
@@ -473,6 +492,13 @@ def to_char(col: "Column | str", pattern: str) -> Column:
 
     while i < n:
         ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            # PG honors backslash escapes OUTSIDE quoted sections too —
+            # '\"YYYY\"' renders literal quotes around the year
+            # (formatting.c parse_format)
+            lit.append(pattern[i + 1])
+            i += 2
+            continue
         if ch == '"':
             txt, i = _scan_quoted(pattern, i, "to_char")
             lit.append(txt)
@@ -651,6 +677,11 @@ def _parse_num_pattern(pattern: str):
         if ch in "G,":
             cur.append(("g", ","))
             i += 1
+            continue
+        if ch == "\\" and i + 1 < n:
+            # backslash escape outside quotes (formatting.c parse_format)
+            cur.append(("s", pattern[i + 1]))
+            i += 2
             continue
         if ch == '"':
             txt, i = _scan_quoted(pattern, i, "to_char_number")
@@ -949,6 +980,15 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> str:
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            # backslash escape outside quotes (formatting.c parse_format)
+            esc = pattern[i + 1].replace("'", "''")
+            out.append(f"'{esc}'" if pattern[i + 1].isalnum()
+                       else ("''" if pattern[i + 1] == "'"
+                             else pattern[i + 1]))
+            kinds.append("lit")
+            i += 2
+            continue
         if ch == '"':
             txt, i = _scan_quoted(pattern, i, "to_date/to_timestamp")
             lit = txt.replace("'", "''")

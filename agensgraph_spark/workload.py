@@ -2654,7 +2654,8 @@ def _semdedup_oracle(dim: int = 64, n_lists: int = 16, tau: float = 0.2,
                ROUND(low.mlc, 6) AS max_lower_cos,
                COALESCE(low.mlc < {tau}, TRUE) AS keep,
                -- the engine's capped flag fires only for within-cluster
-               -- rank > max_cluster + 1; tests/test_similarity.py pins
+               -- rank > max_cluster + 1; tests/test_pipeline_scale.py::
+               -- test_semdedup_oracle_corpora_never_hit_cap pins
                -- n_over_cap == 0 for every oracle-replayed corpus, so
                -- the unmodeled cap cannot bite parity silently
                FALSE AS capped

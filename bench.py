@@ -61,6 +61,23 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Wait-for-quiet BEFORE the JVM spins up: BENCH_r11 archived a loud
+    # run (load1 5.11 at start) and every same-set query read +8-52% —
+    # ambient load, not a code regression, but the artifact was tainted.
+    # Sampling here (not after warmup) keeps the bench's own 32-thread
+    # spin-up/warmup burst out of the ambient measurement; if the
+    # machine never quiets, the final JSON is marked usable=false so a
+    # loud artifact is self-disqualifying instead of silently misleading.
+    load_warn_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5"))
+    quiet_wait_sec = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    waited = 0.0
+    while (os.getloadavg()[0] > load_warn_threshold and waited < quiet_wait_sec):
+        print(f"# waiting for quiet: load1={os.getloadavg()[0]:.2f} > "
+              f"{load_warn_threshold} ({waited:.0f}/{quiet_wait_sec:.0f}s)",
+              file=sys.stderr)
+        time.sleep(15)
+        waited += 15
+    ambient_load1 = round(os.getloadavg()[0], 2)
     spark = get_spark("agensgraph-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = workload.all_queries()
@@ -83,27 +100,15 @@ def main() -> None:
     import gc
     n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
-    load_warn_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "1.5"))
-    # Wait-for-quiet: BENCH_r11 archived a loud run (load1 5.11 at start)
-    # and every same-set query read +8-52% — ambient load, not a code
-    # regression, but the artifact was tainted. Rather than measure into
-    # known noise, sample load1 and wait (bounded) for the machine to go
-    # quiet; if it never does, the JSON is marked usable=false so the
-    # artifact is self-disqualifying instead of silently misleading.
-    quiet_wait_sec = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
-    waited = 0.0
-    while (os.getloadavg()[0] > load_warn_threshold and waited < quiet_wait_sec):
-        print(f"# waiting for quiet: load1={os.getloadavg()[0]:.2f} > "
-              f"{load_warn_threshold} ({waited:.0f}/{quiet_wait_sec:.0f}s)",
-              file=sys.stderr)
-        time.sleep(15)
-        waited += 15
-    pass_load: list[float] = [round(os.getloadavg()[0], 2)]
+    # the guard keys on the PRE-spin-up ambient sample: load measured
+    # here would include the bench's own JVM/warmup burst (a ~2s spike
+    # at 32 runnable threads adds ~1.0 to load1 by itself)
+    pass_load: list[float] = [ambient_load1]
     if pass_load[0] > load_warn_threshold:
-        print(f"# WARN: ambient load1={pass_load[0]} before pass 1 after "
-              f"{waited:.0f}s wait-for-quiet — timings below are suspect "
-              "(see README noise methodology); the final JSON carries "
-              "load1_warn=true AND usable=false", file=sys.stderr)
+        print(f"# WARN: ambient load1={pass_load[0]} before JVM spin-up "
+              f"after {waited:.0f}s wait-for-quiet — timings below are "
+              "suspect (see README noise methodology); the final JSON "
+              "carries load1_warn=true AND usable=false", file=sys.stderr)
     for p in range(n_passes):
         timings: dict[str, float] = {}
         for name in HEADLINE:
@@ -136,8 +141,8 @@ def main() -> None:
     # capture could no longer parse the headline JSON. The LAST stdout
     # line must stay the compact shape the driver parses.
     print(f"# passes: {json.dumps(passes)}", file=sys.stderr)
-    print(f"# load1_per_pass (before p1, after p1..pN): {pass_load}",
-          file=sys.stderr)
+    print(f"# load1_per_pass (ambient pre-spin-up, after p1..pN): "
+          f"{pass_load}", file=sys.stderr)
     for name in HEADLINE:
         ts = sorted(ps[name] for ps in passes)
         print(f"# spread {name}: min={ts[0]} med={med[name]} max={ts[-1]}",
@@ -226,10 +231,11 @@ def main() -> None:
         # but not the median is noise; in both, a real regression
         "queries_median": med,
         "n_passes": n_passes,
-        # load1 sampled before pass 1 and after each pass — high ambient
-        # load explains (and disqualifies) whipsawed sub-second timings
+        # load1 sampled before JVM spin-up and after each pass — high
+        # ambient load explains (and disqualifies) whipsawed sub-second
+        # timings
         "load1_per_pass": pass_load,
-        # self-describing loud-run flag: only the PRE-pass-1 sample is
+        # self-describing loud-run flag: only the PRE-SPIN-UP sample is
         # ambient (later samples reflect the bench's own 32-thread
         # work), so the guard keys on it; a warned run's timings are
         # suspect per the README noise methodology (min-of-N mitigates

@@ -815,6 +815,32 @@ def test_merge_non_accumulating_set_stays_batch(eager_graph):
     assert list(got["no"]) == [1, 2, 3]
 
 
+def test_merge_accumulating_distinct_keys_stays_batch(eager_graph):
+    """The accumulation shape with per-row DISTINCT probe keys is NOT
+    refused: no two rows can touch the same merged entity, so each
+    entity's SET applies once under both batch and row-at-a-time
+    execution — refusing would be a false positive on a query class
+    that was never divergent."""
+    eng = eager_graph
+    eng.cypher("MATCH (x:v1) MERGE (a:v2 {no: x.no}) "
+               "ON MATCH SET a.cnt = a.cnt + 1 ON CREATE SET a.cnt = 0")
+    got = eng.cypher("MATCH (a:v2) RETURN a.no AS no, a.cnt AS cnt "
+                     "ORDER BY no").toPandas()
+    assert list(got["no"]) == [1, 2, 3]
+    assert list(got["cnt"]) == [0, 0, 0]
+
+
+def test_merge_whole_entity_read_refuses(eager_graph):
+    """A bare-variable read inside a function (keys(a)/properties(a))
+    reads the entity's current state just like a property chain — the
+    detector must flag it on a shared (constant-key) element."""
+    eng = eager_graph
+    with pytest.raises(Exception, match="sequential_merge_rows"):
+        eng.cypher("MATCH (:v1) MERGE (a:v2 {no: 1}) "
+                   "ON MATCH SET a.k = size(keys(a)) "
+                   "ON CREATE SET a.k = 0").collect()
+
+
 def test_eager_merge_set_merge_sequential_optin(spark):
     """Same fixture as the strict xfail above, under the opt-in
     sequential fold (engine.sequential_merge_rows): per-input-row

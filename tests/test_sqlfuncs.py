@@ -563,6 +563,35 @@ def test_to_timestamp_pg_templates(spark, txt, pat, expected):
     assert got == expected
 
 
+def test_to_char_backslash_escape_outside_quotes(spark):
+    # PG honors backslash escapes outside quoted sections too:
+    # '\"YYYY\"' renders literal quotes around the year
+    assert _fmt_one(spark, "2024-02-05 13:07:09",
+                    '\\"YYYY\\"') == '"2024"'
+    assert _fmt_one(spark, "2024-02-05 13:07:09",
+                    'MM\\"DD') == '02"05'
+    from agensgraph_spark.sqlfuncs import to_char_number
+    df = spark.range(1).select(F.lit(7).alias("v"))
+    assert df.select(to_char_number("v", '\\"9').alias("o")
+                     ).first()["o"] == '" 7'
+
+
+def test_to_char_year_tokens_refuse_bc(spark):
+    # BC years would render silently wrong digit strings (PG shows BC
+    # years 1-based); the shim refuses at runtime instead
+    import pytest as _pytest
+
+    from agensgraph_spark.sqlfuncs import to_char
+    df = spark.range(1).select(
+        F.make_date(F.lit(0), F.lit(1), F.lit(1)).alias("d"))
+    for pat in ("CC", "Y,YYY", "YYY", "IYYY"):
+        with _pytest.raises(Exception, match="BC"):
+            df.select(to_char("d", pat).alias("o")).collect()
+    # era tokens handle BC by design
+    got = df.select(to_char("d", "AD").alias("o")).first()["o"]
+    assert got == "BC"
+
+
 def test_to_char_escaped_quote_literal(spark):
     # PG: backslash escapes an embedded double quote inside "..."
     assert _fmt_one(spark, "2024-02-05 13:07:09",
