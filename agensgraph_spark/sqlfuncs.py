@@ -355,6 +355,36 @@ def _ssss(ts: Column, fm: bool) -> Column:
             + F.second(ts)).cast("string")
 
 
+def _ff(n: int):
+    """PG FF1..FF6 (v13+): fractional seconds TRUNCATED to ``n``
+    digits, zero-padded to ``n`` (formatting.c DCH_FF1..FF6); FM is a
+    no-op (the field is inherently fixed-width)."""
+    def build(ts: Column, fm: bool) -> Column:
+        micros = F.pmod(F.unix_micros(ts.cast("timestamp")),
+                        F.lit(1_000_000))
+        v = F.floor(micros / (10 ** (6 - n))).cast("long")
+        return F.lpad(v.cast("string"), n, "0")
+    return build
+
+
+def _ordinal(seg: Column, upper: bool) -> Column:
+    """PG TH/th suffix: append the English ordinal suffix to the
+    PRECEDING field — but only when its rendered text ends in a digit
+    (formatting.c str_numth copies the suffix only for numeric output;
+    on names the suffix is dropped). 11-13 take 'th' regardless of the
+    last digit."""
+    last1 = F.substring(seg, -1, 1)
+    last2 = F.substring(seg, -2, 2).cast("int")
+    suf = (F.when(F.pmod(last2, F.lit(100)).isin(11, 12, 13), F.lit("th"))
+            .when(last1 == "1", F.lit("st"))
+            .when(last1 == "2", F.lit("nd"))
+            .when(last1 == "3", F.lit("rd"))
+            .otherwise(F.lit("th")))
+    if upper:
+        suf = F.upper(suf)
+    return F.when(last1.rlike("[0-9]"), F.concat(seg, suf)).otherwise(seg)
+
+
 _RM_UPPER = ["I", "II", "III", "IV", "V", "VI",
              "VII", "VIII", "IX", "X", "XI", "XII"]
 
@@ -437,6 +467,8 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
                              else F.date_format(ts, "hh"))),
     ("HH", lambda ts, fm: (_hh12_bare(ts).cast("string") if fm
                            else F.date_format(ts, "hh"))),
+    ("FF1", _ff(1)), ("FF2", _ff(2)), ("FF3", _ff(3)),
+    ("FF4", _ff(4)), ("FF5", _ff(5)), ("FF6", _ff(6)),
     ("SSSS", _ssss), ("SS", _num("ss", F.second)),
     ("US", _num("SSSSSS", lambda ts: F.pmod(
         F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000)).cast("int"))),
@@ -466,7 +498,9 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     cases, AM/PM (incl. dotted), D/ID, Q, W/WW/IW, session-timezone
     TZ/tz/OF, Y,YYY digit grouping and the Y/YYY year tails, ISO
     week-numbering years IYYY/IYY/IY/I, century CC, Julian day J,
-    seconds-past-midnight SSSS, Roman-numeral months RM/rm, era
+    seconds-past-midnight SSSS, fractional seconds FF1-FF6, TH/th
+    ordinal suffixes (digit-gated like str_numth), Roman-numeral
+    months RM/rm, era
     AD/BC (incl. dotted + lowercase), double-quoted literals (with
     backslash-escaped embedded quotes), and the FM fill-mode prefix
     (modifies the NEXT field: drops numeric leading zeros and name
@@ -520,9 +554,19 @@ def to_char(col: "Column | str", pattern: str) -> Column:
                     f"shim (in {pattern!r}) — PG token recognized but "
                     "deliberately refused; see sqlfuncs.to_char")
             flush()
-            segs.append(build(ts, fm))
+            seg = build(ts, fm)
             fm = False
             i += len(name)
+            # TH/th ordinal suffix modifies the PRECEDING field
+            # (formatting.c DCH suffix table); digit-gated at runtime
+            # like str_numth, so name tokens pass through unchanged
+            if pattern.startswith("TH", i):
+                seg = _ordinal(seg, True)
+                i += 2
+            elif pattern.startswith("th", i):
+                seg = _ordinal(seg, False)
+                i += 2
+            segs.append(seg)
             continue
         if ch.isalnum():
             raise ValueError(

@@ -163,6 +163,15 @@ def _fmt_one(spark, ts, pattern):
     ("IYYY IYY IY I", "2024 024 24 4"),
     ("AD ad A.D. a.d. BC", "AD ad A.D. a.d. AD"),
     ("W", "1"),                       # week of month, (day-1)/7+1
+    # FF1-FF6 fractional seconds, truncated (PG 13+ formatting.c)
+    ("FF1 FF2 FF3 FF6", "1 12 123 123456"),
+    # TH/th ordinal suffixes, digit-gated like str_numth
+    ("DDth", "05th"),
+    ("FMDDth", "5th"),
+    ("DDTH", "05TH"),
+    ("FMDDD\"th\"", "36th"),          # quoted literal is NOT a suffix
+    ("Dyth", "Mon"),                  # name output: suffix dropped
+    ('"day "FMDDth "of" FMMonth', "day 5th of February"),
 ])
 def test_to_char_pattern_table(spark, pattern, expected):
     assert _fmt_one(spark, "2024-02-05 13:07:09.123456", pattern) == expected
@@ -450,7 +459,22 @@ def _py_to_char(dt, pattern):
             return "AD"      # fuzz years are all positive
         if name in ("ad", "bc"):
             return "ad"
+        if name == "FF3":
+            return f"{dt.microsecond // 1000:03d}"
+        if name == "FF6":
+            return f"{dt.microsecond:06d}"
         raise AssertionError(name)
+
+    def ordinal(s, up):
+        # mirror of sqlfuncs._ordinal / PG str_numth
+        if not s or not s[-1].isdigit():
+            return s
+        last2 = int(s[-2:]) if len(s) >= 2 and s[-2:].isdigit() else int(s[-1])
+        if last2 % 100 in (11, 12, 13):
+            suf = "th"
+        else:
+            suf = {1: "st", 2: "nd", 3: "rd"}.get(int(s[-1]), "th")
+        return s + (suf.upper() if up else suf)
 
     out, fm, i = [], False, 0
     toks = sorted(["Y,YYY", "YYYY", "YYY", "YY", "Y", "MM", "DDD", "DD",
@@ -460,7 +484,7 @@ def _py_to_char(dt, pattern):
                    "dy", "ID", "D", "Q", "WW", "IW", "A.M.", "P.M.",
                    "AM", "PM", "am", "pm", "TZ", "tz", "OF",
                    "CC", "J", "SSSS", "RM", "rm", "IYYY", "W",
-                   "AD", "BC", "ad", "bc"],
+                   "AD", "BC", "ad", "bc", "FF3", "FF6"],
                   key=len, reverse=True)
     while i < len(pattern):
         if pattern[i] == '"':
@@ -474,9 +498,16 @@ def _py_to_char(dt, pattern):
             continue
         hit = next((t for t in toks if pattern.startswith(t, i)), None)
         if hit:
-            out.append(tok(hit, fm))
+            seg = tok(hit, fm)
             fm = False
             i += len(hit)
+            if pattern.startswith("TH", i):
+                seg = ordinal(seg, True)
+                i += 2
+            elif pattern.startswith("th", i):
+                seg = ordinal(seg, False)
+                i += 2
+            out.append(seg)
         else:
             out.append(pattern[i])
             i += 1
@@ -492,7 +523,8 @@ def test_to_char_timestamp_fuzz(spark):
     tokens = ["YYYY", "YY", "MM", "DD", "DDD", "HH24", "HH12", "MI",
               "SS", "MS", "US", "Mon", "MON", "mon", "Month", "month",
               "Day", "day", "Dy", "DY", "D", "ID", "Q", "WW", "IW",
-              "AM", "pm", "A.M.", "TZ", "tz", "OF", "Y,YYY"]
+              "AM", "pm", "A.M.", "TZ", "tz", "OF", "Y,YYY",
+              "FF3", "FF6", "DDth", "MMTH", "HH24th", "Dyth"]
     seps = [" ", "-", ":", "/", ", ", "|", ""]
     cases = []
     cols = []
