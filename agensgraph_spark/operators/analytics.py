@@ -212,3 +212,104 @@ def histogram(
             .groupBy(*[F.col(c) for c in by],
                      (b * F.lit(float(bin_width))).alias("bin_start"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg): per round the authority score
+    is the sum of in-neighbor hub scores and the hub score the sum of
+    out-neighbor NEW authority scores, each vector normalized by its
+    MAXIMUM (the infinity-norm variant of the classic algorithm). Max
+    normalization is chosen deliberately over the L1/L2 norms: max()
+    over doubles is a comparison, not an accumulation, so the
+    normalizer is bit-identical across engines and summation orders —
+    which keeps a fixed ``iters`` replayable as chained SQL CTEs the
+    way pagerank's recurrence is (workload.py `_hits_oracle`).
+
+    Per round: two (id, score) shuffles for the neighborhood sums and
+    two single-row aggregates for the norms (Catalyst broadcasts the
+    scalar back — no data-sized shuffle). The edge relation is never
+    re-shuffled; AQE broadcasts the narrow score frame. Lineage is
+    localCheckpoint-truncated every 6 rounds like the sibling
+    iterative operators. Returns (id, authority double, hub double).
+    """
+    verts = vertices.select("id").distinct()
+    e = edges.select("src", "dst")
+    hub = verts.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(iters):
+        a_sum = (e.join(hub.withColumnRenamed("id", "src"), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("hub").alias("_a")))
+        auth = (verts.join(a_sum, "id", "left")
+                .select("id", F.coalesce("_a", F.lit(0.0)).alias("auth")))
+        a_max = auth.agg(F.max("auth").alias("_m"))
+        auth = (auth.crossJoin(F.broadcast(a_max))
+                .select("id", F.when(F.col("_m") > 0,
+                                     F.col("auth") / F.col("_m"))
+                        .otherwise(F.lit(0.0)).alias("auth")))
+        h_sum = (e.join(auth.withColumnRenamed("id", "dst"), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("auth").alias("_h")))
+        hub = (verts.join(h_sum, "id", "left")
+               .select("id", F.coalesce("_h", F.lit(0.0)).alias("hub")))
+        h_max = hub.agg(F.max("hub").alias("_m"))
+        hub = (hub.crossJoin(F.broadcast(h_max))
+               .select("id", F.when(F.col("_m") > 0,
+                                    F.col("hub") / F.col("_m"))
+                       .otherwise(F.lit(0.0)).alias("hub")))
+        if (i + 1) % 6 == 0 and (i + 1) < iters:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    return (auth.withColumnRenamed("auth", "authority")
+            .join(hub, "id"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank: the (1-d) restart mass
+    lands only on the ``sources`` set (uniformly, 1/|S| each) instead
+    of every vertex — the topic-sensitive variant (Haveliwala 2002).
+    pr0 = restart; pr_{k+1} = (1-d)*restart + d * sum(pr_src/out_deg).
+    Dangling mass simply decays, the same documented simplification as
+    ``pagerank``. |S| is folded in declaratively (single-row count
+    aggregate broadcast back), so the whole run is one closed-form
+    join chain an external SQL oracle replays exactly.
+
+    Per iteration one (id, contribution) shuffle + one join; the
+    restart frame is narrow and broadcast. Lineage truncated every 6
+    rounds. Returns (id, ppr double)."""
+    verts = vertices.select("id").distinct()
+    src_set = sources.select("id").distinct()
+    n_src = src_set.agg(F.count(F.lit(1)).cast("double").alias("_ns"))
+    restart = (verts
+               .join(src_set.withColumn("_is_src", F.lit(1)), "id", "left")
+               .crossJoin(F.broadcast(n_src))
+               .select("id", F.when(F.col("_is_src").isNotNull(),
+                                    F.lit(1.0) / F.col("_ns"))
+                       .otherwise(F.lit(0.0)).alias("restart")))
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("_deg"))
+    ed = edges.join(deg.withColumnRenamed("id", "src"), "src")
+    pr = restart.select("id", F.col("restart").alias("ppr"))
+    for i in range(iters):
+        contrib = (ed.join(pr.withColumnRenamed("id", "src")
+                           .withColumnRenamed("ppr", "_p"), "src")
+                   .groupBy(F.col("dst").alias("id"))
+                   .agg(F.sum(F.col("_p") / F.col("_deg")).alias("_c")))
+        pr = (restart.join(contrib, "id", "left")
+              .select("id",
+                      (F.lit(1.0 - damping) * F.col("restart")
+                       + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                       ).alias("ppr")))
+        if (i + 1) % 6 == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint()
+    return pr

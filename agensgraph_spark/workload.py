@@ -1636,6 +1636,92 @@ def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
               f"FROM s{rounds} GROUP BY src")
 
 
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority over the supplier→nation→region hierarchy —
+    nations are the authorities (many supplier hubs point at them),
+    suppliers the hubs."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    return AN.hits(edges, verts, iters=3).select(
+        "id", F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"))
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Chained-CTE replay of the max-normalized HITS recurrence
+    (operators/analytics.py `hits`). Every per-round frame is
+    MATERIALIZED: the raw frames feed both their max() scalar and the
+    normalized select, and each normalized frame feeds the next round
+    plus the final projection — DuckDB's default inlining would
+    re-evaluate the chain exponentially."""
+    ctes = [f"verts AS MATERIALIZED (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"edges AS MATERIALIZED ({_ANALYTICS_EDGES_SQL})",
+            "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.id, COALESCE(s._a, 0.0) AS auth "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS _a "
+            f"FROM edges e JOIN h{k-1} h ON h.id = e.src GROUP BY e.dst) s "
+            f"ON s.id = v.id)")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT id, CASE WHEN m._m > 0 "
+            f"THEN auth / m._m ELSE 0.0 END AS auth FROM ar{k} "
+            f"CROSS JOIN (SELECT max(auth) AS _m FROM ar{k}) m)")
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.id, COALESCE(s._h, 0.0) AS hub "
+            f"FROM verts v LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS _h "
+            f"FROM edges e JOIN a{k} a ON a.id = e.dst GROUP BY e.src) s "
+            f"ON s.id = v.id)")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT id, CASE WHEN m._m > 0 "
+            f"THEN hub / m._m ELSE 0.0 END AS hub FROM hr{k} "
+            f"CROSS JOIN (SELECT max(hub) AS _m FROM hr{k}) m)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT a.id, round(a.auth, 6) AS authority, "
+              f"round(h.hub, 6) AS hub "
+              f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id")
+
+
+def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at the region vertices, walking
+    the hierarchy DOWNWARD (edges reversed: region→nation→supplier),
+    so restart mass spreads from the 5 regions out to their nations
+    and suppliers — the topic-sensitive ranking a recommendation
+    query wants."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sources = verts.filter(F.col("id").startswith("r"))
+    return AN.personalized_pagerank(rev, verts, sources, iters=3).select(
+        "id", F.round("ppr", 6).alias("ppr"))
+
+
+def _ppr_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Chained-CTE replay of the personalized-PageRank recurrence
+    (operators/analytics.py `personalized_pagerank`): restart mass
+    1/|S| on the region seeds, damping constants written as the same
+    float expressions Spark evaluates."""
+    ctes = [f"verts AS MATERIALIZED (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"fwd AS ({_ANALYTICS_EDGES_SQL})",
+            "edges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM fwd)",
+            "srcs AS (SELECT id FROM verts WHERE id LIKE 'r%')",
+            "restart AS MATERIALIZED (SELECT v.id, CASE WHEN s.id IS NOT NULL "
+            "THEN 1.0 / ns._ns ELSE 0.0 END AS restart FROM verts v "
+            "LEFT JOIN srcs s ON s.id = v.id CROSS JOIN "
+            "(SELECT CAST(count(*) AS DOUBLE) AS _ns FROM srcs) ns)",
+            "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+            "ed AS MATERIALIZED (SELECT e.src, e.dst, deg.d FROM edges e "
+            "JOIN deg ON deg.src = e.src)",
+            "p0 AS (SELECT id, restart AS ppr FROM restart)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT r.id, "
+            f"(1.0 - {damping}) * r.restart + {damping} * COALESCE(c._c, 0.0) AS ppr "
+            f"FROM restart r LEFT JOIN (SELECT ed.dst AS id, "
+            f"sum(p.ppr / ed.d) AS _c FROM ed JOIN p{k-1} p ON p.id = ed.src "
+            f"GROUP BY ed.dst) c ON c.id = r.id)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT id, round(ppr, 6) AS ppr FROM p{iters}")
+
+
 def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
     import numpy as np
     rng = np.random.default_rng(seed)
@@ -3423,6 +3509,10 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_semantic": (_q_dedup_semantic, _semdedup_oracle()),
     # the cluster-skew audit backing semantic_dedup's cap
     "dedup_semantic_skew": (_q_semdedup_skew, _semdedup_skew_oracle()),
+    # HITS hub/authority — max-normalized variant, chained-CTE replay
+    "graph_hits": (_q_graph_hits, _hits_oracle()),
+    # topic-sensitive (personalized) PageRank from the region seeds
+    "graph_ppr": (_q_graph_ppr, _ppr_oracle()),
 }
 
 

@@ -282,6 +282,69 @@ def test_k_core_one_count_job_per_round(spark, monkeypatch):
     assert out.count() == 0
 
 
+def test_hits_hand_computed(spark):
+    """Max-normalized HITS, 1 iteration on a->c, b->c, c->d:
+    auth raw = {c: 2, d: 1}, max 2 -> {c: 1.0, d: 0.5};
+    hub raw = {a: auth(c)=1, b: 1, c: auth(d)=0.5}, max 1 ->
+    {a: 1, b: 1, c: 0.5, d: 0}."""
+    from agensgraph_spark.operators.analytics import hits
+    e = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    got = {r["id"]: (r["authority"], r["hub"])
+           for r in hits(e, v, iters=1).collect()}
+    exp = {"a": (0.0, 1.0), "b": (0.0, 1.0),
+           "c": (1.0, 0.5), "d": (0.5, 0.0)}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k][0] - exp[k][0]) < 1e-12, k
+        assert abs(got[k][1] - exp[k][1]) < 1e-12, k
+
+
+def test_hits_empty_graph_zero_scores(spark):
+    """No edges: every score is the guarded 0.0, never a NULL or a
+    divide-by-zero NaN (the CASE WHEN max > 0 guard)."""
+    from agensgraph_spark.operators.analytics import hits
+    e = spark.createDataFrame([], "src string, dst string")
+    v = spark.createDataFrame([("a",), ("b",)], ["id"])
+    got = {r["id"]: (r["authority"], r["hub"])
+           for r in hits(e, v, iters=2).collect()}
+    assert got == {"a": (0.0, 0.0), "b": (0.0, 0.0)}
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Chain a->b->c, seed {a}, damping 0.85: restart mass only on a.
+    iter1: a=0.15, b=0.85*p0(a)=0.85, c=0.0;
+    iter2: a=0.15, b=0.85*0.15=0.1275, c=0.85*0.85=0.7225."""
+    from agensgraph_spark.operators.analytics import personalized_pagerank
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    s = spark.createDataFrame([("a",)], ["id"])
+    g1 = {r["id"]: r["ppr"]
+          for r in personalized_pagerank(e, v, s, iters=1).collect()}
+    assert abs(g1["a"] - (1.0 - 0.85)) < 1e-12
+    assert abs(g1["b"] - 0.85) < 1e-12
+    assert g1["c"] == 0.0
+    g2 = {r["id"]: r["ppr"]
+          for r in personalized_pagerank(e, v, s, iters=2).collect()}
+    assert abs(g2["a"] - (1.0 - 0.85)) < 1e-12
+    assert abs(g2["b"] - 0.85 * (1.0 - 0.85)) < 1e-12
+    assert abs(g2["c"] - 0.85 * 0.85) < 1e-12
+
+
+def test_personalized_pagerank_mass_splits_across_seeds(spark):
+    """Two seeds split the restart mass 1/|S| each."""
+    from agensgraph_spark.operators.analytics import personalized_pagerank
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    s = spark.createDataFrame([("a",), ("b",)], ["id"])
+    got = {r["id"]: r["ppr"]
+           for r in personalized_pagerank(e, v, s, iters=1).collect()}
+    assert abs(got["a"] - (1.0 - 0.85) * 0.5) < 1e-12
+    assert abs(got["b"] - (1.0 - 0.85) * 0.5) < 1e-12
+    assert abs(got["c"] - 0.85 * (0.5 + 0.5)) < 1e-12
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
