@@ -313,3 +313,48 @@ def personalized_pagerank(
         if (i + 1) % 6 == 0 and (i + 1) < iters:
             pr = pr.localCheckpoint()
     return pr
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic graph walks, one per ``starts`` row: at each step
+    the walker at ``cur`` moves to the out-neighbor minimizing
+    md5(salt:walk_id:step:dst) — a hash-seeded stand-in for the
+    uniform-random choice of node2vec/DeepWalk corpus generation.
+    Determinism is the point: the same (graph, starts, salt) always
+    yields the same walks, so sampled-walk corpora are reproducible
+    across runs AND the fixed-step recurrence replays as chained SQL
+    CTEs for external verification (workload.py `_walks_oracle`).
+    A walker with no out-edge stays put (the walk simply ends early).
+
+    Per step one frontier-sized join + a per-walk top-1 window — the
+    frontier is one narrow row per walk regardless of graph size, and
+    the candidate fan-out is bounded by out-degree. Ties on the hash
+    (cryptographically negligible) break by dst. Returns
+    (walk_id, final, path) with path '->'-joined."""
+    from pyspark.sql import Window
+    w = starts.select(F.col("id").alias("walk_id"),
+                      F.col("id").alias("cur"),
+                      F.col("id").cast("string").alias("path"))
+    for s in range(steps):
+        cand = (w.join(edges.select(F.col("src").alias("cur"), "dst"),
+                       "cur", "left")
+                .withColumn("_h", F.md5(F.concat_ws(
+                    ":", F.lit(salt), F.col("walk_id"),
+                    F.lit(str(s)), F.col("dst")))))
+        win = Window.partitionBy("walk_id").orderBy(
+            F.col("_h").asc(), F.col("dst").asc())
+        w = (cand.withColumn("_rn", F.row_number().over(win))
+             .filter(F.col("_rn") == 1)
+             .select("walk_id",
+                     F.coalesce("dst", "cur").alias("cur"),
+                     F.when(F.col("dst").isNotNull(),
+                            F.concat(F.col("path"), F.lit("->"), F.col("dst")))
+                     .otherwise(F.col("path")).alias("path")))
+        if (s + 1) % 6 == 0 and (s + 1) < steps:
+            w = w.localCheckpoint()
+    return w.select("walk_id", F.col("cur").alias("final"), "path")

@@ -1722,6 +1722,45 @@ def _ppr_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(ppr, 6) AS ppr FROM p{iters}")
 
 
+def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step walks over the SYMMETRIZED hierarchy graph
+    from every nation vertex — the node2vec-style corpus generator,
+    hash-seeded so runs (and the SQL oracle) reproduce exactly."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct())
+    starts = verts.filter(F.col("id").startswith("n"))
+    return AN.random_walks(sym, starts, steps=3)
+
+
+def _walks_oracle(steps: int = 3, salt: str = "w") -> str:
+    """Chained-CTE replay of the hash-seeded walk recurrence
+    (operators/analytics.py `random_walks`): both engines compute
+    md5('salt:walk_id:step:dst') over identical strings, rank
+    ascending with dst tie-break, and advance the frontier."""
+    ctes = [f"raw AS ({_ANALYTICS_EDGES_SQL})",
+            "edges AS MATERIALIZED (SELECT src, dst FROM raw UNION "
+            "SELECT dst AS src, src AS dst FROM raw)",
+            f"starts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}) "
+            "WHERE id LIKE 'n%')",
+            "w0 AS (SELECT id AS walk_id, id AS cur, id AS path FROM starts)"]
+    for k in range(1, steps + 1):
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT w.walk_id, w.cur, w.path, e.dst, "
+            f"md5('{salt}' || ':' || w.walk_id || ':' || '{k-1}' || ':' || e.dst) AS h "
+            f"FROM w{k-1} w LEFT JOIN edges e ON e.src = w.cur)")
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT walk_id, COALESCE(dst, cur) AS cur, "
+            f"CASE WHEN dst IS NOT NULL THEN path || '->' || dst "
+            f"ELSE path END AS path FROM (SELECT *, row_number() OVER ("
+            f"PARTITION BY walk_id ORDER BY h, dst) AS rn FROM c{k}) "
+            f"WHERE rn = 1)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT walk_id, cur AS final, path FROM w{steps}")
+
+
 def _seed_centroids(n_lists: int = 16, dim: int = 64, seed: int = 42):
     import numpy as np
     rng = np.random.default_rng(seed)
@@ -3513,6 +3552,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_hits": (_q_graph_hits, _hits_oracle()),
     # topic-sensitive (personalized) PageRank from the region seeds
     "graph_ppr": (_q_graph_ppr, _ppr_oracle()),
+    # deterministic hash-seeded walks (node2vec-style corpus generator)
+    "graph_random_walks": (_q_graph_walks, _walks_oracle()),
 }
 
 

@@ -345,6 +345,46 @@ def test_personalized_pagerank_mass_splits_across_seeds(spark):
     assert abs(got["c"] - 0.85 * (0.5 + 0.5)) < 1e-12
 
 
+def test_random_walks_match_python_replay(spark):
+    """The hash-seeded walk must pick exactly the neighbor a pure-
+    Python hashlib replay picks, end early on a dangling vertex, and
+    be bit-identical across runs."""
+    import hashlib
+
+    from agensgraph_spark.operators.analytics import random_walks
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+
+    def replay(start, steps, salt="w"):
+        cur, path = start, start
+        for s in range(steps):
+            outs = adj.get(cur)
+            if not outs:
+                continue
+            nxt = min(outs, key=lambda d: (
+                hashlib.md5(f"{salt}:{start}:{s}:{d}".encode()).hexdigest(), d))
+            cur, path = nxt, f"{path}->{nxt}"
+        return cur, path
+
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    starts = spark.createDataFrame([("a",), ("e",)], ["id"])
+    got = {r["walk_id"]: (r["final"], r["path"])
+           for r in random_walks(e, starts, steps=4).collect()}
+    assert got["a"] == replay("a", 4)
+    # 'e' has no out-edges: the walk never moves
+    assert got["e"] == ("e", "e")
+    got2 = {r["walk_id"]: (r["final"], r["path"])
+            for r in random_walks(e, starts, steps=4).collect()}
+    assert got2 == got
+    # a different salt re-seeds the choices but keeps the contract
+    salted = {r["walk_id"]: (r["final"], r["path"])
+              for r in random_walks(e, starts, steps=4, salt="x").collect()}
+    assert salted["a"] == replay("a", 4, salt="x")
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
