@@ -107,3 +107,39 @@ def range_join(
     j = lb.join(rb, [*by, "_bin"]).filter(
         (F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end)))
     return j.drop("_bin")
+
+
+def assign_sessions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gaps-and-islands sessionization (the batch analog of
+    streaming/ `session_window`): a new session starts whenever the
+    gap to the user's previous event exceeds ``gap_seconds``; the
+    returned frame is the input plus a 1-based ``session_seq`` per
+    user (cumulative sum of boundary flags — the classic two-window
+    formulation).
+
+    ONE shuffle on the user key; both windows share the partitioning,
+    and a downstream per-(user, session) aggregate reuses it too
+    (hash-clustering on the user key already co-locates every
+    (user, session_seq) group — Catalyst inserts no second exchange).
+    Session assignment is deterministic even under timestamp ties:
+    a zero delta can never exceed the positive gap, so tie order
+    cannot move a boundary."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev))
+           > gap_seconds),
+        F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (df.withColumn("_new", new_sess)
+            .withColumn("session_seq", F.sum("_new").over(cum))
+            .drop("_new"))

@@ -2321,6 +2321,42 @@ _ASOF_FWD_ORACLE = """
       ON c.user_id = p.user_id AND c.ts <= p.ts"""
 
 
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (30-min gap) + per-session
+    rollup — the batch twin of stream_sessionize, same boundaries, no
+    watermark cutoff. One shuffle total: the session windows and the
+    (user, session) aggregate share the user-key partitioning."""
+    from agensgraph_spark.operators import temporal as TP
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = TP.assign_sessions(ev, "user_id", "ts", gap_seconds=1800)
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("ss"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("se"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("double")), 6)
+                 .alias("total_value")))
+
+
+_SESSIONIZE_BATCH_ORACLE = """
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m)
+    SELECT user_id, session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS se,
+           count(*) AS n_events,
+           round(SUM(CAST(value AS DOUBLE) ORDER BY ts), 6) AS total_value
+    FROM s GROUP BY user_id, session_seq"""
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clicks landing inside a 2-hour window after an error of the
     same user — interval containment via the binned equi-join (the
@@ -3554,6 +3590,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_ppr": (_q_graph_ppr, _ppr_oracle()),
     # deterministic hash-seeded walks (node2vec-style corpus generator)
     "graph_random_walks": (_q_graph_walks, _walks_oracle()),
+    # batch gaps-and-islands sessionization (the stream_sessionize twin)
+    "sessionize_events": (_q_sessionize_events, _SESSIONIZE_BATCH_ORACLE),
 }
 
 

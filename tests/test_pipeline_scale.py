@@ -385,6 +385,46 @@ def test_random_walks_match_python_replay(spark):
     assert salted["a"] == replay("a", 4, salt="x")
 
 
+def test_assign_sessions_hand_computed(spark):
+    """Gap boundaries hand-traced: events at 0/10/50/55/120 minutes
+    with a 30-min gap split into sessions {0,10}, {50,55}, {120};
+    a second user is independent; gap_seconds<=0 refuses."""
+    from datetime import datetime
+
+    import pytest as _pt
+
+    from agensgraph_spark.operators.temporal import assign_sessions
+
+    def t(m):
+        return datetime(2024, 1, 1, m // 60, m % 60)
+
+    rows = [(1, t(0)), (1, t(10)), (1, t(50)), (1, t(55)), (1, t(120)),
+            (2, t(5))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r["user_id"], r["ts"].minute + 60 * r["ts"].hour): r["session_seq"]
+           for r in assign_sessions(df, gap_seconds=1800).collect()}
+    assert got == {(1, 0): 1, (1, 10): 1, (1, 50): 2, (1, 55): 2,
+                   (1, 120): 3, (2, 5): 1}
+    with _pt.raises(ValueError):
+        assign_sessions(df, gap_seconds=0)
+
+
+def test_assign_sessions_exact_gap_boundary(spark):
+    """A delta EXACTLY equal to the gap does NOT split (strict >),
+    one second more does — pinning the boundary comparison."""
+    from datetime import datetime
+
+    from agensgraph_spark.operators.temporal import assign_sessions
+
+    rows = [(1, datetime(2024, 1, 1, 0, 0, 0)),
+            (1, datetime(2024, 1, 1, 0, 30, 0)),
+            (1, datetime(2024, 1, 1, 1, 0, 1))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    seqs = [r["session_seq"] for r in
+            assign_sessions(df, gap_seconds=1800).orderBy("ts").collect()]
+    assert seqs == [1, 1, 2]
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices

@@ -472,3 +472,19 @@ def test_semantic_dedup_cap_plan_shape(spark):
     # the capped output column is present in both shapes
     for p in (capped, uncapped):
         assert "capped" in p, p
+
+
+def test_sessionize_single_exchange(spark):
+    """Batch sessionization (workload `sessionize_events` shape): the
+    two session windows AND the per-(user, session) aggregate must all
+    reuse the one user-key exchange — hash-clustering on user_id
+    already co-locates every (user_id, session_seq) group, so a second
+    exchange would be pure waste at 100 TB."""
+    from agensgraph_spark.operators.temporal import assign_sessions
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    s = assign_sessions(ev, "user_id", "ts", gap_seconds=1800)
+    agg = (s.groupBy("user_id", "session_seq")
+           .agg(F.count(F.lit(1)).alias("n")))
+    plan = physical(agg)
+    assert plan.count("Exchange") == 1, plan
