@@ -524,3 +524,68 @@ def line_dedup(
                     "n_lines",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): per-document log importance weight ln(p_target(x)/p_raw(x))
+    under hashed bag-of-ngram models — the standard way to up-sample
+    raw web data toward a target domain without training a classifier.
+
+    Features are whitespace unigrams + bigrams (lowercased), hashed to
+    256 buckets by the first two hex chars of md5 — a string bucket
+    key, so an external SQL oracle replays the hashing exactly.
+    Bucket models are Laplace-smoothed: p(b) = (c(b) + alpha) /
+    (total + alpha*256); a doc's log weight is the sum over its
+    feature OCCURRENCES of ln(p_t(b)/p_r(b)). ``target`` is a boolean
+    Column marking the in-domain rows (they contribute to the target
+    counts AND get scored like everything else).
+
+    Scale shape: feature extraction is map-only (one explode per doc);
+    the two bucket models are hash aggregates over at most 256 rows
+    each — they broadcast back to the per-occurrence stream, so the
+    only data-sized shuffle is the final per-doc sum. Nothing is
+    collected; the 256-row model join is a broadcast hash join.
+    Returns (id, n_feats long, log_w double) with log_w NULL for
+    feature-less docs."""
+    t = F.lower(F.trim(F.col(text_col)))
+    docs = df.select(F.col(id_col).alias("_id"),
+                     target.alias("_t"),
+                     F.when(F.length(t) == 0, F.array().cast("array<string>"))
+                      .otherwise(F.split(t, r"\s+")).alias("_a"))
+    uni = docs.select("_id", "_t", F.explode("_a").alias("_g")) \
+        .filter(F.col("_g") != "")
+    bi = (docs.filter(F.size("_a") >= 2)
+          .select("_id", "_t", F.explode(F.transform(
+              F.sequence(F.lit(0), F.size("_a") - 2),
+              lambda j: F.concat_ws(" ", F.get(F.col("_a"), j),
+                                    F.get(F.col("_a"), j + 1)))).alias("_g")))
+    feats = (uni.unionByName(bi)
+             .select("_id", "_t",
+                     F.substring(F.md5("_g"), 1, 2).alias("_b")))
+    tc = (feats.filter("_t").groupBy("_b")
+          .agg(F.count(F.lit(1)).alias("_tc")))
+    rc = feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tt = feats.filter("_t").agg(F.count(F.lit(1)).alias("_tt"))
+    rt = feats.agg(F.count(F.lit(1)).alias("_rt"))
+    model = (rc.join(tc, "_b", "left")
+             .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+             .select("_b", F.log(
+                 ((F.coalesce("_tc", F.lit(0)) + F.lit(alpha))
+                  / (F.col("_tt") + F.lit(alpha * 256.0)))
+                 / ((F.col("_rc") + F.lit(alpha))
+                    / (F.col("_rt") + F.lit(alpha * 256.0)))).alias("_lr")))
+    scored = (feats.join(F.broadcast(model), "_b")
+              .groupBy("_id")
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.sum("_lr").alias("_lw")))
+    return (docs.select("_id").join(scored, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    F.round("_lw", 6).alias("log_w")))

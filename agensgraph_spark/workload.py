@@ -1834,6 +1834,47 @@ _DECONTAMINATE_ORACLE = r"""
     FROM grams g LEFT JOIN hits h ON h.doc_id = g.doc_id"""
 
 
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English slice: hashed
+    unigram+bigram bucket models, ln(p_en/p_all) summed per doc —
+    the domain-upsampling score of Xie et al. 2023."""
+    docs = read_table(spark, sf_dir, "documents")
+    return TX.dsir_weights(docs, F.col("lang") == "en")
+
+
+_DSIR_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id, lang = 'en' AS t,
+               CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS a
+        FROM documents),
+    uni AS (SELECT doc_id, t, unnest(a) AS g FROM docs),
+    bi AS (SELECT doc_id, t,
+                  unnest(list_transform(range(1, len(a)),
+                                        i -> a[i] || ' ' || a[i+1])) AS g
+           FROM docs WHERE len(a) >= 2),
+    feats AS MATERIALIZED (
+        SELECT doc_id, t, substr(md5(g), 1, 2) AS b
+        FROM (SELECT * FROM uni WHERE g <> '' UNION ALL SELECT * FROM bi)),
+    tc AS (SELECT b, count(*) AS tc FROM feats WHERE t GROUP BY b),
+    rc AS (SELECT b, count(*) AS rc FROM feats GROUP BY b),
+    tt AS (SELECT count(*) AS tt FROM feats WHERE t),
+    rt AS (SELECT count(*) AS rt FROM feats),
+    model AS (
+        SELECT rc.b,
+               ln(((COALESCE(tc.tc, 0) + 1.0) / (tt.tt + 256.0))
+                  / ((rc.rc + 1.0) / (rt.rt + 256.0))) AS lr
+        FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tt CROSS JOIN rt),
+    scored AS (
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               sum(m.lr) AS lw
+        FROM feats f JOIN model m ON m.b = f.b GROUP BY f.doc_id)
+    SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+           round(s.lw, 6) AS log_w
+    FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
+
 def _q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd step from the seeded IVF centroids — assignment +
     per-cluster mean, centroids rendered as integer micro-units."""
@@ -3592,6 +3633,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_random_walks": (_q_graph_walks, _walks_oracle()),
     # batch gaps-and-islands sessionization (the stream_sessionize twin)
     "sessionize_events": (_q_sessionize_events, _SESSIONIZE_BATCH_ORACLE),
+    # DSIR hashed-ngram importance weights toward the English slice
+    "dsir_importance": (_q_dsir_importance, _DSIR_ORACLE),
 }
 
 

@@ -425,6 +425,57 @@ def test_assign_sessions_exact_gap_boundary(spark):
     assert seqs == [1, 1, 2]
 
 
+def test_dsir_weights_match_python_replay(spark):
+    """dsir_weights vs a pure-Python replay of the hashed-bucket
+    unigram+bigram models on a tiny bilingual corpus, including the
+    empty doc (0 feats, NULL weight)."""
+    import hashlib
+    import math
+
+    from agensgraph_spark.pipeline.text import dsir_weights
+
+    rows = [(1, "the cat sat", "en"), (2, "the dog ran fast", "en"),
+            (3, "le chat noir", "fr"), (4, "", "fr"),
+            (5, "the the the", "fr")]
+
+    def buckets(text):
+        toks = text.strip().lower().split()
+        feats = [t for t in toks if t] + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        return [hashlib.md5(g.encode()).hexdigest()[:2] for g in feats]
+
+    tc, rc, tt, rt = {}, {}, 0, 0
+    for _id, text, lang in rows:
+        for b in buckets(text):
+            rc[b] = rc.get(b, 0) + 1
+            rt += 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+                tt += 1
+
+    def lw(text):
+        bs = buckets(text)
+        if not bs:
+            return 0, None
+        s = sum(math.log(((tc.get(b, 0) + 1.0) / (tt + 256.0))
+                         / ((rc[b] + 1.0) / (rt + 256.0))) for b in bs)
+        return len(bs), round(s, 6)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: (r["n_feats"], r["log_w"])
+           for r in dsir_weights(df, F.col("lang") == "en").collect()}
+    for _id, text, _ in rows:
+        n, w = lw(text)
+        assert got[_id][0] == n, (_id, got[_id], n)
+        if w is None:
+            assert got[_id][1] is None
+        else:
+            assert abs(got[_id][1] - w) < 1e-9, (_id, got[_id], w)
+    # English docs must score higher than the French ones on this
+    # separable corpus — the property DSIR exists for
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
