@@ -898,3 +898,64 @@ def ngram_overlap(
     return (base.join(hits, "_id", "left")
             .select(F.col("_id").alias(id_col), "n_grams",
                     F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection — the distributed
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", whose
+    reference tool builds a suffix array): a token n-gram is
+    *duplicated* when it occurs in more than one DISTINCT document;
+    per document we report how many of its gram positions are
+    duplicated and the longest CONSECUTIVE duplicated run converted to
+    tokens (run + n - 1) — exactly the span a surgical dedup pass
+    would cut instead of dropping the whole document. Within-doc
+    repeats alone do not flag (cross-doc scope by design; pair with
+    ``text.repetition_stats`` for intra-doc signals).
+
+    Scale shape: positional gram extraction is map-only (one
+    posexplode per doc); cross-doc detection is ONE hash aggregate on
+    the gram key using min(doc) != max(doc) — no count-distinct, the
+    shuffle carries (hash, two ids); the flagged set joins back
+    LEFT SEMI on the same gram key; the runs are gaps-and-islands
+    windows on the doc key (pos - row_number), one doc-key shuffle
+    that the final per-doc aggregate reuses. A suffix array would be
+    cheaper on one node; at 1000 executors this is three narrow
+    shuffles and no global sort. Returns (id, n_grams, n_dup_grams,
+    max_span_tokens), zeros for clean or short docs."""
+    from pyspark.sql import Window
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # sequence(1, 0) counts DOWN in Spark: short docs must yield an
+    # empty window list, not junk grams (same guard as ngram_overlap)
+    win = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))), 1, 16)),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = df.select(F.col(id_col).alias("_id"), win.alias("_w"))
+    pos = docs.select("_id", F.posexplode("_w").alias("pos", "h"))
+    dup = (pos.groupBy("h")
+           .agg((F.min("_id") != F.max("_id")).alias("_dup"))
+           .filter("_dup").select("h"))
+    marked = pos.join(dup, "h", "left_semi")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = (marked
+            .withColumn("_grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("_id", "_grp").agg(F.count(F.lit(1)).alias("_run")))
+    per_doc = (runs.groupBy("_id")
+               .agg(F.sum("_run").alias("n_dup"),
+                    F.max("_run").alias("_maxrun")))
+    base = docs.select("_id", F.size("_w").cast("long").alias("n_grams"))
+    return (base.join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col), "n_grams",
+                    F.coalesce("n_dup", F.lit(0)).cast("long")
+                    .alias("n_dup_grams"),
+                    F.coalesce(F.col("_maxrun") + F.lit(n - 1), F.lit(0))
+                    .cast("long").alias("max_span_tokens")))

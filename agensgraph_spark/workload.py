@@ -1875,6 +1875,42 @@ _DSIR_ORACLE = r"""
     FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate 8-gram spans (the ExactSubstr
+    approximation) over the documents corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, n=8)
+
+
+_DUP_SPANS_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    g AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8 THEN
+                   list_transform(range(1, len(t) - 8 + 2),
+                       i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))
+               ELSE [] END AS w
+        FROM docs),
+    pos AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, w[i] AS h
+        FROM g, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+    marked AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)),
+    rl AS (SELECT doc_id,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS grp
+           FROM marked),
+    runs AS (SELECT doc_id, grp, count(*) AS run FROM rl GROUP BY doc_id, grp),
+    per AS (SELECT doc_id, sum(run) AS n_dup, max(run) AS maxrun
+            FROM runs GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(g.w) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(p.maxrun + 7, 0) AS BIGINT) AS max_span_tokens
+    FROM g LEFT JOIN per p ON p.doc_id = g.doc_id"""
+
+
 def _q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd step from the seeded IVF centroids — assignment +
     per-cluster mean, centroids rendered as integer micro-units."""
@@ -3635,6 +3671,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "sessionize_events": (_q_sessionize_events, _SESSIONIZE_BATCH_ORACLE),
     # DSIR hashed-ngram importance weights toward the English slice
     "dsir_importance": (_q_dsir_importance, _DSIR_ORACLE),
+    # cross-doc duplicate 8-gram spans (ExactSubstr approximation)
+    "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
 }
 
 

@@ -476,6 +476,53 @@ def test_dsir_weights_match_python_replay(spark):
     assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
 
 
+def test_duplicate_spans_hand_computed(spark):
+    """Two docs sharing a 10-token plagiarized run with n=3: each has
+    8 duplicated gram positions in one run -> span 8+3-1 = 10 tokens.
+    Intra-doc-only repetition does NOT flag (cross-doc scope); short
+    docs report zeros."""
+    from agensgraph_spark.pipeline.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon zeta"),
+        # 'x y z' repeats within doc 3 only — min(doc)==max(doc)
+        (3, "x y z x y z x y z"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["max_span_tokens"])
+           for r in duplicate_spans(df, n=3).collect()}
+    # doc1: 13 tokens -> 11 grams; grams fully inside the shared run:
+    # positions 2..9 (8 of them) -> span 10
+    assert got[1] == (11, 8, 10)
+    # doc2: 13 tokens -> 11 grams; positions 0..7 duplicated -> span 10
+    assert got[2] == (11, 8, 10)
+    assert got[3] == (7, 0, 0)
+    assert got[4] == (0, 0, 0)
+
+
+def test_duplicate_spans_disjoint_runs_report_longest(spark):
+    """Two separate duplicated runs in one doc: n_dup_grams sums both,
+    max_span_tokens reports only the longer."""
+    from agensgraph_spark.pipeline.dedup import duplicate_spans
+
+    a = "p q r s t"          # 5 tokens -> 3 grams at n=3
+    b = "u v w x y z zz"     # 7 tokens -> 5 grams
+    rows = [
+        (1, f"{a} GAP1 GAP2 GAP3 {b}"),
+        (2, a),
+        (3, b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_dup_grams"], r["max_span_tokens"])
+           for r in duplicate_spans(df, n=3).collect()}
+    assert got[1] == (3 + 5, 7)
+    assert got[2] == (3, 5)
+    assert got[3] == (5, 7)
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
