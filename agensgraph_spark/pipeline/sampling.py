@@ -54,3 +54,30 @@ def mix_sample(
 
 def _prefix(key_col: str) -> Column:
     return F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_W)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group cap — the C4/RefinedWeb-style "at most
+    k documents per source/domain" pass that keeps one hot domain from
+    dominating a training mix. Rows within a group are ranked by
+    md5(group:id) (a shuffled-but-reproducible order: re-runs, other
+    engines, and other partitionings pick the SAME k rows — unlike
+    sample()/limit(), which are layout-dependent), ties broken by id.
+
+    One group-key shuffle for the rank window; the filter is applied
+    before anything downstream, so at 100 TB the cap also bounds every
+    later stage's input. Groups smaller than k pass through whole.
+    Returns the input columns plus the 1-based ``group_rank``."""
+    from pyspark.sql import Window
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.concat_ws(":", F.col(group_col).cast("string"),
+                          F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("group_rank", F.row_number().over(w))
+            .filter(F.col("group_rank") <= k))

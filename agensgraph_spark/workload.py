@@ -1911,6 +1911,23 @@ _DUP_SPANS_ORACLE = r"""
     FROM g LEFT JOIN per p ON p.doc_id = g.doc_id"""
 
 
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-docs-per-source cap (the anti-domain-dominance
+    pass of C4/RefinedWeb mixes)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SMP.cap_per_group(docs, "source", 10).select(
+        "doc_id", "source", "group_rank")
+
+
+_CAP_PER_SOURCE_ORACLE = """
+    SELECT doc_id, source, CAST(group_rank AS BIGINT) AS group_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS group_rank
+        FROM documents) WHERE group_rank <= 10"""
+
+
 def _q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd step from the seeded IVF centroids — assignment +
     per-cluster mean, centroids rendered as integer micro-units."""
@@ -3673,6 +3690,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dsir_importance": (_q_dsir_importance, _DSIR_ORACLE),
     # cross-doc duplicate 8-gram spans (ExactSubstr approximation)
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
+    # deterministic per-source document cap (anti-domain-dominance)
+    "cap_per_source": (_q_cap_per_source, _CAP_PER_SOURCE_ORACLE),
 }
 
 

@@ -523,6 +523,42 @@ def test_duplicate_spans_disjoint_runs_report_longest(spark):
     assert got[3] == (5, 7)
 
 
+def test_cap_per_group_deterministic_and_bounded(spark):
+    """cap_per_group keeps exactly min(k, group size) rows per group,
+    the SAME rows across re-runs and partitionings, matching a pure-
+    Python md5 replay; k<=0 refuses."""
+    import hashlib
+
+    import pytest as _pt
+
+    from agensgraph_spark.pipeline.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def replay(k):
+        groups = {}
+        for i, g in rows:
+            groups.setdefault(g, []).append(i)
+        keep = set()
+        for g, ids in groups.items():
+            ranked = sorted(ids, key=lambda i: (
+                hashlib.md5(f"{g}:{i}".encode()).hexdigest(), i))
+            keep.update((g, i) for i in ranked[:k])
+        return keep
+
+    for k in (1, 4, 100):
+        got = {(r["source"], r["doc_id"])
+               for r in cap_per_group(df, "source", k).collect()}
+        assert got == replay(k), k
+    # repartitioning must not change the picked set
+    got_rep = {(r["source"], r["doc_id"])
+               for r in cap_per_group(df.repartition(7), "source", 4).collect()}
+    assert got_rep == replay(4)
+    with _pt.raises(ValueError):
+        cap_per_group(df, "source", 0)
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
