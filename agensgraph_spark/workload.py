@@ -2941,6 +2941,59 @@ _LM_PERPLEXITY_ORACLE = r"""
     FROM d LEFT JOIN agg ON agg.id = d.id"""
 
 
+_ANN_BRUTE_ORACLE = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             scored AS (
+               SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos_sim
+               FROM q JOIN c ON query_id <> neighbor_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos_sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= 5"""
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against brute-force ground truth —
+    the evaluation every ANN deployment runs before trusting the
+    approximate path. Pure composition of the two verified operators;
+    both sides are bounded by the query set, so the eval costs two
+    index probes, not an extra corpus scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = S.brute_cosine_topk(emb, qs, k=5).select(
+        "query_id", "neighbor_id")
+    approx = S.ivf_cosine_topk(emb, qs, k=5, dim=_emb_dim(emb, sf_dir)) \
+        .select("query_id", "neighbor_id")
+    hits = (truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (qs.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6)
+                    .alias("recall_at_5")))
+
+
+def _ivf_recall_oracle() -> str:
+    """Composes the two already-verified replays: brute-force truth
+    vs IVF probe results, intersected per query."""
+    return f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({_ANN_BRUTE_ORACLE})),
+    approx AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle()})),
+    hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM truth t JOIN approx a USING (query_id, neighbor_id)
+             GROUP BY t.query_id),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+           WHERE vec_id < 20)
+    SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+    FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id"""
+
+
 def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
                 k: int = 5, seed: int = 42) -> str:
     """DuckDB replay of S.ivf_cosine_topk: the SAME seeded centroid
@@ -3654,18 +3707,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_lsh": (_q_minhash_lsh, _minhash_md5_oracle()),
     "dedup_simhash": (_q_simhash, _simhash_md5_oracle()),
     "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_md5_oracle()),
-    "ann_cosine_topk": (_q_ann_brute, """
-        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
-             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-             scored AS (
-               SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos_sim
-               FROM q JOIN c ON query_id <> neighbor_id),
-             ranked AS (
-               SELECT query_id, neighbor_id, cos_sim,
-                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
-               FROM scored)
-        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
-        FROM ranked WHERE rank <= 5"""),
+    "ann_cosine_topk": (_q_ann_brute, _ANN_BRUTE_ORACLE),
     "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
     "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
@@ -3692,6 +3734,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     # deterministic per-source document cap (anti-domain-dominance)
     "cap_per_source": (_q_cap_per_source, _CAP_PER_SOURCE_ORACLE),
+    # IVF recall@5 vs brute-force ground truth (index quality eval)
+    "ann_ivf_recall": (_q_ann_ivf_recall, _ivf_recall_oracle()),
 }
 
 
