@@ -1722,6 +1722,44 @@ def _ppr_oracle(iters: int = 3, damping: float = 0.85) -> str:
             + f"\n    SELECT id, round(ppr, 6) AS ppr FROM p{iters}")
 
 
+def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop harmonic centrality over the symmetrized hierarchy graph
+    — region hubs dominate, isolated suppliers score low."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    return AN.harmonic_centrality(edges, verts, max_hops=3).select(
+        "id", "n_reached", F.round("harmonic", 6).alias("harmonic"))
+
+
+def _harmonic_oracle(max_hops: int = 3) -> str:
+    """Chained-CTE replay of the bounded multi-source BFS
+    (operators/analytics.py `harmonic_centrality`): per hop a frontier
+    expansion + NOT EXISTS against the cumulative seen set."""
+    ctes = [f"verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"raw AS ({_ANALYTICS_EDGES_SQL})",
+            "sym AS MATERIALIZED (SELECT src, dst FROM ("
+            "SELECT src, dst FROM raw UNION "
+            "SELECT dst AS src, src AS dst FROM raw) WHERE src <> dst)",
+            "f0 AS (SELECT id AS u, id AS v, 0 AS d FROM verts)",
+            "c0 AS (SELECT * FROM f0)"]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"f{h} AS MATERIALIZED (SELECT n.u, n.v, {h} AS d FROM ("
+            f"SELECT DISTINCT f.u, e.dst AS v FROM f{h-1} f "
+            f"JOIN sym e ON e.src = f.v) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{h-1} c "
+            f"WHERE c.u = n.u AND c.v = n.v))")
+        ctes.append(
+            f"c{h} AS MATERIALIZED (SELECT * FROM c{h-1} "
+            f"UNION ALL SELECT * FROM f{h})")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"""
+    SELECT v.id, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_reached,
+           COALESCE(r.h, 0.0) AS harmonic
+    FROM verts v LEFT JOIN (
+        SELECT u AS id, count(*) AS n, round(sum(1.0 / d), 6) AS h
+        FROM c{max_hops} WHERE d > 0 GROUP BY u) r ON r.id = v.id""")
+
+
 def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-step walks over the SYMMETRIZED hierarchy graph
     from every nation vertex — the node2vec-style corpus generator,
@@ -3736,6 +3774,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cap_per_source": (_q_cap_per_source, _CAP_PER_SOURCE_ORACLE),
     # IVF recall@5 vs brute-force ground truth (index quality eval)
     "ann_ivf_recall": (_q_ann_ivf_recall, _ivf_recall_oracle()),
+    # bounded-hop harmonic centrality (closeness family)
+    "graph_harmonic": (_q_graph_harmonic, _harmonic_oracle()),
 }
 
 

@@ -559,6 +559,29 @@ def test_cap_per_group_deterministic_and_bounded(spark):
         cap_per_group(df, "source", 0)
 
 
+def test_harmonic_centrality_hand_computed(spark):
+    """Path graph a-b-c-d with max_hops=2, undirected:
+    a reaches b@1, c@2 -> 1 + 0.5 = 1.5, n=2;
+    b reaches a@1, c@1, d@2 -> 2.5, n=3; isolated vertex scores 0.
+    max_hops=1 truncates to immediate neighbors only."""
+    from agensgraph_spark.operators.analytics import harmonic_centrality
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    v = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("iso",)], ["id"])
+    got = {r["id"]: (r["n_reached"], r["harmonic"])
+           for r in harmonic_centrality(e, v, max_hops=2).collect()}
+    assert got["a"] == (2, 1.5)
+    assert got["b"] == (3, 2.5)
+    assert got["c"] == (3, 2.5)
+    assert got["d"] == (2, 1.5)
+    assert got["iso"] == (0, 0.0)
+    got1 = {r["id"]: (r["n_reached"], r["harmonic"])
+            for r in harmonic_centrality(e, v, max_hops=1).collect()}
+    assert got1["a"] == (1, 1.0)
+    assert got1["b"] == (2, 2.0)
+
+
 def test_label_propagation_hand_computed(spark):
     """Deterministic synchronous LPA on a 3-chain + isolate: modal
     neighbor label with count-DESC/label-ASC ties, isolated vertices
