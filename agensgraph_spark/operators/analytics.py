@@ -236,6 +236,8 @@ def hits(
     localCheckpoint-truncated every 6 rounds like the sibling
     iterative operators. Returns (id, authority double, hub double).
     """
+    if iters < 1:
+        raise ValueError(f"hits needs at least 1 iteration, got {iters}")
     verts = vertices.select("id").distinct()
     e = edges.select("src", "dst")
     hub = verts.select("id", F.lit(1.0).alias("hub"))

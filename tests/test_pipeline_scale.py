@@ -301,6 +301,17 @@ def test_hits_hand_computed(spark):
         assert abs(got[k][1] - exp[k][1]) < 1e-12, k
 
 
+def test_hits_refuses_zero_iters(spark):
+    """iters=0 has no defined authority vector — must refuse loudly."""
+    import pytest as _pt
+
+    from agensgraph_spark.operators.analytics import hits
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",)], ["id"])
+    with _pt.raises(ValueError):
+        hits(e, v, iters=0)
+
+
 def test_hits_empty_graph_zero_scores(spark):
     """No edges: every score is the guarded 0.0, never a NULL or a
     divide-by-zero NaN (the CASE WHEN max > 0 guard)."""

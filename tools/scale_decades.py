@@ -39,7 +39,12 @@ PROBE7 = ["dedup_cluster", "graph_pagerank", "dedup_minhash_lsh",
 # evidence too — trained-quantizer dedup, corpus-trained LM scoring,
 # IVF ANN, and the multimodal metadata path
 PROBE_EXTRA = ["dedup_semantic", "text_lm_perplexity", "ann_cosine_ivf",
-               "mm_frame_sample"]
+               "mm_frame_sample",
+               # r12 additions: the data-sized new operators (the graph
+               # rows run on the fixed-shape hierarchy graph and scale
+               # with supplier count; dup_spans/dsir/sessionize scale
+               # with the documents/events corpora)
+               "dedup_dup_spans", "dsir_importance", "sessionize_events"]
 PROBE = PROBE7 + PROBE_EXTRA
 
 
