@@ -3838,11 +3838,13 @@ PRIORITY_50: tuple[str, ...] = (
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_semantic", "ann_cosine_topk", "ann_cosine_ivf",
     # LLM-pipeline: text (4; text_bpe_tokens — a deterministic
-    # tokenizer-regex row in a family that keeps text_stats, lang_id
-    # and quality_score seats — displaced to the tail in round 11 for
-    # text_lm_perplexity, per policy rule 1: the corpus-trained LM
-    # pipeline is where a silent wrong answer hides)
-    "text_stats", "lang_id", "quality_score", "text_lm_perplexity",
+    # tokenizer-regex row — displaced to the tail in round 11 for
+    # text_lm_perplexity; lang_id — deterministic column expressions
+    # in a family that keeps text_stats and quality_score seats —
+    # displaced in round 12 for dsir_importance, per policy rule 1:
+    # the trained two-distribution bucket-model pipeline is where a
+    # silent wrong answer hides, like the LM row before it)
+    "text_stats", "dsir_importance", "quality_score", "text_lm_perplexity",
     # LLM-pipeline round-5 additions: clustering dedup, quality gate,
     # mix sampling, temporal join, graph analytics, end-to-end funnel (6)
     "dedup_cluster", "heuristic_filter", "mix_sample",

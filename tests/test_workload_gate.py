@@ -12,10 +12,11 @@ HIGH_RISK = {
     # iterative path operators
     "cy_vle_reach", "cy_shortestpath", "cy_dijkstra",
     # fuzzy/probabilistic dedup + quality pipelines (dedup_semantic and
-    # text_lm_perplexity seated in round 11 — trained-quantizer and
-    # corpus-trained-LM stages are where silent wrong answers hide)
+    # text_lm_perplexity seated in round 11, dsir_importance in round
+    # 12 — trained-quantizer / corpus-trained-LM / two-distribution
+    # bucket-model stages are where silent wrong answers hide)
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
-    "dedup_semantic", "text_lm_perplexity",
+    "dedup_semantic", "text_lm_perplexity", "dsir_importance",
     # streaming-vs-batch and hybrid composition
     "stream_events_hourly", "hybrid_correlated_subquery",
 }
