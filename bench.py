@@ -55,6 +55,11 @@ HEADLINE = [
     # same caveat — compare per-query across rounds
     "sql_to_char",
     "sql_to_char_num",
+    # round-12 additions (the data-sized new pipeline operators,
+    # ~1.7s at sf0.1 quiet): same caveat — per-query comparisons
+    "dedup_dup_spans",
+    "dsir_importance",
+    "sessionize_events",
 ]
 
 
