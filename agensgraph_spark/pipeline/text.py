@@ -569,15 +569,19 @@ def dsir_weights(
     feats = (uni.unionByName(bi)
              .select("_id", "_t",
                      F.substring(F.md5("_g"), 1, 2).alias("_b")))
-    tc = (feats.filter("_t").groupBy("_b")
-          .agg(F.count(F.lit(1)).alias("_tc")))
-    rc = feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
-    tt = feats.filter("_t").agg(F.count(F.lit(1)).alias("_tt"))
-    rt = feats.agg(F.count(F.lit(1)).alias("_rt"))
-    model = (rc.join(tc, "_b", "left")
-             .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+    # ONE aggregate builds both bucket models (conditional count for
+    # the target side), and the totals derive from the 256-row frame —
+    # the corpus feature stream is extracted exactly twice (model
+    # build + scoring), not once per count as a naive formulation
+    # would (integer sums, so the derived totals are bit-identical to
+    # direct counts)
+    counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_rc"),
+        F.count(F.when(F.col("_t"), F.lit(1))).alias("_tc"))
+    totals = counts.agg(F.sum("_rc").alias("_rt"), F.sum("_tc").alias("_tt"))
+    model = (counts.crossJoin(F.broadcast(totals))
              .select("_b", F.log(
-                 ((F.coalesce("_tc", F.lit(0)) + F.lit(alpha))
+                 ((F.col("_tc") + F.lit(alpha))
                   / (F.col("_tt") + F.lit(alpha * 256.0)))
                  / ((F.col("_rc") + F.lit(alpha))
                     / (F.col("_rt") + F.lit(alpha * 256.0)))).alias("_lr")))
