@@ -488,3 +488,36 @@ def test_sessionize_single_exchange(spark):
            .agg(F.count(F.lit(1)).alias("n")))
     plan = physical(agg)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """dsir_weights: the 256-row bucket model must broadcast back to
+    the per-occurrence stream — a shuffle join keyed on a 256-value
+    column would be pure skew at 100 TB."""
+    from agensgraph_spark.pipeline.text import dsir_weights
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(dsir_weights(docs, F.col("lang") == "en"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_no_cartesian_single_doc_shuffle(spark):
+    """duplicate_spans: gram detection and runs are key-partitioned
+    joins/windows — no cartesian product anywhere, and the islands
+    window + per-doc aggregate reuse one doc-key exchange."""
+    from agensgraph_spark.pipeline.dedup import duplicate_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(duplicate_spans(docs, n=8))
+    assert "CartesianProduct" not in plan
+    # exchanges: gram-hash aggregate (2 stages of it), semi-join both
+    # sides, islands window, per-doc aggregates — but the window's doc
+    # partitioning must be REUSED by the groupBy(_id, _grp) aggregate:
+    # no exchange may sit between the Window and the first aggregate
+    import re as _re
+    win_pos = plan.find("Window")
+    assert win_pos != -1
+    agg_after_win = plan[:win_pos]
+    # the run-length aggregate appears above the window in the plan
+    # dump; there must be no Exchange between them
+    seg = agg_after_win[agg_after_win.rfind("HashAggregate"):]
+    assert "Exchange" not in seg, seg
