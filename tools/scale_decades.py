@@ -44,7 +44,16 @@ PROBE_EXTRA = ["dedup_semantic", "text_lm_perplexity", "ann_cosine_ivf",
                # rows run on the fixed-shape hierarchy graph and scale
                # with supplier count; dup_spans/dsir/sessionize scale
                # with the documents/events corpora)
-               "dedup_dup_spans", "dsir_importance", "sessionize_events"]
+               "dedup_dup_spans", "dsir_importance", "sessionize_events",
+               # graph_hits: vertex-sized score state, scales with the
+               # supplier count per decade. graph_harmonic is EXCLUDED
+               # deliberately: its k-hop pair state on the DENSE
+               # hierarchy graph is |suppliers| x (suppliers/nation) at
+               # hop 2 (sf10: 1M x 40k = 4e10 pairs) — the operator's
+               # documented bounded-radius contract (the caller chooses
+               # the state budget; a 2-hop radius on this graph blows
+               # it), not a scaling defect of the implementation
+               "graph_hits"]
 PROBE = PROBE7 + PROBE_EXTRA
 
 
