@@ -371,18 +371,19 @@ def random_walks(
 def harmonic_centrality(
     edges: DataFrame,
     vertices: DataFrame,
-    max_hops: int = 3,
+    max_hops: int,
 ) -> DataFrame:
     """Bounded-neighborhood harmonic centrality over the undirected
     graph: sum of 1/d(u, v) over vertices v within ``max_hops`` of u
     (the Boldi-Vigna harmonic variant of closeness — well-defined on
     disconnected graphs because unreachable vertices contribute 0).
-    The bound is explicit and mandatory, like ngram_jaccard's scope:
-    exact all-pairs distances at 100 TB would be a quadratic state
-    explosion, while a k-bounded frontier carries one (u, v) row per
-    vertex pair within k hops — the caller chooses the radius and
-    therefore the state budget, and a fixed ``max_hops`` keeps the
-    whole run replayable as chained SQL CTEs.
+    The bound is explicit and MANDATORY (no default), same contract as
+    ngram_jaccard_pairs' scope: the pair state is one (u, v) row per
+    vertex pair within the radius, so on a dense graph even hop 2 can
+    be |V| x (cluster size) — e.g. this repo's supplier hierarchy at
+    sf10 reaches 4e8 pairs at radius 2. The caller picks the radius
+    and therefore the state budget; a fixed ``max_hops`` also keeps
+    the run replayable as chained SQL CTEs.
 
     Per hop: one frontier-edge join + one anti-join against the seen
     set + a distinct — all on narrow id-pair rows, the same
