@@ -120,10 +120,22 @@ def main() -> None:
             fn = queries[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # METHODOLOGY v2 (round 12): full-plan materialization via
+            # the noop sink, not `.count()`. Catalyst's outer-join
+            # elimination collapses left-join-shaped pipelines under
+            # count() — dedup_dup_spans read 0.29s by count at sf10 vs
+            # ~59s of real work; dsir_importance 0.30s vs ~12s — and
+            # count() also prunes every computed column of map-only
+            # rows. The noop write executes the whole plan executor-side
+            # with no driver transfer. Round-over-round comparisons vs
+            # r11 and earlier are valid only per-query for rows whose
+            # plan count() could not collapse (joins/aggregates); the
+            # JSON carries measure="noop_write" so artifacts from the
+            # two methodologies are never silently mixed.
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = dt
-            print(f"# pass{p + 1} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+            print(f"# pass{p + 1} {name}: {dt:.2f}s", file=sys.stderr)
         # iterative operators (paths, CC, dedup) release superseded
         # localCheckpoint RDDs on GC; dozens of queries between Python
         # collections can leave executor storage pinned and whipsaw
@@ -185,7 +197,8 @@ def main() -> None:
             ts = []
             for _ in range(2):
                 t0 = time.time()
-                queries[name](spark, d).count()
+                queries[name](spark, d).write.format("noop") \
+                    .mode("overwrite").save()
                 ts.append(round(time.time() - t0, 3))
             return min(ts)
 
@@ -231,6 +244,11 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        # methodology v2 (round 12): timings materialize the FULL plan
+        # via the noop sink — see the loop comment; artifacts without
+        # this field (r11 and earlier) timed `.count()`, which Catalyst
+        # could collapse for left-join-shaped or map-only plans
+        "measure": "noop_write",
         "queries": best,
         # median-of-N alongside the min: a drift that shows in the min
         # but not the median is noise; in both, a real regression

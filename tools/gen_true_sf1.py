@@ -193,10 +193,17 @@ def generate(spark: SparkSession, out_dir: str = DEFAULT_OUT,
         return F.when(is_dup & flip, perturbed).otherwise(base)
 
     text = F.array_join(F.transform(F.sequence(F.lit(1), n_tok), tok), " ")
+    # lang mirrors the testdata mix (~44% en, rest split) — a constant
+    # 'en' made every two-distribution operator (DSIR) degenerate to
+    # log-weight 0 at scale, probing only half its pipeline
+    lang_u = _u(cid, 38)
+    lang = (F.when(lang_u < 0.44, "en").when(lang_u < 0.59, "zh")
+            .when(lang_u < 0.73, "es").when(lang_u < 0.87, "de")
+            .otherwise("fr"))
     write("documents", spark.range(N_DOCS).select(
         cid.alias("doc_id"),
         text.alias("text"),
-        F.lit("en").alias("lang"),
+        lang.alias("lang"),
         F.concat(F.lit("src"), _ui(cid, 37, 20).cast("string")).alias("source"),
         F.length(text).cast("long").alias("n_chars")), 8)
 

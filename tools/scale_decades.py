@@ -57,6 +57,17 @@ PROBE_EXTRA = ["dedup_semantic", "text_lm_perplexity", "ann_cosine_ivf",
 PROBE = PROBE7 + PROBE_EXTRA
 
 
+
+def _materialize(df) -> None:
+    """Full-plan materialization via the noop sink. `.count()` is NOT a
+    valid probe action for every query: Catalyst's outer-join
+    elimination collapses left-join-shaped pipelines under count()
+    (dedup_dup_spans probed 0.29s by count at sf10 vs ~59s real work;
+    dsir_importance 0.30s vs ~12s) — the noop write executes the whole
+    plan and discards rows executor-side, no driver transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark("scale-decades")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,18 +88,18 @@ def main() -> None:
     # untimed JIT circuit over every dataset (scale_audit.py rationale)
     for d, _ in datasets:
         for name in PROBE:
-            qs[name](spark, d).count()
+            _materialize(qs[name](spark, d))
     gc.collect()
     results: dict[str, dict[str, float]] = {}
     for d, tag in datasets:
         for name in PROBE:               # per-dataset warm pass
-            qs[name](spark, d).count()
+            _materialize(qs[name](spark, d))
         gc.collect()
         for name in PROBE:               # timed: min of 2
             ts = []
             for _ in range(2):
                 t0 = time.time()
-                qs[name](spark, d).count()
+                _materialize(qs[name](spark, d))
                 ts.append(time.time() - t0)
             results.setdefault(name, {})[tag] = round(min(ts), 2)
             # per-query GC: the r12 11-query probe showed the iterative
