@@ -37,9 +37,19 @@ PROBE7 = ["dedup_cluster", "graph_pagerank", "dedup_minhash_lsh",
           "cy_shortestpath"]
 # r12 extension: the newest gate rows (r9-r11 seats) get third-decade
 # evidence too — trained-quantizer dedup, corpus-trained LM scoring,
-# IVF ANN, and the multimodal metadata path
-PROBE_EXTRA = ["dedup_semantic", "text_lm_perplexity", "ann_cosine_ivf",
-               "mm_frame_sample",
+# IVF ANN, and the multimodal metadata path.
+# dedup_semantic is probed as "dedup_semantic_scaled" (below), NOT via
+# the registry row: the row fixes n_lists=16 at every sf (an
+# oracle-replay constraint), which makes the within-cluster quadratic
+# term grow as (N/16)^2 — at sf10 that is ~2e9 pairs, quadratic BY
+# CONFIGURATION, not an implementation property. The operator's
+# documented contract is to raise n_lists with corpus size; the scaled
+# probe holds expected cluster size at ~1000 vectors, the shape a real
+# deployment runs. (Before methodology v2 this mattered less because
+# count() collapsed the row's pair join entirely — the r11 "flat"
+# dedup_semantic decades were an artifact of that collapse.)
+PROBE_EXTRA = ["dedup_semantic_scaled", "text_lm_perplexity",
+               "ann_cosine_ivf", "mm_frame_sample",
                # r12 additions: the data-sized new operators (the graph
                # rows run on the fixed-shape hierarchy graph and scale
                # with supplier count; dup_spans/dsir/sessionize scale
@@ -68,10 +78,35 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_SEM_CENTS: dict[str, tuple[int, list]] = {}
+
+
+def _semantic_scaled(spark, d: str):
+    """semantic_dedup at its documented scale configuration: n_lists
+    grows with the corpus so the expected cluster holds ~1000 vectors
+    (constant within-cluster work per row — linear total). Centroids
+    are trained once per dataset OUTSIDE the timed call, the same
+    index-build/query split the ANN rows use (the registry row caches
+    its training the same way)."""
+    from agensgraph_spark.pipeline import similarity as S
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    got = _SEM_CENTS.get(d)
+    if got is None:
+        n = emb.count()
+        k = max(16, n // 1000)
+        means = S.train_ivf_centroids(emb, n_lists=k, rounds=1, dim=64)
+        got = (k, S.unit_normalized(means))
+        _SEM_CENTS[d] = got
+    k, cents = got
+    return S.semantic_dedup(emb, tau=0.2, cents=cents, dim=64)
+
+
 def main() -> None:
     spark = get_spark("scale-decades")
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.all_queries()
+    qs = dict(qs)
+    qs["dedup_semantic_scaled"] = _semantic_scaled
     import gen_true_sf1
 
     sf1_dir = os.path.join(_ROOT, ".scaledata", "sf1_true")
@@ -85,10 +120,12 @@ def main() -> None:
 
     datasets = [("/root/testdata/sf0.1", "sf0.1"),
                 (sf1_dir, "sf1"), (sf10_dir, "sf10")]
-    # untimed JIT circuit over every dataset (scale_audit.py rationale)
-    for d, _ in datasets:
-        for name in PROBE:
-            _materialize(qs[name](spark, d))
+    # untimed JIT circuit on the SMALLEST dataset only: codegen/JIT
+    # warming is per-code-path, not per-data; each dataset still gets
+    # its own warm pass below before timing (the full three-dataset
+    # circuit doubled the probe's wall clock for no extra signal)
+    for name in PROBE:
+        _materialize(qs[name](spark, datasets[0][0]))
     gc.collect()
     results: dict[str, dict[str, float]] = {}
     for d, tag in datasets:
