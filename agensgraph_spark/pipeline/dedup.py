@@ -875,29 +875,43 @@ def ngram_overlap(
     exploded gram row per token, never collecting anything wider than
     (doc_id, gram)."""
 
-    def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    def gram_stream(df: DataFrame) -> DataFrame:
+        # positions-first extraction (see duplicate_spans): exploding
+        # an inlined gram ARRAY makes GenerateExec re-evaluate the
+        # whole build — with the md5 inside — once per output element,
+        # quadratic in the per-doc window count (this operator read
+        # 6.4s at sf0.1 before, ~1s after). The exploded child is the
+        # cheap int sequence; slice+concat+md5 run once per gram after
+        # the explode; per-doc distinct moves to a dropDuplicates
+        # (linear shuffle instead of quadratic CPU).
+        toked = df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+        t = F.col("_t")
         # guard: sequence(1, 0) counts DOWN in Spark — docs shorter
-        # than n tokens must yield an empty gram set, not junk windows
-        win = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))), 1, 16)),
-        ).otherwise(F.array().cast("array<string>"))
-        return df.select(F.col(id_col).alias("_id"),
-                         F.array_distinct(win).alias("_g"))
+        # than n tokens must yield an empty position list
+        idx = F.when(F.size(t) >= n,
+                     F.sequence(F.lit(1), F.size(t) - n + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        return (toked.select("_id", "_t", F.explode(idx).alias("_i"))
+                .select("_id", F.substring(F.md5(F.concat_ws(
+                    " ", F.slice(t, F.col("_i"), F.lit(n)))), 1, 16)
+                    .alias("gram"))
+                .dropDuplicates(["_id", "gram"]))
 
-    ev = (grams(eval_df).select(F.explode("_g").alias("gram")).distinct())
-    tr = grams(train).select("_id", F.size("_g").alias("n_grams"),
-                             F.explode_outer("_g").alias("gram"))
+    ev = gram_stream(eval_df).select("gram").distinct()
+    tr = gram_stream(train)
+    n_grams = tr.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
     hits = (tr.join(ev, "gram", "left_semi")
             .groupBy("_id").agg(F.count(F.lit(1)).alias("n_hits")))
-    base = grams(train).select("_id", F.size("_g").alias("n_grams"))
-    return (base.join(hits, "_id", "left")
-            .select(F.col("_id").alias(id_col), "n_grams",
-                    F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")))
+    base = train.select(F.col(id_col).alias("_id"))
+    return (base.join(n_grams, "_id", "left").join(hits, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits")))
 
 
 def duplicate_spans(
@@ -929,18 +943,31 @@ def duplicate_spans(
     shuffles and no global sort. Returns (id, n_grams, n_dup_grams,
     max_span_tokens), zeros for clean or short docs."""
     from pyspark.sql import Window
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # Positions-first extraction — the Generate-safe shape (measured
+    # 20s -> ~1s on 5000 docs): GenerateExec re-evaluates an INLINED
+    # child expression once per OUTPUT element, so exploding an array
+    # that builds the windows (let alone hashes them) is quadratic in
+    # the per-doc window count. Exploding the cheap integer sequence
+    # instead keeps the re-evaluated child trivial; the token array
+    # rides through the Generate as a regular column (evaluated once
+    # per input row) and each slice+concat+md5 happens once per gram,
+    # AFTER the explode.
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"))
+    t = F.col("_t")
     # sequence(1, 0) counts DOWN in Spark: short docs must yield an
-    # empty window list, not junk grams (same guard as ngram_overlap)
-    win = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))), 1, 16)),
-    ).otherwise(F.array().cast("array<string>"))
-    docs = df.select(F.col(id_col).alias("_id"), win.alias("_w"))
-    pos = docs.select("_id", F.posexplode("_w").alias("pos", "h"))
+    # empty position list, not junk windows (same guard as
+    # ngram_overlap)
+    idx = F.when(
+        F.size(t) >= n,
+        F.sequence(F.lit(1), F.size(t) - n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pos = (toked.select("_id", "_t", F.explode(idx).alias("_i"))
+           .select("_id", (F.col("_i") - 1).alias("pos"),
+                   F.substring(F.md5(F.concat_ws(
+                       " ", F.slice(t, F.col("_i"), F.lit(n)))), 1, 16)
+                   .alias("h")))
     dup = (pos.groupBy("h")
            .agg((F.min("_id") != F.max("_id")).alias("_dup"))
            .filter("_dup").select("h"))
@@ -952,7 +979,11 @@ def duplicate_spans(
     per_doc = (runs.groupBy("_id")
                .agg(F.sum("_run").alias("n_dup"),
                     F.max("_run").alias("_maxrun")))
-    base = docs.select("_id", F.size("_w").cast("long").alias("n_grams"))
+    # n_grams is arithmetic on the token count — never rebuild the
+    # window array just to measure it
+    base = toked.select(
+        "_id", F.greatest(F.size(t) - n + 1, F.lit(0)).cast("long")
+        .alias("n_grams"))
     return (base.join(per_doc, "_id", "left")
             .select(F.col("_id").alias(id_col), "n_grams",
                     F.coalesce("n_dup", F.lit(0)).cast("long")

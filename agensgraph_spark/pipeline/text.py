@@ -449,13 +449,18 @@ def lm_perplexity(
     docs = df.select(F.col(id_col).alias("_id"),
                      F.when(F.length(t) == 0, F.array().cast("array<string>"))
                       .otherwise(F.split(t, r"\s+")).alias("_a"))
+    # positions-first (see dedup.duplicate_spans): the exploded child
+    # is the cheap int sequence and the two gets run once per bigram
+    # after the explode. For THIS operator the effect is neutral (its
+    # cost is the two scoring joins, ~33s at sf10 either way) — the
+    # shape is kept for consistency with the gram extractors where the
+    # inlined-array explode was measured 6-15x slower.
     big = (docs.filter(F.size("_a") >= 2)
-           .select("_id", F.explode(F.transform(
-               F.sequence(F.lit(0), F.size("_a") - 2),
-               lambda j: F.struct(F.get(F.col("_a"), j).alias("w1"),
-                                  F.get(F.col("_a"), j + 1).alias("w2"))))
-               .alias("_b"))
-           .select("_id", "_b.w1", "_b.w2"))
+           .select("_id", "_a",
+                   F.explode(F.sequence(F.lit(0), F.size("_a") - 2))
+                   .alias("_j"))
+           .select("_id", F.get(F.col("_a"), F.col("_j")).alias("w1"),
+                   F.get(F.col("_a"), F.col("_j") + 1).alias("w2")))
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
     vocab = (docs.select(F.explode("_a").alias("_w"))
@@ -559,13 +564,18 @@ def dsir_weights(
                      target.alias("_t"),
                      F.when(F.length(t) == 0, F.array().cast("array<string>"))
                       .otherwise(F.split(t, r"\s+")).alias("_a"))
+    # positions-first extraction (see dedup.duplicate_spans): the
+    # bigram text assembles AFTER the explode, so GenerateExec's
+    # re-evaluated child stays the cheap int sequence
     uni = docs.select("_id", "_t", F.explode("_a").alias("_g")) \
         .filter(F.col("_g") != "")
     bi = (docs.filter(F.size("_a") >= 2)
-          .select("_id", "_t", F.explode(F.transform(
-              F.sequence(F.lit(0), F.size("_a") - 2),
-              lambda j: F.concat_ws(" ", F.get(F.col("_a"), j),
-                                    F.get(F.col("_a"), j + 1)))).alias("_g")))
+          .select("_id", "_t", "_a",
+                  F.explode(F.sequence(F.lit(0), F.size("_a") - 2))
+                  .alias("_j"))
+          .select("_id", "_t", F.concat_ws(
+              " ", F.get(F.col("_a"), F.col("_j")),
+              F.get(F.col("_a"), F.col("_j") + 1)).alias("_g")))
     feats = (uni.unionByName(bi)
              .select("_id", "_t",
                      F.substring(F.md5("_g"), 1, 2).alias("_b")))
