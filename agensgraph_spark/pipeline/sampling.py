@@ -61,6 +61,7 @@ def cap_per_group(
     group_col: str,
     k: int,
     id_col: str = "doc_id",
+    skew_buckets: int = 32,
 ) -> DataFrame:
     """Deterministic per-group cap — the C4/RefinedWeb-style "at most
     k documents per source/domain" pass that keeps one hot domain from
@@ -69,15 +70,47 @@ def cap_per_group(
     engines, and other partitionings pick the SAME k rows — unlike
     sample()/limit(), which are layout-dependent), ties broken by id.
 
-    One group-key shuffle for the rank window; the filter is applied
-    before anything downstream, so at 100 TB the cap also bounds every
-    later stage's input. Groups smaller than k pass through whole.
-    Returns the input columns plus the 1-based ``group_rank``."""
+    Two-phase skew-safe shape (the operator's production input is
+    Zipf-skewed BY CONSTRUCTION — at 100 TB the hottest domain is a
+    two-digit percentage of the corpus, and a single
+    ``Window.partitionBy(group)`` would sort terabytes in one task):
+
+    1. Salt every row into one of ``skew_buckets`` sub-buckets on
+       xxhash64(id) and keep the top-k of each (group, salt) sub-bucket
+       — the hot group's sort splits across ``skew_buckets`` tasks,
+       each bounded, over-keeping at most ``skew_buckets * k`` rows
+       per group.
+    2. Exact-rank the survivors per group with the SAME order and keep
+       k. Phase 2's per-group input is ≤ ``skew_buckets * k`` rows
+       regardless of corpus size, so its single-task window is bounded
+       by configuration, not data.
+
+    The two phases pick exactly the rows the single-window form picks,
+    with identical ``group_rank`` values: the group's true top-k by the
+    md5 order places at most k rows in any one salt bucket, so phase 1
+    can never drop one of them, and every row the md5 order places
+    above a phase-2 survivor is itself a survivor (the salt only routes
+    rows to tasks, it never enters the order). Groups smaller than k
+    pass through whole. The cap filter runs before anything downstream,
+    so at 100 TB it also bounds every later stage's input. Returns the
+    input columns plus the 1-based ``group_rank``."""
     from pyspark.sql import Window
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if skew_buckets <= 0:
+        raise ValueError(f"skew_buckets must be positive, got {skew_buckets}")
     h = F.md5(F.concat_ws(":", F.col(group_col).cast("string"),
                           F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
-    return (df.withColumn("group_rank", F.row_number().over(w))
+    order = [h.asc(), F.col(id_col).asc()]
+    # the salt never affects WHICH rows are kept or their rank — only
+    # which task ranks them — so it may use the engine-native xxhash64
+    # (no cross-engine md5 contract needed, unlike the order hash)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(skew_buckets))
+    pre = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+    survivors = (df.withColumn("_cap_pre_rank", F.row_number().over(pre))
+                 .filter(F.col("_cap_pre_rank") <= k)
+                 .drop("_cap_pre_rank"))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (survivors.withColumn("group_rank", F.row_number().over(w))
             .filter(F.col("group_rank") <= k))

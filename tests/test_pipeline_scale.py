@@ -554,9 +554,11 @@ def test_duplicate_spans_disjoint_runs_report_longest(spark):
 
 
 def test_cap_per_group_deterministic_and_bounded(spark):
-    """cap_per_group keeps exactly min(k, group size) rows per group,
-    the SAME rows across re-runs and partitionings, matching a pure-
-    Python md5 replay; k<=0 refuses."""
+    """cap_per_group keeps exactly min(k, group size) rows per group
+    with the exact full-group ranks, the SAME rows across re-runs,
+    partitionings, AND skew_buckets settings (the salt routes rows to
+    tasks, it never enters the order), matching a pure-Python md5
+    replay; k<=0 and skew_buckets<=0 refuse."""
     import hashlib
 
     import pytest as _pt
@@ -574,19 +576,26 @@ def test_cap_per_group_deterministic_and_bounded(spark):
         for g, ids in groups.items():
             ranked = sorted(ids, key=lambda i: (
                 hashlib.md5(f"{g}:{i}".encode()).hexdigest(), i))
-            keep.update((g, i) for i in ranked[:k])
+            keep.update((g, i, rank + 1)
+                        for rank, i in enumerate(ranked[:k]))
         return keep
 
+    def got(frame, k, **kw):
+        return {(r["source"], r["doc_id"], r["group_rank"])
+                for r in cap_per_group(frame, "source", k, **kw).collect()}
+
     for k in (1, 4, 100):
-        got = {(r["source"], r["doc_id"])
-               for r in cap_per_group(df, "source", k).collect()}
-        assert got == replay(k), k
-    # repartitioning must not change the picked set
-    got_rep = {(r["source"], r["doc_id"])
-               for r in cap_per_group(df.repartition(7), "source", 4).collect()}
-    assert got_rep == replay(4)
+        assert got(df, k) == replay(k), k
+    # neither repartitioning nor the salt bucket count may change the
+    # picked set or the ranks — the two-phase form must be output-
+    # equivalent to the single-window form (skew_buckets=1)
+    for kw in ({}, {"skew_buckets": 1}, {"skew_buckets": 3},
+               {"skew_buckets": 257}):
+        assert got(df.repartition(7), 4, **kw) == replay(4), kw
     with _pt.raises(ValueError):
         cap_per_group(df, "source", 0)
+    with _pt.raises(ValueError):
+        cap_per_group(df, "source", 5, skew_buckets=0)
 
 
 def test_harmonic_centrality_hand_computed(spark):

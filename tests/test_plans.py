@@ -490,6 +490,32 @@ def test_sessionize_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_cap_per_group_two_phase_skew_shape(spark):
+    """cap_per_group's production input is Zipf-skewed by construction
+    (it IS the anti-domain-dominance pass), so the plan must be the
+    two-phase shape: phase 1 ranks within (group, salt) — the hot
+    group's sort splits across skew_buckets tasks — and phase 2
+    exact-ranks the ≤ skew_buckets*k survivors. Both phases must keep
+    the WindowGroupLimit Partial pushdown (map-side top-k pruning
+    BEFORE each exchange), and the phase-1 exchange must key on the
+    salt alongside the group."""
+    from agensgraph_spark.pipeline.sampling import cap_per_group
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(cap_per_group(docs, "source", 10))
+    # phase-1 exchange partitions on (group, salt): salt is the second
+    # hashpartitioning key (a projected pmod(xxhash64) column)
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, _w\d+#\d+L",
+                     plan), plan
+    assert "pmod(xxhash64" in plan, plan
+    # both rank filters push down: 2 windows, 4 WindowGroupLimit nodes
+    # (Partial + Final per phase) — the Partials bound every task's
+    # sort buffer at k rows per key map-side
+    assert plan.count("Window [row_number()") == 2, plan
+    assert plan.count("WindowGroupLimit") == 4, plan
+    assert plan.count(", Partial") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dsir_model_join_is_broadcast(spark):
     """dsir_weights: the 256-row bucket model must broadcast back to
     the per-occurrence stream — a shuffle join keyed on a 256-value
