@@ -233,8 +233,10 @@ def hits(
     two single-row aggregates for the norms (Catalyst broadcasts the
     scalar back — no data-sized shuffle). The edge relation is never
     re-shuffled; AQE broadcasts the narrow score frame. Lineage is
-    localCheckpoint-truncated every 6 rounds like the sibling
-    iterative operators. Returns (id, authority double, hub double).
+    truncated with a lazy localCheckpoint EVERY round — each round's
+    frame feeds four consumers, so the sibling operators' every-6
+    cadence would let the plan grow ~5.5x per round (see the loop
+    comment). Returns (id, authority double, hub double).
     """
     if iters < 1:
         raise ValueError(f"hits needs at least 1 iteration, got {iters}")
@@ -294,9 +296,21 @@ def personalized_pagerank(
 
     Per iteration one (id, contribution) shuffle + one join; the
     restart frame is narrow and broadcast. Lineage truncated every 6
-    rounds. Returns (id, ppr double)."""
+    rounds. Returns (id, ppr double).
+
+    ``sources`` ids absent from ``vertices`` are dropped BEFORE |S| is
+    counted: an out-of-graph seed can never receive restart mass, so
+    counting it would silently shrink the total restart mass to
+    |S∩V|/|S| and diverge from any oracle that derives seeds from the
+    vertex set. All-out-of-graph (or empty) sources refuse loudly."""
     verts = vertices.select("id").distinct()
-    src_set = sources.select("id").distinct()
+    src_set = sources.select("id").distinct().join(verts, "id", "left_semi")
+    # seed sets are user-provided and small; one count job is the guard
+    # (same count-guarded pattern as the union-find gate)
+    if src_set.limit(1).count() == 0:
+        raise ValueError(
+            "personalized_pagerank: no source id is present in vertices "
+            "(restart mass would be undefined)")
     n_src = src_set.agg(F.count(F.lit(1)).cast("double").alias("_ns"))
     restart = (verts
                .join(src_set.withColumn("_is_src", F.lit(1)), "id", "left")

@@ -128,15 +128,23 @@ def assign_sessions(
     (user, session_seq) group — Catalyst inserts no second exchange).
     Session assignment is deterministic even under timestamp ties:
     a zero delta can never exceed the positive gap, so tie order
-    cannot move a boundary."""
+    cannot move a boundary.
+
+    The gap compares at FULL timestamp precision — exact integer
+    microseconds via timestampdiff(MICROSECOND), which accepts both
+    TIMESTAMP and TIMESTAMP_NTZ (a double cast does not): a 1800.5s
+    gap splits at gap=1800. unix_timestamp() truncates to whole
+    seconds, which would silently diverge from both the streaming
+    sibling (streaming/sessionize.py compares epoch milliseconds) and
+    ms-precision SQL oracles on sub-second gaps."""
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     prev = F.lag(F.col(ts_col)).over(w)
     new_sess = F.when(
         prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev))
-           > gap_seconds),
+        | (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+           > int(gap_seconds) * 1_000_000),
         F.lit(1)).otherwise(F.lit(0))
     cum = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

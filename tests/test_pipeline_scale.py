@@ -375,6 +375,29 @@ def test_personalized_pagerank_mass_splits_across_seeds(spark):
     assert abs(got["c"] - 0.85 * (0.5 + 0.5)) < 1e-12
 
 
+def test_personalized_pagerank_out_of_graph_seeds(spark):
+    """Seeds absent from the vertex set are dropped BEFORE |S| is
+    counted — an out-of-graph seed can never receive restart mass, so
+    counting it would shrink total restart mass to |S∩V|/|S| (the
+    round-12 ADVICE divergence). {a, zz} must equal {a} exactly; an
+    all-out-of-graph seed set refuses loudly."""
+    import pytest as _pt
+
+    from agensgraph_spark.operators.analytics import personalized_pagerank
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"])
+    mixed = spark.createDataFrame([("a",), ("zz",)], ["id"])
+    clean = spark.createDataFrame([("a",)], ["id"])
+    got = {r["id"]: r["ppr"]
+           for r in personalized_pagerank(e, v, mixed, iters=2).collect()}
+    want = {r["id"]: r["ppr"]
+            for r in personalized_pagerank(e, v, clean, iters=2).collect()}
+    assert got == want
+    with _pt.raises(ValueError, match="no source id"):
+        personalized_pagerank(
+            e, v, spark.createDataFrame([("zz",)], ["id"]), iters=1)
+
+
 def test_random_walks_match_python_replay(spark):
     """The hash-seeded walk must pick exactly the neighbor a pure-
     Python hashlib replay picks, end early on a dangling vertex, and
@@ -453,6 +476,33 @@ def test_assign_sessions_exact_gap_boundary(spark):
     seqs = [r["session_seq"] for r in
             assign_sessions(df, gap_seconds=1800).orderBy("ts").collect()]
     assert seqs == [1, 1, 2]
+
+
+def test_assign_sessions_subsecond_gap_precision(spark):
+    """The gap compares at full timestamp precision: a 1800.5s delta
+    whose WHOLE-SECOND truncation is exactly 1800 must still split at
+    gap=1800 (unix_timestamp-based comparison would not — the latent
+    divergence vs the ms-precision oracle and the streaming sibling
+    flagged in round-12 ADVICE), and a 1799.5s delta whose components
+    straddle a second boundary must NOT split."""
+    from datetime import datetime
+
+    from agensgraph_spark.operators.temporal import assign_sessions
+
+    rows = [
+        # splits: .000 -> +1800.5s (truncated delta == 1800, real > 1800)
+        (1, datetime(2024, 1, 1, 0, 0, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 30, 0, 500000)),
+        # does not split: .500 -> +1799.9s (truncated delta 1800 would
+        # ALSO not split, but pin the real-value behavior anyway)
+        (2, datetime(2024, 1, 1, 0, 0, 0, 500000)),
+        (2, datetime(2024, 1, 1, 0, 30, 0, 400000)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r["user_id"], r["ts"].microsecond): r["session_seq"]
+           for r in assign_sessions(df, gap_seconds=1800).collect()}
+    assert got == {(1, 0): 1, (1, 500000): 2,
+                   (2, 500000): 1, (2, 400000): 1}
 
 
 def test_dsir_weights_match_python_replay(spark):
