@@ -357,11 +357,15 @@ def random_walks(
     frontier is one narrow row per walk regardless of graph size, and
     the candidate fan-out is bounded by out-degree. Ties on the hash
     (cryptographically negligible) break by dst. Returns
-    (walk_id, final, path) with path '->'-joined."""
+    (walk_id, final, path, path_ids): ``path`` '->'-joined for
+    human/SQL-oracle consumption, ``path_ids`` a typed array of the
+    raw vertex ids so downstream corpus generation (node2vec-style
+    sequence emission) never re-parses ids from text."""
     from pyspark.sql import Window
     w = starts.select(F.col("id").alias("walk_id"),
                       F.col("id").alias("cur"),
-                      F.col("id").cast("string").alias("path"))
+                      F.col("id").cast("string").alias("path"),
+                      F.array(F.col("id")).alias("path_ids"))
     for s in range(steps):
         cand = (w.join(edges.select(F.col("src").alias("cur"), "dst"),
                        "cur", "left")
@@ -370,16 +374,21 @@ def random_walks(
                     F.lit(str(s)), F.col("dst")))))
         win = Window.partitionBy("walk_id").orderBy(
             F.col("_h").asc(), F.col("dst").asc())
+        moved = F.col("dst").isNotNull()
         w = (cand.withColumn("_rn", F.row_number().over(win))
              .filter(F.col("_rn") == 1)
              .select("walk_id",
                      F.coalesce("dst", "cur").alias("cur"),
-                     F.when(F.col("dst").isNotNull(),
+                     F.when(moved,
                             F.concat(F.col("path"), F.lit("->"), F.col("dst")))
-                     .otherwise(F.col("path")).alias("path")))
+                     .otherwise(F.col("path")).alias("path"),
+                     F.when(moved,
+                            F.concat(F.col("path_ids"), F.array(F.col("dst"))))
+                     .otherwise(F.col("path_ids")).alias("path_ids")))
         if (s + 1) % 6 == 0 and (s + 1) < steps:
             w = w.localCheckpoint()
-    return w.select("walk_id", F.col("cur").alias("final"), "path")
+    return w.select("walk_id", F.col("cur").alias("final"), "path",
+                    "path_ids")
 
 
 def harmonic_centrality(

@@ -1770,7 +1770,12 @@ def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("src").alias("dst")))
            .distinct())
     starts = verts.filter(F.col("id").startswith("n"))
-    return AN.random_walks(sym, starts, steps=3)
+    # the typed path_ids array is for downstream corpus generation; the
+    # oracle row compares the equivalent '->'-joined string (the driver
+    # canonicalizer rejects container cells) — path carries the same
+    # information, and the pytest replay pins path_ids == split(path)
+    return AN.random_walks(sym, starts, steps=3) \
+        .select("walk_id", "final", "path")
 
 
 def _walks_oracle(steps: int = 3, salt: str = "w") -> str:

@@ -424,11 +424,15 @@ def test_random_walks_match_python_replay(spark):
 
     e = spark.createDataFrame(pairs, ["src", "dst"])
     starts = spark.createDataFrame([("a",), ("e",)], ["id"])
-    got = {r["walk_id"]: (r["final"], r["path"])
-           for r in random_walks(e, starts, steps=4).collect()}
+    rows = random_walks(e, starts, steps=4).collect()
+    got = {r["walk_id"]: (r["final"], r["path"]) for r in rows}
     assert got["a"] == replay("a", 4)
     # 'e' has no out-edges: the walk never moves
     assert got["e"] == ("e", "e")
+    # the typed path column carries the SAME walk as the string, as a
+    # real array (no downstream re-parsing of ids from text)
+    for r in rows:
+        assert r["path_ids"] == r["path"].split("->"), r
     got2 = {r["walk_id"]: (r["final"], r["path"])
             for r in random_walks(e, starts, steps=4).collect()}
     assert got2 == got

@@ -16,7 +16,9 @@ import duckdb  # noqa: E402
 
 from agensgraph_spark import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
