@@ -274,7 +274,7 @@ def semantic_dedup(
     seed: int = 42,
     dim: int | None = None,
     cents: "list[list[float]] | None" = None,
-    max_cluster: "int | None" = 10_000,
+    max_cluster: "int | None" = None,
     audit_cap: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
@@ -304,7 +304,11 @@ def semantic_dedup(
     ``max_cluster`` is the skew guard (mirroring minhash's
     ``max_bucket``): the within-cluster term is quadratic, so ONE hot
     cluster — likely with the untrained default quantizer — silently
-    degrades toward all-pairs. With the cap, each row compares only
+    degrades toward all-pairs. The default is None — exact semantics;
+    callers OPT IN to the cap (production at corpus scale should pass
+    one: the registry row passes 10_000 explicitly) rather than
+    discovering that a >cap cluster silently changed results.
+    With the cap, each row compares only
     against the ``max_cluster`` LOWEST-id members of its cluster,
     bounding the join at size x cap (linear in the hot cluster)
     instead of size². Rows inside the head keep exact semantics (all

@@ -1416,7 +1416,12 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       dim=_emb_dim(emb, sf_dir))
         cents = S.unit_normalized([[round(x, 9) for x in c] for c in means])
         _SEMDEDUP_CENTS[_ck] = cents
-    return S.semantic_dedup(emb, tau=0.2, cents=cents)
+    # max_cluster passed EXPLICITLY: the library default is None (exact
+    # semantics — external callers opt in to the skew cap); the registry
+    # row keeps the documented production cap, and the tail parity suite
+    # asserts n_over_cap == 0 on every oracle corpus so the cap never
+    # actually bites here
+    return S.semantic_dedup(emb, tau=0.2, cents=cents, max_cluster=10_000)
 
 
 def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

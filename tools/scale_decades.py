@@ -98,7 +98,10 @@ def _semantic_scaled(spark, d: str):
         got = (k, S.unit_normalized(means))
         _SEM_CENTS[d] = got
     k, cents = got
-    return S.semantic_dedup(emb, tau=0.2, cents=cents, dim=64)
+    # the library default is None (exact, opt-in cap) — the scale
+    # config passes the production cap explicitly, like the registry row
+    return S.semantic_dedup(emb, tau=0.2, cents=cents, dim=64,
+                            max_cluster=10_000)
 
 
 def main() -> None:
