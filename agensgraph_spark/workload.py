@@ -3824,18 +3824,23 @@ PRIORITY_50: tuple[str, ...] = (
     "cy_write_set_roundtrip", "cy_write_merge_roundtrip",
     # Cypher nested JSON property access (1)
     "cy_nested_props",
-    # relational SQL (11; sql_setops — INTERSECT, same SetOp family as
+    # relational SQL (10; sql_setops — INTERSECT, same SetOp family as
     # the gated sql_except — moved to the tail, externally verified by
-    # tests/test_oracle_parity_tail.py)
+    # tests/test_oracle_parity_tail.py; sql_cte — the plain
+    # materialized-CTE row — displaced in round 13 for graph_hits: every
+    # chained-CTE oracle replay exercises plain CTEs implicitly and the
+    # recursion seat sql_recursive_cte stays)
     "sql_tpch_q1", "sql_tpch_q5", "sql_tpch_q9", "sql_window_rank",
     "sql_grouping_sets", "sql_except", "sql_exists_semijoin",
-    "sql_correlated_scalar", "sql_cte", "sql_json_props", "sql_events_hourly",
-    # ordered-set / recursion (2; sql_limit_ties, sql_tablesample,
+    "sql_correlated_scalar", "sql_json_props", "sql_events_hourly",
+    # ordered-set / recursion (1; sql_limit_ties, sql_tablesample,
     # sql_csv_foreign_scan, sql_values_scan — simple single-operator
-    # rows displaced to the tail in round 5 to make room for this
-    # round's pipeline operators; tests/test_oracle_parity_tail.py
-    # keeps every displaced row externally verified at sf0.001)
-    "sql_percentile", "sql_recursive_cte",
+    # rows displaced to the tail in round 5 to make room for that
+    # round's pipeline operators; sql_percentile — a deterministic
+    # single-operator ordered-set row — displaced in round 13 for
+    # dedup_dup_spans; tests/test_oracle_parity_tail.py keeps every
+    # displaced row externally verified at sf0.001)
+    "sql_recursive_cte",
     # LLM-pipeline: dedup + similarity (6; dedup_bykey — the same
     # exact_dedup operator dedup_exact gates — moved to the tail in
     # round 5; dedup_embedding_cosine — a bounded exact pair join in a
@@ -3847,6 +3852,12 @@ PRIORITY_50: tuple[str, ...] = (
     # externally verified)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_semantic", "ann_cosine_topk", "ann_cosine_ivf",
+    # round-13 seats, per policy rule 1 (risk first): span-level dedup
+    # is probabilistic, multi-stage, and newly Generate-quadratic-fixed;
+    # HITS is the first analytics recurrence beyond pagerank with a
+    # chained-CTE oracle (max-norm per round — more moving parts than
+    # the pagerank recurrence)
+    "dedup_dup_spans", "graph_hits",
     # LLM-pipeline: text (4; text_bpe_tokens — a deterministic
     # tokenizer-regex row — displaced to the tail in round 11 for
     # text_lm_perplexity; lang_id — deterministic column expressions

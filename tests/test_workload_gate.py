@@ -17,6 +17,10 @@ HIGH_RISK = {
     # bucket-model stages are where silent wrong answers hide)
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster",
     "dedup_semantic", "text_lm_perplexity", "dsir_importance",
+    # round-13 seats: span-level dedup (probabilistic, multi-stage,
+    # newly Generate-quadratic-fixed) and the first analytics
+    # recurrence beyond pagerank with a max-norm chained-CTE oracle
+    "dedup_dup_spans", "graph_hits",
     # streaming-vs-batch and hybrid composition
     "stream_events_hourly", "hybrid_correlated_subquery",
 }
