@@ -974,27 +974,50 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
 # as to_char, translated to Spark's parse patterns; Spark's formatter
 # parses month/day names and meridiem case-insensitively, matching PG.
 
+# sentinel "java patterns" handled by an input PRE-PASS instead of a
+# pattern letter (Spark >= 3.0 bans 'E' in parse patterns entirely, and
+# java.time's 'a' wants the dot-free meridiem): the template consumes
+# the token, and the input column is regexp-normalized before the parse
+_PRE_DAYNAME = "!strip-dayname"    # Day/DAY/day: delete the full name
+_PRE_DAYABBR = "!strip-dayabbr"    # Dy/DY/dy: delete the 3-char name
+_PRE_MERIDIEM_DOTS = "!meridiem-dots"  # A.M. -> AM, then 'a'
+
 _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     ("Y,YYY", None), ("YYYY", "yyyy"), ("YYY", None), ("YY", "yy"),
     ("IYYY", None), ("IYY", None), ("IY", None),
     ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
     ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
     ("MM", "MM"), ("MI", "mm"), ("MS", "SSS"), ("US", "SSSSSS"),
-    # day-name tokens: PG parses-and-ignores them on input, but
-    # Spark >= 3.0 BANS 'E' in parse patterns entirely - refuse
-    ("DAY", None), ("Day", None), ("day", None),
+    # day-name tokens: PG parses them on input but never uses the value
+    # to build a Gregorian date (formatting.c DCH_from_char sets out->d,
+    # which do_to_timestamp only consults for ISO-week dates) — so the
+    # shim strips a VALID English day name from the input and consumes
+    # the token; an invalid name survives the strip and fails the parse
+    # loudly, approximating PG's name validation
+    ("DAY", _PRE_DAYNAME), ("Day", _PRE_DAYNAME), ("day", _PRE_DAYNAME),
     ("DDD", "DDD"), ("DD", "dd"),
-    ("DY", None), ("Dy", None), ("dy", None),
+    ("DY", _PRE_DAYABBR), ("Dy", _PRE_DAYABBR), ("dy", _PRE_DAYABBR),
     ("ID", None), ("D", None),
     ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
     ("SSSS", None), ("SS", "ss"),
-    ("A.M.", None), ("P.M.", None), ("a.m.", None), ("p.m.", None),
+    ("A.M.", _PRE_MERIDIEM_DOTS), ("P.M.", _PRE_MERIDIEM_DOTS),
+    ("a.m.", _PRE_MERIDIEM_DOTS), ("p.m.", _PRE_MERIDIEM_DOTS),
     ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
     ("IW", None), ("WW", None), ("W", None), ("Q", None),
     ("CC", None), ("J", None), ("RM", None), ("rm", None),
     ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
     ("BC", None), ("AD", None),
 ]
+
+# the pre-pass regexes are anchored on word boundaries so a typo'd name
+# ("Thursdayy") survives the strip and fails the strict parse loudly;
+# locale-fixed English, like PG's default C-locale name tables
+_PRE_REGEX = {
+    _PRE_DAYNAME: (r"(?i)\b(sunday|monday|tuesday|wednesday|thursday"
+                   r"|friday|saturday)\b", ""),
+    _PRE_DAYABBR: (r"(?i)\b(sun|mon|tue|wed|thu|fri|sat)\b", ""),
+    _PRE_MERIDIEM_DOTS: (r"(?i)([ap])\.m\.", "$1M"),
+}
 
 
 # lax single-letter forms: java.time parses a single numeric pattern
@@ -1006,11 +1029,16 @@ _DT_LAX_FORMS = {"yyyy": "y", "MM": "M", "dd": "d", "DDD": "D",
                  "HH": "H", "hh": "h", "mm": "m", "ss": "s"}
 
 
-def _dt_parse_pattern(pattern: str, lax: bool = False) -> str:
-    """PG input template -> Spark datetime parse pattern. FM is a
-    no-op for parsing (Spark's parser already accepts the values PG's
-    fill mode relaxes names for); field tokens PG cannot set from
-    input (Q, WW, D, ...) refuse loudly rather than mis-parse.
+def _dt_parse_pattern(pattern: str, lax: bool = False) -> "tuple[str, list[str]]":
+    """PG input template -> (Spark datetime parse pattern, pre-pass
+    keys). FM is a no-op for parsing (Spark's parser already accepts
+    the values PG's fill mode relaxes names for); field tokens PG
+    cannot set from input (Q, WW, D, ...) refuse loudly rather than
+    mis-parse. The second element lists ``_PRE_REGEX`` keys the caller
+    must apply to the INPUT column before the parse (day-name strip,
+    dotted-meridiem normalization) — name tokens Spark's parser cannot
+    express (banned 'E' family) are closed by rewriting the input,
+    never by touching the banned pattern letters.
 
     ``lax=True`` (the try_* variants) additionally accepts non-padded
     digit fields the way PG's do_to_timestamp does
@@ -1021,6 +1049,7 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> str:
     such templates keep the strict fixed-width forms."""
     out: list[str] = []
     kinds: list[str] = []  # parallel: "field" | "lit" per out element
+    pres: list[str] = []   # _PRE_REGEX keys, dedup'd in order
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
@@ -1054,6 +1083,17 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> str:
                 raise ValueError(
                     f"to_date/to_timestamp: input pattern {name!r} is not "
                     f"supported by this shim (in {pattern!r})")
+            if java.startswith("!"):
+                if java not in pres:
+                    pres.append(java)
+                if java == _PRE_MERIDIEM_DOTS:
+                    # the normalized input carries a dot-free AM/PM
+                    out.append("a")
+                    kinds.append("field")
+                # day-name tokens consume the template token only: the
+                # stripped input has nothing left to parse there
+                i += len(name)
+                continue
             out.append(java)
             kinds.append("field")
             i += len(name)
@@ -1069,24 +1109,40 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> str:
                        for a, b in zip(kinds, kinds[1:])):
         out = [_DT_LAX_FORMS.get(s, s) if k == "field" else s
                for s, k in zip(out, kinds)]
-    return "".join(out)
+    return "".join(out), pres
+
+
+def _dt_prepass(c: Column, pres: "list[str]") -> Column:
+    for key in pres:
+        rx, repl = _PRE_REGEX[key]
+        c = F.regexp_replace(c, rx, repl)
+    return c
 
 
 def to_timestamp(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_timestamp(text, template)`` — the PG template is
     translated to a Spark parse pattern, so ``'DD Mon YYYY HH12:MI am'``
     parses the way a PG user expects (month/day names and meridiem are
-    case-insensitive in both engines). Divergence (documented): without
-    FM, PG tolerates some non-padded digit fields that Spark's strict
-    parser rejects; malformed input raises under ANSI rather than
-    returning NULL (use try_to_timestamp semantics upstream if NULLs
-    are wanted)."""
-    return F.to_timestamp(_c(col), _dt_parse_pattern(pattern))
+    case-insensitive in both engines). Day-name tokens (``Day``/``Dy``,
+    any case) and dotted meridiem (``A.M.``/``P.M.``) are closed by an
+    input pre-pass — Spark bans the 'E' pattern family on parse, so a
+    valid English day name is stripped from the input (PG likewise
+    never uses it to build a Gregorian date, formatting.c
+    DCH_from_char) and dotted meridiem is normalized to AM/PM; an
+    INVALID day name survives the strip and fails the parse loudly,
+    approximating PG's name validation. Divergence (documented):
+    without FM, PG tolerates some non-padded digit fields that Spark's
+    strict parser rejects; malformed input raises under ANSI rather
+    than returning NULL (use try_to_timestamp semantics upstream if
+    NULLs are wanted)."""
+    pat, pres = _dt_parse_pattern(pattern)
+    return F.to_timestamp(_dt_prepass(_c(col), pres), pat)
 
 
 def to_date(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_date(text, template)`` — see ``to_timestamp``."""
-    return F.to_date(_c(col), _dt_parse_pattern(pattern))
+    pat, pres = _dt_parse_pattern(pattern)
+    return F.to_date(_dt_prepass(_c(col), pres), pat)
 
 
 def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
@@ -1096,9 +1152,11 @@ def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
     tolerates ('2000-1-5 3:7:9' under 'YYYY-MM-DD HH24:MI:SS').
     Closes the strict-parse divergence documented on ``to_timestamp``
     for the common porting shapes; still a pure JVM expression
-    (Spark's try_to_timestamp)."""
-    return F.try_to_timestamp(_c(col),
-                              F.lit(_dt_parse_pattern(pattern, lax=True)))
+    (Spark's try_to_timestamp). Name tokens get the same input
+    pre-pass as the strict forms — here an invalid day name yields
+    NULL instead of an error."""
+    pat, pres = _dt_parse_pattern(pattern, lax=True)
+    return F.try_to_timestamp(_dt_prepass(_c(col), pres), F.lit(pat))
 
 
 def try_to_date(col: "Column | str", pattern: str) -> Column:

@@ -3276,6 +3276,15 @@ def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # malformed input -> NULL (not an ANSI error)
         SQLF.try_to_date(F.lit("not a date"), "YYYY-MM-DD")
             .cast("string").alias("d_null"),
+        # r13 name-token pre-pass: Day on INPUT (Spark bans 'E' in
+        # parse patterns; the shim strips the valid day name and PG
+        # likewise never uses it for a Gregorian date) and dotted
+        # meridiem — both round-trip to_char output
+        SQLF.to_date(SQLF.to_char("ts", "FMDay, DD FMMonth YYYY"),
+                     "Day, DD Month YYYY").cast("string").alias("d_dayname"),
+        SQLF.to_timestamp(
+            SQLF.to_char("ts", "YYYY-MM-DD HH12:MI:SS A.M."),
+            "YYYY-MM-DD HH12:MI:SS A.M.").cast("string").alias("t_meridiem"),
     )
 
 
@@ -3456,7 +3465,11 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                     AS TIMESTAMP) AS VARCHAR) AS t1,
                -- lax round-trip recovers the second-truncated ts
                CAST(date_trunc('second', ts) AS VARCHAR) AS t_lax,
-               CAST(NULL AS VARCHAR) AS d_null
+               CAST(NULL AS VARCHAR) AS d_null,
+               -- day-name / dotted-meridiem round trips recover the
+               -- date and the second-truncated ts respectively
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS d_dayname,
+               CAST(date_trunc('second', ts) AS VARCHAR) AS t_meridiem
         FROM events"""),
     # numeric to_char replayed with string assembly (decimal casts
     # round half-away in both engines; format('{:,}') supplies the

@@ -681,14 +681,72 @@ def test_try_to_timestamp_adjacent_fields_stay_strict(spark):
 
 
 @pytest.mark.parametrize("pat", ["Q", "WW", "IW", "D", "ID", "J", "TZ",
-                                 "SSSS", "A.M.", "XYZ",
-                                 # Spark >= 3.0 bans day-of-week in
-                                 # parse patterns; PG would ignore it
-                                 "Dy, DD Mon YYYY"])
+                                 "SSSS", "XYZ", "CC", "RM"])
 def test_to_timestamp_refuses_unparseable_tokens(spark, pat):
     from agensgraph_spark.sqlfuncs import to_timestamp
     with pytest.raises(ValueError):
         to_timestamp(F.col("x"), pat)
+
+
+# --- name-token input parsing (round 13): Day/Dy via input pre-pass
+# (Spark bans the 'E' family in parse patterns; PG parses the name but
+# never uses it for a Gregorian date — formatting.c DCH_from_char),
+# dotted meridiem normalized to AM/PM. PG regression pins:
+#   to_date('Thursday, 05 December 2000', 'Day, DD Month YYYY')
+#     = 2000-12-05   (PG horology/timestamp regressions use this shape)
+
+@pytest.mark.parametrize("txt,pat,expected", [
+    ("Thursday, 05 December 2000", "Day, DD Month YYYY", "2000-12-05"),
+    ("THURSDAY, 05 December 2000", "Day, DD Month YYYY", "2000-12-05"),
+    ("thursday, 05 December 2000", "day, DD Month YYYY", "2000-12-05"),
+    ("Thu 05 Dec 2000", "Dy DD Mon YYYY", "2000-12-05"),
+    ("TUE 05 Dec 2000", "dy DD Mon YYYY", "2000-12-05"),
+    # trailing day name; parens as literals
+    ("05 Dec 2000 (Fri)", "DD Mon YYYY (Dy)", "2000-12-05"),
+])
+def test_to_date_day_name_tokens(spark, txt, pat, expected):
+    from agensgraph_spark.sqlfuncs import to_date
+    got = (spark.range(1).select(to_date(F.lit(txt), pat).cast("string")
+                                 .alias("d")).first()["d"])
+    assert got == expected
+
+
+def test_to_timestamp_dotted_meridiem(spark):
+    from agensgraph_spark.sqlfuncs import to_timestamp
+    got = (spark.range(1).select(
+        to_timestamp(F.lit("2000-12-05 01:07 P.M."),
+                     "YYYY-MM-DD HH12:MI A.M.")
+        .cast("string").alias("t")).first()["t"])
+    assert got == "2000-12-05 13:07:00"
+    got2 = (spark.range(1).select(
+        to_timestamp(F.lit("2000-12-05 01:07 a.m."),
+                     "YYYY-MM-DD HH12:MI p.m.")
+        .cast("string").alias("t")).first()["t"])
+    assert got2 == "2000-12-05 01:07:00"
+
+
+def test_day_name_validation_stays_loud(spark):
+    """An INVALID day name survives the strip (word-boundary regex on
+    the valid English names only) and fails the strict parse — the
+    shim's approximation of PG's name validation; the try_ variant
+    yields NULL."""
+    from agensgraph_spark.sqlfuncs import to_date, try_to_date
+    df = spark.createDataFrame([("Bogusday, 05 December 2000",)], ["s"])
+    with pytest.raises(Exception):
+        df.select(to_date("s", "Day, DD Month YYYY")).collect()
+    got = df.select(try_to_date("s", "Day, DD Month YYYY")
+                    .cast("string").alias("d")).first()["d"]
+    assert got is None
+
+
+def test_try_variants_accept_day_names_lax(spark):
+    """Day-name strip composes with the lax digit rewrite: non-padded
+    day-of-month plus a day name in one template."""
+    from agensgraph_spark.sqlfuncs import try_to_date
+    df = spark.createDataFrame([("Tue 5 Dec 2000",)], ["s"])
+    got = df.select(try_to_date("s", "Dy DD Mon YYYY")
+                    .cast("string").alias("d")).first()["d"]
+    assert got == "2000-12-05"
 
 
 def test_to_date_roundtrips_to_char(spark):
