@@ -445,3 +445,74 @@ def harmonic_centrality(
                     F.coalesce("n_reached", F.lit(0)).cast("long")
                     .alias("n_reached"),
                     F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")))
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Sampled-source harmonic centrality — the Eppstein-Wang estimator
+    shape: BFS over the undirected graph from the ``sources`` seed set
+    only, then scale each vertex's observed sum of 1/d by |V|/|S|.
+    With S drawn uniformly from V the estimate is unbiased for the
+    (radius-bounded) harmonic score: E[1/d(s,u)] over uniform s is
+    (1/|V|) * sum_v 1/d(v,u). This is the scale-safe configuration on
+    DENSE graphs, where the exhaustive operator's all-source pair state
+    (|V| x reach — 4e8 pairs at radius 2 on this repo's sf10 hierarchy)
+    is the caller's budget: here the state is |S| x reach, chosen by
+    the seed budget instead of the vertex count, while ``max_hops``
+    stays explicit and MANDATORY (same contract as the exhaustive
+    form). Determinism is the caller's: pass a fixed seed frame (e.g.
+    an md5-prefix keyed_sample of the vertices) and the run — and its
+    chained-CTE SQL oracle — reproduces exactly.
+
+    ``sources`` ids absent from ``vertices`` are dropped before |S| is
+    counted (they could only deflate the scale factor); an empty
+    intersection refuses loudly. Returns (id, n_sampled long,
+    harmonic_est double) for every vertex — n_sampled is the RAW count
+    of seeds that reached the vertex (the estimator's support, useful
+    for confidence filtering), harmonic_est the scaled estimate."""
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst"))
+           .distinct())
+    verts = vertices.select("id").distinct()
+    srcs = sources.select("id").distinct().join(verts, "id", "left_semi")
+    if srcs.limit(1).count() == 0:
+        raise ValueError(
+            "harmonic_centrality_sampled: no source id is present in "
+            "vertices (the |V|/|S| scale factor would be undefined)")
+    dist = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                       F.lit(0).alias("d"))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (frontier
+               .join(sym.withColumnRenamed("src", "v"), "v")
+               .select("s", F.col("dst").alias("v"), F.lit(h).alias("d"))
+               .distinct()
+               .join(dist, ["s", "v"], "left_anti"))
+        if h < max_hops:
+            # same per-hop lazy truncation as the exhaustive form: the
+            # frontier feeds union + expansion + anti-join every hop
+            nxt = nxt.localCheckpoint(eager=False)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    # |V| and |S| folded declaratively (two single-row aggregates,
+    # broadcast back) so the whole run replays as chained SQL CTEs
+    stats = (verts.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+             .crossJoin(srcs.agg(F.count(F.lit(1)).cast("double")
+                                 .alias("_ns"))))
+    reached = (dist.filter(F.col("d") > 0)
+               .groupBy(F.col("v").alias("id"))
+               .agg(F.count(F.lit(1)).alias("n_sampled"),
+                    F.sum(F.lit(1.0) / F.col("d")).alias("_h")))
+    return (verts.join(reached, "id", "left")
+            .crossJoin(F.broadcast(stats))
+            .select("id",
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                    .alias("n_sampled"),
+                    (F.coalesce("_h", F.lit(0.0)) * F.col("_n")
+                     / F.col("_ns")).alias("harmonic_est")))

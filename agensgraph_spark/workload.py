@@ -1735,6 +1735,53 @@ def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "n_reached", F.round("harmonic", 6).alias("harmonic"))
 
 
+def _q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eppstein-Wang sampled harmonic centrality: BFS from the 25
+    nation vertices only (a FIXED deterministic seed set — replayable),
+    each vertex's observed 1/d sum scaled by |V|/|S|. The scale-safe
+    configuration on dense graphs: state is |S| x reach, not
+    |V| x reach."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    seeds = verts.filter(F.col("id").startswith("n"))
+    return AN.harmonic_centrality_sampled(edges, verts, seeds,
+                                          max_hops=3).select(
+        "id", "n_sampled", F.round("harmonic_est", 6).alias("harmonic_est"))
+
+
+def _harmonic_sampled_oracle(max_hops: int = 3) -> str:
+    """Chained-CTE replay of the seeded multi-source BFS
+    (operators/analytics.py `harmonic_centrality_sampled`): f0 is the
+    seed set, the final sum is scaled by |V|/|S| in the same
+    multiply-then-divide order Spark evaluates."""
+    ctes = [f"verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"raw AS ({_ANALYTICS_EDGES_SQL})",
+            "sym AS MATERIALIZED (SELECT src, dst FROM ("
+            "SELECT src, dst FROM raw UNION "
+            "SELECT dst AS src, src AS dst FROM raw) WHERE src <> dst)",
+            "seeds AS (SELECT id FROM verts WHERE id LIKE 'n%')",
+            "f0 AS (SELECT id AS s, id AS v, 0 AS d FROM seeds)",
+            "c0 AS (SELECT * FROM f0)"]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"f{h} AS MATERIALIZED (SELECT n.s, n.v, {h} AS d FROM ("
+            f"SELECT DISTINCT f.s, e.dst AS v FROM f{h-1} f "
+            f"JOIN sym e ON e.src = f.v) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{h-1} c "
+            f"WHERE c.s = n.s AND c.v = n.v))")
+        ctes.append(
+            f"c{h} AS MATERIALIZED (SELECT * FROM c{h-1} "
+            f"UNION ALL SELECT * FROM f{h})")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f""",
+    st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM verts) AS _n,
+                  (SELECT CAST(count(*) AS DOUBLE) FROM seeds) AS _ns)
+    SELECT v.id, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_sampled,
+           round(COALESCE(r.h, 0.0) * st._n / st._ns, 6) AS harmonic_est
+    FROM verts v CROSS JOIN st LEFT JOIN (
+        SELECT v AS id, count(*) AS n, sum(1.0 / d) AS h
+        FROM c{max_hops} WHERE d > 0 GROUP BY v) r ON r.id = v.id""")
+
+
 def _harmonic_oracle(max_hops: int = 3) -> str:
     """Chained-CTE replay of the bounded multi-source BFS
     (operators/analytics.py `harmonic_centrality`): per hop a frontier
@@ -3799,6 +3846,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_recall": (_q_ann_ivf_recall, _ivf_recall_oracle()),
     # bounded-hop harmonic centrality (closeness family)
     "graph_harmonic": (_q_graph_harmonic, _harmonic_oracle()),
+    "graph_harmonic_sampled": (_q_graph_harmonic_sampled,
+                               _harmonic_sampled_oracle()),
 }
 
 

@@ -652,6 +652,37 @@ def test_cap_per_group_deterministic_and_bounded(spark):
         cap_per_group(df, "source", 5, skew_buckets=0)
 
 
+def test_harmonic_centrality_sampled_hand_computed(spark):
+    """Path graph a-b-c-d, seeds {a, c}, max_hops=2, |V|/|S| = 2:
+    a sees c@2 -> 0.5*2 = 1.0; b sees a@1 + c@1 -> 2.0*2 = 4.0;
+    c sees a@2 -> 1.0; d sees c@1 (a is 3 hops, beyond radius) -> 2.0.
+    Out-of-graph seeds are dropped before |S|; an all-out-of-graph
+    seed set refuses loudly."""
+    import pytest as _pt
+
+    from agensgraph_spark.operators.analytics import (
+        harmonic_centrality_sampled,
+    )
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    seeds = spark.createDataFrame([("a",), ("c",)], ["id"])
+    got = {r["id"]: (r["n_sampled"], r["harmonic_est"])
+           for r in harmonic_centrality_sampled(e, v, seeds,
+                                                max_hops=2).collect()}
+    assert got == {"a": (1, 1.0), "b": (2, 4.0),
+                   "c": (1, 1.0), "d": (1, 2.0)}
+    # dropping an out-of-graph seed keeps |S| (and the estimate) intact
+    noisy = spark.createDataFrame([("a",), ("c",), ("zz",)], ["id"])
+    got2 = {r["id"]: (r["n_sampled"], r["harmonic_est"])
+            for r in harmonic_centrality_sampled(e, v, noisy,
+                                                 max_hops=2).collect()}
+    assert got2 == got
+    with _pt.raises(ValueError, match="no source id"):
+        harmonic_centrality_sampled(
+            e, v, spark.createDataFrame([("zz",)], ["id"]), max_hops=2)
+
+
 def test_harmonic_centrality_hand_computed(spark):
     """Path graph a-b-c-d with max_hops=2, undirected:
     a reaches b@1, c@2 -> 1 + 0.5 = 1.5, n=2;
