@@ -114,6 +114,7 @@ def assign_sessions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    bucket_seconds: "int | None" = None,
 ) -> DataFrame:
     """Gaps-and-islands sessionization (the batch analog of
     streaming/ `session_window`): a new session starts whenever the
@@ -136,18 +137,103 @@ def assign_sessions(
     gap splits at gap=1800. unix_timestamp() truncates to whole
     seconds, which would silently diverge from both the streaming
     sibling (streaming/sessionize.py compares epoch milliseconds) and
-    ms-precision SQL oracles on sub-second gaps."""
+    ms-precision SQL oracles on sub-second gaps.
+
+    ``bucket_seconds`` (opt-in) is the SKEW-SAFE configuration: a
+    per-user window puts the whole hottest user in ONE task — on a
+    bot-heavy event log at 100 TB that task sorts a two-digit share of
+    the corpus alone. With a bucket width, the event-level work runs
+    within (user, time-bucket) partitions instead: within-bucket
+    boundaries come from the same lag comparison, the first event of
+    each bucket compares against the previous NON-EMPTY bucket's last
+    timestamp (a per-bucket mini-frame — one row per (user, bucket) —
+    carries it), and ``session_seq`` adds the bucket's exclusive
+    running boundary count to the within-bucket cumulative sum. Output
+    is IDENTICAL to the default mode for any bucket width: consecutive
+    event pairs are exactly within-bucket pairs plus adjacent
+    cross-bucket pairs, and zero-delta ties still cannot split. Cost:
+    the big data takes one (user, bucket) exchange reused by window,
+    aggregate, and join (plan-asserted); only the narrow per-bucket
+    frame is windowed per user. Pick a width well above the gap so
+    cross-bucket boundaries stay rare (e.g. a day for a 30-min gap)."""
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    prev = F.lag(F.col(ts_col)).over(w)
-    new_sess = F.when(
-        prev.isNull()
-        | (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
-           > int(gap_seconds) * 1_000_000),
+    gap_us = int(gap_seconds) * 1_000_000
+    ts = F.col(ts_col)
+    if bucket_seconds is None:
+        w = Window.partitionBy(user_col).orderBy(ts.asc())
+        prev = F.lag(ts).over(w)
+        new_sess = F.when(
+            prev.isNull()
+            | (F.timestamp_diff("MICROSECOND", prev, ts) > gap_us),
+            F.lit(1)).otherwise(F.lit(0))
+        cum = Window.partitionBy(user_col).orderBy(ts.asc()) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (df.withColumn("_new", new_sess)
+                .withColumn("session_seq", F.sum("_new").over(cum))
+                .drop("_new"))
+
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"bucket_seconds must be positive, got {bucket_seconds}")
+    # whole-second bucketing is fine: bucket EDGES only route events to
+    # tasks — every gap comparison below stays exact microseconds.
+    #
+    # Decomposition: a bucket's full boundary flags are (first event:
+    # cross-bucket flag) + (others: within-bucket flag), so
+    #   session_seq(e) = base(bucket) + first_flag(bucket)
+    #                    + cumsum of WITHIN-bucket flags up to e
+    # where base is the user's exclusive running boundary count over
+    # previous buckets. Everything cross-bucket lives on the per-bucket
+    # MINI-frame (one narrow row per non-empty (user, bucket)); the
+    # event level needs only within-bucket lag + cumsum, both on the
+    # one (user, bucket) exchange. The mini-frame branch re-reads the
+    # source column-pruned to (user, ts) — at 100 TB that narrow second
+    # scan beats materializing the full-width frame just to share one.
+    bucket = F.floor(F.unix_timestamp(ts) / F.lit(int(bucket_seconds)))
+    w_b = Window.partitionBy(user_col, "_b").orderBy(ts.asc())
+    prev_in = F.lag(ts).over(w_b)
+    # within-bucket flag only: the bucket's first event is handled by
+    # the mini-frame's cross-bucket first_flag
+    new_in = F.when(
+        prev_in.isNotNull()
+        & (F.timestamp_diff("MICROSECOND", prev_in, ts) > gap_us),
         F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc()) \
+
+    mini_prev = F.lag("_ts").over(
+        Window.partitionBy(user_col, "_b").orderBy(F.col("_ts").asc()))
+    mini = (df.select(F.col(user_col), ts.alias("_ts"))
+            .withColumn("_b", F.floor(
+                F.unix_timestamp(F.col("_ts"))
+                / F.lit(int(bucket_seconds))).cast("long"))
+            .withColumn("_new_in", F.when(
+                mini_prev.isNotNull()
+                & (F.timestamp_diff("MICROSECOND", mini_prev, F.col("_ts"))
+                   > gap_us), F.lit(1)).otherwise(F.lit(0)))
+            # reuses the (user, bucket) exchange of its own window
+            .groupBy(user_col, "_b")
+            .agg(F.min("_ts").alias("_first"), F.max("_ts").alias("_last"),
+                 F.sum("_new_in").alias("_cnt_in")))
+    w_u = Window.partitionBy(user_col).orderBy(F.col("_b").asc())
+    prev_last = F.lag("_last").over(w_u)
+    first_flag = F.when(
+        prev_last.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_last, F.col("_first"))
+           > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    w_excl = Window.partitionBy(user_col).orderBy(F.col("_b").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    mini = (mini.withColumn("_ff", first_flag)
+            .withColumn("_base", F.coalesce(
+                F.sum(F.col("_cnt_in") + F.col("_ff")).over(w_excl),
+                F.lit(0)))
+            .select(user_col, "_b", "_ff", "_base"))
+
+    cum_in = Window.partitionBy(user_col, "_b").orderBy(ts.asc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (df.withColumn("_new", new_sess)
-            .withColumn("session_seq", F.sum("_new").over(cum))
-            .drop("_new"))
+    out = (df.withColumn("_b", bucket.cast("long"))
+           .withColumn("_cum_in", F.sum(new_in).over(cum_in))
+           .join(mini, [user_col, "_b"])
+           .withColumn("session_seq",
+                       F.col("_base") + F.col("_ff") + F.col("_cum_in")))
+    return out.select(*df.columns, "session_seq")

