@@ -26,6 +26,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from agensgraph_spark import get_spark, workload  # noqa: E402
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -62,8 +64,17 @@ PROBE_EXTRA = ["dedup_semantic_scaled", "text_lm_perplexity",
                # hop 2 (sf10: 1M x 40k = 4e10 pairs) — the operator's
                # documented bounded-radius contract (the caller chooses
                # the state budget; a 2-hop radius on this graph blows
-               # it), not a scaling defect of the implementation
-               "graph_hits"]
+               # it), not a scaling defect of the implementation.
+               # graph_harmonic_sampled IS probed: seed-bounded state
+               # (25 nation seeds) is the documented dense-graph config
+               "graph_hits", "graph_harmonic_sampled",
+               # r13 skew probes: the two window operators on corpora
+               # deliberately skewed the way their production inputs
+               # are — one domain holding 30% of all docs, one user
+               # holding 30% of all events — exercising the two-phase
+               # cap and the bucketed sessionization shapes whose
+               # whole point is surviving exactly this input
+               "cap_per_group_hot", "sessionize_skewed_user"]
 PROBE = PROBE7 + PROBE_EXTRA
 
 
@@ -104,12 +115,50 @@ def _semantic_scaled(spark, d: str):
                             max_cluster=10_000)
 
 
+def _cap_hot(spark, d: str):
+    """cap_per_group on a deliberately Zipf-broken corpus: one synthetic
+    domain absorbs 30% of ALL documents (doc_id % 10 < 3 — determinism
+    without Date/random). The two-phase salted cap must split that
+    domain's rank-sort across skew_buckets tasks; before round 13 the
+    single-window form would have put 30% of the corpus in ONE task."""
+    from agensgraph_spark.pipeline.sampling import cap_per_group
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    hot = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 < 3, F.lit("hot-domain"))
+        .otherwise(F.col("source")))
+    return cap_per_group(hot, "source", 100)
+
+
+def _sessionize_skewed(spark, d: str):
+    """Batch sessionization + per-session rollup on a bot-shaped event
+    log: one synthetic user owns 30% of ALL events. Runs the bucketed
+    skew-safe mode (1-day buckets, 30-min gap) — the configuration the
+    operator documents for exactly this input; the single-window mode
+    would sort the bot's 30% share in one task."""
+    from agensgraph_spark.operators.temporal import assign_sessions
+    ev = (spark.read.parquet(os.path.join(d, "events.parquet"))
+          .select("event_id", "user_id", "ts", "value"))
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))).drop("event_id")
+    s = assign_sessions(hot, "user_id", "ts", gap_seconds=1800,
+                        bucket_seconds=86400)
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("ss"), F.max("ts").alias("se"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("double")).alias("total_value")))
+
+
 def main() -> None:
     spark = get_spark("scale-decades")
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.all_queries()
     qs = dict(qs)
     qs["dedup_semantic_scaled"] = _semantic_scaled
+    qs["cap_per_group_hot"] = _cap_hot
+    qs["sessionize_skewed_user"] = _sessionize_skewed
     import gen_true_sf1
 
     sf1_dir = os.path.join(_ROOT, ".scaledata", "sf1_true")
