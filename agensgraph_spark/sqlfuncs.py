@@ -981,6 +981,7 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
 _PRE_DAYNAME = "!strip-dayname"    # Day/DAY/day: delete the full name
 _PRE_DAYABBR = "!strip-dayabbr"    # Dy/DY/dy: delete the 3-char name
 _PRE_MERIDIEM_DOTS = "!meridiem-dots"  # A.M. -> AM, then 'a'
+_PRE_ROMAN_MONTH = "!roman-month"  # RM/rm: XII..I -> 12..01, then 'MM'
 
 _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     ("Y,YYY", None), ("YYYY", "yyyy"), ("YYY", None), ("YY", "yy"),
@@ -1004,19 +1005,31 @@ _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     ("a.m.", _PRE_MERIDIEM_DOTS), ("p.m.", _PRE_MERIDIEM_DOTS),
     ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
     ("IW", None), ("WW", None), ("W", None), ("Q", None),
-    ("CC", None), ("J", None), ("RM", None), ("rm", None),
+    ("CC", None), ("J", None),
+    # roman-numeral month: the pre-pass maps the numeral to a
+    # zero-padded month number (word-boundary anchored, longest
+    # token can't shadow — \bX\b never matches inside \bXII\b), then
+    # 'MM' parses it; an invalid numeral survives and fails loudly
+    ("RM", _PRE_ROMAN_MONTH), ("rm", _PRE_ROMAN_MONTH),
     ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
     ("BC", None), ("AD", None),
 ]
 
 # the pre-pass regexes are anchored on word boundaries so a typo'd name
 # ("Thursdayy") survives the strip and fails the strict parse loudly;
-# locale-fixed English, like PG's default C-locale name tables
-_PRE_REGEX = {
-    _PRE_DAYNAME: (r"(?i)\b(sunday|monday|tuesday|wednesday|thursday"
-                   r"|friday|saturday)\b", ""),
-    _PRE_DAYABBR: (r"(?i)\b(sun|mon|tue|wed|thu|fri|sat)\b", ""),
-    _PRE_MERIDIEM_DOTS: (r"(?i)([ap])\.m\.", "$1M"),
+# locale-fixed English, like PG's default C-locale name tables. Each
+# key maps to an ordered chain of (regex, replacement) rewrites.
+_PRE_REGEX: "dict[str, list[tuple[str, str]]]" = {
+    _PRE_DAYNAME: [(r"(?i)\b(sunday|monday|tuesday|wednesday|thursday"
+                    r"|friday|saturday)\b", "")],
+    _PRE_DAYABBR: [(r"(?i)\b(sun|mon|tue|wed|thu|fri|sat)\b", "")],
+    _PRE_MERIDIEM_DOTS: [(r"(?i)([ap])\.m\.", "$1M")],
+    # \b anchors make the chain order-independent (\bX\b cannot match
+    # inside XII); zero-padded so the strict 'MM' field stays 2-wide
+    _PRE_ROMAN_MONTH: [
+        (rf"(?i)\b{rn}\b", f"{m:02d}") for m, rn in enumerate(
+            ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii",
+             "ix", "x", "xi", "xii"], start=1)],
 }
 
 
@@ -1090,6 +1103,10 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> "tuple[str, list[str]]
                     # the normalized input carries a dot-free AM/PM
                     out.append("a")
                     kinds.append("field")
+                elif java == _PRE_ROMAN_MONTH:
+                    # the numeral is rewritten to a 2-digit month
+                    out.append("MM")
+                    kinds.append("field")
                 # day-name tokens consume the template token only: the
                 # stripped input has nothing left to parse there
                 i += len(name)
@@ -1114,8 +1131,8 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> "tuple[str, list[str]]
 
 def _dt_prepass(c: Column, pres: "list[str]") -> Column:
     for key in pres:
-        rx, repl = _PRE_REGEX[key]
-        c = F.regexp_replace(c, rx, repl)
+        for rx, repl in _PRE_REGEX[key]:
+            c = F.regexp_replace(c, rx, repl)
     return c
 
 

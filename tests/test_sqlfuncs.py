@@ -681,11 +681,35 @@ def test_try_to_timestamp_adjacent_fields_stay_strict(spark):
 
 
 @pytest.mark.parametrize("pat", ["Q", "WW", "IW", "D", "ID", "J", "TZ",
-                                 "SSSS", "XYZ", "CC", "RM"])
+                                 "SSSS", "XYZ", "CC"])
 def test_to_timestamp_refuses_unparseable_tokens(spark, pat):
     from agensgraph_spark.sqlfuncs import to_timestamp
     with pytest.raises(ValueError):
         to_timestamp(F.col("x"), pat)
+
+
+@pytest.mark.parametrize("txt,pat,expected", [
+    ("05 XII 2000", "DD RM YYYY", "2000-12-05"),
+    ("05 iv 2000", "DD rm YYYY", "2000-04-05"),   # case-insensitive
+    ("05 viii 2000", "DD RM YYYY", "2000-08-05"),
+    ("05 I 2000", "DD RM YYYY", "2000-01-05"),
+])
+def test_to_date_roman_month_input(spark, txt, pat, expected):
+    from agensgraph_spark.sqlfuncs import to_date
+    got = (spark.range(1).select(to_date(F.lit(txt), pat).cast("string")
+                                 .alias("d")).first()["d"])
+    assert got == expected
+
+
+def test_roman_month_invalid_numeral_stays_loud(spark):
+    # XIII is not a month: the word-boundary rewrite leaves it intact
+    # (\bXII\b cannot match inside XIII) and the parse fails
+    from agensgraph_spark.sqlfuncs import to_date, try_to_date
+    df = spark.createDataFrame([("05 XIII 2000",)], ["s"])
+    with pytest.raises(Exception):
+        df.select(to_date("s", "DD RM YYYY")).collect()
+    assert df.select(try_to_date("s", "DD RM YYYY").alias("d")
+                     ).first()["d"] is None
 
 
 # --- name-token input parsing (round 13): Day/Dy via input pre-pass
