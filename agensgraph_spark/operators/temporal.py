@@ -227,13 +227,19 @@ def assign_sessions(
             .withColumn("_base", F.coalesce(
                 F.sum(F.col("_cnt_in") + F.col("_ff")).over(w_excl),
                 F.lit(0)))
-            .select(user_col, "_b", "_ff", "_base"))
+            .select(F.col(user_col).alias("_mu"), F.col("_b").alias("_mb"),
+                    "_ff", "_base"))
 
     cum_in = Window.partitionBy(user_col, "_b").orderBy(ts.asc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NULL-SAFE join keys: windows and groupBy both treat a NULL user
+    # or NULL ts (null bucket) as its own group — an equality join
+    # would silently DROP those rows while the single-window mode keeps
+    # them; the modes must stay row-for-row identical
     out = (df.withColumn("_b", bucket.cast("long"))
            .withColumn("_cum_in", F.sum(new_in).over(cum_in))
-           .join(mini, [user_col, "_b"])
+           .join(mini, F.col(user_col).eqNullSafe(F.col("_mu"))
+                 & F.col("_b").eqNullSafe(F.col("_mb")))
            .withColumn("session_seq",
                        F.col("_base") + F.col("_ff") + F.col("_cum_in")))
     return out.select(*df.columns, "session_seq")

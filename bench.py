@@ -170,6 +170,9 @@ def main() -> None:
     # still emitted — as their own stderr JSON line — and the stdout
     # budget is enforced below with a hard assert.
     print(f"# queries_median: {json.dumps(med)}", file=sys.stderr)
+    print(f"# cold_total_sec: {round(sum(passes[0].values()), 3)} "
+          f"warm_total_sec: {round(sum(passes[-1].values()), 3)}",
+          file=sys.stderr)
 
     # Scale probe: re-run the 5 most expensive headline queries at a
     # 10x-smaller scale factor and report the time ratio — a direct

@@ -504,6 +504,10 @@ def test_assign_sessions_bucketed_mode_identical(spark):
         t += timedelta(seconds=1800, microseconds=500000 if i % 2 else 0)
     # user 2: a long quiet stretch spanning many buckets
     rows += [(2, base), (2, base + timedelta(days=3))]
+    # null ts and null user: both modes must KEEP these rows and group
+    # them identically (windows/groupBy treat null as its own group —
+    # the bucketed join is null-safe for exactly this)
+    rows += [(3, None), (3, base), (None, base)]
     df = spark.createDataFrame(rows, ["user_id", "ts"])
 
     want = {(r["user_id"], r["ts"]): r["session_seq"]
