@@ -56,6 +56,41 @@ def _prefix(key_col: str) -> Column:
     return F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_W)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    seed: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle for training loaders: every row gets
+    a (shard, pos) address that is a pure function of (seed, id) — the
+    same epoch order on every run, engine, and partitioning, which is
+    what a reproducible training job (and its dataset card) needs.
+    A new ``seed`` per epoch gives an independent permutation.
+
+    Shard = md5(seed:id) mod n_shards (uniform), pos = 1-based rank of
+    md5(seed:id) within the shard, ties broken by id. (shard, pos) is a
+    total address: each data-parallel worker reads its shard in pos
+    order. NO global sort anywhere — a global row_number would funnel
+    the corpus through one task; the per-shard rank window partitions
+    across ``n_shards`` tasks, each corpus/n_shards rows, which is
+    exactly the trainer's own parallelism. Returns the input columns
+    plus (shard int, pos long)."""
+    from pyspark.sql import Window
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    # the first 8 hex chars as an int: cross-engine (DuckDB replays the
+    # same substring+from_hex math), uniform, and independent of the
+    # rank order below only in the modulus — same-hash rows stay
+    # together, which is fine (md5 collisions are negligible)
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    w = Window.partitionBy(shard).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long")))
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -171,6 +171,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text cleanup — the normalization pass every corpus
+    ingestion runs before hashing/dedup so that byte-level noise
+    (stray control chars, NBSP vs space, runs of whitespace, ragged
+    edges) doesn't defeat exact dedup or skew token counts:
+
+    1. control chars (C0 + DEL) and zero-width/BOM marks -> dropped,
+    2. unicode space separators (NBSP, en/em/thin space, ideographic
+       space) -> ASCII space,
+    3. whitespace runs (incl. tab/newline) -> one space,
+    4. leading/trailing whitespace -> trimmed.
+
+    Map-only pure column expressions, deterministic and SQL-replayable
+    (every step is a regexp_replace an external engine reproduces).
+    Returns (id, norm_text, changed boolean, n_chars_saved long) —
+    `changed` lets a pipeline route untouched docs around a rewrite."""
+    t = F.col(text_col)
+    step = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+                               "\\u200b\\u200c\\u200d\\ufeff]", "")
+    step = F.regexp_replace(
+        step, "[\\u00a0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]", " ")
+    step = F.trim(F.regexp_replace(step, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        step.alias("norm_text"),
+        (step != t).alias("changed"),
+        (F.length(t) - F.length(step)).cast("long").alias("n_chars_saved"))
+
+
 def heuristic_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -2023,6 +2023,56 @@ _CAP_PER_SOURCE_ORACLE = """
         FROM documents) WHERE group_rank <= 10"""
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every doc gets a (shard, pos)
+    address that is a pure function of (seed, id) — reproducible
+    training order with NO global sort (per-shard rank windows only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SMP.epoch_shuffle(docs, seed="ep1", n_shards=8).select(
+        "doc_id", "shard", "pos")
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(pos AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, h8 % 8 AS shard,
+             row_number() OVER (PARTITION BY h8 % 8
+                 ORDER BY h, doc_id) AS pos
+      FROM (SELECT doc_id,
+                   md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h,
+                   ('0x' || substring(
+                       md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   )::BIGINT AS h8
+            FROM documents))"""
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup (control chars, unicode spaces,
+    whitespace runs, edge trim) — the normalization pass run before
+    hashing/dedup so byte noise can't defeat exact dedup."""
+    return TX.normalize_text(read_table(spark, sf_dir, "documents"))
+
+
+# DuckDB regexps are RE2 like Spark's; the 'g' flag matters (DuckDB
+# replaces only the first match by default, Spark replaces all)
+_NORMALIZE_TEXT_ORACLE = r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}\x{200c}\x{200d}\x{feff}]',
+                   '', 'g'),
+                 '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+                 ' ', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text, norm_text <> text AS changed,
+           CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_saved
+    FROM n"""
+
+
 def _q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd step from the seeded IVF centroids — assignment +
     per-cluster mean, centroids rendered as integer micro-units."""
@@ -3842,6 +3892,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_ORACLE),
     # deterministic per-source document cap (anti-domain-dominance)
     "cap_per_source": (_q_cap_per_source, _CAP_PER_SOURCE_ORACLE),
+    "epoch_shuffle": (_q_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
+    "normalize_text": (_q_normalize_text, _NORMALIZE_TEXT_ORACLE),
     # IVF recall@5 vs brute-force ground truth (index quality eval)
     "ann_ivf_recall": (_q_ann_ivf_recall, _ivf_recall_oracle()),
     # bounded-hop harmonic centrality (closeness family)

@@ -646,6 +646,72 @@ def test_duplicate_spans_disjoint_runs_report_longest(spark):
     assert got[3] == (5, 7)
 
 
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    """epoch_shuffle: (shard, pos) is a total address — every row gets
+    exactly one, pos is 1..shard_size per shard, the assignment matches
+    a pure-Python md5 replay, repartitioning doesn't change it, and a
+    different seed gives a different permutation; n_shards<=0 refuses."""
+    import hashlib
+
+    import pytest as _pt
+
+    from agensgraph_spark.pipeline.sampling import epoch_shuffle
+
+    ids = list(range(100))
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+
+    def replay(seed, n):
+        shards = {}
+        for i in ids:
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            shards.setdefault(int(h[:8], 16) % n, []).append((h, i))
+        out = {}
+        for s, rows in shards.items():
+            for pos, (_, i) in enumerate(sorted(rows), start=1):
+                out[i] = (s, pos)
+        return out
+
+    got = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in epoch_shuffle(df, "ep1", 8).collect()}
+    assert got == replay("ep1", 8)
+    # a permutation: addresses unique, per-shard positions contiguous
+    assert len(set(got.values())) == len(ids)
+    got_rep = {r["doc_id"]: (r["shard"], r["pos"])
+               for r in epoch_shuffle(df.repartition(7), "ep1", 8).collect()}
+    assert got_rep == got
+    got2 = {r["doc_id"]: (r["shard"], r["pos"])
+            for r in epoch_shuffle(df, "ep2", 8).collect()}
+    assert got2 == replay("ep2", 8)
+    assert got2 != got
+    with _pt.raises(ValueError):
+        epoch_shuffle(df, "ep1", 0)
+
+
+def test_normalize_text_edge_cases(spark):
+    """Control chars dropped, zero-width marks dropped, NBSP/em-space
+    to ASCII space, whitespace runs collapsed, edges trimmed; clean
+    text is unchanged (changed=False, 0 saved)."""
+    from agensgraph_spark.pipeline.text import normalize_text
+
+    rows = [
+        (1, "  hello\t\tworld \n"),
+        (2, "a\x00b\x07c"),
+        (3, "zero​width﻿marks"),
+        (4, "nb sp and em space　wide"),
+        (5, "already clean"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["norm_text"], r["changed"], r["n_chars_saved"])
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("hello world", True, 5)
+    assert got[2] == ("abc", True, 2)
+    assert got[3] == ("zerowidthmarks", True, 2)
+    assert got[4] == ("nb sp and em space wide", True, 0)
+    assert got[5] == ("already clean", False, 0)
+    assert got[6] == ("", False, 0)
+
+
 def test_cap_per_group_deterministic_and_bounded(spark):
     """cap_per_group keeps exactly min(k, group size) rows per group
     with the exact full-group ranks, the SAME rows across re-runs,
