@@ -700,6 +700,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return bit_sums.selectExpr(f"_id AS `{id_col}`", f"({terms}) AS simhash")
 
 
+def canonical_by_score(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: given cluster assignments
+    (``connected_components`` output, or any (id, component) frame)
+    and a per-id quality score, keep the HIGHEST-scoring member of
+    each duplicate cluster instead of the arbitrary min-id one — the
+    "keep the best copy" rule real curation pipelines apply (longest
+    document, highest quality_score, lowest perplexity via a negated
+    score). Ties break to the LOWEST id, so selection is total and
+    deterministic.
+
+    Skew-safe by construction: the per-cluster argmax is ONE hash
+    aggregate — max(struct(score, -id)) — never a per-cluster sort
+    window, so a degenerate giant cluster costs a partial-aggregated
+    shuffle row, not a single-task sort. The one-row-per-cluster best
+    frame then joins back (broadcast-sized at any realistic cluster
+    count). Requires a numeric id (the tie-break negates it).
+
+    Returns (id, component, score, keep boolean, best_id)."""
+    j = assignments.select(F.col(id_col), F.col(comp_col)).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col)
+    best = (j.groupBy(comp_col)
+            .agg(F.max(F.struct(F.col(score_col).alias("_s"),
+                                (-F.col(id_col)).alias("_nid"))).alias("_b"))
+            .select(F.col(comp_col),
+                    (-F.col("_b._nid")).alias("best_id")))
+    return (j.join(best, comp_col)
+            .select(id_col, comp_col, score_col,
+                    (F.col(id_col) == F.col("best_id")).alias("keep"),
+                    "best_id"))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -2352,6 +2352,57 @@ _DEDUP_CLUSTER_ORACLE = """
     FROM reach GROUP BY id"""
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: the dedup_cluster components,
+    but keeping each cluster's LONGEST document (n_chars, ties to the
+    lowest id) instead of the arbitrary min-id member — the 'keep the
+    best copy' rule of real curation funnels. Argmax is one hash
+    aggregate (never a per-cluster sort window)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_pairs(emb, threshold=0.25, max_id=100,
+                                   dim=_emb_dim(emb, sf_dir))
+    nodes = emb.filter(F.col("vec_id") < 100).select("vec_id")
+    cc = D.connected_components(pairs.select("id_a", "id_b"), nodes=nodes)
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("score"))
+    return D.canonical_by_score(cc, docs).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id"),
+        F.col("score").alias("n_chars"), "keep", "best_id")
+
+
+_DEDUP_KEEP_BEST_ORACLE = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.25
+    ), edges AS (
+        SELECT ida AS src, idb AS dst FROM pairs
+        UNION ALL
+        SELECT idb, ida FROM pairs
+    ), reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 100
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), cc AS (
+        SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), scored AS (
+        SELECT cc.id, cc.component, d.n_chars
+        FROM cc JOIN documents d ON d.doc_id = cc.id
+    ), best AS (
+        SELECT component, id AS best_id FROM (
+            SELECT component, id, row_number() OVER (
+                PARTITION BY component
+                ORDER BY n_chars DESC, id ASC) AS rn FROM scored)
+        WHERE rn = 1
+    )
+    SELECT s.id AS vec_id, s.component AS cluster_id,
+           CAST(s.n_chars AS BIGINT) AS n_chars,
+           s.id = b.best_id AS keep, b.best_id
+    FROM scored s JOIN best b ON b.component = s.component"""
+
+
 def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming rollup, executed for real through Structured
     Streaming (file source → watermarked window agg → memory sink,
@@ -3705,6 +3756,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.25"""),
     "dedup_cluster": (_q_dedup_cluster, _DEDUP_CLUSTER_ORACLE),
+    "dedup_keep_best": (_q_dedup_keep_best, _DEDUP_KEEP_BEST_ORACLE),
     "heuristic_filter": (_q_heuristic_filter, _HEURISTIC_FILTER_ORACLE),
     "repetition_filter": (_q_repetition_filter, _REPETITION_FILTER_ORACLE),
     "mix_sample": (_q_mix_sample, _MIX_SAMPLE_ORACLE),

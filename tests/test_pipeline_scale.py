@@ -646,6 +646,28 @@ def test_duplicate_spans_disjoint_runs_report_longest(spark):
     assert got[3] == (5, 7)
 
 
+def test_canonical_by_score_hand_computed(spark):
+    """Keep the highest-scoring member per cluster, ties to the lowest
+    id; singletons keep themselves; the plan's argmax is a hash
+    aggregate, not a per-cluster sort window (skew safety)."""
+    from agensgraph_spark.pipeline.dedup import canonical_by_score
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        ["id", "component"])
+    sc = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 4), (9, 4)],
+        ["id", "score"])
+    out = canonical_by_score(cc, sc)
+    got = {r["id"]: (r["keep"], r["best_id"]) for r in out.collect()}
+    # cluster 1: 2 and 3 tie at 30 -> lowest id 2 wins
+    assert got == {1: (False, 2), 2: (True, 2), 3: (False, 2),
+                   7: (True, 7), 8: (True, 8), 9: (False, 8)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, plan
+    assert "max(" in plan or "max_" in plan.lower(), plan
+
+
 def test_epoch_shuffle_is_deterministic_permutation(spark):
     """epoch_shuffle: (shard, pos) is a total address — every row gets
     exactly one, pos is 1..shard_size per shard, the assignment matches
