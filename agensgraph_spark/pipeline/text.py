@@ -171,6 +171,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def outlier_bounds_filter(
+    df: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = (),
+    lo: float = 0.05,
+    hi: float = 0.95,
+    decimals: int = 6,
+) -> DataFrame:
+    """Quantile-bounds outlier flagging — the per-language length
+    filter every curation pipeline runs (drop the truncated fragments
+    below p5 and the concatenation accidents above p95, computed
+    WITHIN each language/stratum so a verbose language's normal docs
+    don't read as outliers of a terse one).
+
+    Two passes, both scale-shaped: one exact percentile aggregate per
+    group (the bounds frame is group-count-sized), broadcast back, and
+    a map-side keep flag. Bounds are rounded to ``decimals`` before
+    the comparison — part of the determinism contract: exact
+    percentiles interpolate in doubles, and an unrounded bound could
+    flip a row that sits exactly on it between engines. Returns the
+    input plus (lo_bound, hi_bound, keep boolean); filtering is the
+    caller's `.filter("keep")`.
+
+    Tiny strata caveat: interpolated quantiles of an n-row group sit
+    strictly inside the value range for 0 < lo <= hi < 1 when n is
+    small (two values at p10/p90 exclude BOTH) — filter strata below a
+    size floor first if that's not the intent."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(*[F.col(c) for c in by]).agg(
+        F.round(F.percentile(v, F.lit(float(lo))), decimals).alias("lo_bound"),
+        F.round(F.percentile(v, F.lit(float(hi))), decimals).alias("hi_bound"))
+    if by:
+        j = df.join(F.broadcast(agg), list(by))
+    else:
+        j = df.crossJoin(F.broadcast(agg))
+    return j.withColumn(
+        "keep", (v >= F.col("lo_bound")) & (v <= F.col("hi_bound")))
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

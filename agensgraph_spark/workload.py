@@ -2047,6 +2047,28 @@ _EPOCH_SHUFFLE_ORACLE = """
             FROM documents))"""
 
 
+def _q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier flagging: keep docs whose n_chars
+    sits within [p10, p90] of their OWN language — the stratified
+    truncation/concatenation filter of standard curation funnels."""
+    docs = read_table(spark, sf_dir, "documents")
+    return TX.outlier_bounds_filter(
+        docs, "n_chars", by=("lang",), lo=0.10, hi=0.90).select(
+        "doc_id", "lang", "n_chars", "lo_bound", "hi_bound", "keep")
+
+
+_LENGTH_OUTLIERS_ORACLE = """
+    WITH b AS (
+      SELECT lang,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.10), 6) AS lo_bound,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.90), 6) AS hi_bound
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars, b.lo_bound, b.hi_bound,
+           CAST(d.n_chars AS DOUBLE) >= b.lo_bound
+             AND CAST(d.n_chars AS DOUBLE) <= b.hi_bound AS keep
+    FROM documents d JOIN b ON b.lang = d.lang"""
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text cleanup (control chars, unicode spaces,
     whitespace runs, edge trim) — the normalization pass run before
@@ -3946,6 +3968,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cap_per_source": (_q_cap_per_source, _CAP_PER_SOURCE_ORACLE),
     "epoch_shuffle": (_q_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
     "normalize_text": (_q_normalize_text, _NORMALIZE_TEXT_ORACLE),
+    "length_outliers": (_q_length_outliers, _LENGTH_OUTLIERS_ORACLE),
     # IVF recall@5 vs brute-force ground truth (index quality eval)
     "ann_ivf_recall": (_q_ann_ivf_recall, _ivf_recall_oracle()),
     # bounded-hop harmonic centrality (closeness family)

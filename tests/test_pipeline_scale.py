@@ -646,6 +646,32 @@ def test_duplicate_spans_disjoint_runs_report_longest(spark):
     assert got[3] == (5, 7)
 
 
+def test_outlier_bounds_filter_hand_computed(spark):
+    """Per-group exact-percentile bounds: values 1..10 in group A with
+    lo=0.1/hi=0.9 keep 1.9..9.1 -> {2..9}; a second group is
+    independent; no-group mode bounds over the whole frame; bad
+    quantiles refuse; the bounds join must broadcast."""
+    import pytest as _pt
+
+    from agensgraph_spark.pipeline.text import outlier_bounds_filter
+
+    rows = [("A", v) for v in range(1, 11)] + [("B", 100), ("B", 200)]
+    df = spark.createDataFrame(rows, ["lang", "n"])
+    out = outlier_bounds_filter(df, "n", by=("lang",), lo=0.1, hi=0.9)
+    kept = {(r["lang"], r["n"]) for r in out.collect() if r["keep"]}
+    # group B pins the tiny-group behavior: interpolated p10/p90 of
+    # two values (110, 190) exclude BOTH endpoints — callers filter
+    # strata below a size floor first (documented in the operator)
+    assert kept == {("A", v) for v in range(2, 10)}
+    # ungrouped: bounds over the whole frame
+    allv = outlier_bounds_filter(df.select("n"), "n", lo=0.0, hi=1.0)
+    assert all(r["keep"] for r in allv.collect())
+    with _pt.raises(ValueError):
+        outlier_bounds_filter(df, "n", lo=0.9, hi=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_canonical_by_score_hand_computed(spark):
     """Keep the highest-scoring member per cluster, ties to the lowest
     id; singletons keep themselves; the plan's argmax is a hash
