@@ -60,6 +60,12 @@ HEADLINE = [
     "dedup_dup_spans",
     "dsir_importance",
     "sessionize_events",
+    # round-13 additions: the seed-bounded sampled centrality, the
+    # epoch-shuffle address assignment, and the cluster-canonical
+    # argmax composition. Same caveat — per-query comparisons.
+    "graph_harmonic_sampled",
+    "epoch_shuffle",
+    "dedup_keep_best",
 ]
 
 
