@@ -173,30 +173,39 @@ def main() -> None:
     datasets = [("/root/testdata/sf0.1", "sf0.1"),
                 (sf1_dir, "sf1"), (sf10_dir, "sf10")]
     # untimed JIT circuit on the SMALLEST dataset only: codegen/JIT
-    # warming is per-code-path, not per-data; each dataset still gets
-    # its own warm pass below before timing (the full three-dataset
-    # circuit doubled the probe's wall clock for no extra signal)
+    # warming is per-code-path, not per-data; each (query, dataset)
+    # still gets its own warm pass below before timing (the full
+    # three-dataset circuit doubled the probe's wall clock for no
+    # extra signal)
     for name in PROBE:
         _materialize(qs[name](spark, datasets[0][0]))
     gc.collect()
+    # QUERY-MAJOR ORDER (round 13): the former dataset-major loop put
+    # every sf10 timing at the END of a ~50-materialization session,
+    # where accumulated cross-query state (superseded localCheckpoint
+    # blocks, JVM heap shape — the r12-documented dedup_cluster
+    # 3.8s-in-sequence vs 1.2s-isolated effect) inflates LATE timings.
+    # That bias GROWS with the probe-set size and lands entirely on the
+    # decade-2 ratios. Running each query's three datasets back-to-back
+    # means a ratio's numerator and denominator share adjacent session
+    # state; absolute values may still drift late in the sequence, but
+    # the RATIOS — the probe's product — no longer absorb the
+    # sequence-position bias. (Empirically: the 18-query dataset-major
+    # run read minhash decade-2 at 11.3 and lm_perplexity at 13.8; the
+    # same build query-major reads them data-bound again.)
     results: dict[str, dict[str, float]] = {}
-    for d, tag in datasets:
-        for name in PROBE:               # per-dataset warm pass
-            _materialize(qs[name](spark, d))
-        gc.collect()
-        for name in PROBE:               # timed: min of 2
+    for name in PROBE:
+        for d, tag in datasets:
+            _materialize(qs[name](spark, d))   # per-(query,dataset) warm
             ts = []
-            for _ in range(2):
+            for _ in range(2):                 # timed: min of 2
                 t0 = time.time()
                 _materialize(qs[name](spark, d))
                 ts.append(time.time() - t0)
             results.setdefault(name, {})[tag] = round(min(ts), 2)
-            # per-query GC: the r12 11-query probe showed the iterative
-            # operators' superseded localCheckpoint blocks inflating
-            # LATER queries' timings at sf10 (dedup_cluster read 3.8s in
-            # the 33-run sequence vs 1.2s isolated in a fresh session);
-            # releasing Python refs per query keeps executor storage flat
-            gc.collect()
+        # per-query GC: release superseded localCheckpoint refs so the
+        # next query starts from flat executor storage
+        gc.collect()
 
     print(f"{'query':22s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
           "r(0.1->1) r(1->10)   (10x data per decade)")
