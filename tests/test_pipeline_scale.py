@@ -521,6 +521,22 @@ def test_assign_sessions_bucketed_mode_identical(spark):
         assign_sessions(df, gap_seconds=1800, bucket_seconds=0)
 
 
+def test_assign_sessions_bucketed_matches_on_fixture(spark):
+    """Cross-mode identity on the REAL events fixture (sf0.001): the
+    bucketed mode must reproduce the single-window session_seq for
+    every event, not just on crafted rows."""
+    from agensgraph_spark.operators.temporal import assign_sessions
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", "ts"))
+    a = assign_sessions(ev, gap_seconds=1800) \
+        .select("user_id", "ts", "session_seq")
+    b = assign_sessions(ev, gap_seconds=1800, bucket_seconds=86400) \
+        .select("user_id", "ts", "session_seq")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_assign_sessions_subsecond_gap_precision(spark):
     """The gap compares at full timestamp precision: a 1800.5s delta
     whose WHOLE-SECOND truncation is exactly 1800 must still split at
