@@ -505,6 +505,56 @@ def minhash_neardup_pairs(
     return out
 
 
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **mh_kwargs,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement
+    of ``decontaminate_ngrams``'s exact 8-gram overlap: a train doc is
+    contaminated when it is MinHash-near-dup to ANY eval doc, catching
+    the light-paraphrase leaks exact n-gram containment misses
+    (whitespace edits, a swapped sentence, re-tokenized quotes).
+
+    Pure composition over the verified machinery: both corpora union
+    into one frame with parity-encoded ids (train 2*id, eval 2*id+1 —
+    requires numeric ids), ``minhash_neardup_pairs`` runs ONCE over
+    the union with exactly its scale shape (banding, bucket caps,
+    candidate-bounded verify), and only cross-parity pairs survive.
+    Extra keyword args flow through to ``minhash_neardup_pairs``
+    (threshold, bands, hash_fn, ...).
+
+    At 100 TB the eval set is tiny next to train, so the union costs
+    what train alone costs; every cross-corpus candidate comes out of
+    the same banding shuffle (no train x eval join ever forms).
+
+    Returns one row per TRAIN doc: (id, max_eval_jaccard double —
+    NULL when clean, n_eval_matches long, contaminated boolean)."""
+    t = train.select((F.col(id_col) * 2).alias("_fid"),
+                     F.col(text_col).alias("_ft"))
+    e = eval_df.select((F.col(id_col) * 2 + 1).alias("_fid"),
+                       F.col(text_col).alias("_ft"))
+    pairs = minhash_neardup_pairs(t.unionByName(e), text_col="_ft",
+                                  id_col="_fid", **mh_kwargs)
+    cross = pairs.filter(
+        F.pmod(F.col("id_a"), 2) != F.pmod(F.col("id_b"), 2))
+    train_id = F.when(F.pmod(F.col("id_a"), 2) == 0, F.col("id_a")) \
+        .otherwise(F.col("id_b"))
+    hits = (cross.select((train_id / 2).cast("long").alias(id_col),
+                         "jaccard")
+            .groupBy(id_col)
+            .agg(F.max("jaccard").alias("max_eval_jaccard"),
+                 F.count(F.lit(1)).alias("n_eval_matches")))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(id_col, "max_eval_jaccard",
+                    F.coalesce("n_eval_matches", F.lit(0)).cast("long")
+                    .alias("n_eval_matches"),
+                    F.col("n_eval_matches").isNotNull()
+                    .alias("contaminated")))
+
+
 def lsh_skew_stats(
     df: DataFrame,
     text_col: str = "text",

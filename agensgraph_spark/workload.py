@@ -1069,13 +1069,20 @@ _MD5_HASH_SQL = "CAST(('0x'||substring(md5({s}),1,15)) AS BIGINT)"
 
 def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8, k: int = 5,
                         min_est: float = 0.3, threshold: float = 0.4,
-                        max_bucket: int = 10_000) -> str:
+                        max_bucket: int = 10_000,
+                        source_sql: str = "SELECT doc_id, text FROM documents",
+                        final_sql: "str | None" = None) -> str:
     """DuckDB replay of the ENTIRE gated MinHash-LSH pipeline in
     hash_fn='md5' mode — shingles, 60-bit md5-prefix shingle hashes,
     the 32 affine min-hash slots (same LCG-derived (a,b) params via
     dedup._mh_params), raw-string band keys, bucket cap, distinct
     member-sets, pair explosion, signature-agreement est filter, and
-    exact shingle-set Jaccard verification."""
+    exact shingle-set Jaccard verification.
+
+    ``source_sql`` parameterizes the (doc_id, text) corpus so derived
+    rows (fuzzy decontamination's parity-encoded union) replay the
+    same pipeline; ``final_sql`` optionally replaces the terminal
+    SELECT and may reference the ``v`` CTE (id_a, id_b, inter, uni)."""
     p = D._MH_PRIME
     rows = num_hashes // bands
     h = _MD5_HASH_SQL.format(s="s")
@@ -1094,7 +1101,7 @@ WITH hs AS (
            list_distinct([substring(lower(text), CAST(i AS INT), {k})
                           FOR i IN range(1, greatest(length(text)-{k - 1}, 1)+1)]),
            s -> {h}) AS sh
-  FROM documents),
+  FROM ({source_sql})),
 sig AS (
   SELECT doc_id, sh,
          [{mins}] AS sig
@@ -1126,8 +1133,48 @@ v AS (
   FROM est e
   JOIN hs ha ON ha.doc_id = e.id_a
   JOIN hs hb ON hb.doc_id = e.id_b)
-SELECT id_a, id_b, round(inter / uni, 6) AS jaccard
-FROM v WHERE inter / uni >= {threshold}"""
+{final_sql if final_sql is not None else
+       f"SELECT id_a, id_b, round(inter / uni, 6) AS jaccard "
+       f"FROM v WHERE inter / uni >= {threshold}"}"""
+
+
+def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: a train doc is contaminated
+    when MinHash-near-dup to any doc of the held-out 'benchmark' slice
+    (doc_id % 17 == 0 — the same slice the exact 8-gram row uses), so
+    paraphrase-level leaks are caught too. Composition: ONE
+    minhash_neardup_pairs run over the parity-encoded union."""
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    out = D.fuzzy_decontaminate(docs, eval_df, min_est=0.3, threshold=0.4,
+                                hash_fn="md5", reuse_hashes=True)
+    return out.select("doc_id",
+                      F.round("max_eval_jaccard", 6).alias("max_eval_jaccard"),
+                      "n_eval_matches", "contaminated")
+
+
+def _fuzzy_decontaminate_oracle() -> str:
+    """The md5 MinHash pipeline replayed over the parity-encoded
+    train+eval union, cross-parity pairs aggregated per train doc."""
+    return _minhash_md5_oracle(
+        source_sql=(
+            "SELECT doc_id * 2 AS doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id * 2 + 1 AS doc_id, text FROM documents "
+            "WHERE doc_id % 17 = 0"),
+        final_sql="""
+, cx AS (
+  SELECT CAST((CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+              AS BIGINT) AS tid,
+         inter / uni AS j
+  FROM v
+  WHERE inter / uni >= 0.4 AND (id_a % 2) <> (id_b % 2)),
+hits AS (
+  SELECT tid, max(j) AS mx, count(*) AS n FROM cx GROUP BY tid)
+SELECT d.doc_id, round(h.mx, 6) AS max_eval_jaccard,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_matches,
+       h.tid IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h ON h.tid = d.doc_id""")
 
 
 def _simhash_md5_cte(bits: int = 32) -> str:
@@ -3969,6 +4016,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "epoch_shuffle": (_q_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
     "normalize_text": (_q_normalize_text, _NORMALIZE_TEXT_ORACLE),
     "length_outliers": (_q_length_outliers, _LENGTH_OUTLIERS_ORACLE),
+    "fuzzy_decontaminate": (_q_fuzzy_decontaminate,
+                            _fuzzy_decontaminate_oracle()),
     # IVF recall@5 vs brute-force ground truth (index quality eval)
     "ann_ivf_recall": (_q_ann_ivf_recall, _ivf_recall_oracle()),
     # bounded-hop harmonic centrality (closeness family)

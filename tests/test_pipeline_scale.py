@@ -662,6 +662,35 @@ def test_duplicate_spans_disjoint_runs_report_longest(spark):
     assert got[3] == (5, 7)
 
 
+def test_fuzzy_decontaminate_hand_computed(spark):
+    """A train doc near-identical to an eval doc is flagged with a
+    high jaccard; unrelated train docs stay clean with NULL max and 0
+    matches; the eval doc itself (present in train too, as in the
+    registry row) self-hits at 1.0. Train-train near-dups must NOT
+    flag (cross-parity filter)."""
+    from agensgraph_spark.pipeline.dedup import fuzzy_decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame([
+        (1, eval_text),                              # exact leak
+        (2, eval_text.replace("lazy", "sleepy")),    # paraphrase leak
+        (3, "completely unrelated text about graph engines and parquet"),
+        (4, "completely unrelated text about graph engines and parquet!"),
+    ], ["doc_id", "text"])
+    ev = spark.createDataFrame([(1, eval_text)], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["contaminated"], r["n_eval_matches"],
+                         r["max_eval_jaccard"])
+           for r in fuzzy_decontaminate(train, ev, threshold=0.4,
+                                        min_est=0.3,
+                                        hash_fn="md5").collect()}
+    assert got[1][0] and got[1][2] == 1.0
+    assert got[2][0] and 0.4 <= got[2][2] < 1.0
+    # docs 3 and 4 are near-dups OF EACH OTHER (train-train) — the
+    # cross-parity filter must keep them clean
+    assert got[3] == (False, 0, None)
+    assert got[4] == (False, 0, None)
+
+
 def test_outlier_bounds_filter_hand_computed(spark):
     """Per-group exact-percentile bounds: values 1..10 in group A with
     lo=0.1/hi=0.9 keep 1.9..9.1 -> {2..9}; a second group is
