@@ -74,8 +74,13 @@ def epoch_shuffle(
     order. NO global sort anywhere — a global row_number would funnel
     the corpus through one task; the per-shard rank window partitions
     across ``n_shards`` tasks, each corpus/n_shards rows, which is
-    exactly the trainer's own parallelism. Returns the input columns
-    plus (shard int, pos long)."""
+    exactly the trainer's own parallelism. Size ``n_shards`` with the
+    corpus (the trainer's data-parallel width — hundreds to thousands
+    at 100 TB): each task externally sorts corpus/n_shards full-width
+    rows, spilling gracefully; the alternative (rank a pruned (id,
+    hash) frame and join the address back) trades that sort for an
+    extra full-width shuffle, which costs more for typical document
+    rows. Returns the input columns plus (shard int, pos long)."""
     from pyspark.sql import Window
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")

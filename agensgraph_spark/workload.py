@@ -3220,6 +3220,38 @@ _ANN_BRUTE_ORACLE = """
         FROM ranked WHERE rank <= 5"""
 
 
+def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN serving — top-5 among vectors whose source
+    document is English: the predicate prunes the corpus BEFORE the
+    scoring join (semi-join against the metadata table), never
+    post-filters an unfiltered top-k (which would under-fill k). At
+    100 TB the filter also bounds the scored candidate set, which is
+    the point of filtered vector search."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == "en") \
+        .select(F.col("doc_id").alias("vec_id"))
+    corpus = emb.join(allowed, "vec_id", "left_semi")
+    return S.brute_cosine_topk(corpus, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+_ANN_FILTERED_ORACLE = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings e
+                   WHERE EXISTS (SELECT 1 FROM documents d
+                                 WHERE d.doc_id = e.vec_id AND d.lang = 'en')),
+             scored AS (
+               SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos_sim
+               FROM q JOIN c ON query_id <> neighbor_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos_sim,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= 5"""
+
+
 def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index against brute-force ground truth —
     the evaluation every ANN deployment runs before trusting the
@@ -3987,6 +4019,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash": (_q_simhash, _simhash_md5_oracle()),
     "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_md5_oracle()),
     "ann_cosine_topk": (_q_ann_brute, _ANN_BRUTE_ORACLE),
+    "ann_filtered": (_q_ann_filtered, _ANN_FILTERED_ORACLE),
     "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
     "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
