@@ -874,29 +874,61 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
 
     # pre: right-align istr into the digit slots via one lpad, chunk by
     # runs; a group separator renders only when a digit lands strictly
-    # left of it (d_right = digit slots to its right); literals always
+    # left of it; literals always. Separators are CONCATENATED
+    # UNCONDITIONALLY and the region left of the number's first digit
+    # is then blanked with ONE overlay whose text comes from a
+    # per-digit-count literal array — a per-separator when(ilen > ...)
+    # conditional re-evaluates the whole digit-string tree once per
+    # separator (no common-subexpression elimination inside CaseWhen
+    # branches; measured ~0.4us/row/separator on the 9G999G999D99
+    # picture), while the prefix is a compile-time constant per count.
     padded = F.lpad(istr, n_pre, " ") if n_pre > 0 else F.lit("")
-    pieces: list[Column] = []
-    run_start = None  # digit-order of the current run's first slot
-    order = 0
-    for k, v in pre:
-        if k == "d":
-            if run_start is None:
-                run_start = order
-            order += 1
-        else:
-            if run_start is not None:
-                pieces.append(F.substring(padded, run_start + 1, order - run_start))
-                run_start = None
-            if k == "g":
-                d_right = n_pre - order
-                pieces.append(F.when(ilen > d_right, F.lit(v))
-                              .otherwise(F.lit(" " * len(v))))
+    has_g = any(k == "g" for k, _ in pre)
+    if n_pre > 0:
+        # build by INSERTING each non-digit slot's text into the padded
+        # digit string with zero-length overlays at compile-time
+        # positions — the padded tree (lpad over the whole blank-zero /
+        # zero-fill conditional chain over the decimal-to-string cast)
+        # is referenced exactly ONCE, where the old per-run
+        # substring(padded, ...) chunking re-evaluated it once per
+        # digit run (codegen does not common-subexpression-eliminate
+        # across concat arms)
+        body_i = padded
+        pos = 1  # 1-based insert position in the string built so far
+        for k, v in pre:
+            if k == "d":
+                pos += 1
             else:
-                pieces.append(F.lit(v))
-    if run_start is not None:
-        pieces.append(F.substring(padded, run_start + 1, order - run_start))
-    pre_body = F.concat(*pieces) if pieces else F.lit("")
+                body_i = F.overlay(body_i, F.lit(v), F.lit(pos), F.lit(0))
+                pos += len(v)
+        pre_body = body_i
+    else:
+        pre_body = F.concat(*[F.lit(v) for k, v in pre]) if pre else F.lit("")
+    if has_g:
+        # prefix text for ilen digits: everything strictly left of the
+        # first rendered digit — spaces in digit and separator slots,
+        # literal text verbatim (PG prints literals even left of the
+        # number; separators blank there)
+        prefixes: list[str] = []
+        for cnt in range(n_pre + 1):
+            first_order = n_pre - cnt
+            buf: list[str] = []
+            o = 0
+            for k, v in pre:
+                if k == "d":
+                    if o == first_order:
+                        break
+                    buf.append(" ")
+                    o += 1
+                elif k == "g":
+                    buf.append(" " * len(v))
+                else:
+                    buf.append(v)
+            prefixes.append("".join(buf))
+        pre_body = F.overlay(
+            pre_body,
+            F.element_at(F.lit(prefixes), ilen.cast("int") + 1),
+            F.lit(1))
 
     if fm and any(k == "s" and v.strip() for k, v in pre):
         # FM drops padding blanks via ltrim; a non-blank literal in the
