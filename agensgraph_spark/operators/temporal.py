@@ -194,22 +194,34 @@ def assign_sessions(
     w_b = Window.partitionBy(user_col, "_b").orderBy(ts.asc())
     prev_in = F.lag(ts).over(w_b)
     # within-bucket flag only: the bucket's first event is handled by
-    # the mini-frame's cross-bucket first_flag
+    # the mini-frame's cross-bucket first_flag. "First row of the
+    # bucket" is detected by lag over a LITERAL, not by prev_in being
+    # NULL — in the NULL-ts bucket every prev VALUE is NULL, and the
+    # default mode flags each such row as a new session (prev.isNull()
+    # is true for a NULL ts value), so the bucketed mode must too or
+    # the documented cross-mode identity breaks on >=2 NULL-ts rows
+    # per user (round-13 ADVICE).
+    first_in = F.lag(F.lit(1)).over(w_b).isNull()
     new_in = F.when(
-        prev_in.isNotNull()
-        & (F.timestamp_diff("MICROSECOND", prev_in, ts) > gap_us),
+        ~first_in
+        & (prev_in.isNull()
+           | (F.timestamp_diff("MICROSECOND", prev_in, ts) > gap_us)),
         F.lit(1)).otherwise(F.lit(0))
 
-    mini_prev = F.lag("_ts").over(
-        Window.partitionBy(user_col, "_b").orderBy(F.col("_ts").asc()))
+    w_mini = Window.partitionBy(user_col, "_b").orderBy(F.col("_ts").asc())
+    mini_prev = F.lag("_ts").over(w_mini)
+    mini_first = F.lag(F.lit(1)).over(w_mini).isNull()
     mini = (df.select(F.col(user_col), ts.alias("_ts"))
             .withColumn("_b", F.floor(
                 F.unix_timestamp(F.col("_ts"))
                 / F.lit(int(bucket_seconds))).cast("long"))
+            # same first-row-vs-NULL-value distinction as new_in above
             .withColumn("_new_in", F.when(
-                mini_prev.isNotNull()
-                & (F.timestamp_diff("MICROSECOND", mini_prev, F.col("_ts"))
-                   > gap_us), F.lit(1)).otherwise(F.lit(0)))
+                ~mini_first
+                & (mini_prev.isNull()
+                   | (F.timestamp_diff("MICROSECOND", mini_prev,
+                                       F.col("_ts")) > gap_us)),
+                F.lit(1)).otherwise(F.lit(0)))
             # reuses the (user, bucket) exchange of its own window
             .groupBy(user_col, "_b")
             .agg(F.min("_ts").alias("_first"), F.max("_ts").alias("_last"),

@@ -521,6 +521,39 @@ def test_assign_sessions_bucketed_mode_identical(spark):
         assign_sessions(df, gap_seconds=1800, bucket_seconds=0)
 
 
+def test_assign_sessions_bucketed_multi_null_ts(spark):
+    """>=2 NULL-ts rows per user: the default mode flags EVERY
+    NULL-prev-VALUE row as a new session (prev.isNull() is true for a
+    NULL ts value), so the bucketed mode must too — the round-13
+    ADVICE repro was default [1,2,3] vs bucketed [1,1,2] on
+    (None, None, ts). Compared as per-user session_seq multisets
+    (NULL ts rows are unordered among themselves in both modes)."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from agensgraph_spark.operators.temporal import assign_sessions
+
+    base = datetime(2024, 1, 1)
+    rows = [(1, None), (1, None), (1, base),            # the ADVICE repro
+            (2, None), (2, None), (2, None),            # all-NULL user
+            (3, None), (3, base), (3, base + timedelta(hours=2)),
+            (None, None), (None, None), (None, base)]   # NULL user too
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    def seqs(out):
+        per_user: dict = {}
+        for r in out.collect():
+            per_user.setdefault(r["user_id"], Counter())[r["session_seq"]] += 1
+        return per_user
+
+    want = seqs(assign_sessions(df, gap_seconds=1800))
+    assert want[1] == Counter({1: 1, 2: 1, 3: 1})       # pin the contract
+    assert want[2] == Counter({1: 1, 2: 1, 3: 1})
+    for bw in (1, 3600, 86400):
+        got = seqs(assign_sessions(df, gap_seconds=1800, bucket_seconds=bw))
+        assert got == want, bw
+
+
 def test_assign_sessions_bucketed_matches_on_fixture(spark):
     """Cross-mode identity on the REAL events fixture (sf0.001): the
     bucketed mode must reproduce the single-window session_seq for
