@@ -3220,19 +3220,91 @@ _ANN_BRUTE_ORACLE = """
         FROM ranked WHERE rank <= 5"""
 
 
-def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-FILTERED ANN serving — top-5 among vectors whose source
-    document is English: the predicate prunes the corpus BEFORE the
-    scoring join (semi-join against the metadata table), never
-    post-filters an unfiltered top-k (which would under-fill k). At
-    100 TB the filter also bounds the scored candidate set, which is
-    the point of filtered vector search."""
+def _filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared metadata pre-filter of the filtered-ANN rows: keep
+    vectors whose source document is English, via a semi-join against
+    the metadata table — BEFORE any scoring, never post-filtering an
+    unfiltered top-k (which would under-fill k)."""
     emb = read_table(spark, sf_dir, "embeddings")
     docs = read_table(spark, sf_dir, "documents")
     allowed = docs.filter(F.col("lang") == "en") \
         .select(F.col("doc_id").alias("vec_id"))
-    corpus = emb.join(allowed, "vec_id", "left_semi")
+    return emb.join(allowed, "vec_id", "left_semi")
+
+
+def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN serving, exact-semantics baseline — top-5
+    among vectors whose source document is English: the predicate
+    prunes the corpus BEFORE the scoring join. Scoring here is the
+    exact brute pass (the ground truth the approximate path is
+    measured against); the 100 TB serving path is ann_filtered_ivf,
+    which composes the same pre-filter with IVF list probing so
+    per-query cost stays index-bounded."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = _filtered_corpus(spark, sf_dir)
     return S.brute_cosine_topk(corpus, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# the EXISTS predicate the filtered-ANN oracles share, phrased over
+# the _ivf_oracle corpus alias
+_FILTERED_WHERE = """WHERE EXISTS (SELECT 1 FROM documents d
+                                 WHERE d.doc_id = allv.vec_id AND d.lang = 'en')"""
+
+
+def _q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN, the 100 TB SERVING shape: the predicate
+    semi-join prunes the corpus first, then IVF probing bounds each
+    query's scored candidates to its n_probe inverted lists — the
+    filter composes with the index instead of forcing a brute scan of
+    the filtered corpus (a |filtered|x|queries| pair join). Assignment
+    (the centroid tag) is a narrow map-only pass persistable with the
+    snapshot, so at scale the filter + probe touches n_probe/n_lists
+    of the filtered corpus per query and nothing else."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = _filtered_corpus(spark, sf_dir)
+    return S.ivf_cosine_topk(corpus, emb.filter(F.col("vec_id") < 20), k=5,
+                             dim=_emb_dim(emb, sf_dir))
+
+
+def _q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 UNDER THE FILTER — the eval every filtered-ANN
+    deployment runs: brute-force truth over the filtered corpus vs the
+    IVF-composed filtered path, intersected per query. Both sides are
+    bounded by the query set; the corpus is scanned once per side."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = _filtered_corpus(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = S.brute_cosine_topk(corpus, qs, k=5).select(
+        "query_id", "neighbor_id")
+    approx = S.ivf_cosine_topk(corpus, qs, k=5,
+                               dim=_emb_dim(emb, sf_dir)) \
+        .select("query_id", "neighbor_id")
+    hits = (truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (qs.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6)
+                    .alias("recall_at_5")))
+
+
+def _ann_filtered_recall_oracle() -> str:
+    """Composes the two filtered replays: exact truth over the
+    filtered corpus vs the filter+IVF probe, intersected per query."""
+    return f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({_ANN_FILTERED_ORACLE})),
+    approx AS (SELECT query_id, neighbor_id
+               FROM ({_ivf_oracle(corpus_where=_FILTERED_WHERE)})),
+    hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM truth t JOIN approx a USING (query_id, neighbor_id)
+             GROUP BY t.query_id),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+           WHERE vec_id < 20)
+    SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+    FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id"""
 
 
 _ANN_FILTERED_ORACLE = """
@@ -3292,7 +3364,7 @@ def _ivf_recall_oracle() -> str:
 
 
 def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
-                k: int = 5, seed: int = 42) -> str:
+                k: int = 5, seed: int = 42, corpus_where: str = "") -> str:
     """DuckDB replay of S.ivf_cosine_topk: the SAME seeded centroid
     matrix (numpy default_rng(42), unit-normalized) embedded as a
     VALUES literal; nearest-centroid assignment / n_probe probing via
@@ -3300,7 +3372,12 @@ def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
     per-row argmax), exact cosine re-rank via list_cosine_similarity.
     Tie order mirrors Spark's reverse(array_sort(struct(s, i))): score
     DESC then index DESC. dim=64 is the testdata embedding width at
-    every SF (TESTDATA.md); a width change would fail the gate loudly."""
+    every SF (TESTDATA.md); a width change would fail the gate loudly.
+
+    ``corpus_where`` (a full ``WHERE ...`` clause over alias ``allv``)
+    restricts the INDEXED corpus only — queries always come from the
+    unfiltered table, mirroring filtered vector search where the
+    predicate prunes candidates, not askers."""
     import numpy as np
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_lists, dim))
@@ -3310,7 +3387,8 @@ def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
         for i, c in enumerate(cents))
     return f"""
         WITH cents(li, cv) AS (VALUES {rows}),
-        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        corpus AS (SELECT vec_id, v FROM allv {corpus_where}),
         c_tag AS (
           SELECT vec_id AS neighbor_id, li AS _list FROM (
             SELECT c.vec_id, cents.li,
@@ -3322,12 +3400,12 @@ def _ivf_oracle(dim: int = 64, n_lists: int = 16, n_probe: int = 4,
             SELECT q.vec_id, cents.li,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                        ORDER BY list_dot_product(q.v, cents.cv) DESC, cents.li DESC) AS rn
-            FROM corpus q CROSS JOIN cents WHERE q.vec_id < 20) WHERE rn <= {n_probe}),
+            FROM allv q CROSS JOIN cents WHERE q.vec_id < 20) WHERE rn <= {n_probe}),
         scored AS (
           SELECT q.query_id, c.neighbor_id,
                  list_cosine_similarity(qv.v, cv.v) AS cos_sim
           FROM c_tag c JOIN q_tag q USING (_list)
-          JOIN corpus qv ON qv.vec_id = q.query_id
+          JOIN allv qv ON qv.vec_id = q.query_id
           JOIN corpus cv ON cv.vec_id = c.neighbor_id
           WHERE q.query_id <> c.neighbor_id),
         ranked AS (
@@ -4020,6 +4098,10 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash_pairs": (_q_simhash_pairs, _simhash_pairs_md5_oracle()),
     "ann_cosine_topk": (_q_ann_brute, _ANN_BRUTE_ORACLE),
     "ann_filtered": (_q_ann_filtered, _ANN_FILTERED_ORACLE),
+    "ann_filtered_ivf": (_q_ann_filtered_ivf,
+                         _ivf_oracle(corpus_where=_FILTERED_WHERE)),
+    "ann_filtered_recall": (_q_ann_filtered_recall,
+                            _ann_filtered_recall_oracle()),
     "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
     "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
