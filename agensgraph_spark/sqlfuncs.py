@@ -26,6 +26,8 @@ Divergences (documented, not silent):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -197,6 +199,48 @@ def regexp_match(col: Column | str, pattern: str) -> Column:
 
 def _c(col: "Column | str") -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+# Compiled-template cache — the Spark analog of the reference's format-
+# picture caches (formatting.c:DCH_cache_getnew/NUM_cache, which keep
+# the last parsed pictures precisely because template parsing repeats
+# across calls). Building one of these shims' Column trees costs real
+# driver time (the to_char battery's tree is ~1s of py4j round-trips),
+# and the tree depends ONLY on (column name, pattern), so string-named
+# invocations return the identical immutable Column. Keyed weakly on
+# the active SparkContext: a restarted JVM gets a fresh cache instead
+# of stale java-object handles. Column-argument calls (the column is an
+# arbitrary expression) are never cached.
+_TEMPLATE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+_TEMPLATE_CACHE_MAX = 512
+
+
+def _template_cached(fn):
+    global _TEMPLATE_CACHE
+    if _TEMPLATE_CACHE is None:
+        import weakref
+        _TEMPLATE_CACHE = weakref.WeakKeyDictionary()
+
+    @functools.wraps(fn)
+    def wrapper(col, pattern):
+        if not isinstance(col, str):
+            return fn(col, pattern)
+        from pyspark import SparkContext
+        sc = SparkContext._active_spark_context
+        if sc is None:
+            return fn(col, pattern)
+        cache = _TEMPLATE_CACHE.get(sc)
+        if cache is None:
+            cache = _TEMPLATE_CACHE[sc] = {}
+        key = (fn.__name__, col, pattern)
+        hit = cache.get(key)
+        if hit is None:
+            hit = fn(col, pattern)
+            if len(cache) >= _TEMPLATE_CACHE_MAX:
+                cache.clear()
+            cache[key] = hit
+        return hit
+    return wrapper
 
 
 def _scan_quoted(pattern: str, i: int, fn: str) -> "tuple[str, int]":
@@ -491,6 +535,7 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
 ]
 
 
+@_template_cached
 def to_char(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_char(timestamp, text)`` for the common template
     patterns (formatting.c:DCH_to_char): YYYY/YY, MM, DD/DDD, HH24/
@@ -591,49 +636,56 @@ def age_parts(ts1: "Column | str", ts2: "Column | str") -> Column:
     rather than an interval so results stay comparable across engines;
     ``age`` wraps it into a Spark interval."""
     a0, b0 = _c(ts1), _c(ts2)
-    neg = a0 < b0
-    a = F.when(neg, b0).otherwise(a0)
-    b = F.when(neg, a0).otherwise(b0)
+    # greatest/least instead of two when/otherwise swaps: PG computes
+    # magnitudes on the swapped pair and negates (timestamp.c sign
+    # recovery) — greatest/least is the same pair in two single nodes.
+    a = F.greatest(a0, b0)
+    b = F.least(a0, b0)
 
-    def sec_of_min(t: Column) -> Column:
-        # second-of-minute INCLUDING the fraction: PG's fsec is part of
-        # the borrow chain (timestamp.c), so age('..01.0','..00.9')
-        # must be 0.1s, not 1s. pmod, NOT %: Spark's % keeps the
-        # dividend's sign, which for pre-epoch timestamps would emit a
-        # negative second-of-minute and cascade bogus borrows
-        return F.pmod(F.unix_micros(t.cast("timestamp")),
-                      F.lit(60_000_000)) / 1e6
+    # FLAT mixed-radix formulation. The reference's field-by-field
+    # borrow chain (sec->min->hour->day, with the day borrowing the
+    # EARLIER month's length) is a mixed-radix subtraction whose
+    # sec/min/hour radices are fixed — so the whole sub-month part
+    # linearizes into "microseconds since month start" computed from
+    # the calendar FIELDS (session-timezone-proof, unlike subtracting
+    # date_trunc epochs), with ONE borrow of the earlier month's
+    # length. The naive when/otherwise cascade re-inlines each
+    # adjusted field into the next borrow test — a ~29k-node tree that
+    # dominated plan analysis AND codegen; this closed form is ~100
+    # nodes and field-for-field identical (pinned + differential
+    # tests). pmod, NOT %, for the second-of-minute: Spark's % keeps
+    # the dividend's sign, which for pre-epoch timestamps would emit a
+    # negative fraction and break the linearization.
+    def off(t: Column) -> Column:
+        # microseconds into the month, fraction included (PG's fsec
+        # participates in the borrow chain, so '..01.0' - '..00.9'
+        # must be 0.1s, not 1s)
+        return (((F.dayofmonth(t) - 1).cast("long") * 86_400
+                 + F.hour(t).cast("long") * 3_600
+                 + F.minute(t).cast("long") * 60) * 1_000_000
+                + F.pmod(F.unix_micros(t.cast("timestamp")),
+                         F.lit(60_000_000)))
 
-    secs = sec_of_min(a) - sec_of_min(b)
-    mins = F.minute(a) - F.minute(b)
-    hours = F.hour(a) - F.hour(b)
-    days = F.dayofmonth(a) - F.dayofmonth(b)
-    months = F.month(a) - F.month(b)
-    years = F.year(a) - F.year(b)
-
-    mins = F.when(secs < 0, mins - 1).otherwise(mins)
-    secs = F.when(secs < 0, secs + 60).otherwise(secs)
-    hours = F.when(mins < 0, hours - 1).otherwise(hours)
-    mins = F.when(mins < 0, mins + 60).otherwise(mins)
-    days = F.when(hours < 0, days - 1).otherwise(days)
-    hours = F.when(hours < 0, hours + 24).otherwise(hours)
+    borrow = (off(a) < off(b)).cast("int")
     # day borrow: length of the earlier timestamp's month (timestamp_age
     # uses tm2's year/month for day_tab); one borrow always suffices
     # because that month contains day(b), so its length >= day(b)
-    dim_b = F.dayofmonth(F.last_day(b))
-    months = F.when(days < 0, months - 1).otherwise(months)
-    days = F.when(days < 0, days + dim_b).otherwise(days)
-    years = F.when(months < 0, years - 1).otherwise(years)
-    months = F.when(months < 0, months + 12).otherwise(months)
+    dim_b = F.dayofmonth(F.last_day(b)).cast("long")
+    us = (off(a) - off(b) + borrow.cast("long") * dim_b * 86_400_000_000)
+    mt = ((F.year(a) - F.year(b)) * 12 + (F.month(a) - F.month(b))
+          - borrow)  # total months, >= 0 since a >= b
+    rem_d = F.pmod(us, F.lit(86_400_000_000))
+    rem_h = F.pmod(rem_d, F.lit(3_600_000_000))
 
-    sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1))
+    sign = F.when(a0 < b0, F.lit(-1)).otherwise(F.lit(1))
     return F.struct(
-        (sign * years).cast("int").alias("years"),
-        (sign * months).cast("int").alias("months"),
-        (sign * days).cast("int").alias("days"),
-        (sign * hours).cast("int").alias("hours"),
-        (sign * mins).cast("int").alias("mins"),
-        (sign * F.round(secs, 6)).cast("double").alias("secs"),
+        (sign * F.floor(mt / 12)).cast("int").alias("years"),
+        (sign * F.pmod(mt, F.lit(12))).cast("int").alias("months"),
+        (sign * F.floor(us / 86_400_000_000)).cast("int").alias("days"),
+        (sign * F.floor(rem_d / 3_600_000_000)).cast("int").alias("hours"),
+        (sign * F.floor(rem_h / 60_000_000)).cast("int").alias("mins"),
+        (sign * F.round(F.pmod(rem_h, F.lit(60_000_000)) / 1e6, 6))
+        .cast("double").alias("secs"),
     )
 
 
@@ -744,6 +796,7 @@ def _parse_num_pattern(pattern: str):
     return pre, post, has_d, fm, sign
 
 
+@_template_cached
 def to_char_number(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_char(numeric, text)`` for the digit-picture
     surface: 9/0 digit slots (0 = zero-fill from its position), D/. ,
@@ -1168,6 +1221,7 @@ def _dt_prepass(c: Column, pres: "list[str]") -> Column:
     return c
 
 
+@_template_cached
 def to_timestamp(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_timestamp(text, template)`` — the PG template is
     translated to a Spark parse pattern, so ``'DD Mon YYYY HH12:MI am'``
@@ -1188,12 +1242,14 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
     return F.to_timestamp(_dt_prepass(_c(col), pres), pat)
 
 
+@_template_cached
 def to_date(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_date(text, template)`` — see ``to_timestamp``."""
     pat, pres = _dt_parse_pattern(pattern)
     return F.to_date(_dt_prepass(_c(col), pres), pat)
 
 
+@_template_cached
 def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
     """Lax PG-style parse: NULL on malformed input instead of an ANSI
     error, and — when the template's fields are separator-bounded —
@@ -1208,12 +1264,14 @@ def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
     return F.try_to_timestamp(_dt_prepass(_c(col), pres), F.lit(pat))
 
 
+@_template_cached
 def try_to_date(col: "Column | str", pattern: str) -> Column:
     """``try_to_timestamp`` truncated to a date (Spark has no
     try_to_date; the timestamp->date cast preserves the NULL)."""
     return try_to_timestamp(col, pattern).cast("date")
 
 
+@_template_cached
 def to_number(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_number(text, template)`` (formatting.c:
     numeric_to_number). PG's parser is deliberately lax — it scans the

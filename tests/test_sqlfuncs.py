@@ -901,6 +901,101 @@ def test_age_parts_fractional_seconds(spark):
     assert r2["secs"] == pytest.approx(-0.1)
 
 
+def test_template_cache_hits_and_bypass(spark):
+    """The compiled-template cache (the Spark analog of formatting.c's
+    DCH/NUM caches): string-named invocations with identical (col,
+    pattern) return the IDENTICAL Column object; Column-argument calls
+    bypass the cache (the column is an arbitrary expression); distinct
+    patterns get distinct entries; results stay correct through the
+    cache."""
+    from agensgraph_spark.sqlfuncs import to_char, to_char_number
+
+    c1 = to_char("ts", "YYYY-MM-DD")
+    c2 = to_char("ts", "YYYY-MM-DD")
+    assert c1 is c2
+    assert to_char("ts", "YYYY") is not c1
+    assert to_char("other", "YYYY-MM-DD") is not c1
+    assert to_char(F.col("ts"), "YYYY-MM-DD") is not to_char(
+        F.col("ts"), "YYYY-MM-DD")
+    n1 = to_char_number("v", "FM9,999.00")
+    assert to_char_number("v", "FM9,999.00") is n1
+    # correctness through the cache: the shared Column re-binds by name
+    # in different frames
+    df = spark.sql("SELECT timestamp'2024-02-05 10:00:00' AS ts")
+    assert df.select(c1.alias("s")).first()["s"] == "2024-02-05"
+    df2 = spark.sql("SELECT timestamp'1999-12-31 00:00:00' AS ts")
+    assert df2.select(to_char("ts", "YYYY-MM-DD").alias("s")) \
+        .first()["s"] == "1999-12-31"
+
+
+def test_age_parts_differential_vs_borrow_chain(spark):
+    """The flat mixed-radix age_parts must be field-for-field identical
+    to the reference's literal borrow-chain algorithm (timestamp.c:
+    timestamp_age), replayed here in pure Python over a seeded battery
+    of adversarial pairs: month ends, leap Februaries, pre-epoch,
+    fractional seconds sitting on borrow boundaries."""
+    import calendar
+    import random
+    from datetime import datetime, timedelta
+
+    from agensgraph_spark.sqlfuncs import age_parts
+
+    def pg_age(a, b):
+        neg = a < b
+        if neg:
+            a, b = b, a
+        secs = (a.second + a.microsecond / 1e6) \
+            - (b.second + b.microsecond / 1e6)
+        mins = a.minute - b.minute
+        hours = a.hour - b.hour
+        days = a.day - b.day
+        months = a.month - b.month
+        years = a.year - b.year
+        if secs < 0:
+            mins -= 1
+            secs += 60
+        if mins < 0:
+            hours -= 1
+            mins += 60
+        if hours < 0:
+            days -= 1
+            hours += 24
+        if days < 0:
+            months -= 1
+            days += calendar.monthrange(b.year, b.month)[1]
+        if months < 0:
+            years -= 1
+            months += 12
+        s = -1 if neg else 1
+        return (s * years, s * months, s * days, s * hours, s * mins,
+                round(s * secs, 6))
+
+    rng = random.Random(20260816)
+    pairs = []
+    for _ in range(300):
+        base = datetime(1969, 12, 30) + timedelta(
+            days=rng.randint(0, 36500), seconds=rng.randint(0, 86399),
+            microseconds=rng.choice([0, 1, 900000, 999999]))
+        other = base + timedelta(
+            days=rng.randint(-800, 800), seconds=rng.randint(-90000, 90000),
+            microseconds=rng.choice([0, 1, 100000, 999999]))
+        pairs.append((base, other))
+    # adversarial pins: month-end borrows, leap Feb, equal pair
+    pairs += [(datetime(2000, 3, 1), datetime(2000, 1, 31)),
+              (datetime(2024, 3, 1), datetime(2024, 2, 29, 23, 59, 59)),
+              (datetime(2024, 1, 1), datetime(2024, 1, 1)),
+              (datetime(1969, 7, 1, 0, 0, 0, 500000),
+               datetime(1969, 6, 30, 23, 59, 59, 600000))]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = df.select("a", "b", age_parts("a", "b").alias("p")).collect()
+    for r in got:
+        want = pg_age(r["a"], r["b"])
+        p = r["p"]
+        have = (p["years"], p["months"], p["days"], p["hours"], p["mins"],
+                round(p["secs"], 6))
+        assert have == want, (r["a"], r["b"], have, want)
+
+
 def test_to_number_truncates_excess_fraction(spark):
     """PG reads only as many fraction digits as the picture has slots
     — no rounding ('1.999' under '9.9' is 1.9, not 2.0)."""
