@@ -26,6 +26,7 @@ Divergences (documented, not silent):
 
 from __future__ import annotations
 
+import datetime
 import functools
 
 from pyspark.sql import Column
@@ -1221,6 +1222,221 @@ def _dt_prepass(c: Column, pres: "list[str]") -> Column:
     return c
 
 
+# --- arithmetic input tokens (J / SSSS / CC) -------------------------------
+# These numeric calendar tokens have no Spark parse letter but need no
+# parser at all — they are integer math to (date, time), applied the
+# way do_to_timestamp does (formatting.c:4550-4643): SSSS decomposes
+# into h/m/s FIRST and explicit HH24/MI/SS override fields; CC+YY
+# combines by the century rule ((cc-1)*100 + yy, and yy==0 means the
+# century's LAST year, cc*100); CC with a 4-digit year is silently
+# ignored (yysz > 2 branch); J overrides year/month/day via j2date.
+# A template containing one of them takes this path: the whole input
+# is matched by ONE anchored regex built from the template (each
+# numeric field a capture group, separator-bounded), fields extract
+# JVM-side, and make_timestamp composes the result — no Python, no UDF.
+
+_DT_ARITH = ("J", "SSSS", "CC")
+# max input digits per field (formatting.c DCH_keywords len column)
+_ARITH_NUMW = {"YYYY": 4, "YY": 2, "MM": 2, "DD": 2, "HH24": 2,
+               "MI": 2, "SS": 2, "MS": 3, "US": 6,
+               "J": 7, "SSSS": 5, "CC": 2}
+# Julian day number of 2000-01-01 (PG date2j(2000,1,1); both engines
+# are proleptic Gregorian, so one date_add closes the whole token).
+# Spark dates span 0001-01-01..9999-12-31 -> J in [_J_MIN, _J_MAX];
+# outside that, date_add itself overflows with an opaque java.time
+# error even under try_ semantics, so the range is guarded explicitly.
+_J2000 = 2451545
+_J_MIN = 1721426   # 0001-01-01
+_J_MAX = 5373484   # 9999-12-31
+
+
+def _dt_has_arith(pattern: str) -> bool:
+    """Quote/escape-aware scan: does the template contain a J, SSSS or
+    CC field token? (Longest-first via _DT_PARSE_TOKENS order, so SS
+    inside SSSS or C inside CC cannot mis-trigger.)"""
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if ch == '"':
+            _, i = _scan_quoted(pattern, i, "to_date/to_timestamp")
+            continue
+        if pattern.startswith("FM", i):
+            i += 2
+            continue
+        hit = None
+        for name, _java in _DT_PARSE_TOKENS:
+            if pattern.startswith(name, i):
+                hit = name
+                break
+        if hit is not None:
+            if hit in _DT_ARITH:
+                return True
+            i += len(hit)
+            continue
+        i += 1
+    return False
+
+
+def _dt_arith_elements(pattern: str) -> "list[tuple[str, str]]":
+    """Template -> [('num', token) | ('lit', text)] for the arithmetic
+    path. Only separator-bounded numeric fields compose with J/SSSS/CC
+    (the regex needs digit runs to be unambiguous), so name tokens,
+    adjacent numeric fields, digits inside literals, and duplicate
+    fields all refuse loudly."""
+    elems: "list[tuple[str, str]]" = []
+    lit: list[str] = []
+    seen: set = set()
+
+    def flush() -> None:
+        if lit:
+            elems.append(("lit", "".join(lit)))
+            lit.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            lit.append(pattern[i + 1])
+            i += 2
+            continue
+        if ch == '"':
+            txt, i = _scan_quoted(pattern, i, "to_date/to_timestamp")
+            lit.append(txt)
+            continue
+        if pattern.startswith("FM", i):
+            i += 2
+            continue
+        hit = None
+        for name, _java in _DT_PARSE_TOKENS:
+            if pattern.startswith(name, i):
+                hit = name
+                break
+        if hit is not None:
+            if hit not in _ARITH_NUMW:
+                raise ValueError(
+                    f"to_date/to_timestamp: token {hit!r} cannot combine "
+                    f"with J/SSSS/CC in {pattern!r} — the arithmetic input "
+                    "path composes separator-bounded NUMERIC fields only")
+            if hit in seen:
+                raise ValueError(
+                    f"to_date/to_timestamp: duplicate field {hit!r} "
+                    f"in {pattern!r}")
+            seen.add(hit)
+            if elems and elems[-1][0] == "num" and not lit:
+                raise ValueError(
+                    f"to_date/to_timestamp: adjacent numeric fields with "
+                    f"no separator are ambiguous in {pattern!r}")
+            flush()
+            elems.append(("num", hit))
+            i += len(hit)
+            continue
+        if ch.isalnum():
+            raise ValueError(
+                f"to_date/to_timestamp: unrecognized template character "
+                f"{ch!r} at position {i} in {pattern!r}")
+        lit.append(ch)
+        i += 1
+    flush()
+    for kind, text in elems:
+        if kind == "lit" and any(c.isdigit() for c in text):
+            raise ValueError(
+                f"to_date/to_timestamp: literal {text!r} contains digits — "
+                f"ambiguous next to numeric fields in {pattern!r}")
+    return elems
+
+
+def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
+    """Compose a timestamp from a J/SSSS/CC template (see module
+    comment above for the reference-faithful combination rules).
+    ``safe=True`` (the try_ variants) yields NULL on malformed input;
+    strict mode raises like PG. Both are pure column expressions."""
+    import re as _re
+
+    elems = _dt_arith_elements(pattern)
+    rx_parts: list[str] = ["^"]
+    vals: "dict[str, Column]" = {}
+    group = 0
+    for kind, text in elems:
+        if kind == "lit":
+            rx_parts.append(_re.escape(text))
+        else:
+            group += 1
+            rx_parts.append(r"(\d{1,%d})" % _ARITH_NUMW[text])
+            vals[text] = None  # ordered placeholder
+    rx_parts.append("$")
+    rx = "".join(rx_parts)
+    for idx, tok in enumerate(vals, start=1):
+        vals[tok] = F.regexp_extract(c, rx, idx).cast("int")
+
+    valid = c.rlike(rx)
+    if "J" in vals:
+        bad = [t for t in ("YYYY", "YY", "MM", "DD", "CC") if t in vals]
+        if bad:
+            raise ValueError(
+                f"to_date/to_timestamp: J overrides the whole date — "
+                f"combining it with {bad} is not supported ({pattern!r})")
+        jn = vals["J"]
+        jok = (jn >= _J_MIN) & (jn <= _J_MAX)
+        valid = valid & jok
+        # clamped so the date_add can never overflow on the invalid
+        # branch (CaseWhen is lazy but date_add sits INSIDE the taken
+        # branch's subtree when valid is NULL-ish)
+        d = F.date_add(F.lit(datetime.date(2000, 1, 1)),
+                       F.when(jok, jn).otherwise(F.lit(_J2000)) - _J2000)
+        y, mo, dd = F.year(d), F.month(d), F.dayofmonth(d)
+    else:
+        if "YYYY" in vals:
+            y = vals["YYYY"]  # CC ignored when a 4-digit year is given
+        elif "CC" in vals and "YY" in vals:
+            yy = vals["YY"]
+            y = F.when(yy == 0, vals["CC"] * 100) \
+                .otherwise((vals["CC"] - 1) * 100 + yy)
+        elif "CC" in vals:
+            y = (vals["CC"] - 1) * 100 + 1
+        else:
+            raise ValueError(
+                f"to_date/to_timestamp: no year source in {pattern!r} — "
+                "the J/SSSS/CC path needs J, YYYY, or CC[+YY] (PG's "
+                "zeroed-tm default is not reproduced)")
+        mo = vals.get("MM", F.lit(1))
+        dd = vals.get("DD", F.lit(1))
+
+    if "SSSS" in vals:
+        x = vals["SSSS"]
+        hh = vals.get("HH24", F.floor(x / 3600).cast("int"))
+        mi = vals.get("MI", F.floor(F.pmod(x, 3600) / 60).cast("int"))
+        ss = vals.get("SS", F.pmod(x, 60).cast("int"))
+    else:
+        hh = vals.get("HH24", F.lit(0))
+        mi = vals.get("MI", F.lit(0))
+        ss = vals.get("SS", F.lit(0))
+    if "MS" in vals and "US" in vals:
+        raise ValueError(
+            f"to_date/to_timestamp: MS and US together are not supported "
+            f"in the J/SSSS/CC path ({pattern!r})")
+    frac_us = (vals["MS"] * 1000 if "MS" in vals
+               else vals["US"] if "US" in vals else None)
+    secs = (ss.cast("decimal(16,6)") if frac_us is None
+            else ss.cast("decimal(16,6)")
+            + (frac_us.cast("decimal(16,6)") / 1_000_000))
+
+    if safe:
+        ts = F.when(valid,
+                    F.try_make_timestamp(y, mo, dd, hh, mi, secs))
+        return ts  # otherwise-NULL implicit
+    err = F.raise_error(F.concat(
+        F.lit("to_date/to_timestamp: input "),
+        F.coalesce(c, F.lit("NULL")),
+        F.lit(f" does not match template {pattern!r} "
+              "(or is out of the supported date range)")))
+    return F.when(c.isNull(), F.lit(None).cast("timestamp")) \
+        .when(valid, F.make_timestamp(y, mo, dd, hh, mi, secs)) \
+        .otherwise(err.cast("timestamp"))
+
+
 @_template_cached
 def to_timestamp(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_timestamp(text, template)`` — the PG template is
@@ -1237,7 +1453,11 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
     without FM, PG tolerates some non-padded digit fields that Spark's
     strict parser rejects; malformed input raises under ANSI rather
     than returning NULL (use try_to_timestamp semantics upstream if
-    NULLs are wanted)."""
+    NULLs are wanted). Templates carrying the numeric calendar tokens
+    J / SSSS / CC take the arithmetic input path (see _dt_arith_expr):
+    they are integer math to (date, time), no parser letter needed."""
+    if _dt_has_arith(pattern):
+        return _dt_arith_expr(_c(col), pattern, safe=False)
     pat, pres = _dt_parse_pattern(pattern)
     return F.to_timestamp(_dt_prepass(_c(col), pres), pat)
 
@@ -1245,6 +1465,8 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
 @_template_cached
 def to_date(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_date(text, template)`` — see ``to_timestamp``."""
+    if _dt_has_arith(pattern):
+        return _dt_arith_expr(_c(col), pattern, safe=False).cast("date")
     pat, pres = _dt_parse_pattern(pattern)
     return F.to_date(_dt_prepass(_c(col), pres), pat)
 
@@ -1259,7 +1481,10 @@ def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
     for the common porting shapes; still a pure JVM expression
     (Spark's try_to_timestamp). Name tokens get the same input
     pre-pass as the strict forms — here an invalid day name yields
-    NULL instead of an error."""
+    NULL instead of an error. J/SSSS/CC templates take the arithmetic
+    input path with NULL-on-malformed semantics."""
+    if _dt_has_arith(pattern):
+        return _dt_arith_expr(_c(col), pattern, safe=True)
     pat, pres = _dt_parse_pattern(pattern, lax=True)
     return F.try_to_timestamp(_dt_prepass(_c(col), pres), F.lit(pat))
 

@@ -3612,6 +3612,16 @@ def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         SQLF.to_timestamp(
             SQLF.to_char("ts", "YYYY-MM-DD HH12:MI:SS A.M."),
             "YYYY-MM-DD HH12:MI:SS A.M.").cast("string").alias("t_meridiem"),
+        # r14 arithmetic input tokens (no Spark parse letter needed —
+        # integer math to (date, time), formatting.c:4550-4643):
+        # Julian day round-trip, seconds-past-midnight composed with a
+        # date, century+2-digit-year recombination
+        SQLF.to_date(SQLF.to_char("ts", "J"), "J")
+            .cast("string").alias("d_julian"),
+        SQLF.to_timestamp(SQLF.to_char("ts", "YYYY-MM-DD SSSS"),
+                          "YYYY-MM-DD SSSS").cast("string").alias("t_ssss"),
+        SQLF.to_date(SQLF.to_char("ts", "CC YY"), "CC YY")
+            .cast("string").alias("d_century"),
     )
 
 
@@ -3796,7 +3806,14 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                -- day-name / dotted-meridiem round trips recover the
                -- date and the second-truncated ts respectively
                CAST(CAST(ts AS DATE) AS VARCHAR) AS d_dayname,
-               CAST(date_trunc('second', ts) AS VARCHAR) AS t_meridiem
+               CAST(date_trunc('second', ts) AS VARCHAR) AS t_meridiem,
+               -- J / SSSS / CC YY round-trips: Julian day and
+               -- century+YY recover the date (CC YY maps the year to
+               -- Jan 1), SSSS recovers the second-truncated ts
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS d_julian,
+               CAST(date_trunc('second', ts) AS VARCHAR) AS t_ssss,
+               CAST(CAST(date_trunc('year', ts) AS DATE) AS VARCHAR)
+                 AS d_century
         FROM events"""),
     # numeric to_char replayed with string assembly (decimal casts
     # round half-away in both engines; format('{:,}') supplies the
@@ -4183,9 +4200,13 @@ PRIORITY_50: tuple[str, ...] = (
     # materialized-CTE row — displaced in round 13 for graph_hits: every
     # chained-CTE oracle replay exercises plain CTEs implicitly and the
     # recursion seat sql_recursive_cte stays)
+    # (sql_events_hourly — a plain date_trunc hourly rollup — displaced
+    # in round 14 for fuzzy_decontaminate; the same computation shape
+    # stays gated as stream_events_hourly's batch oracle, and the tail
+    # suite keeps the row externally verified)
     "sql_tpch_q1", "sql_tpch_q5", "sql_tpch_q9", "sql_window_rank",
     "sql_grouping_sets", "sql_except", "sql_exists_semijoin",
-    "sql_correlated_scalar", "sql_json_props", "sql_events_hourly",
+    "sql_correlated_scalar", "sql_json_props",
     # ordered-set / recursion (1; sql_limit_ties, sql_tablesample,
     # sql_csv_foreign_scan, sql_values_scan — simple single-operator
     # rows displaced to the tail in round 5 to make room for that
@@ -4211,6 +4232,11 @@ PRIORITY_50: tuple[str, ...] = (
     # chained-CTE oracle (max-norm per round — more moving parts than
     # the pagerank recurrence)
     "dedup_dup_spans", "graph_hits",
+    # round-14 seat, per policy rule 1 (risk first): fuzzy
+    # decontamination is probabilistic AND composes the minhash
+    # machinery through a parity-encoded train/eval union — the
+    # highest-risk new family of round 13
+    "fuzzy_decontaminate",
     # LLM-pipeline: text (4; text_bpe_tokens — a deterministic
     # tokenizer-regex row — displaced to the tail in round 11 for
     # text_lm_perplexity; lang_id — deterministic column expressions

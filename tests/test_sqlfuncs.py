@@ -680,8 +680,10 @@ def test_try_to_timestamp_adjacent_fields_stay_strict(spark):
     assert got2 is None
 
 
-@pytest.mark.parametrize("pat", ["Q", "WW", "IW", "D", "ID", "J", "TZ",
-                                 "SSSS", "XYZ", "CC"])
+# J / SSSS / CC left this list in round 14 — the arithmetic input path
+# supports them now (test_to_date_arith_tokens and friends)
+@pytest.mark.parametrize("pat", ["Q", "WW", "IW", "D", "ID", "TZ",
+                                 "XYZ", "IYYY-MM-DD"])
 def test_to_timestamp_refuses_unparseable_tokens(spark, pat):
     from agensgraph_spark.sqlfuncs import to_timestamp
     with pytest.raises(ValueError):
@@ -899,6 +901,111 @@ def test_age_parts_fractional_seconds(spark):
     assert r["secs"] == pytest.approx(0.1)
     r2 = df.select(age_parts("b", "a").alias("p")).first()["p"]
     assert r2["secs"] == pytest.approx(-0.1)
+
+
+@pytest.mark.parametrize("val,pat,want", [
+    # PG docs example for J; round-trip pinned below
+    ("2451187", "J", "1999-01-08"),
+    ("1721426", "J", "0001-01-01"),       # Spark date range floor
+    ("5373484", "J", "9999-12-31"),       # and ceiling
+    # century + 2-digit year (formatting.c:4593-4608): yy != 0 is
+    # (cc-1)*100+yy; yy == 0 is the century's LAST year, cc*100
+    ("21 05", "CC YY", "2005-01-01"),
+    ("20 00", "CC YY", "2000-01-01"),
+    ("19 99", "CC YY", "1899-01-01"),
+    # CC alone: first year of the century (formatting.c:4623-4630)
+    ("21", "CC", "2001-01-01"),
+    # CC with a 4-digit year: CC silently ignored (yysz > 2 branch)
+    ("19 2024", "CC YYYY", "2024-01-01"),
+])
+def test_to_date_arith_tokens(spark, val, pat, want):
+    """J / SSSS / CC input tokens — the arithmetic input path
+    (reference formatting.c:4550-4643 do_to_timestamp), pinned against
+    PG semantics."""
+    from agensgraph_spark.sqlfuncs import to_date
+    got = (spark.range(1)
+           .select(to_date(F.lit(val), pat).cast("string").alias("v"))
+           .first()["v"])
+    assert got == want, (val, pat)
+
+
+@pytest.mark.parametrize("val,pat,want", [
+    # SSSS decomposes to h/m/s (formatting.c:4550-4559)
+    ("2000-05-12 83333", "YYYY-MM-DD SSSS", "2000-05-12 23:08:53"),
+    ("2000-05-12 0", "YYYY-MM-DD SSSS", "2000-05-12 00:00:00"),
+    # explicit SS/MI/HH24 OVERRIDE the SSSS decomposition
+    # (formatting.c:4561-4566 — ss/mi/hh applied after ssss)
+    ("2000-05-12 83333 07", "YYYY-MM-DD SSSS SS", "2000-05-12 23:08:07"),
+    # J carries the date; time fields compose alongside
+    ("2451187 13:45", "J HH24:MI", "1999-01-08 13:45:00"),
+])
+def test_to_timestamp_arith_tokens(spark, val, pat, want):
+    from agensgraph_spark.sqlfuncs import to_timestamp
+    got = (spark.range(1)
+           .select(to_timestamp(F.lit(val), pat).cast("string").alias("v"))
+           .first()["v"])
+    assert got == want, (val, pat)
+
+
+def test_arith_tokens_error_paths(spark):
+    """Strict arith parse raises on malformed/out-of-range input; the
+    try_ variants yield NULL — including out-of-Spark-range Julian
+    days, which must not leak an opaque java.time overflow."""
+    from agensgraph_spark.sqlfuncs import (to_date, to_timestamp,
+                                           try_to_date, try_to_timestamp)
+    df = spark.range(1)
+
+    def run(c):
+        return df.select(c.cast("string").alias("v")).first()["v"]
+
+    with pytest.raises(Exception, match="does not match template"):
+        run(to_date(F.lit("nope"), "J"))
+    with pytest.raises(Exception, match="does not match template"):
+        run(to_date(F.lit("0"), "J"))       # J before 0001-01-01
+    assert run(try_to_date(F.lit("nope"), "J")) is None
+    assert run(try_to_date(F.lit("0"), "J")) is None
+    assert run(try_to_date(F.lit("9999999"), "J")) is None
+    assert run(try_to_timestamp(F.lit("2000-13-01 10"),
+                                "YYYY-MM-DD SSSS")) is None
+    assert run(to_date(F.lit(None).cast("string"), "J")) is None
+    # compile-time refusals: name tokens, adjacent fields, duplicates,
+    # J combined with explicit date fields, no year source
+    with pytest.raises(ValueError, match="cannot combine"):
+        to_date(F.lit("x"), "Mon CC")
+    with pytest.raises(ValueError, match="adjacent numeric"):
+        to_timestamp(F.lit("x"), "SSSSMM")
+    with pytest.raises(ValueError, match="duplicate field"):
+        to_date(F.lit("x"), "J J")
+    with pytest.raises(ValueError, match="overrides the whole date"):
+        to_date(F.lit("x"), "J DD")
+    with pytest.raises(ValueError, match="no year source"):
+        to_timestamp(F.lit("x"), "SSSS")
+
+
+def test_arith_tokens_roundtrip_to_char(spark):
+    """to_char J/SSSS/CC output parses back through the arithmetic
+    input path on a timestamp battery (the OUTPUT side was closed in
+    r12; this closes the loop)."""
+    from datetime import datetime
+
+    from agensgraph_spark.sqlfuncs import to_char, to_date, to_timestamp
+
+    rows = [(datetime(1999, 1, 8, 23, 8, 53),),
+            (datetime(2024, 2, 29, 0, 0, 1),),
+            (datetime(1969, 12, 31, 12, 0, 0),),
+            (datetime(2000, 1, 1, 0, 0, 0),)]
+    df = spark.createDataFrame(rows, ["ts"])
+    got = df.select(
+        F.col("ts"),
+        to_date(to_char("ts", "J"), "J").alias("j_rt"),
+        to_timestamp(to_char("ts", "YYYY-MM-DD SSSS"),
+                     "YYYY-MM-DD SSSS").alias("ssss_rt"),
+        to_date(to_char("ts", "CC YY"), "CC YY").alias("cc_rt"),
+    ).collect()
+    for r in got:
+        assert str(r["j_rt"]) == str(r["ts"].date())
+        assert str(r["ssss_rt"]) == str(r["ts"].replace(microsecond=0))
+        assert r["cc_rt"].year == r["ts"].year and r["cc_rt"].month == 1
 
 
 def test_template_cache_hits_and_bypass(spark):

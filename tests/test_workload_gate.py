@@ -21,6 +21,11 @@ HIGH_RISK = {
     # newly Generate-quadratic-fixed) and the first analytics
     # recurrence beyond pagerank with a max-norm chained-CTE oracle
     "dedup_dup_spans", "graph_hits",
+    # round-14 seat: fuzzy decontamination — probabilistic,
+    # parity-encoded train/eval union through the minhash machinery
+    # (displaced sql_events_hourly, whose computation shape stays
+    # gated as stream_events_hourly's batch oracle)
+    "fuzzy_decontaminate",
     # streaming-vs-batch and hybrid composition
     "stream_events_hourly", "hybrid_correlated_subquery",
 }
