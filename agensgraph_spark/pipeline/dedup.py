@@ -531,10 +531,28 @@ def fuzzy_decontaminate(
     the same banding shuffle (no train x eval join ever forms).
 
     Returns one row per TRAIN doc: (id, max_eval_jaccard double —
-    NULL when clean, n_eval_matches long, contaminated boolean)."""
-    t = train.select((F.col(id_col) * 2).alias("_fid"),
+    NULL when clean, n_eval_matches long, contaminated boolean).
+
+    The parity encoding halves the usable id space: ids must sit in
+    (-2^62, 2^62) or 2*id(+1) would silently wrap in int64 — guarded
+    by an in-expression raise (lazy branch, no extra job), so an
+    out-of-range id fails the run loudly instead of colliding two
+    documents."""
+    lim = 1 << 62
+
+    def _guarded(idc: Column) -> Column:
+        idc = idc.cast("long")
+        return F.when(
+            (idc >= lim) | (idc <= -lim),
+            F.raise_error(F.concat(
+                F.lit("fuzzy_decontaminate: id "), idc.cast("string"),
+                F.lit(" is outside (-2^62, 2^62) — the parity encoding "
+                      "would overflow int64"))).cast("long")
+        ).otherwise(idc)
+
+    t = train.select((_guarded(F.col(id_col)) * 2).alias("_fid"),
                      F.col(text_col).alias("_ft"))
-    e = eval_df.select((F.col(id_col) * 2 + 1).alias("_fid"),
+    e = eval_df.select((_guarded(F.col(id_col)) * 2 + 1).alias("_fid"),
                        F.col(text_col).alias("_ft"))
     pairs = minhash_neardup_pairs(t.unionByName(e), text_col="_ft",
                                   id_col="_fid", **mh_kwargs)
@@ -542,7 +560,11 @@ def fuzzy_decontaminate(
         F.pmod(F.col("id_a"), 2) != F.pmod(F.col("id_b"), 2))
     train_id = F.when(F.pmod(F.col("id_a"), 2) == 0, F.col("id_a")) \
         .otherwise(F.col("id_b"))
-    hits = (cross.select((train_id / 2).cast("long").alias(id_col),
+    # shiftright, NOT /2: Spark's / is double division, which silently
+    # rounds ids above 2^53 (the guard test's 2^62-1 id would decode to
+    # the wrong document); the encoded train id is even, so the
+    # arithmetic shift is exact for the whole guarded range
+    hits = (cross.select(F.shiftright(train_id, 1).alias(id_col),
                          "jaccard")
             .groupBy(id_col)
             .agg(F.max("jaccard").alias("max_eval_jaccard"),
@@ -756,6 +778,7 @@ def canonical_by_score(
     id_col: str = "id",
     comp_col: str = "component",
     score_col: str = "score",
+    require_scored: bool = False,
 ) -> DataFrame:
     """Quality-aware canonical selection: given cluster assignments
     (``connected_components`` output, or any (id, component) frame)
@@ -773,9 +796,33 @@ def canonical_by_score(
     frame then joins back (broadcast-sized at any realistic cluster
     count). Requires a numeric id (the tie-break negates it).
 
+    JOIN SEMANTICS (explicit, not incidental): assignments INNER-join
+    scores, so a cluster member with no score row is dropped from the
+    output and can never be elected best — a cluster whose true best
+    copy is unscored elects a different canonical with no signal.
+    That is the right default when scores come from the same pipeline
+    stage (every id has one); when they might not, pass
+    ``require_scored=True`` to fail the run loudly on the first
+    unscored member instead of silently dropping it.
+
     Returns (id, component, score, keep boolean, best_id)."""
-    j = assignments.select(F.col(id_col), F.col(comp_col)).join(
-        scores.select(F.col(id_col), F.col(score_col)), id_col)
+    s = scores.select(F.col(id_col), F.col(score_col))
+    if require_scored:
+        sc = F.col(score_col)
+        guarded = F.when(sc.isNull() & F.col(id_col).isNotNull(),
+                         F.raise_error(F.concat(
+                             F.lit("canonical_by_score: id "),
+                             F.col(id_col).cast("string"),
+                             F.lit(" has no score row "
+                                   "(require_scored=True)")))
+                         .cast(s.schema[score_col].dataType)
+                         ).otherwise(sc)
+        j = (assignments.select(F.col(id_col), F.col(comp_col))
+             .join(s, id_col, "left")
+             .select(id_col, comp_col, guarded.alias(score_col)))
+    else:
+        j = assignments.select(F.col(id_col), F.col(comp_col)).join(
+            s, id_col)
     best = (j.groupBy(comp_col)
             .agg(F.max(F.struct(F.col(score_col).alias("_s"),
                                 (-F.col(id_col)).alias("_nid"))).alias("_b"))

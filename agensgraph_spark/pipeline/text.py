@@ -178,6 +178,8 @@ def outlier_bounds_filter(
     lo: float = 0.05,
     hi: float = 0.95,
     decimals: int = 6,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Quantile-bounds outlier flagging — the per-language length
     filter every curation pipeline runs (drop the truncated fragments
@@ -197,13 +199,35 @@ def outlier_bounds_filter(
     Tiny strata caveat: interpolated quantiles of an n-row group sit
     strictly inside the value range for 0 < lo <= hi < 1 when n is
     small (two values at p10/p90 exclude BOTH) — filter strata below a
-    size floor first if that's not the intent."""
+    size floor first if that's not the intent.
+
+    ``approx=True`` swaps the exact percentile for ``approx_percentile``
+    (Greenwald-Khanna sketch): the exact aggregate's buffer grows with
+    DISTINCT VALUES per group — fine for bounded-cardinality values
+    like document lengths, but a hazard for unbounded-cardinality
+    columns (raw scores, durations in micros) at 100 TB, where the
+    sketch's O(accuracy) buffer is the safe shape.
+    ``approx_accuracy`` is Spark's accuracy knob: the rank error is at
+    most 1/accuracy (default 10,000 -> 0.01% of rows may land on the
+    wrong side of a bound). The sketch returns an OBSERVED value, not
+    an interpolation, so tiny-strata behavior differs slightly from
+    exact mode; exact stays the default and the oracle-replayed
+    contract."""
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    if approx_accuracy <= 0:
+        raise ValueError(f"approx_accuracy must be positive, "
+                         f"got {approx_accuracy}")
     v = F.col(value_col).cast("double")
+    if approx:
+        pct = [F.approx_percentile(v, F.lit(float(q)),
+                                   F.lit(int(approx_accuracy)))
+               for q in (lo, hi)]
+    else:
+        pct = [F.percentile(v, F.lit(float(q))) for q in (lo, hi)]
     agg = df.groupBy(*[F.col(c) for c in by]).agg(
-        F.round(F.percentile(v, F.lit(float(lo))), decimals).alias("lo_bound"),
-        F.round(F.percentile(v, F.lit(float(hi))), decimals).alias("hi_bound"))
+        F.round(pct[0], decimals).alias("lo_bound"),
+        F.round(pct[1], decimals).alias("hi_bound"))
     if by:
         j = df.join(F.broadcast(agg), list(by))
     else:

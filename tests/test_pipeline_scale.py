@@ -724,6 +724,31 @@ def test_fuzzy_decontaminate_hand_computed(spark):
     assert got[4] == (False, 0, None)
 
 
+def test_fuzzy_decontaminate_id_space_guard(spark):
+    """The parity encoding halves the id space: 2^62-1 (the largest
+    encodable id) works; 2^62 raises loudly instead of wrapping int64
+    and silently colliding two documents."""
+    import pytest as _pt
+
+    from agensgraph_spark.pipeline.dedup import fuzzy_decontaminate
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    ok_id = (1 << 62) - 1
+    train = spark.createDataFrame([(ok_id, txt)], ["doc_id", "text"])
+    ev = spark.createDataFrame([(7, txt)], ["doc_id", "text"])
+    rows = fuzzy_decontaminate(train, ev, threshold=0.4, min_est=0.3,
+                               hash_fn="md5").collect()
+    assert rows[0]["doc_id"] == ok_id and rows[0]["contaminated"]
+
+    bad = spark.createDataFrame([(1 << 62, txt)], ["doc_id", "text"])
+    with _pt.raises(Exception, match="outside"):
+        fuzzy_decontaminate(bad, ev, threshold=0.4, min_est=0.3,
+                            hash_fn="md5").collect()
+    with _pt.raises(Exception, match="outside"):
+        fuzzy_decontaminate(train, bad, threshold=0.4, min_est=0.3,
+                            hash_fn="md5").collect()
+
+
 def test_outlier_bounds_filter_hand_computed(spark):
     """Per-group exact-percentile bounds: values 1..10 in group A with
     lo=0.1/hi=0.9 keep 1.9..9.1 -> {2..9}; a second group is
@@ -750,6 +775,47 @@ def test_outlier_bounds_filter_hand_computed(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_outlier_bounds_filter_approx_mode(spark):
+    """approx=True (the unbounded-cardinality scale shape) must agree
+    with exact mode within the sketch's rank-error tolerance on the
+    real documents fixture: bounds within the value range spanned by
+    +-(n * 1/accuracy) ranks of the exact bound, and the kept-row
+    disagreement below 2x the theoretical rank error per side. Bad
+    accuracy refuses."""
+    import pytest as _pt
+
+    from agensgraph_spark.pipeline.text import outlier_bounds_filter
+
+    # high-cardinality values (the case approx mode exists for), two
+    # 10k-row groups: at accuracy=10,000 the sketch's rank error is
+    # <= 1 rank per bound, interpolation-vs-observed adds <= 1 more,
+    # so per group at most ~2 rows per bound may flip
+    docs = (spark.range(20_000)
+            .selectExpr("id AS doc_id", "id % 2 AS grp",
+                        "pmod(xxhash64(id), 1000000) / 7.0 AS n"))
+    exact = outlier_bounds_filter(docs, "n", by=("grp",), lo=0.05, hi=0.95)
+    approx = outlier_bounds_filter(docs, "n", by=("grp",), lo=0.05,
+                                   hi=0.95, approx=True)
+    ex = {r["doc_id"]: r["keep"] for r in exact.collect()}
+    ap = {r["doc_id"]: r["keep"] for r in approx.collect()}
+    assert set(ex) == set(ap)
+    disagree = sum(1 for k in ex if ex[k] != ap[k])
+    assert disagree <= 8, disagree  # 2 groups x 2 bounds x 2 ranks
+    # the approximate bounds sit within 0.2% of the exact ones on a
+    # ~uniform value column (rank error 1e-4 of 10k rows)
+    exb = {r["grp"]: (r["lo_bound"], r["hi_bound"])
+           for r in exact.select("grp", "lo_bound", "hi_bound")
+           .distinct().collect()}
+    apb = {r["grp"]: (r["lo_bound"], r["hi_bound"])
+           for r in approx.select("grp", "lo_bound", "hi_bound")
+           .distinct().collect()}
+    for g in exb:
+        for e, a in zip(exb[g], apb[g]):
+            assert abs(e - a) <= 0.002 * 1_000_000 / 7.0, (g, e, a)
+    with _pt.raises(ValueError):
+        outlier_bounds_filter(docs, "n", approx=True, approx_accuracy=0)
+
+
 def test_canonical_by_score_hand_computed(spark):
     """Keep the highest-scoring member per cluster, ties to the lowest
     id; singletons keep themselves; the plan's argmax is a hash
@@ -770,6 +836,34 @@ def test_canonical_by_score_hand_computed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan, plan
     assert "max(" in plan or "max_" in plan.lower(), plan
+
+
+def test_canonical_by_score_unscored_members(spark):
+    """The inner-join drop of unscored members is a DOCUMENTED
+    contract: by default an id missing from scores vanishes from the
+    output (pinned here so a silent semantic change fails CI);
+    require_scored=True fails loudly on the first unscored member
+    instead."""
+    import pytest as _pt
+
+    from agensgraph_spark.pipeline.dedup import canonical_by_score
+
+    cc = spark.createDataFrame([(1, 1), (2, 1), (3, 1)],
+                               ["id", "component"])
+    sc = spark.createDataFrame([(1, 10), (2, 30)], ["id", "score"])
+    got = {r["id"]: (r["keep"], r["best_id"])
+           for r in canonical_by_score(cc, sc).collect()}
+    # id 3 (unscored) is dropped and cannot be elected
+    assert got == {1: (False, 2), 2: (True, 2)}
+    with _pt.raises(Exception, match="has no score row"):
+        canonical_by_score(cc, sc, require_scored=True).collect()
+    # fully scored: require_scored is a no-op
+    sc_full = spark.createDataFrame([(1, 10), (2, 30), (3, 5)],
+                                    ["id", "score"])
+    got2 = {r["id"]: r["keep"]
+            for r in canonical_by_score(cc, sc_full,
+                                        require_scored=True).collect()}
+    assert got2 == {1: False, 2: True, 3: False}
 
 
 def test_epoch_shuffle_is_deterministic_permutation(spark):
