@@ -1068,9 +1068,10 @@ _PRE_DAYNAME = "!strip-dayname"    # Day/DAY/day: delete the full name
 _PRE_DAYABBR = "!strip-dayabbr"    # Dy/DY/dy: delete the 3-char name
 _PRE_MERIDIEM_DOTS = "!meridiem-dots"  # A.M. -> AM, then 'a'
 _PRE_ROMAN_MONTH = "!roman-month"  # RM/rm: XII..I -> 12..01, then 'MM'
+_PRE_Y_COMMA = "!y-comma"          # Y,YYY: 2,024 -> 2024, then 'yyyy'
 
 _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
-    ("Y,YYY", None), ("YYYY", "yyyy"), ("YYY", None), ("YY", "yy"),
+    ("Y,YYY", _PRE_Y_COMMA), ("YYYY", "yyyy"), ("YYY", None), ("YY", "yy"),
     ("IYYY", None), ("IYY", None), ("IY", None),
     ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
     ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
@@ -1084,7 +1085,7 @@ _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     ("DAY", _PRE_DAYNAME), ("Day", _PRE_DAYNAME), ("day", _PRE_DAYNAME),
     ("DDD", "DDD"), ("DD", "dd"),
     ("DY", _PRE_DAYABBR), ("Dy", _PRE_DAYABBR), ("dy", _PRE_DAYABBR),
-    ("ID", None), ("D", None),
+    ("IDDD", None), ("ID", None), ("D", None),
     ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
     ("SSSS", None), ("SS", "ss"),
     ("A.M.", _PRE_MERIDIEM_DOTS), ("P.M.", _PRE_MERIDIEM_DOTS),
@@ -1116,6 +1117,11 @@ _PRE_REGEX: "dict[str, list[tuple[str, str]]]" = {
         (rf"(?i)\b{rn}\b", f"{m:02d}") for m, rn in enumerate(
             ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii",
              "ix", "x", "xi", "xii"], start=1)],
+    # Y,YYY input (formatting.c DCH_Y_YYY from-case: sscanf %d,%03d):
+    # drop the grouping comma, then the strict 'yyyy' field parses the
+    # 4-digit year; anchored so a comma elsewhere in the input is
+    # untouched (and a malformed group survives to fail the parse)
+    _PRE_Y_COMMA: [(r"\b(\d),(\d{3})\b", "$1$2")],
 }
 
 
@@ -1193,6 +1199,10 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> "tuple[str, list[str]]
                     # the numeral is rewritten to a 2-digit month
                     out.append("MM")
                     kinds.append("field")
+                elif java == _PRE_Y_COMMA:
+                    # the comma-grouped year is rewritten to 4 digits
+                    out.append("yyyy")
+                    kinds.append("field")
                 # day-name tokens consume the template token only: the
                 # stripped input has nothing left to parse there
                 i += len(name)
@@ -1222,24 +1232,37 @@ def _dt_prepass(c: Column, pres: "list[str]") -> Column:
     return c
 
 
-# --- arithmetic input tokens (J / SSSS / CC) -------------------------------
+# --- arithmetic input tokens (J/SSSS/CC/IYYY/IW/ID/WW/W/D/Q) ---------------
 # These numeric calendar tokens have no Spark parse letter but need no
 # parser at all — they are integer math to (date, time), applied the
-# way do_to_timestamp does (formatting.c:4550-4643): SSSS decomposes
+# way do_to_timestamp does (formatting.c:4550-4740): SSSS decomposes
 # into h/m/s FIRST and explicit HH24/MI/SS override fields; CC+YY
 # combines by the century rule ((cc-1)*100 + yy, and yy==0 means the
 # century's LAST year, cc*100); CC with a 4-digit year is silently
-# ignored (yysz > 2 branch); J overrides year/month/day via j2date.
+# ignored (yysz > 2 branch); J overrides year/month/day via j2date;
+# IYYY+IW[+ID] is the ISO week date via isoweek2j Monday arithmetic
+# (PG refuses mixing ISO with Gregorian tokens, and so does this);
+# WW sets day-of-year (ww-1)*7+1 and W day-of-month (w-1)*7+1; Q and
+# Gregorian-mode D are parsed for digits but IGNORED, exactly like PG.
 # A template containing one of them takes this path: the whole input
 # is matched by ONE anchored regex built from the template (each
-# numeric field a capture group, separator-bounded), fields extract
-# JVM-side, and make_timestamp composes the result — no Python, no UDF.
+# numeric field a capture group; adjacent fields fixed-width like
+# from_char_parse_int_len, separator-bounded ones 1..max digits),
+# fields extract JVM-side, and make_timestamp composes the result —
+# no Python, no UDF.
 
-_DT_ARITH = ("J", "SSSS", "CC")
+_DT_ARITH = ("J", "SSSS", "CC", "IYYY", "IW", "ID", "IDDD",
+             "WW", "W", "D", "Q")
 # max input digits per field (formatting.c DCH_keywords len column)
-_ARITH_NUMW = {"YYYY": 4, "YY": 2, "MM": 2, "DD": 2, "HH24": 2,
+_ARITH_NUMW = {"YYYY": 4, "YY": 2, "MM": 2, "DD": 2, "DDD": 3, "HH24": 2,
                "MI": 2, "SS": 2, "MS": 3, "US": 6,
-               "J": 7, "SSSS": 5, "CC": 2}
+               "J": 7, "SSSS": 5, "CC": 2,
+               "IYYY": 4, "IW": 2, "ID": 1, "IDDD": 3, "WW": 2,
+               "W": 1, "D": 1, "Q": 1}
+# PG refuses mixing ISO-week and Gregorian date conventions on input
+# (from_char_set_mode: "invalid combination of date conventions")
+_ARITH_ISO = ("IYYY", "IW", "ID", "IDDD")
+_ARITH_GREG = ("YYYY", "YY", "MM", "DD", "DDD", "WW", "W", "D", "CC", "J")
 # Julian day number of 2000-01-01 (PG date2j(2000,1,1); both engines
 # are proleptic Gregorian, so one date_add closes the whole token).
 # Spark dates span 0001-01-01..9999-12-31 -> J in [_J_MIN, _J_MAX];
@@ -1282,10 +1305,10 @@ def _dt_has_arith(pattern: str) -> bool:
 
 def _dt_arith_elements(pattern: str) -> "list[tuple[str, str]]":
     """Template -> [('num', token) | ('lit', text)] for the arithmetic
-    path. Only separator-bounded numeric fields compose with J/SSSS/CC
-    (the regex needs digit runs to be unambiguous), so name tokens,
-    adjacent numeric fields, digits inside literals, and duplicate
-    fields all refuse loudly."""
+    path. Only numeric fields compose here (adjacent fields parse
+    fixed-width like PG's from_char_parse_int_len; separator-bounded
+    ones parse 1..max digits), so name tokens, digits inside literals,
+    and duplicate fields refuse loudly."""
     elems: "list[tuple[str, str]]" = []
     lit: list[str] = []
     seen: set = set()
@@ -1325,10 +1348,6 @@ def _dt_arith_elements(pattern: str) -> "list[tuple[str, str]]":
                     f"to_date/to_timestamp: duplicate field {hit!r} "
                     f"in {pattern!r}")
             seen.add(hit)
-            if elems and elems[-1][0] == "num" and not lit:
-                raise ValueError(
-                    f"to_date/to_timestamp: adjacent numeric fields with "
-                    f"no separator are ambiguous in {pattern!r}")
             flush()
             elems.append(("num", hit))
             i += len(hit)
@@ -1358,13 +1377,19 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
     elems = _dt_arith_elements(pattern)
     rx_parts: list[str] = ["^"]
     vals: "dict[str, Column]" = {}
-    group = 0
-    for kind, text in elems:
+    for i, (kind, text) in enumerate(elems):
         if kind == "lit":
             rx_parts.append(_re.escape(text))
         else:
-            group += 1
-            rx_parts.append(r"(\d{1,%d})" % _ARITH_NUMW[text])
+            # PG's from_char_parse_int_len reads EXACTLY the template
+            # KEYWORD's length when the next node is another field
+            # (fixed-width run, e.g. 'YYYYWWD' / 'IYYYIWID' —
+            # horology.sql:405,409; the width is key->len, so 'SSSS'
+            # adjacent reads 4 digits) and up to the field's max value
+            # width when a separator or the end follows
+            adjacent = i + 1 < len(elems) and elems[i + 1][0] == "num"
+            rx_parts.append((r"(\d{%d})" % len(text)) if adjacent
+                            else (r"(\d{1,%d})" % _ARITH_NUMW[text]))
             vals[text] = None  # ordered placeholder
     rx_parts.append("$")
     rx = "".join(rx_parts)
@@ -1372,8 +1397,47 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
         vals[tok] = F.regexp_extract(c, rx, idx).cast("int")
 
     valid = c.rlike(rx)
-    if "J" in vals:
-        bad = [t for t in ("YYYY", "YY", "MM", "DD", "CC") if t in vals]
+    # Q is parsed for an integer but never stored — PG's own doc'd
+    # behavior ("it is unclear which date in the quarter to use",
+    # formatting.c DCH_Q input case); D likewise is only consulted in
+    # ISO mode (as ID's alias via wday shift) — in Gregorian mode PG
+    # parses and ignores it.
+    iso = [t for t in _ARITH_ISO if t in vals]
+    greg = [t for t in _ARITH_GREG if t in vals]
+    if iso and greg:
+        # PG: from_char_set_mode errmsg parity
+        raise ValueError(
+            f"to_date/to_timestamp: invalid combination of date "
+            f"conventions — ISO week tokens {iso} cannot mix with "
+            f"Gregorian tokens {greg} ({pattern!r})")
+    if iso:
+        if "IYYY" not in vals or ("IW" not in vals
+                                  and "IDDD" not in vals):
+            raise ValueError(
+                f"to_date/to_timestamp: ISO week-date input needs IYYY "
+                f"plus IW or IDDD (got {iso}) in {pattern!r}")
+        if "IDDD" in vals and ("IW" in vals or "ID" in vals):
+            raise ValueError(
+                f"to_date/to_timestamp: IDDD sets the whole ISO "
+                f"day-of-year — combining with IW/ID is not supported "
+                f"({pattern!r})")
+        # isoweek2j (timestamp.c:4381): Monday of ISO week 1 is the
+        # Monday on-or-before Jan 4; weekday() is Monday=0. ID is the
+        # ISO day (Monday=1) -> offset ID-1; absent ID leaves the date
+        # at the week's Monday (formatting.c:4648); IDDD is the ISO
+        # day-of-year from that same Monday (formatting.c:4692-4696).
+        jan4 = F.make_date(vals["IYYY"], F.lit(1), F.lit(4))
+        mon1 = F.date_sub(jan4, F.weekday(jan4))
+        if "IDDD" in vals:
+            off = vals["IDDD"] - 1
+        else:
+            off = (vals["IW"] - 1) * 7 \
+                + ((vals["ID"] - 1) if "ID" in vals else F.lit(0))
+        d = F.date_add(mon1, off)
+        y, mo, dd = F.year(d), F.month(d), F.dayofmonth(d)
+    elif "J" in vals:
+        bad = [t for t in _ARITH_GREG if t != "J" and t in vals
+               and t not in ("D", "Q")]
         if bad:
             raise ValueError(
                 f"to_date/to_timestamp: J overrides the whole date — "
@@ -1399,10 +1463,34 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
         else:
             raise ValueError(
                 f"to_date/to_timestamp: no year source in {pattern!r} — "
-                "the J/SSSS/CC path needs J, YYYY, or CC[+YY] (PG's "
-                "zeroed-tm default is not reproduced)")
-        mo = vals.get("MM", F.lit(1))
-        dd = vals.get("DD", F.lit(1))
+                "the arithmetic input path needs IYYY+IW, J, YYYY, or "
+                "CC[+YY] (PG's zeroed-tm default is not reproduced)")
+        if "WW" in vals or "DDD" in vals:
+            # WW sets day-of-year (ww-1)*7+1 (formatting.c:4658); both
+            # fill month+day, so an explicit MM/DD/W alongside would
+            # hit PG's conditional-fill corner — refused loudly
+            bad = [t for t in ("MM", "DD", "W") if t in vals] \
+                + (["DDD"] if "WW" in vals and "DDD" in vals else [])
+            if bad:
+                raise ValueError(
+                    f"to_date/to_timestamp: WW/DDD set the whole "
+                    f"month+day — combining with {bad} is not supported "
+                    f"({pattern!r})")
+            ddd = ((vals["WW"] - 1) * 7 + 1 if "WW" in vals
+                   else vals["DDD"])
+            d = F.date_add(F.make_date(y, F.lit(1), F.lit(1)), ddd - 1)
+            mo, dd = F.month(d), F.dayofmonth(d)
+        elif "W" in vals:
+            # W: day-of-month (w-1)*7+1 (formatting.c:4661-4662)
+            if "MM" not in vals or "DD" in vals:
+                raise ValueError(
+                    f"to_date/to_timestamp: W (week of month) needs MM "
+                    f"and excludes DD in {pattern!r}")
+            mo = vals["MM"]
+            dd = (vals["W"] - 1) * 7 + 1
+        else:
+            mo = vals.get("MM", F.lit(1))
+            dd = vals.get("DD", F.lit(1))
 
     if "SSSS" in vals:
         x = vals["SSSS"]
@@ -1454,8 +1542,10 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
     strict parser rejects; malformed input raises under ANSI rather
     than returning NULL (use try_to_timestamp semantics upstream if
     NULLs are wanted). Templates carrying the numeric calendar tokens
-    J / SSSS / CC take the arithmetic input path (see _dt_arith_expr):
-    they are integer math to (date, time), no parser letter needed."""
+    J / SSSS / CC / IYYY / IW / ID / WW / W / D / Q take the
+    arithmetic input path (see _dt_arith_expr): they are integer math
+    to (date, time), no parser letter needed; Y,YYY parses via a
+    comma-stripping pre-pass."""
     if _dt_has_arith(pattern):
         return _dt_arith_expr(_c(col), pattern, safe=False)
     pat, pres = _dt_parse_pattern(pattern)

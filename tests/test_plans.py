@@ -576,3 +576,20 @@ def test_duplicate_spans_no_cartesian_single_doc_shuffle(spark):
     # dump; there must be no Exchange between them
     seg = agg_after_win[agg_after_win.rfind("HashAggregate"):]
     assert "Exchange" not in seg, seg
+
+
+def test_ann_filtered_ivf_index_bounded_shape(spark):
+    """Filtered vector search's 100 TB serving shape (ann_filtered_ivf):
+    the metadata predicate must reach the corpus as a pre-scoring
+    SEMI-join, scoring must be the IVF bucket join on the probed-list
+    key — never a cartesian/brute |corpus|x|queries| pair join — and
+    the query side must broadcast (it is query-set-sized)."""
+    from agensgraph_spark.workload import all_queries
+    df = all_queries()["ann_filtered_ivf"](spark, SF)
+    plan = physical(df)
+    assert "LeftSemi" in plan, plan                 # the pre-filter
+    assert "CartesianProduct" not in plan, plan     # never brute pairs
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # scoring joins on the probed inverted-list key, query side
+    # broadcast (one hash join keyed on _list)
+    assert re.search(r"BroadcastHashJoin \[_list#\d+", plan), plan

@@ -917,6 +917,25 @@ def test_age_parts_fractional_seconds(spark):
     ("21", "CC", "2001-01-01"),
     # CC with a 4-digit year: CC silently ignored (yysz > 2 branch)
     ("19 2024", "CC YYYY", "2024-01-01"),
+    # ISO week dates (horology regression: to_timestamp('2005527',
+    # 'IYYYIWID') = 2006-01-01 — adjacent fields parse fixed-width)
+    ("2005527", "IYYYIWID", "2006-01-01"),
+    ("2006-42-4", "IYYY-IW-ID", "2006-10-19"),
+    ("2006-42", "IYYY-IW", "2006-10-16"),     # no ID -> the Monday
+    # IDDD: ISO day-of-year (horology: to_timestamp('2005364',
+    # 'IYYYIDDD') = 2006-01-01)
+    ("2005364", "IYYYIDDD", "2006-01-01"),
+    # WW: day-of-year (ww-1)*7+1; trailing D parsed and IGNORED in
+    # Gregorian mode (horology: to_timestamp('2005426','YYYYWWD') =
+    # 2005-10-15)
+    ("2005426", "YYYYWWD", "2005-10-15"),
+    ("2005 42", "YYYY WW", "2005-10-15"),
+    # W: day-of-month (w-1)*7+1
+    ("2005-10 3", "YYYY-MM W", "2005-10-15"),
+    # Q parsed-and-ignored (PG doc: ignored on input)
+    ("4 2005-10-05", "Q YYYY-MM-DD", "2005-10-05"),
+    # Y,YYY grouped year via the comma-strip pre-pass
+    ("2,024-02-29", "Y,YYY-MM-DD", "2024-02-29"),
 ])
 def test_to_date_arith_tokens(spark, val, pat, want):
     """J / SSSS / CC input tokens — the arithmetic input path
@@ -972,14 +991,31 @@ def test_arith_tokens_error_paths(spark):
     # J combined with explicit date fields, no year source
     with pytest.raises(ValueError, match="cannot combine"):
         to_date(F.lit("x"), "Mon CC")
-    with pytest.raises(ValueError, match="adjacent numeric"):
-        to_timestamp(F.lit("x"), "SSSSMM")
     with pytest.raises(ValueError, match="duplicate field"):
         to_date(F.lit("x"), "J J")
     with pytest.raises(ValueError, match="overrides the whole date"):
         to_date(F.lit("x"), "J DD")
     with pytest.raises(ValueError, match="no year source"):
         to_timestamp(F.lit("x"), "SSSS")
+    # PG: "invalid combination of date conventions" (from_char_set_mode)
+    with pytest.raises(ValueError, match="date conventions"):
+        to_date(F.lit("x"), "IYYY-MM-DD")
+    with pytest.raises(ValueError, match="needs IYYY plus IW or IDDD"):
+        to_date(F.lit("x"), "IYYY")
+    with pytest.raises(ValueError, match="whole ISO day-of-year"):
+        to_date(F.lit("x"), "IYYY IW IDDD")
+    with pytest.raises(ValueError, match="whole month"):
+        to_date(F.lit("x"), "YYYY WW DD")
+    with pytest.raises(ValueError, match="needs MM"):
+        to_date(F.lit("x"), "YYYY W")
+    # SSSS range: 86400 errors strict (hour 24), NULL under try_
+    # (horology.sql:540)
+    with pytest.raises(Exception):
+        run(to_timestamp(F.lit("2015-02-11 86400"), "YYYY-MM-DD SSSS"))
+    assert run(try_to_timestamp(F.lit("2015-02-11 86400"),
+                                "YYYY-MM-DD SSSS")) is None
+    assert run(to_timestamp(F.lit("2015-02-11 86000"),
+                            "YYYY-MM-DD SSSS")) == "2015-02-11 23:53:20"
 
 
 def test_arith_tokens_roundtrip_to_char(spark):

@@ -74,7 +74,16 @@ PROBE_EXTRA = ["dedup_semantic_scaled", "text_lm_perplexity",
                # holding 30% of all events — exercising the two-phase
                # cap and the bucketed sessionization shapes whose
                # whole point is surviving exactly this input
-               "cap_per_group_hot", "sessionize_skewed_user"]
+               "cap_per_group_hot", "sessionize_skewed_user",
+               # r14 probes: fuzzy decontamination must inherit the
+               # minhash banding shape UNCHANGED through the
+               # parity-encoded union (the registry row scales with the
+               # documents corpus: train = all docs, eval = the %17
+               # slice); epoch_shuffle at a trainer-realistic shard
+               # count (512 shards -> ~1000 docs/shard at sf10), where
+               # a hidden global sort or a straggler shard would show
+               # as a supra-linear decade or a long-tail task
+               "fuzzy_decontaminate", "epoch_shuffle_sharded"]
 PROBE = PROBE7 + PROBE_EXTRA
 
 
@@ -151,6 +160,19 @@ def _sessionize_skewed(spark, d: str):
                  F.sum(F.col("value").cast("double")).alias("total_value")))
 
 
+def _epoch_shuffle_sharded(spark, d: str):
+    """epoch_shuffle at a trainer-realistic shard count: 512 shards
+    (the registry row fixes n_shards=8 for oracle compactness). The
+    (shard, pos) address stays a pure function of (seed, id); the work
+    is one exchange on the shard key + per-shard rank windows — more
+    shards means SMALLER windows, so the probe also catches any
+    accidental global sort (which would not care about n_shards)."""
+    from agensgraph_spark.pipeline.sampling import epoch_shuffle
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    return epoch_shuffle(docs, seed="ep1", n_shards=512).select(
+        "doc_id", "shard", "pos")
+
+
 def main() -> None:
     spark = get_spark("scale-decades")
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,6 +181,7 @@ def main() -> None:
     qs["dedup_semantic_scaled"] = _semantic_scaled
     qs["cap_per_group_hot"] = _cap_hot
     qs["sessionize_skewed_user"] = _sessionize_skewed
+    qs["epoch_shuffle_sharded"] = _epoch_shuffle_sharded
     import gen_true_sf1
 
     sf1_dir = os.path.join(_ROOT, ".scaledata", "sf1_true")
