@@ -678,7 +678,12 @@ def age_parts(ts1: "Column | str", ts2: "Column | str") -> Column:
     rem_d = F.pmod(us, F.lit(86_400_000_000))
     rem_h = F.pmod(rem_d, F.lit(3_600_000_000))
 
-    sign = F.when(a0 < b0, F.lit(-1)).otherwise(F.lit(1))
+    # NULL propagation lives on the sign: Spark's greatest/least SKIP
+    # nulls (a NULL input would otherwise read as a zero age), so a
+    # NULL on either side nulls the sign and with it every field —
+    # matching PG's strict age() and the old when/otherwise swap.
+    sign = F.when(a0.isNull() | b0.isNull(), F.lit(None).cast("int")) \
+        .when(a0 < b0, F.lit(-1)).otherwise(F.lit(1))
     return F.struct(
         (sign * F.floor(mt / 12)).cast("int").alias("years"),
         (sign * F.pmod(mt, F.lit(12))).cast("int").alias("months"),

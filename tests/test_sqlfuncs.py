@@ -1137,6 +1137,14 @@ def test_age_parts_differential_vs_borrow_chain(spark):
         have = (p["years"], p["months"], p["days"], p["hours"], p["mins"],
                 round(p["secs"], 6))
         assert have == want, (r["a"], r["b"], have, want)
+    # NULL inputs -> NULL fields (PG strictness; greatest/least SKIP
+    # nulls, so without the sign guard this would read as a zero age)
+    nul = spark.createDataFrame(
+        [(None, pairs[0][0]), (pairs[0][0], None), (None, None)],
+        df.schema)
+    for r in nul.select(age_parts("a", "b").alias("p")).collect():
+        assert all(r["p"][f] is None for f in
+                   ("years", "months", "days", "hours", "mins", "secs"))
 
 
 def test_to_number_truncates_excess_fraction(spark):
