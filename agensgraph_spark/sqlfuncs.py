@@ -802,6 +802,98 @@ def _parse_num_pattern(pattern: str):
     return pre, post, has_d, fm, sign
 
 
+def _std_picture_fast(dec: Column, pre, post, has_d: bool, fm: bool,
+                      sign: str, n_pre: int, n_post: int) -> "Column | None":
+    """The standard-picture fast render (see the call site in
+    to_char_number for the equivalence argument), or None when the
+    picture needs the general renderer. Covers the default floating
+    sign, S leading/trailing, MI leading/trailing, zero-fill from the
+    leftmost '0' slot, and ',' groups of exactly 3 — i.e. every
+    literal-free picture except PR and FM."""
+    import decimal as _dec
+
+    if fm or sign == "PR":
+        return None
+    if has_d and n_post == 0:
+        return None  # trailing-dot picture ('999D') needs the general path
+    if any(k != "d" for k, _ in post):
+        return None
+    if any(k not in ("d", "g") or (k == "g" and v != ",")
+           for k, v in pre):
+        return None
+    has_group = any(k == "g" for k, _ in pre)
+    digit_idxs = [i for i, (k, _) in enumerate(pre) if k == "d"]
+    zero_orders = [o for o, i in enumerate(digit_idxs)
+                   if pre[i][1] == "0"]
+    min_int = (n_pre - zero_orders[0]) if zero_orders else 0
+    if has_group:
+        if min_int > 0:
+            return None  # zero-filling THROUGH separators: general path
+        # groups must be exactly 3 digits from the right, ',' between
+        rev = [k for k, _ in reversed(pre)]
+        i, n = 0, len(rev)
+        while i < n:
+            run = 0
+            while i < n and rev[i] == "d" and run < 3:
+                i += 1
+                run += 1
+            if i < n:
+                if rev[i] != "g" or run != 3 or i + 1 >= n \
+                        or rev[i + 1] != "d":
+                    return None
+                i += 1
+
+    # |value| rendered once: grouped via format_number (same HALF_UP
+    # scale, ',' every 3, '.'), ungrouped via the bare decimal cast
+    astr = F.format_number(F.abs(dec), n_post) if has_group \
+        else F.abs(dec).cast("string")
+    if min_int > 0:
+        # zero-fill from the leftmost '0' slot: the fraction part has
+        # fixed width, so one '0'-lpad of the whole string fills
+        # exactly the integer digits. CONDITIONAL — Spark's lpad
+        # TRUNCATES a longer string, so a value already wider than the
+        # fill width must pass through untouched.
+        zlen = min_int + ((1 + n_post) if has_d else 0)
+        astr = F.when(F.length(astr) < zlen,
+                      F.lpad(astr, zlen, "0")).otherwise(astr)
+    elif n_post > 0:
+        # blank-zero: a zero integer part renders empty when the
+        # fraction carries digits; the strip runs only on the |x|<1
+        # branch
+        astr = F.when(F.abs(dec) < F.lit(_dec.Decimal(1)),
+                      F.regexp_replace(astr, r"^0\.", ".")) \
+            .otherwise(astr)
+
+    neg = dec < 0
+    wtempl = (n_pre + sum(1 for k, _ in pre if k == "g")
+              + ((1 + n_post) if has_d else 0))
+    if sign == "default":
+        # '-' floats against the digits; positives take the sign slot
+        # as one more pad space
+        signed = F.when(neg, F.concat(F.lit("-"), astr)).otherwise(astr)
+        body = F.lpad(signed, wtempl + 1, " ")
+    elif sign == "S_lead":
+        signed = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("+")),
+                          astr)
+        body = F.lpad(signed, wtempl + 1, " ")
+    elif sign == "S_trail":
+        body = F.concat(F.lpad(astr, wtempl, " "),
+                        F.when(neg, F.lit("-")).otherwise(F.lit("+")))
+    elif sign == "MI_lead":
+        body = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit(" ")),
+                        F.lpad(astr, wtempl, " "))
+    else:  # MI_trail
+        body = F.concat(F.lpad(astr, wtempl, " "),
+                        F.when(neg, F.lit("-")).otherwise(F.lit(" ")))
+
+    limit = _dec.Decimal(10) ** n_pre
+    sharp_pre = "".join("#" if k == "d" else v for k, v in pre)
+    sharp_post = "#" * n_post
+    over_txt = " " + sharp_pre + ("." if has_d else "") + sharp_post
+    return F.when(F.abs(dec) >= F.lit(limit), F.lit(over_txt)) \
+        .otherwise(body)
+
+
 @_template_cached
 def to_char_number(col: "Column | str", pattern: str) -> Column:
     """PostgreSQL ``to_char(numeric, text)`` for the digit-picture
@@ -861,6 +953,27 @@ def to_char_number(col: "Column | str", pattern: str) -> Column:
 
     # scale-fixing cast: decimal HALF_UP == PG numeric round-half-away
     dec = c.cast(f"decimal(38,{n_post})")
+
+    # ---- fast path for STANDARD pictures (the overwhelmingly common
+    # case: all-'9' slots, optional ',' groups of exactly 3, default
+    # floating sign, no FM/literals/zero-fill). These render in ~3
+    # string ops — format_number (or a bare decimal cast when
+    # ungrouped), one blank-zero fix on the |x|<1 branch, one lpad to
+    # the template width + sign slot — instead of the general
+    # renderer's ~15 (substring_index/lpad/overlays/element_at per
+    # row). Semantics are identical: the decimal cast above fixed the
+    # scale with HALF_UP, grouping-every-3 matches format_number, PG's
+    # blanked separators left of the number are exactly lpad spaces,
+    # the blank-zero rule is the 0.-prefix strip, and overflow
+    # compares the ROUNDED magnitude against 10^n_pre (same test as
+    # integer-digit count > slots). Verified by the same numeric.out
+    # pins + the 90s to_char/to_number roundtrip property battery.
+    fast = _std_picture_fast(dec, pre, post, has_d, fm, sign,
+                             n_pre, n_post)
+    if fast is not None:
+        return F.when(c.isNull(),
+                      F.lit(None).cast("string")).otherwise(fast)
+
     neg = dec < 0
     s_all = F.abs(dec).cast("string")
     if n_post > 0:

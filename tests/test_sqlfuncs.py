@@ -1044,6 +1044,36 @@ def test_arith_tokens_roundtrip_to_char(spark):
         assert r["cc_rt"].year == r["ts"].year and r["cc_rt"].month == 1
 
 
+@pytest.mark.parametrize("val,pic,want", [
+    # fast-path pictures (all-9/0 slots, std groups, S/MI/default):
+    # exact text pinned at the edges the fast render must preserve
+    ("1234567.89", "9G999G999D99", " 1,234,567.89"),
+    ("-1234567.89", "9G999G999D99", "-1,234,567.89"),
+    ("0.45", "9G999G999D99", "          .45"),         # blank-zero
+    ("-0.45", "999D99", "   -.45"),
+    ("9999999.99", "9G999G999D99", " 9,999,999.99"),   # full width
+    ("12345678", "9G999G999", " #,###,###"),           # overflow
+    ("3.7", "S0999D999", "+0003.700"),                   # S + zero-fill
+    ("-3.7", "S0999D999", "-0003.700"),
+    ("12.3", "999D9MI", " 12.3 "),                       # MI trail
+    ("-12.3", "999D9MI", " 12.3-"),
+    ("93.74", "90", " 94"),            # mid '0' wider value: no truncate
+    ("5", "990", "   5"),              # '0' last slot already filled
+    ("5", "900", "  05"),              # zero-fill engages when narrower
+])
+def test_to_char_number_fast_path_pins(spark, val, pic, want):
+    """The standard-picture fast render (r14) must emit byte-identical
+    text to the general renderer's contract on the edges it
+    special-cases: blank-zero, conditional zero-fill (Spark's lpad
+    TRUNCATES longer strings), full-width values, group boundaries,
+    overflow '#' fill, and the S/MI sign slots."""
+    from agensgraph_spark.sqlfuncs import to_char_number
+    got = (spark.range(1)
+           .select(to_char_number(F.lit(val).cast("decimal(18,6)"), pic)
+                   .alias("s")).first()["s"])
+    assert got == want, (val, pic, repr(got), repr(want))
+
+
 def test_template_cache_hits_and_bypass(spark):
     """The compiled-template cache (the Spark analog of formatting.c's
     DCH/NUM caches): string-named invocations with identical (col,
