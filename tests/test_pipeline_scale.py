@@ -393,9 +393,12 @@ def test_personalized_pagerank_out_of_graph_seeds(spark):
     want = {r["id"]: r["ppr"]
             for r in personalized_pagerank(e, v, clean, iters=2).collect()}
     assert got == want
-    with _pt.raises(ValueError, match="no source id"):
+    # the refusal rides in the plan (raise_error on the |S| aggregate,
+    # no plan-time guard job) — it fires at first action
+    with _pt.raises(Exception, match="no source id"):
         personalized_pagerank(
-            e, v, spark.createDataFrame([("zz",)], ["id"]), iters=1)
+            e, v, spark.createDataFrame([("zz",)], ["id"]),
+            iters=1).collect()
 
 
 def test_random_walks_match_python_replay(spark):
@@ -1003,9 +1006,11 @@ def test_harmonic_centrality_sampled_hand_computed(spark):
             for r in harmonic_centrality_sampled(e, v, noisy,
                                                  max_hops=2).collect()}
     assert got2 == got
-    with _pt.raises(ValueError, match="no source id"):
+    # in-plan refusal (no plan-time guard job): fires at first action
+    with _pt.raises(Exception, match="no source id"):
         harmonic_centrality_sampled(
-            e, v, spark.createDataFrame([("zz",)], ["id"]), max_hops=2)
+            e, v, spark.createDataFrame([("zz",)], ["id"]),
+            max_hops=2).collect()
 
 
 def test_harmonic_centrality_hand_computed(spark):
