@@ -1074,6 +1074,47 @@ def test_to_char_number_fast_path_pins(spark, val, pic, want):
     assert got == want, (val, pic, repr(got), repr(want))
 
 
+def test_to_char_number_fast_vs_general_differential(spark):
+    """Byte-identity of the fast standard-picture render against the
+    general renderer (the oracle-verified path) over a seeded battery:
+    every fast-qualifying sign/group/zero-fill shape x magnitudes that
+    cross the blank-zero, zero-fill, full-width, rounding-carry and
+    overflow boundaries. The general path is forced by stubbing
+    _std_picture_fast to decline; Column-typed args bypass the
+    template cache so the two builds are independent."""
+    import random
+    from agensgraph_spark import sqlfuncs as SF
+
+    pics = ["9G999G999D99", "999D99", "S0999D999", "999D9MI",
+            "9G999G999", "S9999", "9999S", "9999MI", "MI9999",
+            "990", "900", "0000D00", "99999", "9D9999", "S9G999D9"]
+    rng = random.Random(1402)
+    vals = ["0", "-0.004", "0.004", "0.45", "-0.45", "1", "-1",
+            "999.995", "-999.995", "9999.9999", "12345678", "-12345678",
+            "0.00005"]
+    vals += [str(rng.choice([1, -1])
+                 * round(rng.uniform(0, 10) ** rng.uniform(0, 7), 4))
+             for _ in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]) \
+        .select(F.col("v").cast("decimal(18,6)").alias("v"))
+
+    sel = []
+    real_fast = SF._std_picture_fast
+    for i, pic in enumerate(pics):
+        fast_col = SF.to_char_number(F.col("v"), pic)
+        SF._std_picture_fast = lambda *a, **k: None
+        try:
+            gen_col = SF.to_char_number(F.col("v"), pic)
+        finally:
+            SF._std_picture_fast = real_fast
+        sel += [fast_col.alias(f"f{i}"), gen_col.alias(f"g{i}")]
+    rows = df.select(F.col("v").cast("string").alias("v"), *sel).collect()
+    for r in rows:
+        for i, pic in enumerate(pics):
+            assert r[f"f{i}"] == r[f"g{i}"], (
+                r["v"], pic, repr(r[f"f{i}"]), repr(r[f"g{i}"]))
+
+
 def test_template_cache_hits_and_bypass(spark):
     """The compiled-template cache (the Spark analog of formatting.c's
     DCH/NUM caches): string-named invocations with identical (col,
