@@ -83,7 +83,13 @@ PROBE_EXTRA = ["dedup_semantic_scaled", "text_lm_perplexity",
                # count (512 shards -> ~1000 docs/shard at sf10), where
                # a hidden global sort or a straggler shard would show
                # as a supra-linear decade or a long-tail task
-               "fuzzy_decontaminate", "epoch_shuffle_sharded"]
+               "fuzzy_decontaminate", "epoch_shuffle_sharded",
+               # r14: the filtered-ANN serving path — the predicate
+               # semi-join must compose with IVF probing (per-query
+               # work stays n_probe/n_lists of the FILTERED corpus);
+               # a supra-linear decade here would mean the filter is
+               # secretly forcing a brute pair join
+               "ann_filtered_ivf"]
 PROBE = PROBE7 + PROBE_EXTRA
 
 
@@ -174,6 +180,17 @@ def _epoch_shuffle_sharded(spark, d: str):
 
 
 def main() -> None:
+    # optional argv subset: probe only the named queries (new-probe
+    # iteration without the full ~50-materialization circuit). Ratios
+    # stay comparable — query-major order means each query's three
+    # datasets share adjacent session state either way.
+    probe = PROBE
+    if len(sys.argv) > 1:
+        unknown = [a for a in sys.argv[1:] if a not in PROBE]
+        if unknown:
+            raise SystemExit(f"unknown probe(s): {unknown}; "
+                             f"known: {PROBE}")
+        probe = sys.argv[1:]
     spark = get_spark("scale-decades")
     spark.sparkContext.setLogLevel("ERROR")
     qs = workload.all_queries()
@@ -200,7 +217,7 @@ def main() -> None:
     # still gets its own warm pass below before timing (the full
     # three-dataset circuit doubled the probe's wall clock for no
     # extra signal)
-    for name in PROBE:
+    for name in probe:
         _materialize(qs[name](spark, datasets[0][0]))
     gc.collect()
     # QUERY-MAJOR ORDER (round 13): the former dataset-major loop put
@@ -217,7 +234,7 @@ def main() -> None:
     # run read minhash decade-2 at 11.3 and lm_perplexity at 13.8; the
     # same build query-major reads them data-bound again.)
     results: dict[str, dict[str, float]] = {}
-    for name in PROBE:
+    for name in probe:
         for d, tag in datasets:
             _materialize(qs[name](spark, d))   # per-(query,dataset) warm
             ts = []
@@ -233,7 +250,7 @@ def main() -> None:
     print(f"{'query':22s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
           "r(0.1->1) r(1->10)   (10x data per decade)")
     payload = {}
-    for name in PROBE:
+    for name in probe:
         r = results[name]
         r1 = r["sf1"] / max(r["sf0.1"], 0.01)
         r2 = r["sf10"] / max(r["sf1"], 0.01)
