@@ -341,6 +341,21 @@ def _tz_offset(ts: Column, fm: bool) -> Column:
     return c
 
 
+def _tzh(ts: Column, fm: bool) -> Column:
+    """PG TZH: sign + 2-digit hours of the session-zone UTC offset
+    (formatting.c:2791 DCH_TZH '%c%02d'). Java 'xxx' renders the full
+    +HH:MM offset; the head slice is exactly sign+hours. FM has no
+    effect (the PG case has no S_FM branch)."""
+    return F.substring(F.date_format(ts, "xxx"), 1, 3)
+
+
+def _tzm(ts: Column, fm: bool) -> Column:
+    """PG TZM: 2-digit ABSOLUTE offset minutes, no sign
+    (formatting.c:2798 DCH_TZM '%02d' of abs(gmtoff)%%3600/60) — the
+    tail slice of Java's +HH:MM. FM has no effect."""
+    return F.substring(F.date_format(ts, "xxx"), 5, 2)
+
+
 def _y_comma(ts: Column, fm: bool) -> Column:
     """PG Y,YYY: year with a comma after the thousands digit —
     formatting.c:DCH_Y_YYY sprintf('%d,%03d', year/1000, year%1000),
@@ -529,6 +544,7 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("Q", _num("Q", F.quarter)),
     ("CC", _century), ("J", _julian_day),
     ("RM", _roman_month(True)), ("rm", _roman_month(False)),
+    ("TZH", _tzh), ("TZM", _tzm),
     ("TZ", _tz_abbrev(True)), ("tz", _tz_abbrev(False)),
     ("OF", _tz_offset), ("FX", None),
     ("BC", _era(True, False)), ("AD", _era(True, False)),
@@ -542,7 +558,7 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     patterns (formatting.c:DCH_to_char): YYYY/YY, MM, DD/DDD, HH24/
     HH12/HH, MI, SS, MS/US, Mon/Month/Dy/Day families in all three
     cases, AM/PM (incl. dotted), D/ID, Q, W/WW/IW, session-timezone
-    TZ/tz/OF, Y,YYY digit grouping and the Y/YYY year tails, ISO
+    TZ/tz/OF/TZH/TZM, Y,YYY digit grouping and the Y/YYY year tails, ISO
     week-numbering years IYYY/IYY/IY/I, century CC, Julian day J,
     seconds-past-midnight SSSS, fractional seconds FF1-FF6, TH/th
     ordinal suffixes (digit-gated like str_numth), Roman-numeral
@@ -1216,9 +1232,28 @@ _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     # token can't shadow — \bX\b never matches inside \bXII\b), then
     # 'MM' parses it; an invalid numeral survives and fails loudly
     ("RM", _PRE_ROMAN_MONTH), ("rm", _PRE_ROMAN_MONTH),
+    # numeric zone offset: PG TZH reads sign+2 digits, TZM 2 digits
+    # (formatting.c:3513-3544); the common composites map to java's
+    # offset letters wholesale — 'xxx' (+HH:MM), 'xx' (+HHMM), 'x'
+    # (+HH) — and to_timestamp then yields the same instant PG's
+    # timestamptz carries (session pinned UTC both sides). Divergence
+    # (documented): PG defaults a MISSING sign to '+'; java's 'x'
+    # requires the sign, so unsigned offsets fail the parse loudly.
+    ("TZH:TZM", "xxx"), ("TZHTZM", "xx"), ("TZH", "x"), ("TZM", None),
     ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
     ("BC", None), ("AD", None),
 ]
+
+# None-entry refusal text overrides; TZ/tz/OF carry PG's own errmsg
+# (formatting.c:3505-3510 raises FEATURE_NOT_SUPPORTED for these on
+# input — the refusal IS reference behavior, not a shim gap)
+_DT_REFUSE_MSG = {
+    "TZ": 'formatting field "TZ" is only supported in to_char',
+    "tz": 'formatting field "tz" is only supported in to_char',
+    "OF": 'formatting field "OF" is only supported in to_char',
+    "TZM": "TZM without a leading TZH is not supported (PG would "
+           "default the sign positive; write TZH:TZM)",
+}
 
 # the pre-pass regexes are anchored on word boundaries so a typo'd name
 # ("Thursdayy") survives the strip and fails the strict parse loudly;
@@ -1304,8 +1339,11 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> "tuple[str, list[str]]
             name, java = hit
             if java is None:
                 raise ValueError(
-                    f"to_date/to_timestamp: input pattern {name!r} is not "
-                    f"supported by this shim (in {pattern!r})")
+                    "to_date/to_timestamp: "
+                    + _DT_REFUSE_MSG.get(
+                        name, f"input pattern {name!r} is not "
+                        "supported by this shim")
+                    + f" (in {pattern!r})")
             if java.startswith("!"):
                 if java not in pres:
                     pres.append(java)

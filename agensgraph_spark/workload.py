@@ -3622,6 +3622,14 @@ def _q_to_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "YYYY-MM-DD SSSS").cast("string").alias("t_ssss"),
         SQLF.to_date(SQLF.to_char("ts", "CC YY"), "CC YY")
             .cast("string").alias("d_century"),
+        # r14 zone-offset input: TZH:TZM round-trips the rendered
+        # session offset (+00:00 under the pinned-UTC session) — the
+        # only zone tokens PG parses on input (formatting.c:3513-3544;
+        # TZ/tz/OF input raise in PG itself)
+        SQLF.to_timestamp(
+            SQLF.to_char("ts", "YYYY-MM-DD HH24:MI:SS TZH:TZM"),
+            "YYYY-MM-DD HH24:MI:SS TZH:TZM")
+            .cast("string").alias("t_tzhm"),
     )
 
 
@@ -3813,7 +3821,10 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                CAST(CAST(ts AS DATE) AS VARCHAR) AS d_julian,
                CAST(date_trunc('second', ts) AS VARCHAR) AS t_ssss,
                CAST(CAST(date_trunc('year', ts) AS DATE) AS VARCHAR)
-                 AS d_century
+                 AS d_century,
+               -- TZH:TZM round-trip recovers the second-truncated ts
+               -- (the rendered offset is +00:00 under the UTC session)
+               CAST(date_trunc('second', ts) AS VARCHAR) AS t_tzhm
         FROM events"""),
     # numeric to_char replayed with string assembly (decimal casts
     # round half-away in both engines; format('{:,}') supplies the

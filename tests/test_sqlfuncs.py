@@ -431,6 +431,10 @@ def _py_to_char(dt, pattern):
             return "utc"
         if name == "OF":
             return "+0" if fm else "+00"
+        if name == "TZH":
+            return "+00"
+        if name == "TZM":
+            return "00"
         if name == "Y,YYY":
             return f"{dt.year // 1000},{dt.year % 1000:03d}"
         if name == "YYY":
@@ -483,6 +487,7 @@ def _py_to_char(dt, pattern):
                    "Mon", "MON", "mon", "Day", "DAY", "day", "Dy", "DY",
                    "dy", "ID", "D", "Q", "WW", "IW", "A.M.", "P.M.",
                    "AM", "PM", "am", "pm", "TZ", "tz", "OF",
+                   "TZH", "TZM",
                    "CC", "J", "SSSS", "RM", "rm", "IYYY", "W",
                    "AD", "BC", "ad", "bc", "FF3", "FF6"],
                   key=len, reverse=True)
@@ -523,7 +528,7 @@ def test_to_char_timestamp_fuzz(spark):
     tokens = ["YYYY", "YY", "MM", "DD", "DDD", "HH24", "HH12", "MI",
               "SS", "MS", "US", "Mon", "MON", "mon", "Month", "month",
               "Day", "day", "Dy", "DY", "D", "ID", "Q", "WW", "IW",
-              "AM", "pm", "A.M.", "TZ", "tz", "OF", "Y,YYY",
+              "AM", "pm", "A.M.", "TZ", "tz", "OF", "TZH", "TZM", "Y,YYY",
               "FF3", "FF6", "DDth", "MMTH", "HH24th", "Dyth"]
     seps = [" ", "-", ":", "/", ", ", "|", ""]
     cases = []
@@ -1113,6 +1118,64 @@ def test_to_char_number_fast_vs_general_differential(spark):
         for i, pic in enumerate(pics):
             assert r[f"f{i}"] == r[f"g{i}"], (
                 r["v"], pic, repr(r[f"f{i}"]), repr(r[f"g{i}"]))
+
+
+def test_tzh_tzm_output_nonutc_sessions(spark):
+    """TZH/TZM output per formatting.c:2791-2803: sign + 2-digit offset
+    hours, unsigned 2-digit offset minutes of the SESSION zone. Checked
+    under UTC, a positive half-hour zone, and a negative DST zone; the
+    session tz is restored either way (the template cache may hand back
+    a shared Column — offset math binds at execution, not build)."""
+    from agensgraph_spark.sqlfuncs import to_char
+    df = spark.sql("SELECT timestamp'2024-06-05 10:20:30' AS ts")
+    pat = "TZH,TZM,OF"
+    assert df.select(to_char(F.col("ts"), pat).alias("s")) \
+        .first()["s"] == "+00,00,+00"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        kol = df.select(to_char(F.col("ts"), pat).alias("s")).first()["s"]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = df.select(to_char(F.col("ts"), pat).alias("s")).first()["s"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert kol == "+05,30,+05:30"
+    assert nyc == "-04,00,-04"   # June = EDT; TZM is unsigned abs
+
+
+def test_tzh_tzm_input_parse_and_refusals(spark):
+    """INPUT side: TZH[:TZM] is the only zone family PG parses
+    (formatting.c:3513-3544) — composite templates map to java offset
+    letters and yield the same instant PG's timestamptz carries under
+    a UTC session. TZ/tz/OF input raise FEATURE_NOT_SUPPORTED in PG
+    itself (formatting.c:3505-3510): the refusal message is pinned to
+    PG's own errmsg."""
+    import pytest as _pt
+    from agensgraph_spark.sqlfuncs import to_timestamp, try_to_timestamp
+
+    def got(s, pat):
+        return str(spark.range(1).select(
+            to_timestamp(F.lit(s), pat).alias("t")).first()["t"])
+
+    assert got("2024-06-05 10:20 +02:30",
+               "YYYY-MM-DD HH24:MI TZH:TZM") == "2024-06-05 07:50:00"
+    assert got("2024-06-05 10:20 -02:30",
+               "YYYY-MM-DD HH24:MI TZH:TZM") == "2024-06-05 12:50:00"
+    assert got("2024-06-05 10:20 +0230",
+               "YYYY-MM-DD HH24:MI TZHTZM") == "2024-06-05 07:50:00"
+    assert got("2024-06-05 10:20 -02",
+               "YYYY-MM-DD HH24:MI TZH") == "2024-06-05 12:20:00"
+    # try_ variant: malformed offset -> NULL, not an error
+    assert spark.range(1).select(
+        try_to_timestamp(F.lit("2024-06-05 10:20 badoff"),
+                         "YYYY-MM-DD HH24:MI TZH:TZM").alias("t")) \
+        .first()["t"] is None
+    for tok in ("TZ", "OF"):
+        with _pt.raises(ValueError,
+                        match=f'"{tok}" is only supported in to_char'):
+            to_timestamp(F.lit("x"), f"YYYY-MM-DD {tok}")
+    with _pt.raises(ValueError, match="TZM without a leading TZH"):
+        to_timestamp(F.lit("x"), "YYYY-MM-DD TZM")
 
 
 def test_template_cache_hits_and_bypass(spark):
