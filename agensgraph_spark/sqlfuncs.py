@@ -1429,10 +1429,11 @@ _J_MIN = 1721426   # 0001-01-01
 _J_MAX = 5373484   # 9999-12-31
 
 
-def _dt_has_arith(pattern: str) -> bool:
-    """Quote/escape-aware scan: does the template contain a J, SSSS or
-    CC field token? (Longest-first via _DT_PARSE_TOKENS order, so SS
-    inside SSSS or C inside CC cannot mis-trigger.)"""
+def _dt_field_tokens(pattern: str) -> "set[str]":
+    """Quote/escape-aware scan: the set of PG field tokens the template
+    contains. (Longest-first via _DT_PARSE_TOKENS order, so SS inside
+    SSSS or C inside CC cannot mis-trigger.)"""
+    toks: "set[str]" = set()
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
@@ -1451,12 +1452,56 @@ def _dt_has_arith(pattern: str) -> bool:
                 hit = name
                 break
         if hit is not None:
-            if hit in _DT_ARITH:
-                return True
+            toks.add(hit)
             i += len(hit)
             continue
         i += 1
-    return False
+    return toks
+
+
+def _dt_has_arith(pattern: str) -> bool:
+    """Does the template contain a token of the arithmetic input path
+    (J, SSSS, CC, ISO-week fields, ...)?"""
+    return not _dt_field_tokens(pattern).isdisjoint(_DT_ARITH)
+
+
+def _adjust_partial_year(y: Column) -> Column:
+    """formatting.c:2231 adjust_partial_year_to_2020 as a column
+    expression, for year values parsed from fewer than 4 digits:
+    0-69 -> 2000s, 70-99 -> 1900s, 100-519 -> 2000s, 520-999 ->
+    1000s, >=1000 literal."""
+    return (F.when(y < 70, y + 2000)
+            .when(y < 100, y + 1900)
+            .when(y < 520, y + 2000)
+            .when(y < 1000, y + 1000)
+            .otherwise(y))
+
+
+def _dt_partial_year_fix(ts: Column, pattern: str) -> Column:
+    """PG's YY input rule applied AFTER a java 'yy' parse: PG adjusts a
+    2-digit year toward 2020 (adjust_partial_year_to_2020 — 70-99 land
+    in the 1900s) while java's 'yy' bases every value at 2000, so the
+    two agree on 00-69 and differ by exactly +100 years on 70-99.
+    Shift those back. Applies only when the template's year source is
+    the YY token (java then always parsed exactly 2 digits, the case
+    PG always adjusts; PG's free-width 4-digit tolerance under YY is
+    part of the documented strict-parse divergence and fails loudly)."""
+    toks = _dt_field_tokens(pattern)
+    if "YY" not in toks or not toks.isdisjoint(("YYYY", "Y,YYY")):
+        return ts
+    return F.when(F.year(ts) >= 2070,
+                  F.timestamp_add("YEAR", F.lit(-100), ts)).otherwise(ts)
+
+
+def _dt_partial_year_fix_date(d: Column, pattern: str) -> Column:
+    """Date-typed twin of _dt_partial_year_fix (add_months keeps the
+    value in date space; -1200 months is exactly -100 years, and every
+    leap day java 'yy' can produce — 2072..2096 — maps to a leap year
+    1972..1996)."""
+    toks = _dt_field_tokens(pattern)
+    if "YY" not in toks or not toks.isdisjoint(("YYYY", "Y,YYY")):
+        return d
+    return F.when(F.year(d) >= 2070, F.add_months(d, -1200)).otherwise(d)
 
 
 def _dt_arith_elements(pattern: str) -> "list[tuple[str, str]]":
@@ -1616,11 +1661,16 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
                 .otherwise((vals["CC"] - 1) * 100 + yy)
         elif "CC" in vals:
             y = (vals["CC"] - 1) * 100 + 1
+        elif "YY" in vals:
+            # bare 2-digit year: PG adjusts toward 2020
+            # (adjust_partial_year_to_2020 — len is always < 4 here,
+            # the arith regex reads at most 2 digits for YY)
+            y = _adjust_partial_year(vals["YY"])
         else:
             raise ValueError(
                 f"to_date/to_timestamp: no year source in {pattern!r} — "
-                "the arithmetic input path needs IYYY+IW, J, YYYY, or "
-                "CC[+YY] (PG's zeroed-tm default is not reproduced)")
+                "the arithmetic input path needs IYYY+IW, J, YYYY, YY, "
+                "or CC[+YY] (PG's zeroed-tm default is not reproduced)")
         if "WW" in vals or "DDD" in vals:
             # WW sets day-of-year (ww-1)*7+1 (formatting.c:4658); both
             # fill month+day, so an explicit MM/DD/W alongside would
@@ -1705,7 +1755,8 @@ def to_timestamp(col: "Column | str", pattern: str) -> Column:
     if _dt_has_arith(pattern):
         return _dt_arith_expr(_c(col), pattern, safe=False)
     pat, pres = _dt_parse_pattern(pattern)
-    return F.to_timestamp(_dt_prepass(_c(col), pres), pat)
+    return _dt_partial_year_fix(
+        F.to_timestamp(_dt_prepass(_c(col), pres), pat), pattern)
 
 
 @_template_cached
@@ -1714,7 +1765,8 @@ def to_date(col: "Column | str", pattern: str) -> Column:
     if _dt_has_arith(pattern):
         return _dt_arith_expr(_c(col), pattern, safe=False).cast("date")
     pat, pres = _dt_parse_pattern(pattern)
-    return F.to_date(_dt_prepass(_c(col), pres), pat)
+    return _dt_partial_year_fix_date(
+        F.to_date(_dt_prepass(_c(col), pres), pat), pattern)
 
 
 @_template_cached
@@ -1732,7 +1784,9 @@ def try_to_timestamp(col: "Column | str", pattern: str) -> Column:
     if _dt_has_arith(pattern):
         return _dt_arith_expr(_c(col), pattern, safe=True)
     pat, pres = _dt_parse_pattern(pattern, lax=True)
-    return F.try_to_timestamp(_dt_prepass(_c(col), pres), F.lit(pat))
+    return _dt_partial_year_fix(
+        F.try_to_timestamp(_dt_prepass(_c(col), pres), F.lit(pat)),
+        pattern)
 
 
 @_template_cached

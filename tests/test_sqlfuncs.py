@@ -1178,6 +1178,42 @@ def test_tzh_tzm_input_parse_and_refusals(spark):
         to_timestamp(F.lit("x"), "YYYY-MM-DD TZM")
 
 
+def test_yy_input_partial_year_adjustment(spark):
+    """PG adjusts a 2-digit year toward 2020 on input
+    (formatting.c:2231 adjust_partial_year_to_2020: 70-99 -> 1900s,
+    00-69 -> 2000s); java's 'yy' bases every value at 2000, so before
+    r14 the shim silently returned 2095 for '95' — the exact
+    silent-misparse failure mode the shim's policy forbids. Covers the
+    strict parse, the try_ variant, the date/timestamp twins, the
+    leap-day century shift, and the arithmetic path's bare-YY year
+    source."""
+    from agensgraph_spark.sqlfuncs import (to_date, to_timestamp,
+                                           try_to_date, try_to_timestamp)
+
+    def d(fn, s, pat):
+        return str(spark.range(1).select(fn(F.lit(s), pat).alias("x"))
+                   .first()["x"])
+
+    for v, want in [("95", "1995"), ("70", "1970"),
+                    ("69", "2069"), ("05", "2005"), ("00", "2000")]:
+        assert d(to_date, f"{v}-06-05", "YY-MM-DD") == f"{want}-06-05"
+        assert d(try_to_date, f"{v}-06-05", "YY-MM-DD") == f"{want}-06-05"
+    assert d(to_timestamp, "95-06-05 10:20:30", "YY-MM-DD HH24:MI:SS") \
+        == "1995-06-05 10:20:30"
+    assert d(try_to_timestamp, "95-06-05 10:20:30",
+             "YY-MM-DD HH24:MI:SS") == "1995-06-05 10:20:30"
+    # java 'yy' leap days 2072..2096 all map to leap 1972..1996
+    assert d(to_date, "96-02-29", "YY-MM-DD") == "1996-02-29"
+    # arith path: bare YY as the year source next to SSSS
+    # (1995, day-of-year 150 = May 30, 3600s past midnight)
+    assert d(to_timestamp, "95-150 3600", "YY-DDD SSSS") \
+        == "1995-05-30 01:00:00"
+    # NULL propagates
+    assert spark.range(1).select(
+        try_to_timestamp(F.lit(None).cast("string"), "YY-MM-DD")
+        .alias("x")).first()["x"] is None
+
+
 def test_template_cache_hits_and_bypass(spark):
     """The compiled-template cache (the Spark analog of formatting.c's
     DCH/NUM caches): string-named invocations with identical (col,
