@@ -546,7 +546,7 @@ _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
     ("RM", _roman_month(True)), ("rm", _roman_month(False)),
     ("TZH", _tzh), ("TZM", _tzm),
     ("TZ", _tz_abbrev(True)), ("tz", _tz_abbrev(False)),
-    ("OF", _tz_offset), ("FX", None),
+    ("OF", _tz_offset),
     ("BC", _era(True, False)), ("AD", _era(True, False)),
     ("bc", _era(False, False)), ("ad", _era(False, False)),
 ]
@@ -570,11 +570,11 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     date_format/calendar expressions — codegen-friendly, no UDF, no
     per-row Python.
 
-    Recognized-but-unsupported PG tokens (only FX — fixed-format
-    input mode, meaningless on output) and any OTHER alphanumeric
-    template character raise ValueError at plan time — a silently
-    wrong literal in formatted output is the failure mode this shim
-    exists to prevent."""
+    FX (fixed-format input mode) is consumed as a no-op the way PG's
+    own output path does. Any OTHER alphanumeric template character
+    raises ValueError at plan time — a silently wrong literal in
+    formatted output is the failure mode this shim exists to
+    prevent."""
     ts = _c(col)
     segs: list[Column] = []
     lit: list[str] = []
@@ -601,6 +601,11 @@ def to_char(col: "Column | str", pattern: str) -> Column:
             continue
         if pattern.startswith("FM", i):
             fm = True
+            i += 2
+            continue
+        if pattern.startswith("FX", i):
+            # FX is an input-mode flag; no output effect (PG's
+            # DCH_to_char has no FX case — consumed at format parse)
             i += 2
             continue
         tok = None
@@ -1206,6 +1211,7 @@ _PRE_Y_COMMA = "!y-comma"          # Y,YYY: 2,024 -> 2024, then 'yyyy'
 
 _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     ("Y,YYY", _PRE_Y_COMMA), ("YYYY", "yyyy"), ("YYY", None), ("YY", "yy"),
+    ("Y", None),
     ("IYYY", None), ("IYY", None), ("IY", None),
     ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
     ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
@@ -1253,6 +1259,8 @@ _DT_REFUSE_MSG = {
     "OF": 'formatting field "OF" is only supported in to_char',
     "TZM": "TZM without a leading TZH is not supported (PG would "
            "default the sign positive; write TZH:TZM)",
+    "FX": "FX is honored only as the template's FIRST item "
+          "(PG parses it as a global flag there)",
 }
 
 # the pre-pass regexes are anchored on word boundaries so a typo'd name
@@ -1308,6 +1316,14 @@ def _dt_parse_pattern(pattern: str, lax: bool = False) -> "tuple[str, list[str]]
     out: list[str] = []
     kinds: list[str] = []  # parallel: "field" | "lit" per out element
     pres: list[str] = []   # _PRE_REGEX keys, dedup'd in order
+    if pattern.startswith("FX"):
+        # PG FX: fixed-format input — exact separators, padded digit
+        # fields (formatting.c DCH_FX sets FXmode). The strict java
+        # parse IS fixed-format, so FX just disables the try_ variants'
+        # lax rewrite. PG honors it only as the template's FIRST item;
+        # a mid-template FX still refuses via the token table.
+        pattern = pattern[2:]
+        lax = False
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
@@ -1408,17 +1424,27 @@ def _dt_prepass(c: Column, pres: "list[str]") -> Column:
 # no Python, no UDF.
 
 _DT_ARITH = ("J", "SSSS", "CC", "IYYY", "IW", "ID", "IDDD",
-             "WW", "W", "D", "Q")
+             "WW", "W", "D", "Q",
+             # the year TAILS need the matched text's LENGTH (PG skips
+             # the toward-2020 adjustment when >=4 digits were read,
+             # formatting.c:3702-3726) — only the arithmetic path's
+             # positional regex retains it
+             "YYY", "Y")
 # max input digits per field (formatting.c DCH_keywords len column)
 _ARITH_NUMW = {"YYYY": 4, "YY": 2, "MM": 2, "DD": 2, "DDD": 3, "HH24": 2,
                "MI": 2, "SS": 2, "MS": 3, "US": 6,
                "J": 7, "SSSS": 5, "CC": 2,
                "IYYY": 4, "IW": 2, "ID": 1, "IDDD": 3, "WW": 2,
-               "W": 1, "D": 1, "Q": 1}
+               "W": 1, "D": 1, "Q": 1,
+               # year tails slurp up to 4 digits when separator-bounded
+               # (from_char_parse_int_len strtol branch); adjacent runs
+               # read the keyword length (3 / 1) like every other field
+               "YYY": 4, "Y": 4}
 # PG refuses mixing ISO-week and Gregorian date conventions on input
 # (from_char_set_mode: "invalid combination of date conventions")
 _ARITH_ISO = ("IYYY", "IW", "ID", "IDDD")
-_ARITH_GREG = ("YYYY", "YY", "MM", "DD", "DDD", "WW", "W", "D", "CC", "J")
+_ARITH_GREG = ("YYYY", "YYY", "YY", "Y", "MM", "DD", "DDD", "WW", "W",
+               "D", "CC", "J")
 # Julian day number of 2000-01-01 (PG date2j(2000,1,1); both engines
 # are proleptic Gregorian, so one date_add closes the whole token).
 # Spark dates span 0001-01-01..9999-12-31 -> J in [_J_MIN, _J_MAX];
@@ -1510,6 +1536,9 @@ def _dt_arith_elements(pattern: str) -> "list[tuple[str, str]]":
     fixed-width like PG's from_char_parse_int_len; separator-bounded
     ones parse 1..max digits), so name tokens, digits inside literals,
     and duplicate fields refuse loudly."""
+    if pattern.startswith("FX"):
+        pattern = pattern[2:]   # fixed-format: the arith path is
+        # already exact-width/exact-separator; FX is a no-op here
     elems: "list[tuple[str, str]]" = []
     lit: list[str] = []
     seen: set = set()
@@ -1542,8 +1571,9 @@ def _dt_arith_elements(pattern: str) -> "list[tuple[str, str]]":
             if hit not in _ARITH_NUMW:
                 raise ValueError(
                     f"to_date/to_timestamp: token {hit!r} cannot combine "
-                    f"with J/SSSS/CC in {pattern!r} — the arithmetic input "
-                    "path composes separator-bounded NUMERIC fields only")
+                    f"with the arithmetic-path tokens (J/SSSS/CC/ISO-week/"
+                    f"year-tails/...) in {pattern!r} — that path composes "
+                    "separator-bounded NUMERIC fields only")
             if hit in seen:
                 raise ValueError(
                     f"to_date/to_timestamp: duplicate field {hit!r} "
@@ -1594,8 +1624,16 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
             vals[text] = None  # ordered placeholder
     rx_parts.append("$")
     rx = "".join(rx_parts)
+    raws: "dict[str, Column]" = {}
     for idx, tok in enumerate(vals, start=1):
-        vals[tok] = F.regexp_extract(c, rx, idx).cast("int")
+        raws[tok] = F.regexp_extract(c, rx, idx)
+        vals[tok] = raws[tok].cast("int")
+    year_toks = [t for t in ("YYYY", "YYY", "YY", "Y") if t in vals]
+    if len(year_toks) > 1:
+        raise ValueError(
+            f"to_date/to_timestamp: conflicting year tokens {year_toks} "
+            f"in {pattern!r} — PG silently lets the later overwrite the "
+            "earlier; this shim refuses the ambiguity")
 
     valid = c.rlike(rx)
     # Q is parsed for an integer but never stored — PG's own doc'd
@@ -1666,6 +1704,17 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
             # (adjust_partial_year_to_2020 — len is always < 4 here,
             # the arith regex reads at most 2 digits for YY)
             y = _adjust_partial_year(vals["YY"])
+        elif "YYY" in vals or "Y" in vals:
+            # year TAILS slurp up to 4 digits when separator-bounded
+            # (from_char_parse_int_len's strtol branch); PG skips the
+            # toward-2020 adjustment when 4 characters were consumed
+            # ('1995' under YYY is literal 1995, '0995' is literal 995,
+            # '995' adjusts to 1995) — the matched text's length
+            # carries that distinction (formatting.c:3702-3726)
+            tok = "YYY" if "YYY" in vals else "Y"
+            y = F.when(F.length(raws[tok]) < 4,
+                       _adjust_partial_year(vals[tok])) \
+                .otherwise(vals[tok])
         else:
             raise ValueError(
                 f"to_date/to_timestamp: no year source in {pattern!r} — "

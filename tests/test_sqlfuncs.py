@@ -191,8 +191,10 @@ def test_to_char_midnight_noon_hh12(spark):
     assert _fmt_one(spark, "2024-02-05 12:30:00", "FMHH12:MI AM") == "12:30 PM"
 
 
-@pytest.mark.parametrize("pattern", ["FX", "XYZZY", "KLM", "YYYY-ZZ"])
+@pytest.mark.parametrize("pattern", ["XYZZY", "KLM", "YYYY-ZZ"])
 def test_to_char_refuses_unsupported_loudly(spark, pattern):
+    # (FX was removed from this battery in r14: PG's own output path
+    # consumes it as a no-op flag, and so does the shim now)
     from agensgraph_spark.sqlfuncs import to_char
     with pytest.raises(ValueError):
         to_char(F.col("ts"), pattern)
@@ -1212,6 +1214,45 @@ def test_yy_input_partial_year_adjustment(spark):
     assert spark.range(1).select(
         try_to_timestamp(F.lit(None).cast("string"), "YY-MM-DD")
         .alias("x")).first()["x"] is None
+
+
+def test_year_tail_input_and_fx(spark):
+    """YYY/Y input close via the arithmetic path: PG slurps up to 4
+    digits when separator-bounded and adjusts toward 2020 only when
+    FEWER than 4 characters were read (formatting.c:3702-3726 +
+    from_char_parse_int_len's strtol branch) — '995' is 1995, '0995'
+    is literal 995, '1995' literal. FX is a no-op prefix on the
+    already-strict parse and on output; mid-template FX refuses."""
+    import pytest as _pt
+    from agensgraph_spark.sqlfuncs import to_char, to_date, to_timestamp
+
+    def d(fn, s, pat):
+        return str(spark.range(1).select(fn(F.lit(s), pat).alias("x"))
+                   .first()["x"])
+
+    for v, want in [("995", "1995"), ("095", "1995"), ("300", "2300"),
+                    ("069", "2069"), ("520", "1520"),
+                    ("0995", "0995"), ("1995", "1995")]:
+        assert d(to_date, f"{v}-06-05", "YYY-MM-DD") == f"{want}-06-05", v
+    for v, want in [("5", "2005"), ("95", "1995"), ("995", "1995"),
+                    ("2005", "2005"), ("0995", "0995")]:
+        assert d(to_date, f"{v}-06-05", "Y-MM-DD") == f"{want}-06-05", v
+    # time fields compose on the same path
+    assert d(to_timestamp, "995-06-05 10:20:30",
+             "YYY-MM-DD HH24:MI:SS") == "1995-06-05 10:20:30"
+    # FX: strict-mode prefix accepted on input, no-op on output
+    assert d(to_date, "1995-06-05", "FXYYYY-MM-DD") == "1995-06-05"
+    assert spark.range(1).select(
+        to_char(F.lit("2024-02-05 01:02:03").cast("timestamp"),
+                "FXYYYY-MM-DD").alias("s")).first()["s"] == "2024-02-05"
+    with _pt.raises(ValueError, match="FIRST item"):
+        to_date(F.lit("x"), "YYYY FX MM")
+    # conflicting year tokens refuse (PG silently lets the later win)
+    with _pt.raises(ValueError, match="conflicting year tokens"):
+        to_date(F.lit("x"), "YYY-Y-MM")
+    # name tokens cannot ride the arithmetic path — loud refusal
+    with _pt.raises(ValueError, match="cannot combine"):
+        to_date(F.lit("x"), "DD Mon YYY")
 
 
 def test_template_cache_hits_and_bypass(spark):
