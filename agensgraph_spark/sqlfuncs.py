@@ -1248,6 +1248,9 @@ _DT_PARSE_TOKENS: "list[tuple[str, str | None]]" = [
     ("TZH:TZM", "xxx"), ("TZHTZM", "xx"), ("TZH", "x"), ("TZM", None),
     ("TZ", None), ("tz", None), ("OF", None), ("FX", None),
     ("BC", None), ("AD", None),
+    # bare ISO-year tail: LAST so it can never shadow IYYY/IYY/IY/
+    # IDDD/ID/IW above (the scan takes the first list hit)
+    ("I", None),
 ]
 
 # None-entry refusal text overrides; TZ/tz/OF carry PG's own errmsg
@@ -1261,6 +1264,10 @@ _DT_REFUSE_MSG = {
            "default the sign positive; write TZH:TZM)",
     "FX": "FX is honored only as the template's FIRST item "
           "(PG parses it as a global flag there)",
+    "BC": "era input is not supported (Spark dates cannot represent "
+          "BC years; AD-era inputs need no era token)",
+    "AD": "era input is not supported (Spark dates cannot represent "
+          "BC years; AD-era inputs need no era token)",
 }
 
 # the pre-pass regexes are anchored on word boundaries so a typo'd name
@@ -1423,8 +1430,8 @@ def _dt_prepass(c: Column, pres: "list[str]") -> Column:
 # fields extract JVM-side, and make_timestamp composes the result —
 # no Python, no UDF.
 
-_DT_ARITH = ("J", "SSSS", "CC", "IYYY", "IW", "ID", "IDDD",
-             "WW", "W", "D", "Q",
+_DT_ARITH = ("J", "SSSS", "CC", "IYYY", "IYY", "IY", "I",
+             "IW", "ID", "IDDD", "WW", "W", "D", "Q",
              # the year TAILS need the matched text's LENGTH (PG skips
              # the toward-2020 adjustment when >=4 digits were read,
              # formatting.c:3702-3726) — only the arithmetic path's
@@ -1439,10 +1446,10 @@ _ARITH_NUMW = {"YYYY": 4, "YY": 2, "MM": 2, "DD": 2, "DDD": 3, "HH24": 2,
                # year tails slurp up to 4 digits when separator-bounded
                # (from_char_parse_int_len strtol branch); adjacent runs
                # read the keyword length (3 / 1) like every other field
-               "YYY": 4, "Y": 4}
+               "YYY": 4, "Y": 4, "IYY": 4, "IY": 4, "I": 4}
 # PG refuses mixing ISO-week and Gregorian date conventions on input
 # (from_char_set_mode: "invalid combination of date conventions")
-_ARITH_ISO = ("IYYY", "IW", "ID", "IDDD")
+_ARITH_ISO = ("IYYY", "IYY", "IY", "I", "IW", "ID", "IDDD")
 _ARITH_GREG = ("YYYY", "YYY", "YY", "Y", "MM", "DD", "DDD", "WW", "W",
                "D", "CC", "J")
 # Julian day number of 2000-01-01 (PG date2j(2000,1,1); both engines
@@ -1650,22 +1657,39 @@ def _dt_arith_expr(c: Column, pattern: str, safe: bool) -> Column:
             f"conventions — ISO week tokens {iso} cannot mix with "
             f"Gregorian tokens {greg} ({pattern!r})")
     if iso:
-        if "IYYY" not in vals or ("IW" not in vals
-                                  and "IDDD" not in vals):
+        iso_years = [t for t in ("IYYY", "IYY", "IY", "I") if t in vals]
+        if len(iso_years) > 1:
             raise ValueError(
-                f"to_date/to_timestamp: ISO week-date input needs IYYY "
-                f"plus IW or IDDD (got {iso}) in {pattern!r}")
+                f"to_date/to_timestamp: conflicting ISO year tokens "
+                f"{iso_years} in {pattern!r} — PG silently lets the "
+                "later overwrite the earlier; this shim refuses the "
+                "ambiguity")
+        if not iso_years or ("IW" not in vals and "IDDD" not in vals):
+            raise ValueError(
+                f"to_date/to_timestamp: ISO week-date input needs an "
+                f"ISO year (IYYY/IYY/IY/I) plus IW or IDDD (got {iso}) "
+                f"in {pattern!r}")
         if "IDDD" in vals and ("IW" in vals or "ID" in vals):
             raise ValueError(
                 f"to_date/to_timestamp: IDDD sets the whole ISO "
                 f"day-of-year — combining with IW/ID is not supported "
                 f"({pattern!r})")
+        ytok = iso_years[0]
+        if ytok == "IYYY":
+            iso_y = vals["IYYY"]
+        else:
+            # ISO year TAILS share the Gregorian tails' toward-2020
+            # rule, applied only when <4 digits were read
+            # (formatting.c:3702-3726, DCH_YYY|DCH_IYY shared cases)
+            iso_y = F.when(F.length(raws[ytok]) < 4,
+                           _adjust_partial_year(vals[ytok])) \
+                .otherwise(vals[ytok])
         # isoweek2j (timestamp.c:4381): Monday of ISO week 1 is the
         # Monday on-or-before Jan 4; weekday() is Monday=0. ID is the
         # ISO day (Monday=1) -> offset ID-1; absent ID leaves the date
         # at the week's Monday (formatting.c:4648); IDDD is the ISO
         # day-of-year from that same Monday (formatting.c:4692-4696).
-        jan4 = F.make_date(vals["IYYY"], F.lit(1), F.lit(4))
+        jan4 = F.make_date(iso_y, F.lit(1), F.lit(4))
         mon1 = F.date_sub(jan4, F.weekday(jan4))
         if "IDDD" in vals:
             off = vals["IDDD"] - 1

@@ -1007,7 +1007,8 @@ def test_arith_tokens_error_paths(spark):
     # PG: "invalid combination of date conventions" (from_char_set_mode)
     with pytest.raises(ValueError, match="date conventions"):
         to_date(F.lit("x"), "IYYY-MM-DD")
-    with pytest.raises(ValueError, match="needs IYYY plus IW or IDDD"):
+    with pytest.raises(ValueError,
+                       match=r"needs an ISO year .* plus IW or IDDD"):
         to_date(F.lit("x"), "IYYY")
     with pytest.raises(ValueError, match="whole ISO day-of-year"):
         to_date(F.lit("x"), "IYYY IW IDDD")
@@ -1253,6 +1254,16 @@ def test_year_tail_input_and_fx(spark):
     # name tokens cannot ride the arithmetic path — loud refusal
     with _pt.raises(ValueError, match="cannot combine"):
         to_date(F.lit("x"), "DD Mon YYY")
+    # ISO year tails: same toward-2020 rule, same length distinction
+    # (hand-checked vs isoweek2j: 2020-W27-1 = 2020-06-29 Monday,
+    # 2005-W27 Monday = 2005-07-04)
+    assert d(to_date, "020-27-1", "IYY-IW-ID") == "2020-06-29"
+    assert d(to_date, "5-27", "I-IW") == "2005-07-04"
+    assert d(to_date, "2020-27-1", "IYY-IW-ID") == "2020-06-29"  # 4-digit literal
+    with _pt.raises(ValueError, match="conflicting ISO year"):
+        to_date(F.lit("x"), "IYYY-IY-IW")
+    with _pt.raises(ValueError, match="era input is not supported"):
+        to_date(F.lit("x"), "YYYY-MM-DD BC")
 
 
 def test_template_cache_hits_and_bypass(spark):
