@@ -1246,3 +1246,60 @@ def test_merge_prop_from_path_composites(eng):
                "MERGE (:mpk {first: head([x IN nodes(p) | x.id])})")
     got = eng.cypher("MATCH (s:mpk) RETURN s.first AS f").collect()
     assert [r["f"] for r in got] == ["7"]
+
+
+# --- cypher_plpgsql.sql: the Cypher-semantic content of the UDF
+# regression file (the plpgsql control flow itself is n/a — no
+# procedures engine — but every Cypher statement it wraps must behave
+# identically when driven directly) ---
+
+def test_comprehension_iterator_shadows_parameter(eng):
+    """cypher_plpgsql.sql:23-33 (expected .out: [2]): the list
+    comprehension's iterator variable `id` SHADOWS the outer `id`
+    parameter inside the brackets while the WHERE outside still sees
+    the parameter."""
+    eng.cypher("CREATE (:shv {id: 1, refs: [2, 3, 4]}), (:shv {id: 2})")
+    r = eng.cypher(
+        "MATCH (n:shv) WHERE n.id = $id "
+        "RETURN [id IN n.refs WHERE id < 3] AS r",
+        params={"id": 1}).collect()
+    assert [list(x["r"]) for x in r] == [[2]]
+    # parameter-as-plain-variable binding (udf_var, .out: {"id": 2})
+    r2 = eng.cypher("MATCH (n:shv) WHERE n.id = $i "
+                    "RETURN n.id AS i", params={"i": 2}).collect()
+    assert [x["i"] for x in r2] == [2]
+
+
+def test_undirected_merge_on_create_on_match(eng):
+    """cypher_plpgsql.sql:99-124 (udf_graphwrite, .out:127 'friend6'):
+    undirected MERGE (a)-[r]-(b) with ON CREATE / ON MATCH — first run
+    creates the edge (created=true), second run matches it in either
+    orientation (matched=true, created nulled)."""
+    eng.cypher("CREATE (:gw {name: 'Becky'}), (:gw {name: 'Emil'})")
+    one = ("MATCH (a:gw {name: 'Becky'}), (b:gw {name: 'Emil'}) "
+           "MERGE (a)-[r:knows {name: 'friend6'}]-(b) "
+           "ON CREATE SET r.created = true, r.matched = null "
+           "ON MATCH SET r.matched = true, r.created = null "
+           "RETURN r.name AS rn, r.created AS c, r.matched AS m")
+    first = eng.cypher(one).collect()
+    assert [(x["rn"], x["c"], x["m"]) for x in first] == \
+        [("friend6", True, None)]
+    second = eng.cypher(one).collect()
+    assert [(x["rn"], x["c"], x["m"]) for x in second] == \
+        [("friend6", None, True)]
+
+
+def test_anonymous_endpoints_then_optional_match_507(eng):
+    """cypher_plpgsql.sql:135-152 (github #507, .out:188): CREATE with
+    an incoming edge from an anonymous node, a second CREATE minting an
+    unbound target from a matched source, then MATCH + OPTIONAL MATCH
+    returning all four entities non-NULL."""
+    eng.cypher("CREATE (x:v507 {id: 'v1'})<-[r:rel]-()")
+    eng.cypher("MATCH (x:v507) CREATE (x)-[r2:rel]->(x2)")
+    r = eng.cypher(
+        "MATCH (x:v507 {id: 'v1'})<-[r:rel]-() "
+        "OPTIONAL MATCH (x)-[r2:rel]->(x2) "
+        "RETURN x.id AS xid, type(r) AS rt, "
+        "id(x2) IS NOT NULL AS has_x2, type(r2) AS r2t").collect()
+    assert [(x["xid"], x["rt"], x["has_x2"], x["r2t"]) for x in r] == \
+        [("v1", "rel", True, "rel")]
