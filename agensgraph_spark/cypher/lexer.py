@@ -140,6 +140,15 @@ def tokenize(src: str) -> list[Token]:
                 j += 1
             text = src[i:j]
             kind = "KEYWORD" if text.lower() in KEYWORDS else "IDENT"
+            if kind == "IDENT":
+                # PG scanner parity: unquoted identifiers fold to
+                # lowercase (scan.l downcase_identifier) — the
+                # reference's own regression suite depends on it
+                # (cypher_dml2.sql: exists((n)-[:MARRIED]->()) matches
+                # the edge created as :married). Backtick-quoted
+                # identifiers (above) preserve case, the analog of
+                # PG's double-quoted idents.
+                text = text.lower()
             toks.append(Token(kind, text, i))
             i = j
             continue

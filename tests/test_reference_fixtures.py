@@ -1303,3 +1303,33 @@ def test_anonymous_endpoints_then_optional_match_507(eng):
         "id(x2) IS NOT NULL AS has_x2, type(r2) AS r2t").collect()
     assert [(x["xid"], x["rt"], x["has_x2"], x["r2t"]) for x in r] == \
         [("v1", "rel", True, "rel")]
+
+
+def test_unquoted_identifier_case_folding(eng):
+    """PG scanner parity (scan.l downcase_identifier): unquoted
+    identifiers — labels, reltypes, property keys, variables — fold to
+    lowercase; backtick-quoted identifiers preserve case (the analog
+    of PG's double quotes). Pinned by the reference's own expected
+    output: cypher_dml2.out:134-143 shows exists((n)-[:MARRIED]->())
+    finding the edge created as :married (Bob t, everyone else f)."""
+    eng.cypher("CREATE (a:CFPerson {Name: 'Bob'}), (f:CFPerson {Name: 'Eskil'}), "
+               "(a)-[:married]->(f)")
+    # label, key, and variable all folded: CFPerson == cfperson
+    r = eng.cypher("MATCH (N:cfperson) WHERE N.name IS NOT NULL "
+                   "RETURN n.name AS name, "
+                   "exists((n)-[:MARRIED]->()) AS is_married "
+                   "ORDER BY name").collect()
+    assert [(x["name"], x["is_married"]) for x in r] == \
+        [("Bob", True), ("Eskil", False)]
+    # backticks preserve case: `CS` is a DIFFERENT label from cs, and
+    # a backtick-quoted property key keeps its spelling. (Divergence,
+    # documented: two keys differing ONLY by case on the same label —
+    # PG's "Key" vs key — collide in Spark's case-insensitive column
+    # resolver, so that corner raises AMBIGUOUS_REFERENCE instead of
+    # coexisting.)
+    eng.cypher("CREATE (:`CS` {`Key`: 1})")
+    got = eng.cypher("MATCH (m:`CS`) RETURN m.`Key` AS a").collect()
+    assert [x["a"] for x in got] == [1]
+    import pytest as _pt
+    with _pt.raises(Exception, match="does not exist"):
+        eng.cypher("MATCH (m:cs) RETURN m").collect()
