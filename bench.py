@@ -66,6 +66,10 @@ HEADLINE = [
     "graph_harmonic_sampled",
     "epoch_shuffle",
     "dedup_keep_best",
+    # round-14 addition: the filtered-ANN serving path (predicate
+    # semi-join composed with IVF probing) — THE production vector
+    # query. Same caveat — per-query comparisons.
+    "ann_filtered_ivf",
 ]
 
 
