@@ -24,6 +24,23 @@ from agensgraph_spark.pipeline.util import maybe_broadcast
 log = logging.getLogger(__name__)
 
 
+def matrix_lit(rows: "list[list[float]]") -> Column:
+    """Nested array<array<double>> literal in ONE JVM call. ``F.lit``
+    on a nested Python list crosses py4j once PER ELEMENT (a 16x64
+    centroid matrix = ~2,100 round trips = ~2s of pure DRIVER time per
+    query construction, measured via cProfile — the same disease
+    `_sig_slots_sql` documents for the minhash projection). Rendering
+    the matrix as SQL text and parsing it JVM-side makes it a single
+    call. Exactness: Python's repr of a float is the shortest string
+    that round-trips to the same double, and Spark's literal parser
+    reads the 'D'-suffixed form back to exactly that double, so the
+    resulting literal is bit-identical to the F.lit element path."""
+    txt = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+        for r in rows)
+    return F.expr(f"array({txt})")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -136,7 +153,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
         raise ValueError(
             f"lsh_signature: n_planes={len(planes)} exceeds the 52-plane "
             "single-long packing limit (2^j double exactness)")
-    pm = F.lit([[float(x) for x in p] for p in planes])
+    pm = matrix_lit(planes)
     dots = F.transform(pm, lambda p: dot(vec, p))
     idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
     # 2^j via pow (shiftleft needs a literal shift amount); exact for
@@ -192,7 +209,7 @@ def _centroid_tagged(
     ivf_cosine_topk's reverse(array_sort(struct(s, i)))). One narrow
     map-only pass — persistable with the snapshot at scale."""
     n_lists = len(cm)
-    cmat = F.lit([[float(x) for x in c] for c in cm])
+    cmat = matrix_lit(cm)
     base = corpus.select(F.col(id_col).alias("_id"),
                          F.col(vec_col).cast("array<double>").alias("_v"))
     base = base.select("_id", "_v", norm(F.col("_v")).alias("_n"))
@@ -236,7 +253,7 @@ def ivf_cosine_topk(
     def centroid_sims(vec: Column) -> Column:
         # one nested-array literal for the centroid matrix (see
         # lsh_signature: per-element literals explode codegen size)
-        cm = F.lit([[float(x) for x in c] for c in cents])
+        cm = matrix_lit(cents)
         return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
 
     def arg_top(sims: Column, n: int) -> Column:
@@ -540,7 +557,7 @@ def kmeans_update(
     shuffles (cluster, pos, val) scalar rows — linear in corpus x dim,
     the standard distributed k-means layout."""
     n_lists = len(cents)
-    cm = F.lit([[float(x) for x in c] for c in cents])
+    cm = matrix_lit(cents)
     v = F.col(vec_col).cast("array<double>")
     sims = F.transform(cm, lambda c: dot(v, c) / (norm(v) * norm(c)))
     idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
@@ -640,7 +657,7 @@ def pq_encode(
     cols = [F.col(id_col)]
     for s in range(m):
         sub = F.slice(v, s * d + 1, d)
-        bs = F.lit([[float(x) for x in c] for c in books[s]])
+        bs = matrix_lit(books[s])
         dists = F.transform(bs, lambda c: _sq_l2(sub, c))
         idx = F.sequence(F.lit(0), F.lit(len(books[s]) - 1))
         best = F.array_min(F.zip_with(
@@ -673,7 +690,7 @@ def pq_topk(
     lut_cols = []
     for s in range(m):
         sub = F.slice(qv, s * d + 1, d)
-        bs = F.lit([[float(x) for x in c] for c in books[s]])
+        bs = matrix_lit(books[s])
         lut_cols.append(F.transform(bs, lambda c: _sq_l2(sub, c)).alias(f"lut{s}"))
     q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
     score = None
@@ -720,7 +737,7 @@ def ivf_pq_topk(
     n_lists = len(cents)
 
     def centroid_sims(vec: Column) -> Column:
-        cm = F.lit([[float(x) for x in c] for c in cents])
+        cm = matrix_lit(cents)
         return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
 
     def arg_top(sims: Column, n: int) -> Column:
@@ -741,7 +758,7 @@ def ivf_pq_topk(
     lut_cols = []
     for s in range(m):
         sub = F.slice(v, s * d + 1, d)
-        bs = F.lit([[float(x) for x in c] for c in books[s]])
+        bs = matrix_lit(books[s])
         lut_cols.append(F.transform(bs, lambda c: _sq_l2(sub, c)).alias(f"lut{s}"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
