@@ -528,3 +528,146 @@ def harmonic_centrality_sampled(
                     .alias("n_sampled"),
                     (F.coalesce("_h", F.lit(0.0)) * F.col("_n")
                      / F.col("_ns")).alias("harmonic_est")))
+
+
+def _min_reach_labels(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Fixpoint of lab(v) = min({v} | {lab(u) : u->v}): the minimum
+    vertex id that REACHES v along edge direction. Min-label step plus
+    a pointer jump per round (labels are always ids of reaching
+    vertices, and reachability is transitive, so shortcutting through
+    the label table is sound — same O(log diameter) doubling as
+    pipeline/dedup.connected_components). Each round lazily
+    localCheckpoints so the convergence count materializes the
+    generation in one job and the plan stays constant-size."""
+    lab = vertices.select("id", F.col("id").alias("lab")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (edges
+               .join(lab.select(F.col("id").alias("src"),
+                                F.col("lab").alias("_nl")), "src")
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.min("_nl").alias("_m")))
+        stepped = (lab.join(nbr, "id", "left")
+                   .select("id", F.col("lab").alias("_old"),
+                           F.least("lab", "_m").alias("lab")))
+        jump = stepped.select(F.col("id").alias("_jid"),
+                              F.col("lab").alias("_jl"))
+        new = (stepped.join(jump, stepped.lab == jump._jid, "left")
+               .select("id", "_old", F.least("lab", "_jl").alias("lab"))
+               .localCheckpoint(eager=False))
+        changed = new.filter(F.col("lab") != F.col("_old")).count()
+        lab = new
+        if changed == 0:
+            return lab.select("id", "lab")
+    raise RuntimeError(
+        "strongly_connected_components: min-label propagation did not "
+        f"converge within max_iters={max_iters} — raise the budget for "
+        "graphs whose diameter exceeds 2^max_iters after doubling")
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 30,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Strongly connected components of a directed edge frame:
+    (id, component) with component = the minimum member id of the SCC
+    — the directed sibling of connected_components, and the missing
+    member of the analytics family (reference users run SCC via
+    client-side graph libraries over Cypher edge dumps; here it is a
+    first-class distributed operator).
+
+    Trim + forward/backward min-label rounds (the FW-BW-Trim family,
+    Orzan-style): each round first PEELS trivial SCCs — any active
+    vertex with no in-edges or no out-edges in the active subgraph
+    cannot sit on a cycle, and removing it can only expose more, so
+    the trim loop runs to fixpoint (a DAG dissolves entirely here,
+    two semi-joins per peel, no propagation at all) — then computes
+    f(v) = min id reaching v and b(v) = min id reachable from v
+    (two `_min_reach_labels` fixpoints, the second on reversed
+    edges). f and b are constant on an SCC, and f(v) == b(v) == m
+    holds exactly when m is a mutual reacher, i.e. m is the SCC's own
+    minimum and no smaller id sits strictly upstream or downstream —
+    so every settled vertex gets its true final label, whole SCCs
+    settle at once (always including the one containing the smallest
+    active id), and settled SCCs leave the active set. Residual SCCs
+    survive intact, so each round sees a valid sub-problem.
+
+    Scale shape: every step is a narrow (id, id) equi-join or
+    aggregate; the active vertex/edge frames shrink monotonically and
+    are localCheckpoint-truncated per round, so the plan never grows.
+    Worst case is a condensation chain ordered adversarially against
+    the ids (one SCC settles per round, like every min-pivot FW-BW
+    variant); hitting ``max_rounds`` raises loudly — a partial SCC
+    labeling, unlike a partial WCC one, would be silently wrong.
+
+    ``vertices`` (single ``id`` column) widens the universe; isolated
+    vertices come back as singleton components. Self-loops are fine
+    (a vertex whose only edge is a self-loop is its own SCC)."""
+    e = edges.select("src", "dst").distinct()
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))))
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select("id"))
+    act_v = verts.distinct().localCheckpoint()
+    act_e = e.localCheckpoint()
+    parts: list[DataFrame] = []
+    n_act = act_v.count()
+    for _ in range(max_rounds):
+        if n_act == 0:
+            break
+        # trim loop: peel vertices that lack an in- or out-edge in the
+        # ACTIVE subgraph (cannot be on a cycle -> singleton SCCs)
+        while True:
+            srcs = act_e.select(F.col("src").alias("id")).distinct()
+            dsts = act_e.select(F.col("dst").alias("id")).distinct()
+            triv = (act_v.join(srcs, "id", "left_anti")
+                    .unionByName(act_v.join(dsts, "id", "left_anti"))
+                    .distinct()
+                    .localCheckpoint(eager=False))
+            n_triv = triv.count()
+            if n_triv == 0:
+                break
+            parts.append(triv.select("id", F.col("id").alias("component")))
+            act_v = act_v.join(triv, "id", "left_anti").localCheckpoint()
+            act_e = (act_e
+                     .join(act_v.withColumnRenamed("id", "src"),
+                           "src", "left_semi")
+                     .join(act_v.withColumnRenamed("id", "dst"),
+                           "dst", "left_semi")
+                     .select("src", "dst").localCheckpoint())
+            n_act -= n_triv
+        if n_act == 0:
+            break
+        f = _min_reach_labels(act_e, act_v, max_iters)
+        b = _min_reach_labels(
+            act_e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            act_v, max_iters)
+        fb = (f.withColumnRenamed("lab", "_f")
+              .join(b.withColumnRenamed("lab", "_b"), "id")
+              .localCheckpoint())
+        settled = fb.filter(F.col("_f") == F.col("_b"))
+        parts.append(settled.select("id", F.col("_f").alias("component"))
+                     .localCheckpoint(eager=False))
+        act_v = (fb.filter(F.col("_f") != F.col("_b"))
+                 .select("id").localCheckpoint())
+        n_act = act_v.count()
+        act_e = (act_e
+                 .join(act_v.withColumnRenamed("id", "src"), "src", "left_semi")
+                 .join(act_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                 .select("src", "dst").localCheckpoint())
+    if n_act != 0:
+        raise RuntimeError(
+            "strongly_connected_components: active vertices remain after "
+            f"max_rounds={max_rounds} settle rounds — the condensation's "
+            "min-ordering depth exceeds the budget; raise max_rounds")
+    if not parts:  # empty graph: no edges and no (or empty) vertices
+        return verts.select("id", F.col("id").alias("component"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

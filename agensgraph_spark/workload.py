@@ -2286,6 +2286,65 @@ _GRAPH_WCC_ORACLE = f"""
     FROM comp GROUP BY component"""
 
 
+def _scc_graph(spark: SparkSession, sf_dir: str):
+    """Part-transition digraph: for each order, the low-quantity lines
+    (l_quantity < 9) ordered by line number, with a directed edge from
+    each line's part to the next line's part. Line order is arbitrary
+    relative to part ids, so edges run both 'up' and 'down' the key
+    space and real cycles form (sf0.01: one 473-part SCC amid ~1500
+    singletons; sf0.001: two non-trivial SCCs) — the threshold keeps
+    the DuckDB closure oracle small while leaving genuine structure."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") < 9)
+          .select("l_orderkey", "l_partkey", "l_linenumber"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    edges = (li.withColumn("_nxt", F.lead("l_partkey").over(w))
+             .filter(F.col("_nxt").isNotNull())
+             .select(F.col("l_partkey").alias("src"),
+                     F.col("_nxt").alias("dst")))
+    verts = li.select(F.col("l_partkey").alias("id")).distinct()
+    return edges, verts
+
+
+def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (trim + forward/backward min-label
+    rounds) summarized per component — the directed complement of
+    graph_wcc; component ids are true min member ids, so the summary
+    pins the full labeling."""
+    edges, verts = _scc_graph(spark, sf_dir)
+    cc = AN.strongly_connected_components(edges, verts)
+    return (cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_vertices"),
+                 F.max("id").alias("max_id"))
+            .select("component", "n_vertices", "max_id"))
+
+
+_GRAPH_SCC_ORACLE = """
+    WITH RECURSIVE f AS (
+        SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        WHERE l_quantity < 9),
+    s AS (
+        SELECT l_orderkey, l_partkey,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber) AS nxt
+        FROM f),
+    e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM s
+          WHERE nxt IS NOT NULL),
+    verts AS (SELECT DISTINCT l_partkey AS id FROM f),
+    reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.b),
+    mutual AS (
+        SELECT r1.a AS id, r1.b AS m
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+    comp AS (SELECT id, min(m) AS component FROM mutual GROUP BY id)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_vertices,
+           max(id) AS max_id
+    FROM comp GROUP BY component"""
+
+
 def _q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
     # the driver's row canonicalizer rejects container cells — ship the
@@ -3970,6 +4029,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "quantize_embeddings": (_q_quantize_emb, _QUANTIZE_ORACLE),
     "graph_degree_stats": (_q_degree_stats, _DEGREE_ORACLE),
     "graph_wcc": (_q_graph_wcc, _GRAPH_WCC_ORACLE),
+    "graph_scc": (_q_graph_scc, _GRAPH_SCC_ORACLE),
     "graph_triangles": (_q_triangle_counts, _TRIANGLE_ORACLE),
     "neighbor_mean_embeddings": (_q_neighbor_mean_emb, _NEIGHBOR_MEAN_ORACLE),
     "kmeans_update": (_q_kmeans_update, _kmeans_oracle()),

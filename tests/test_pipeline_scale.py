@@ -1478,3 +1478,123 @@ def test_semantic_dedup_trained_vs_seeded_quantizer(spark):
     assert len(out) == emb.count()
     firsts = out.sort_values("vec_id").groupby("cluster").first()
     assert bool(firsts["keep"].all())  # lowest id per cluster survives
+
+
+def test_scc_hand_graph(spark):
+    """Two 3-cycles joined by a bridge, a dangling chain, a self-loop,
+    and an isolated vertex (via the nodes frame): component = min
+    member id of the SCC, trivial SCCs are singletons."""
+    from agensgraph_spark.operators.analytics import (
+        strongly_connected_components)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4),
+         (7, 8), (8, 9), (10, 10)],
+        "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 12)], "id long")
+    rows = sorted((r.id, r.component) for r in
+                  strongly_connected_components(edges, verts).collect())
+    assert rows == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4),
+                    (7, 7), (8, 8), (9, 9), (10, 10), (11, 11)]
+
+
+def test_scc_dag_all_singletons(spark):
+    """A pure DAG dissolves entirely in the trim loop (every vertex is
+    its own SCC) — no propagation round ever runs."""
+    from agensgraph_spark.operators.analytics import (
+        strongly_connected_components)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)], "src long, dst long")
+    rows = sorted((r.id, r.component) for r in
+                  strongly_connected_components(edges).collect())
+    assert rows == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_scc_adversarial_condensation_chain(spark):
+    """Cycles chained so the downstream SCC holds the smaller ids —
+    the min-pivot worst case: rounds must still settle every SCC and
+    label each by its own minimum, not by an upstream reacher."""
+    from agensgraph_spark.operators.analytics import (
+        strongly_connected_components)
+    # C3(30,31) -> C2(20,21) -> C1(10,11): f(C1) spans all reachers
+    pairs = []
+    for base in (10, 20, 30):
+        pairs += [(base, base + 1), (base + 1, base)]
+    pairs += [(30, 20), (20, 10)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = sorted((r.id, r.component) for r in
+                  strongly_connected_components(edges).collect())
+    assert rows == [(10, 10), (11, 10), (20, 20), (21, 20),
+                    (30, 30), (31, 30)]
+
+
+def test_scc_differential_vs_tarjan(spark):
+    """Deterministic pseudo-random digraph vs an in-test iterative
+    Tarjan — pins the full labeling, not a summary."""
+    from agensgraph_spark.operators.analytics import (
+        strongly_connected_components)
+    import random
+    rng = random.Random(42)
+    n = 60
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(150)})
+    adj = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[s].append(d)
+    # iterative Tarjan
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strong(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    scc = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        scc.append(w)
+                        if w == v:
+                            break
+                    m = min(scc)
+                    for w in scc:
+                        comp[w] = m
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+    for v in range(n):
+        if v not in index:
+            strong(v)
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    v_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = sorted((r.id, r.component) for r in
+                 strongly_connected_components(e_df, v_df).collect())
+    assert got == sorted(comp.items())
+
+
+def test_scc_empty_graph(spark):
+    from agensgraph_spark.operators.analytics import (
+        strongly_connected_components)
+    e0 = spark.createDataFrame([], "src long, dst long")
+    assert strongly_connected_components(e0).count() == 0
