@@ -23,6 +23,7 @@ from agensgraph_spark.loader import build_tpch_graph, read_table, register_table
 from agensgraph_spark.operators import analytics as AN
 from agensgraph_spark.pipeline import dedup as D
 from agensgraph_spark.pipeline import multimodal as MM
+from agensgraph_spark.pipeline import retrieval as RT
 from agensgraph_spark.pipeline import sampling as SMP
 from agensgraph_spark.pipeline import similarity as S
 from agensgraph_spark.pipeline import text as TX
@@ -3279,6 +3280,130 @@ _ANN_BRUTE_ORACLE = """
         FROM ranked WHERE rank <= 5"""
 
 
+def _bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyword queries derived from the corpus itself:
+    the first 6 whitespace tokens of documents 0..7 — same derivation
+    rule the ANN rows use (query vectors are corpus vectors), so the
+    row needs no external query fixture."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") < 8)
+            .select(F.col("doc_id").alias("query_id"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(F.split(F.trim(F.lower(F.col("text"))),
+                                        r"\s+"), 1, 6)).alias("query_text")))
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword top-5 — the lexical retrieval row (exact-term
+    serving path next to the ANN family's semantic one). The inverted-
+    index join shape means only posting lists of queried terms are ever
+    scored; see pipeline/retrieval.py for the scale contract."""
+    docs = read_table(spark, sf_dir, "documents")
+    return RT.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
+
+
+_BM25_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id AS _doc,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tf AS (SELECT _doc, token, count(*) AS _tf FROM toks
+           WHERE token <> '' GROUP BY _doc, token),
+    dl AS (SELECT _doc, count(*) AS _dl FROM toks
+           WHERE token <> '' GROUP BY _doc),
+    stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS _n,
+                     (SELECT avg(_dl) FROM dl) AS _avgdl),
+    dfreq AS (SELECT token, count(*) AS _df FROM tf GROUP BY token),
+    q AS (SELECT DISTINCT doc_id AS _q,
+                 unnest(list_slice(regexp_split_to_array(trim(lower(text)),
+                                                         '\s+'), 1, 6)) AS token
+          FROM documents WHERE doc_id < 8),
+    contrib AS (
+        SELECT q._q, tf._doc,
+               ln(1.0 + (_n - _df + 0.5) / (_df + 0.5))
+                 * _tf * 2.2
+                 / (_tf + 1.2 * (0.25 + 0.75 * _dl / _avgdl)) AS _c
+        FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        JOIN dl USING (_doc) CROSS JOIN stats),
+    scored AS (SELECT _q, _doc, round(sum(_c), 6) AS score
+               FROM contrib GROUP BY _q, _doc),
+    ranked AS (
+        SELECT _q, _doc, score,
+               CAST(row_number() OVER (PARTITION BY _q
+                    ORDER BY score DESC, _doc ASC) AS BIGINT) AS rank
+        FROM scored)
+    SELECT _q AS query_id, _doc AS doc_id, score, rank
+    FROM ranked WHERE rank <= 5"""
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the exact cosine ranking for the same 8 corpus-derived
+    queries (doc_id == vec_id aligns the two modalities) — the serving
+    pattern production search stacks run, expressed as two k-bounded
+    rank frames and one fusion aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = RT.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
+    sem = (S.brute_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+           .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank"))
+    return RT.rrf_fuse([lex, sem], k=5)
+
+
+_HYBRID_RRF_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id AS _doc,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+    tf AS (SELECT _doc, token, count(*) AS _tf FROM toks
+           WHERE token <> '' GROUP BY _doc, token),
+    dl AS (SELECT _doc, count(*) AS _dl FROM toks
+           WHERE token <> '' GROUP BY _doc),
+    stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS _n,
+                     (SELECT avg(_dl) FROM dl) AS _avgdl),
+    dfreq AS (SELECT token, count(*) AS _df FROM tf GROUP BY token),
+    q AS (SELECT DISTINCT doc_id AS _q,
+                 unnest(list_slice(regexp_split_to_array(trim(lower(text)),
+                                                         '\s+'), 1, 6)) AS token
+          FROM documents WHERE doc_id < 8),
+    contrib AS (
+        SELECT q._q, tf._doc,
+               ln(1.0 + (_n - _df + 0.5) / (_df + 0.5))
+                 * _tf * 2.2
+                 / (_tf + 1.2 * (0.25 + 0.75 * _dl / _avgdl)) AS _c
+        FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        JOIN dl USING (_doc) CROSS JOIN stats),
+    bscored AS (SELECT _q, _doc, round(sum(_c), 6) AS score
+                FROM contrib GROUP BY _q, _doc),
+    lex AS (
+        SELECT _q AS query_id, _doc AS doc_id,
+               CAST(row_number() OVER (PARTITION BY _q
+                    ORDER BY score DESC, _doc ASC) AS BIGINT) AS rank
+        FROM bscored QUALIFY rank <= 5),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 8),
+    cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    sem AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_cosine_similarity(qv.v, cv.v) DESC,
+                             doc_id ASC) AS BIGINT) AS rank
+        FROM qv JOIN cv ON query_id <> doc_id QUALIFY rank <= 5),
+    unioned AS (
+        SELECT query_id, doc_id, rank FROM lex
+        UNION ALL SELECT query_id, doc_id, rank FROM sem),
+    fused AS (
+        SELECT query_id, doc_id,
+               round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+        FROM unioned GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 5"""
+
+
 def _filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared metadata pre-filter of the filtered-ANN rows: keep
     vectors whose source document is English, via a semi-join against
@@ -4192,6 +4317,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                             _ann_filtered_recall_oracle()),
     "ann_cosine_lsh": (_q_ann_lsh, _lsh_oracle()),
     "ann_cosine_ivf": (_q_ann_ivf, _ivf_oracle()),
+    "bm25_topk": (_q_bm25_topk, _BM25_ORACLE),
+    "hybrid_rrf_fusion": (_q_hybrid_rrf, _HYBRID_RRF_ORACLE),
     "ann_pq_topk": (_q_ann_pq, _ANN_PQ_ORACLE),
     "ann_ivf_pq_topk": (_q_ann_ivf_pq, _ivf_pq_oracle()),
     # corpus-trained bigram LM quality scoring (CCNet's perplexity

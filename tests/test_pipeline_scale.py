@@ -1598,3 +1598,69 @@ def test_scc_empty_graph(spark):
         strongly_connected_components)
     e0 = spark.createDataFrame([], "src long, dst long")
     assert strongly_connected_components(e0).count() == 0
+
+
+def test_bm25_hand_computed(spark):
+    """Three tiny docs, one query — scores replayed with the exact
+    formula in Python (idf, length normalization, top-k tie-break)."""
+    import math
+    from agensgraph_spark.pipeline.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(100, "apple banana")],
+                               "query_id long, query_text string")
+    out = {(r.query_id, r.doc_id): (r.score, r.rank)
+           for r in bm25_topk(docs, qs, k=3).collect()}
+    n, avgdl = 3.0, (3 + 2 + 1) / 3.0
+    k1, b = 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    def term(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(idf(1) * term(2, 3) + idf(2) * term(1, 3), 6)  # doc 1
+    exp2 = round(idf(2) * term(1, 2), 6)                        # doc 2
+    assert out[(100, 1)] == (exp1, 1)
+    assert out[(100, 2)] == (exp2, 2)
+    assert (100, 3) not in out  # durian shares no term: never scored
+
+
+def test_bm25_query_term_multiplicity_ignored(spark):
+    """'apple apple' scores identically to 'apple' — distinct query
+    terms, the documented simplification."""
+    from agensgraph_spark.pipeline.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple apple tart")],
+        "doc_id long, text string")
+    q1 = spark.createDataFrame([(7, "apple")],
+                               "query_id long, query_text string")
+    q2 = spark.createDataFrame([(7, "apple apple")],
+                               "query_id long, query_text string")
+    r1 = sorted((r.doc_id, r.score) for r in bm25_topk(docs, q1).collect())
+    r2 = sorted((r.doc_id, r.score) for r in bm25_topk(docs, q2).collect())
+    assert r1 == r2 and len(r1) == 2
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Doc on both lists beats single-list docs; rank sums replayed."""
+    from agensgraph_spark.pipeline.retrieval import rrf_fuse
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)],
+                              "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([(1, 11, 1), (1, 12, 2)],
+                              "query_id long, doc_id long, rank long")
+    out = {r.doc_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse([a, b], k=3).collect()}
+    assert out[11] == (round(1 / 62 + 1 / 61, 6), 1)
+    assert out[10] == (round(1 / 61, 6), 2)
+    assert out[12] == (round(1 / 62, 6), 3)
+
+
+def test_bm25_empty_query_and_no_match(spark):
+    from agensgraph_spark.pipeline.retrieval import bm25_topk
+    docs = spark.createDataFrame([(1, "apple")], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, ""), (2, "zzz")],
+                               "query_id long, query_text string")
+    assert bm25_topk(docs, qs).count() == 0
