@@ -701,3 +701,54 @@ def dsir_weights(
             .select(F.col("_id").alias(id_col),
                     F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
                     F.round("_lw", 6).alias("log_w")))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG prep step
+    (and the long-document split before embedding): each document
+    becomes ceil-covering windows of ``chunk_tokens`` whitespace
+    tokens advancing by ``chunk_tokens - overlap``; the final window
+    is the first one whose end reaches the document's last token, so
+    every token is covered and no window is pure overlap of the
+    previous. Zero-token documents emit no chunks.
+
+    Returns (id, chunk_id, start_token 1-based, n_tokens, chunk_text)
+    with n_chunks = 1 + ceil(max(0, n - chunk_tokens) / stride).
+
+    Scale shape: map-only — one split, one sequence/explode, one
+    slice per row; no shuffle, no UDF, streaming-safe. Chunk count is
+    linear in token count, so output size is input size times
+    ~chunk/(chunk-overlap) — the only knob that matters at 100 TB is
+    the overlap ratio."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>"))         .otherwise(F.split(t, r"\s+"))
+    n = F.size(toks)
+    n_chunks = (F.lit(1)
+                + F.ceil(F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+                         / F.lit(stride)).cast("int"))
+    base = df.select(F.col(id_col), toks.alias("_t"), n.alias("_n"),
+                     n_chunks.alias("_nc"))
+    ex = (base.filter(F.col("_n") > 0)
+          .select(id_col, "_t", "_n",
+                  F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+                  .alias("chunk_id")))
+    start = (F.col("chunk_id") * F.lit(stride) + 1).cast("long")
+    piece = F.slice(F.col("_t"), start.cast("int"), chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))

@@ -2666,6 +2666,39 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                              budget=512, by=("source",), shards=4)
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/embedding prep) — the
+    full chunk text rides in the compare, so the slice arithmetic and
+    the overlap coverage are pinned byte-for-byte."""
+    return TX.chunk_documents(read_table(spark, sf_dir, "documents"),
+                              chunk_tokens=32, overlap=8)
+
+
+_CHUNK_DOCS_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(lower(text))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS t
+        FROM documents),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               1 + CAST(ceil(greatest(n - 32, 0) / 24) AS INT) AS nc
+        FROM base WHERE len(t) > 0),
+    ex AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, nc - 1)) AS chunk_id
+        FROM sized)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 24 + 1 AS BIGINT) AS start_token,
+           CAST(len(list_slice(t, chunk_id * 24 + 1,
+                               chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t, chunk_id * 24 + 1,
+                                      chunk_id * 24 + 32), ' ') AS chunk_text
+    FROM ex"""
+
+
 _PACK_ORACLE = r"""
     WITH t AS (
         SELECT doc_id, source, doc_id % 4 AS shard,
@@ -4168,6 +4201,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),
     "pack_sequences": (_q_pack_sequences, _PACK_ORACLE),
+    "chunk_documents": (_q_chunk_documents, _CHUNK_DOCS_ORACLE),
     "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
     "asof_join_forward": (_q_asof_forward, _ASOF_FWD_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),

@@ -1664,3 +1664,45 @@ def test_bm25_empty_query_and_no_match(spark):
     qs = spark.createDataFrame([(1, ""), (2, "zzz")],
                                "query_id long, query_text string")
     assert bm25_topk(docs, qs).count() == 0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """10-token doc, chunk 4, overlap 1 (stride 3): windows start at
+    1,4,7 — the last window reaches the final token, every token is
+    covered, consecutive chunks share exactly `overlap` tokens."""
+    from agensgraph_spark.pipeline.text import chunk_documents
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame([(1, text), (2, ""), (3, "solo")],
+                                 "doc_id long, text string")
+    rows = sorted((r.doc_id, r.chunk_id, r.start_token, r.n_tokens,
+                   r.chunk_text)
+                  for r in chunk_documents(docs, chunk_tokens=4,
+                                           overlap=1).collect())
+    assert rows == [
+        (1, 0, 1, 4, "a b c d"),
+        (1, 1, 4, 4, "d e f g"),
+        (1, 2, 7, 4, "g h i j"),
+        (3, 0, 1, 1, "solo"),
+    ]  # doc 2 (empty) emits nothing
+
+
+def test_chunk_documents_exact_fit_no_overlap_tail(spark):
+    """n == chunk_tokens yields exactly one chunk; n one past the
+    boundary yields two with the short tail."""
+    from agensgraph_spark.pipeline.text import chunk_documents
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b c d")],
+                                 "doc_id long, text string")
+    got = sorted((r.doc_id, r.chunk_id, r.chunk_text)
+                 for r in chunk_documents(docs, chunk_tokens=3,
+                                          overlap=0).collect())
+    assert got == [(1, 0, "a b c"), (2, 0, "a b c"), (2, 1, "d")]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from agensgraph_spark.pipeline.text import chunk_documents
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
