@@ -2974,6 +2974,60 @@ _STREAM_ENRICH_ORACLE = """
     GROUP BY 1, 2"""
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-to-view attribution): two
+    branches of the event stream — clicks and views — joined per user
+    with views arriving in the 12 hours before each click, both sides
+    under event-time watermarks (the range predicate is what bounds
+    the join state; see streaming/join.py). Batch oracle replays the
+    identical join."""
+    from agensgraph_spark.loader import normalize_event_ts
+    from agensgraph_spark.streaming.join import interval_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = stream.withColumn(
+        "ts", normalize_event_ts(raw_schema["ts"].dataType).cast("timestamp"))
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts")))
+    views = (stream.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"),
+                     F.col("value").alias("view_value")))
+    joined = interval_join(
+        clicks, views, F.col("c_user") == F.col("v_user"),
+        "c_ts", "v_ts", lookback_seconds=43200)
+    q = (joined.writeStream.format("memory")
+         .queryName("stream_ijoin_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_ijoin_sink").select(
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("c_user").cast("long").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round(F.col("view_value").cast("double"), 6).alias("view_value"))
+
+
+_STREAM_IJOIN_ORACLE = """
+    SELECT CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           round(CAST(v.value AS DOUBLE), 6) AS view_value
+    FROM events c JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 43200 SECONDS
+     AND v.ts <= c.ts"""
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator for real: gap sessionization
     via applyInPandasWithState (streaming/sessionize.py), driven through
@@ -4208,6 +4262,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "stream_quality_gate": (_q_stream_quality_gate, _STREAM_QUALITY_ORACLE),
     "stream_repetition_gate": (_q_stream_repetition_gate, _STREAM_REPETITION_ORACLE),
     "stream_enrich_static": (_q_stream_enrich, _STREAM_ENRICH_ORACLE),
+    "stream_interval_join": (_q_stream_interval_join, _STREAM_IJOIN_ORACLE),
     "stream_sessionize": (_q_stream_sessionize, _SESSIONIZE_ORACLE),
     "stream_dedup": (_q_stream_dedup, """
         SELECT DISTINCT user_id, event_type,

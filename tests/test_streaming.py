@@ -107,3 +107,51 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (1, 3, 6.0) in got       # user 1 burst A closed by burst B
     assert (1, 2, 9.0) in got       # user 1 burst B closed by sentinel
     assert (2, 2, 20.0) in got      # user 2 burst closed by sentinel
+
+
+def test_interval_join_boundaries(spark, tmp_path):
+    """Hand-placed timestamps pin the interval bounds: a view exactly
+    lookback before the click joins, one second earlier does not, a
+    view after the click never joins."""
+    from agensgraph_spark.streaming.join import interval_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "iv_src")
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click"),
+        (10, "2024-01-01 09:30:00", 7, "view"),   # exactly lookback: in
+        (11, "2024-01-01 09:29:59", 7, "view"),   # 1s too old: out
+        (12, "2024-01-01 10:00:00", 7, "view"),   # same instant: in
+        (13, "2024-01-01 10:00:01", 7, "view"),   # after click: out
+        (14, "2024-01-01 09:45:00", 8, "view"),   # other user: out
+    ]
+    (spark.createDataFrame(rows, "event_id long, ts string, user_id long,"
+                           " event_type string")
+     .withColumn("ts", F.to_timestamp("ts"))
+     .write.parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts")))
+    views = (stream.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts")))
+    j = interval_join(clicks, views, F.col("c_user") == F.col("v_user"),
+                      "c_ts", "v_ts", lookback_seconds=1800)
+    q = (j.writeStream.format("memory").queryName("iv_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.click_id, r.view_id)
+                 for r in spark.table("iv_sink").collect())
+    assert got == [(1, 10), (1, 12)]
+
+
+def test_interval_join_rejects_negative_lookback(spark):
+    from agensgraph_spark.streaming.join import interval_join
+    df = spark.range(1).select(F.col("id"),
+                               F.current_timestamp().alias("ts"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interval_join(df, df, F.lit(True), "ts", "ts", lookback_seconds=-1)
