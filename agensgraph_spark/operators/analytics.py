@@ -677,3 +677,106 @@ def strongly_connected_components(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def betweenness_centrality_sampled(
+    edges: DataFrame,
+    vertices: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Brandes-Pich sampled betweenness centrality over the undirected
+    symmetrized edge frame, radius-bounded: dependency accumulation
+    runs only over shortest paths of length <= ``max_hops`` from a
+    FIXED seed set (pass a deterministic frame — e.g. a keyed sample —
+    and the run plus its chained-CTE SQL oracle replay exactly).
+    Estimator: bc(v) = (|V| / |S|) * sum over seeds s != v of
+    delta_s(v), the classic sampled-pivot scale-up; like every pivot
+    method it counts each unordered pair from both endpoints when both
+    land in the seed set, so against exhaustive undirected Brandes the
+    full-seed configuration reads 2x (document, don't silently halve).
+
+    Two bounded passes, both |S| x reach state like
+    harmonic_centrality_sampled: FORWARD, a multi-source BFS carrying
+    sigma (shortest-path counts — per hop one frontier-edge join, one
+    (seed, vertex) sum aggregate, one anti-join against the seen set);
+    BACKWARD, Brandes' dependency recurrence delta(v) = sum over
+    successors w on the shortest-path DAG of sigma(v)/sigma(w) *
+    (1 + delta(w)), one level per hop from the rim inward — the DAG is
+    never materialized, each level re-derives its edges by joining
+    level-h vertices to level-h+1 via the symmetric edge frame. With
+    max_hops fixed the whole run is a closed-form join chain (no
+    data-dependent iteration), so an external SQL oracle can replay it
+    exactly. Radius truncation means k-betweenness (paths longer than
+    ``max_hops`` contribute nothing) — the same explicit
+    bounded-radius contract as the harmonic operators.
+
+    Seeds absent from ``vertices`` are dropped before |S| is counted;
+    an empty intersection raises in-plan at first action (raise_error
+    riding the |S| aggregate, like personalized_pagerank). Returns
+    (id, bc_est double) for every vertex."""
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst"))
+           .distinct())
+    verts = vertices.select("id").distinct()
+    srcs = sources.select("id").distinct().join(verts, "id", "left_semi")
+    levels = [srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                          F.lit(1.0).alias("sigma"))]
+    seen = levels[0].select("s", "v")
+    for h in range(1, max_hops + 1):
+        cand = (levels[-1]
+                .join(sym.withColumnRenamed("src", "v"), "v")
+                .groupBy("s", F.col("dst").alias("v"))
+                .agg(F.sum("sigma").alias("sigma")))
+        nxt = cand.join(seen, ["s", "v"], "left_anti")
+        if h < max_hops:
+            nxt = nxt.localCheckpoint(eager=False)
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("s", "v"))
+    # backward dependency accumulation, rim inward; delta at the rim
+    # level is 0 by definition (no deeper shortest paths through it)
+    deltas = [None] * (max_hops + 1)
+    deltas[max_hops] = levels[max_hops].select(
+        "s", "v", "sigma", F.lit(0.0).alias("delta"))
+    for h in range(max_hops - 1, -1, -1):
+        succ = deltas[h + 1].select(F.col("s").alias("_ws"),
+                                    F.col("v").alias("_wv"),
+                                    F.col("sigma").alias("_wsig"),
+                                    F.col("delta").alias("_wdel"))
+        contrib = (levels[h]
+                   .join(sym.withColumnRenamed("src", "v"), "v")
+                   .join(succ, (F.col("s") == F.col("_ws"))
+                         & (F.col("dst") == F.col("_wv")))
+                   .groupBy("s", "v")
+                   .agg(F.sum(F.col("sigma") / F.col("_wsig")
+                              * (F.lit(1.0) + F.col("_wdel"))).alias("_d")))
+        deltas[h] = (levels[h].join(contrib, ["s", "v"], "left")
+                     .select("s", "v", "sigma",
+                             F.coalesce("_d", F.lit(0.0)).alias("delta")))
+        if h > 0:
+            deltas[h] = deltas[h].localCheckpoint(eager=False)
+    acc = deltas[1]
+    for h in range(2, max_hops + 1):
+        acc = acc.unionByName(deltas[h])
+    ns = srcs.agg(F.count(F.lit(1)).cast("double").alias("_ns0")) \
+        .select(F.when(
+            F.col("_ns0") == 0,
+            F.raise_error(F.lit(
+                "betweenness_centrality_sampled: no source id is present "
+                "in vertices (the |V|/|S| scale factor would be "
+                "undefined)")).cast("double"))
+            .otherwise(F.col("_ns0")).alias("_ns"))
+    stats = (verts.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+             .crossJoin(ns))
+    summed = (acc.filter(F.col("s") != F.col("v"))
+              .groupBy(F.col("v").alias("id"))
+              .agg(F.sum("delta").alias("_bc")))
+    return (verts.join(summed, "id", "left")
+            .crossJoin(F.broadcast(stats))
+            .select("id",
+                    (F.coalesce("_bc", F.lit(0.0)) * F.col("_n")
+                     / F.col("_ns")).alias("bc_est")))

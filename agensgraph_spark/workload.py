@@ -1796,6 +1796,70 @@ def _q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "n_sampled", F.round("harmonic_est", 6).alias("harmonic_est"))
 
 
+def _q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes-Pich sampled betweenness, radius 3, from the 25 nation
+    vertices — the same fixed deterministic seed configuration as
+    graph_harmonic_sampled; forward sigma BFS + backward dependency
+    accumulation are both closed-form join chains at fixed max_hops,
+    so the oracle replays them as chained CTEs."""
+    edges, verts = _analytics_graph(spark, sf_dir)
+    seeds = verts.filter(F.col("id").startswith("n"))
+    return AN.betweenness_centrality_sampled(
+        edges, verts, seeds, max_hops=3).select(
+        "id", F.round("bc_est", 6).alias("bc_est"))
+
+
+def _betweenness_oracle(max_hops: int = 3) -> str:
+    """Chained-CTE replay of betweenness_centrality_sampled (forward
+    shortest-path counts per hop, backward Brandes dependency per
+    level, |V|/|S| scale-up in Spark's multiply-then-divide order)."""
+    ctes = [f"verts AS (SELECT DISTINCT id FROM ({_ANALYTICS_VERTS_SQL}))",
+            f"raw AS ({_ANALYTICS_EDGES_SQL})",
+            "sym AS MATERIALIZED (SELECT src, dst FROM ("
+            "SELECT src, dst FROM raw UNION "
+            "SELECT dst AS src, src AS dst FROM raw) WHERE src <> dst)",
+            "seeds AS (SELECT id FROM verts WHERE id LIKE 'n%')",
+            "f0 AS (SELECT id AS s, id AS v, CAST(1.0 AS DOUBLE) AS sigma "
+            "FROM seeds)",
+            "c0 AS (SELECT s, v FROM f0)"]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"g{h} AS (SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma "
+            f"FROM f{h-1} f JOIN sym e ON e.src = f.v GROUP BY f.s, e.dst)")
+        ctes.append(
+            f"f{h} AS MATERIALIZED (SELECT g.s, g.v, g.sigma FROM g{h} g "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{h-1} c "
+            f"WHERE c.s = g.s AND c.v = g.v))")
+        ctes.append(
+            f"c{h} AS MATERIALIZED (SELECT * FROM c{h-1} "
+            f"UNION ALL SELECT s, v FROM f{h})")
+    ctes.append(f"d{max_hops} AS (SELECT s, v, sigma, "
+                f"CAST(0.0 AS DOUBLE) AS delta FROM f{max_hops})")
+    for h in range(max_hops - 1, 0, -1):
+        ctes.append(
+            f"x{h} AS (SELECT f.s, f.v, "
+            f"sum(f.sigma / t.sigma * (1.0 + t.delta)) AS _d "
+            f"FROM f{h} f JOIN sym e ON e.src = f.v "
+            f"JOIN d{h+1} t ON t.s = f.s AND t.v = e.dst "
+            f"GROUP BY f.s, f.v)")
+        ctes.append(
+            f"d{h} AS MATERIALIZED (SELECT f.s, f.v, f.sigma, "
+            f"COALESCE(x._d, 0.0) AS delta FROM f{h} f "
+            f"LEFT JOIN x{h} x ON x.s = f.s AND x.v = f.v)")
+    acc = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{h}" for h in range(1, max_hops + 1))
+    return ("WITH " + ",\n    ".join(ctes)
+            + f""",
+    acc AS ({acc}),
+    st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM verts) AS _n,
+                  (SELECT CAST(count(*) AS DOUBLE) FROM seeds) AS _ns)
+    SELECT v.id,
+           round(COALESCE(r.b, 0.0) * st._n / st._ns, 6) AS bc_est
+    FROM verts v CROSS JOIN st LEFT JOIN (
+        SELECT v, sum(delta) AS b FROM acc WHERE s <> v GROUP BY v) r
+      ON r.v = v.id""")
+
+
 def _harmonic_sampled_oracle(max_hops: int = 3) -> str:
     """Chained-CTE replay of the seeded multi-source BFS
     (operators/analytics.py `harmonic_centrality_sampled`): f0 is the
@@ -4443,6 +4507,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_harmonic": (_q_graph_harmonic, _harmonic_oracle()),
     "graph_harmonic_sampled": (_q_graph_harmonic_sampled,
                                _harmonic_sampled_oracle()),
+    "graph_betweenness_sampled": (_q_graph_betweenness,
+                                  _betweenness_oracle()),
 }
 
 

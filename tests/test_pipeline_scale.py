@@ -1706,3 +1706,64 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(docs, chunk_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_betweenness_sampled_path_graph(spark):
+    """Path 1-2-3-4-5 with all vertices as seeds: the directed-pair
+    sum is exactly twice classic undirected betweenness — [0,6,8,6,0]
+    with the n/|S|=1 scale factor."""
+    from agensgraph_spark.operators.analytics import (
+        betweenness_centrality_sampled)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)],
+                                  "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    out = {r.id: round(r.bc_est, 6)
+           for r in betweenness_centrality_sampled(
+               edges, verts, verts, max_hops=4).collect()}
+    assert out == {1: 0.0, 2: 6.0, 3: 8.0, 4: 6.0, 5: 0.0}
+
+
+def test_betweenness_sampled_even_split(spark):
+    """4-cycle: opposite corners connect via TWO shortest paths, so
+    each intermediate carries sigma-ratio 1/2 per direction — every
+    vertex ends at exactly 1.0 (pins the sigma arithmetic, not just
+    path existence)."""
+    from agensgraph_spark.operators.analytics import (
+        betweenness_centrality_sampled)
+    edges = spark.createDataFrame([(1, 2), (2, 4), (4, 3), (3, 1)],
+                                  "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    out = {r.id: round(r.bc_est, 6)
+           for r in betweenness_centrality_sampled(
+               edges, verts, verts, max_hops=3).collect()}
+    assert out == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+def test_betweenness_sampled_subset_seeds_scale_up(spark):
+    """Star center with 4 leaves, seeds = 2 leaves: raw dependency
+    from each sampled leaf is 3 (paths to the other three leaves run
+    through the center), scaled by |V|/|S| = 5/2."""
+    from agensgraph_spark.operators.analytics import (
+        betweenness_centrality_sampled)
+    edges = spark.createDataFrame([(10, i) for i in (1, 2, 3, 4)],
+                                  "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10)],
+                                  "id long")
+    seeds = spark.createDataFrame([(1,), (2,)], "id long")
+    out = {r.id: round(r.bc_est, 6)
+           for r in betweenness_centrality_sampled(
+               edges, verts, seeds, max_hops=2).collect()}
+    assert out[10] == round(2 * 3 * 5 / 2, 6)  # 15.0
+    assert all(out[i] == 0.0 for i in (1, 2, 3, 4))
+
+
+def test_betweenness_sampled_empty_seed_refusal(spark):
+    from agensgraph_spark.operators.analytics import (
+        betweenness_centrality_sampled)
+    import pytest as _pytest
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    seeds = spark.createDataFrame([(99,)], "id long")
+    df = betweenness_centrality_sampled(edges, verts, seeds, max_hops=2)
+    with _pytest.raises(Exception, match="no source id"):
+        df.collect()
