@@ -116,18 +116,15 @@ def label_propagation(
     return lab.select("id", F.col("label").alias("community"))
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-vertex triangle participation over an undirected edge frame
-    (``src``/``dst``, duplicates/self-loops tolerated). Degree-oriented
-    enumeration — every edge points from its lower-(degree, id) endpoint
-    to the higher one, so each triangle is found exactly once from its
-    lowest-degree corner and the wedge join fans out by the SMALLER
-    per-vertex degree (the classic bound that keeps power-law hubs from
-    going quadratic; plain id-ordering would enumerate a hub's full
-    neighborhood square). Returns (id, n_triangles), zero rows omitted."""
-    und = (edges.select(F.least("src", "dst").alias("a"),
-                        F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle of a canonical undirected edge frame (a < b,
+    distinct, no self-loops) exactly once, as (p, q1, q2).
+    Degree-oriented enumeration — every edge points from its
+    lower-(degree, id) endpoint to the higher one, so each triangle is
+    found once from its lowest-degree corner and the wedge join fans
+    out by the SMALLER per-vertex degree (the classic bound that keeps
+    power-law hubs from going quadratic; plain id-ordering would
+    enumerate a hub's full neighborhood square)."""
     deg = (und.select(F.col("a").alias("v"))
            .unionByName(und.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
@@ -143,12 +140,89 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     e1 = fwd.select(F.col("u").alias("p"), F.col("w").alias("q1"))
     e2 = fwd.select(F.col("u").alias("p"), F.col("w").alias("q2"))
     wedge = e1.join(e2, "p").filter(F.col("q1") < F.col("q2"))
-    tri = wedge.join(
+    return wedge.join(
         und.select(F.col("a").alias("x"), F.col("b").alias("y")),
-        (F.least("q1", "q2") == F.col("x")) & (F.greatest("q1", "q2") == F.col("y")))
+        (F.least("q1", "q2") == F.col("x")) & (F.greatest("q1", "q2") == F.col("y"))) \
+        .select("p", "q1", "q2")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation over an undirected edge frame
+    (``src``/``dst``, duplicates/self-loops tolerated); see
+    `_oriented_triangles` for the degree-oriented enumeration bound.
+    Returns (id, n_triangles), zero rows omitted."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    tri = _oriented_triangles(und)
     corners = F.explode(F.array("p", "q1", "q2")).alias("id")
     return tri.select(corners).groupBy("id").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph in which every edge
+    sits in at least ``k - 2`` triangles OF THE SUBGRAPH — the
+    edge-support sibling of `k_core` (cohesion by shared neighbors,
+    not mere degree: a hub-and-spoke star survives a high k-core but
+    has no truss at all). Classic peel fixpoint: per round, count each
+    surviving edge's triangles via the degree-oriented enumeration
+    (`_oriented_triangles` — each triangle found once, exploded back
+    onto its three edges, one hash aggregate), drop edges below
+    support k-2, repeat until the edge set stops changing. Converges
+    in at most |E| rounds, in practice a handful (each peel removes
+    the whole sub-threshold frontier); the surviving edge frame is
+    localCheckpoint-truncated per generation and every shuffle carries
+    narrow (id, id) or (edge, count) rows. Aggregation inside the loop
+    puts this outside recursive-CTE SQL, but a FIXED round count
+    replays it (idempotent at the fixpoint) — same oracle strategy as
+    k_core. Hitting ``max_iters`` before the fixpoint WARNS like
+    k_core (the partial result is a valid superset of the truss).
+    Returns (src, dst, support) with src < dst, support counted in the
+    final surviving subgraph."""
+    import logging
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint())
+    n_before = und.count()
+    supp = None
+    for _ in range(max_iters):
+        tri = _oriented_triangles(und)
+        tri_edges = tri.select(
+            F.explode(F.array(
+                F.struct(F.least("p", "q1").alias("a"),
+                         F.greatest("p", "q1").alias("b")),
+                F.struct(F.least("p", "q2").alias("a"),
+                         F.greatest("p", "q2").alias("b")),
+                F.struct(F.least("q1", "q2").alias("a"),
+                         F.greatest("q1", "q2").alias("b")))).alias("e")) \
+            .select("e.a", "e.b")
+        supp = tri_edges.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+        nxt = (und.join(supp, ["a", "b"], "left")
+               .select("a", "b",
+                       F.coalesce("support", F.lit(0)).alias("support"))
+               .filter(F.col("support") >= k - 2)
+               .localCheckpoint(eager=False))
+        n_after = nxt.count()
+        und = nxt.select("a", "b")
+        if n_after == n_before or n_after == 0:
+            return nxt.select(F.col("a").alias("src"),
+                              F.col("b").alias("dst"), "support")
+        n_before = n_after
+    logging.getLogger(__name__).warning(
+        "k_truss: max_iters=%d reached before fixpoint — the result is "
+        "a superset of the true %d-truss", max_iters, k)
+    return (und.join(supp, ["a", "b"], "left")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    F.coalesce("support", F.lit(0)).alias("support")))
 
 
 def k_core(

@@ -1689,6 +1689,62 @@ def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
               f"FROM s{rounds} GROUP BY src")
 
 
+def _q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the same-order part co-occurrence graph (each order
+    contributes a clique on its parts, so multi-line orders seed
+    genuine triangle-dense regions; cross-order edges thin out and
+    peel away). Same graph as graph_triangles."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    pairs = (li.alias("x").join(li.alias("y"), "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .select(F.col("x.l_partkey").alias("src"),
+                     F.col("y.l_partkey").alias("dst")))
+    return AN.k_truss(pairs, k=4).select(
+        "src", "dst", F.col("support").cast("long").alias("support"))
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Fixed-round replay of the k-truss peel (idempotent at the
+    fixpoint, same strategy as _kcore_oracle): per round a plain
+    wedge-join triangle count per surviving edge, then the support
+    filter. The final SELECT recounts support on the converged edge
+    set — identical to the operator's last-iteration support."""
+    ctes = [
+        "raw AS MATERIALIZED (SELECT DISTINCT "
+        "least(x.l_partkey, y.l_partkey) AS a, "
+        "greatest(x.l_partkey, y.l_partkey) AS b "
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "WHERE x.l_partkey < y.l_partkey)",
+        "s0 AS MATERIALIZED (SELECT a, b FROM raw)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"y{r} AS MATERIALIZED (SELECT src, dst FROM ("
+            f"SELECT a AS src, b AS dst FROM s{r-1} "
+            f"UNION ALL SELECT b, a FROM s{r-1}))")
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS c "
+            f"FROM s{r-1} e JOIN y{r} s1 ON s1.src = e.a "
+            f"JOIN y{r} s2 ON s2.src = e.b AND s2.dst = s1.dst "
+            f"GROUP BY e.a, e.b)")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT e.a, e.b FROM s{r-1} e "
+            f"LEFT JOIN t{r} t ON t.a = e.a AND t.b = e.b "
+            f"WHERE COALESCE(t.c, 0) >= {k - 2})")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f""",
+    yf AS (SELECT src, dst FROM (
+        SELECT a AS src, b AS dst FROM s{rounds}
+        UNION ALL SELECT b, a FROM s{rounds})),
+    tf AS (SELECT e.a, e.b, count(*) AS c
+           FROM s{rounds} e JOIN yf s1 ON s1.src = e.a
+           JOIN yf s2 ON s2.src = e.b AND s2.dst = s1.dst
+           GROUP BY e.a, e.b)
+    SELECT e.a AS src, e.b AS dst,
+           CAST(COALESCE(t.c, 0) AS BIGINT) AS support
+    FROM s{rounds} e LEFT JOIN tf t ON t.a = e.a AND t.b = e.b""")
+
+
 def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority over the supplier→nation→region hierarchy —
     nations are the authorities (many supplier hubs point at them),
@@ -4315,6 +4371,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "graph_pagerank": (_q_pagerank, _pagerank_oracle()),
     "graph_lpa": (_q_graph_lpa, _lpa_oracle()),
     "graph_kcore": (_q_graph_kcore, _kcore_oracle()),
+    "graph_ktruss": (_q_graph_ktruss, _ktruss_oracle()),
     "vocab_ws_topk": (_q_vocab_ws_topk, _VOCAB_ORACLE),
     "redact_pii": (_q_redact_pii, _REDACT_ORACLE),
     "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),

@@ -1767,3 +1767,38 @@ def test_betweenness_sampled_empty_seed_refusal(spark):
     df = betweenness_centrality_sampled(edges, verts, seeds, max_hops=2)
     with _pytest.raises(Exception, match="no source id"):
         df.collect()
+
+
+def test_k_truss_peels_pendant_triangle(spark):
+    """K4 plus a pendant triangle hung off one K4 edge: at k=4 the
+    pendant's two edges (support 1) peel in round one, the shared edge
+    drops from support 3 to 2 and survives — the surviving graph is
+    exactly K4 with every support recounted in the SUBGRAPH."""
+    from agensgraph_spark.operators.analytics import k_truss
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 5), (4, 5)],
+                                  "src long, dst long")
+    out = sorted((r.src, r.dst, r.support)
+                 for r in k_truss(edges, k=4).collect())
+    assert out == [(a, b, 2) for (a, b) in k4]
+
+
+def test_k_truss_k2_keeps_triangle_free_edges(spark):
+    """k=2 requires support >= 0: every edge survives, including ones
+    in no triangle (the coalesce-to-zero path)."""
+    from agensgraph_spark.operators.analytics import k_truss
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 9)],
+                                  "src long, dst long")
+    out = sorted((r.src, r.dst, r.support)
+                 for r in k_truss(edges, k=2).collect())
+    assert out == [(1, 2, 1), (1, 3, 1), (2, 3, 1), (3, 9, 0)]
+
+
+def test_k_truss_star_empties(spark):
+    from agensgraph_spark.operators.analytics import k_truss
+    edges = spark.createDataFrame([(10, i) for i in range(1, 6)],
+                                  "src long, dst long")
+    assert k_truss(edges, k=3).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_truss(edges, k=1)
