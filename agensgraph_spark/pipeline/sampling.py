@@ -154,3 +154,47 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(*order)
     return (survivors.withColumn("group_rank", F.row_number().over(w))
             .filter(F.col("group_rank") <= k))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual /
+    multi-source rebalancing step of a training mix: stratum shares
+    are flattened from proportional (alpha=1) toward uniform
+    (alpha=0) by sampling stratum i at rate
+    (min_j n_j^(1-alpha)) / n_i^(1-alpha) — the closed form of
+    "target share proportional to n^alpha, scaled so the most
+    downweighted-toward stratum keeps rate 1.0" (no stratum is ever
+    upsampled; pair with a loader-side repeat factor if oversampling
+    is wanted). Unlike ``mix_sample`` the rates are COMPUTED FROM THE
+    DATA in-plan: one stratum-count aggregate, one 1-row min
+    aggregate broadcast back, then the same map-only
+    md5-prefix-vs-threshold keep decision (the threshold hex renders
+    in-plan via format_string, quantized to the same 1/65536 grid as
+    ``rate_threshold``, so the decision stays a pure function of
+    (key, stratum counts) — reproducible across engines,
+    partitionings, and re-runs). Returns the input columns plus
+    ``mix_rate`` (the stratum's keep-rate) for mix-card auditing.
+
+    Scale: nothing corpus-sized is broadcast (the rate frame is one
+    row per stratum); the filter is map-side after one broadcast
+    join; adding/removing a stratum changes only that stratum's
+    count row."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    e = 1.0 - alpha
+    cnt = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    pw = cnt.select(strata_col,
+                    F.pow(F.col("_n").cast("double"), F.lit(e)).alias("_pw"))
+    mn = pw.agg(F.min("_pw").alias("_mn"))
+    rates = (pw.crossJoin(F.broadcast(mn))
+             .select(strata_col,
+                     (F.col("_mn") / F.col("_pw")).alias("mix_rate")))
+    thr = F.format_string(
+        "%04x", F.floor(F.col("mix_rate") * _HEX_SPACE).cast("int"))
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter((F.col("mix_rate") >= 1.0) | (_prefix(key_col) < thr)))

@@ -2786,6 +2786,46 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                              budget=512, by=("source",), shards=4)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at alpha=0.5 over a deliberately
+    IMBALANCED stratification (the generated `source` column is
+    uniform — rates would all be 1.0 and the keep decision would
+    never fire): docs are bucketed 50/25/12.5/12.5 into
+    web/books/wiki/code by doc_id, so 'web' is downsampled hardest
+    and the two smallest strata keep rate 1.0. Rates come from the
+    data in-plan (closed form min_j n_j^0.5 / n_i^0.5); the rate
+    column rides out rounded for mix-card auditing."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 16 < 8, F.lit("web"))
+         .when(F.col("doc_id") % 16 < 12, F.lit("books"))
+         .when(F.col("doc_id") % 16 < 14, F.lit("wiki"))
+         .otherwise(F.lit("code")))
+    return SMP.temperature_mix(docs, "stratum", "doc_id",
+                               alpha=0.5).select(
+        "doc_id", "stratum", F.round("mix_rate", 6).alias("mix_rate"))
+
+
+_TEMPERATURE_MIX_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 16 < 8 THEN 'web'
+                    WHEN doc_id % 16 < 12 THEN 'books'
+                    WHEN doc_id % 16 < 14 THEN 'wiki'
+                    ELSE 'code' END AS stratum
+        FROM documents),
+    cnt AS (SELECT stratum, CAST(count(*) AS DOUBLE) AS n
+            FROM d GROUP BY stratum),
+    pw AS (SELECT stratum, POWER(n, 0.5) AS pw FROM cnt),
+    mn AS (SELECT min(pw) AS mn FROM pw),
+    rates AS (SELECT stratum, mn / pw AS mix_rate FROM pw CROSS JOIN mn)
+    SELECT d.doc_id, d.stratum, round(r.mix_rate, 6) AS mix_rate
+    FROM d JOIN rates r USING (stratum)
+    WHERE r.mix_rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(FLOOR(r.mix_rate * 65536) AS INT))"""
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (RAG/embedding prep) — the
     full chunk text rides in the compare, so the slice arithmetic and
@@ -4377,6 +4417,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "pipeline_curate_e2e": (_q_pipeline_curate, _CURATE_ORACLE),
     "pack_sequences": (_q_pack_sequences, _PACK_ORACLE),
     "chunk_documents": (_q_chunk_documents, _CHUNK_DOCS_ORACLE),
+    "temperature_mix": (_q_temperature_mix, _TEMPERATURE_MIX_ORACLE),
     "asof_join_events": (_q_asof_join, _ASOF_ORACLE),
     "asof_join_forward": (_q_asof_forward, _ASOF_FWD_ORACLE),
     "range_join_events": (_q_range_join, _RANGE_ORACLE),

@@ -1802,3 +1802,34 @@ def test_k_truss_star_empties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         k_truss(edges, k=1)
+
+
+def test_temperature_mix_python_replay(spark):
+    """120/30 two-stratum corpus at alpha=0: targets are uniform, so
+    the big stratum keeps rate 30/120 = 0.25 and the small one 1.0 —
+    the surviving ROW SET (not just counts) must equal a pure-Python
+    hashlib replay of the md5-prefix rule."""
+    import hashlib
+    from agensgraph_spark.pipeline.sampling import temperature_mix
+    rows = [(i, "big" if i < 120 else "small") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = temperature_mix(df, "stratum", "doc_id", alpha=0.0)
+    got = sorted((r.doc_id, round(r.mix_rate, 9)) for r in out.collect())
+    thr = format(int(0.25 * 65536), "04x")
+    exp = sorted(
+        [(i, 0.25) for i in range(120)
+         if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr]
+        + [(i, 1.0) for i in range(120, 150)])
+    assert got == exp
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark):
+    from agensgraph_spark.pipeline.sampling import temperature_mix
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = temperature_mix(df, "stratum", "doc_id", alpha=1.0)
+    assert out.count() == 90
+    assert out.filter(F.col("mix_rate") != 1.0).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "stratum", "doc_id", alpha=1.5)
