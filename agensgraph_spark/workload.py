@@ -4655,9 +4655,13 @@ PRIORITY_50: tuple[str, ...] = (
     # in round 14 for fuzzy_decontaminate; the same computation shape
     # stays gated as stream_events_hourly's batch oracle, and the tail
     # suite keeps the row externally verified)
+    # (sql_json_props — simple JSON column access — displaced in the
+    # round-14 second wave for graph_scc; the JSON-properties family
+    # stays gated via cy_nested_props, and the tail suite keeps the
+    # row externally verified)
     "sql_tpch_q1", "sql_tpch_q5", "sql_tpch_q9", "sql_window_rank",
     "sql_grouping_sets", "sql_except", "sql_exists_semijoin",
-    "sql_correlated_scalar", "sql_json_props",
+    "sql_correlated_scalar",
     # ordered-set / recursion (1; sql_limit_ties, sql_tablesample,
     # sql_csv_foreign_scan, sql_values_scan — simple single-operator
     # rows displaced to the tail in round 5 to make room for that
@@ -4688,6 +4692,15 @@ PRIORITY_50: tuple[str, ...] = (
     # machinery through a parity-encoded train/eval union — the
     # highest-risk new family of round 13
     "fuzzy_decontaminate",
+    # round-14 second-wave seats, per policy rule 1 (risk first):
+    # strongly connected components is a brand-new multi-round
+    # iterative operator (trim + dual min-label fixpoints + settle
+    # logic — exactly where a silent wrong answer hides); BM25 opens
+    # the lexical-retrieval family with a float scoring formula whose
+    # near-tie ordering is the risk surface (displaced sql_json_props
+    # and quality_score — both deterministic column-expression rows
+    # whose families keep seats; the tail suite keeps them verified)
+    "graph_scc", "bm25_topk",
     # LLM-pipeline: text (4; text_bpe_tokens — a deterministic
     # tokenizer-regex row — displaced to the tail in round 11 for
     # text_lm_perplexity; lang_id — deterministic column expressions
@@ -4695,7 +4708,10 @@ PRIORITY_50: tuple[str, ...] = (
     # displaced in round 12 for dsir_importance, per policy rule 1:
     # the trained two-distribution bucket-model pipeline is where a
     # silent wrong answer hides, like the LM row before it)
-    "text_stats", "dsir_importance", "quality_score", "text_lm_perplexity",
+    # (quality_score — deterministic column expressions — displaced in
+    # the round-14 second wave for bm25_topk; the text family keeps
+    # text_stats + both trained rows)
+    "text_stats", "dsir_importance", "text_lm_perplexity",
     # LLM-pipeline round-5 additions: clustering dedup, quality gate,
     # mix sampling, temporal join, graph analytics, end-to-end funnel (6)
     "dedup_cluster", "heuristic_filter", "mix_sample",

@@ -26,6 +26,12 @@ HIGH_RISK = {
     # (displaced sql_events_hourly, whose computation shape stays
     # gated as stream_events_hourly's batch oracle)
     "fuzzy_decontaminate",
+    # round-14 second-wave seats: SCC (new multi-round iterative
+    # settle logic; displaced sql_json_props — JSON family keeps
+    # cy_nested_props) and BM25 (new lexical-retrieval family, float
+    # scoring near-tie ordering; displaced quality_score — text
+    # family keeps text_stats + both trained rows)
+    "graph_scc", "bm25_topk",
     # streaming-vs-batch and hybrid composition
     "stream_events_hourly", "hybrid_correlated_subquery",
 }
@@ -43,6 +49,7 @@ FAMILY_REPRESENTATIVE = {
     "temporal": "asof_join_events",
     "analytics": "graph_pagerank",
     "e2e": "pipeline_curate_e2e",
+    "retrieval": "bm25_topk",
 }
 
 
