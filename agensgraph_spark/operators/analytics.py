@@ -623,10 +623,12 @@ def _min_reach_labels(
     rows on ONE key — measured on the sf1 part-transition graph
     (54k active vertices), the jump variant's constant-shape
     13-job iteration degraded 0.4s -> 300s near convergence while
-    the plain variant below stays flat at ~0.4s/round and finishes
-    the whole fixpoint in ~23s (49 rounds vs 23). Fewer rounds lose
-    to pathological rounds; diameter-bound rounds on narrow
-    (id, id) rows are the shape that scales."""
+    the plain variant stays flat at ~0.4s/round and finishes the
+    whole fixpoint in ~23s (49 rounds vs 23). Fewer rounds lose to
+    pathological rounds; diameter-bound rounds on narrow (id, id)
+    rows are the shape that scales. (Batching several label-steps
+    per convergence count was ALSO measured and lost — the deeper
+    per-job plan costs more than the saved count jobs.)"""
     lab = vertices.select("id", F.col("id").alias("lab")).localCheckpoint()
     for _ in range(max_iters):
         nbr = (edges
@@ -639,9 +641,9 @@ def _min_reach_labels(
                        F.least("lab", "_m").alias("lab"))
                .localCheckpoint(eager=False))
         changed = new.filter(F.col("lab") != F.col("_old")).count()
-        lab = new
+        lab = new.select("id", "lab")
         if changed == 0:
-            return lab.select("id", "lab")
+            return lab
     raise RuntimeError(
         "strongly_connected_components: min-label propagation did not "
         f"converge within max_iters={max_iters} rounds — the graph's "
@@ -713,13 +715,17 @@ def strongly_connected_components(
             if n_triv == 0:
                 break
             parts.append(triv.select("id", F.col("id").alias("component")))
-            act_v = act_v.join(triv, "id", "left_anti").localCheckpoint()
+            # lazy generations: the NEXT iteration's triv count (or the
+            # settle phase's first job) materializes both in one job —
+            # eager checkpoints here cost two extra jobs per peel
+            act_v = (act_v.join(triv, "id", "left_anti")
+                     .localCheckpoint(eager=False))
             act_e = (act_e
                      .join(act_v.withColumnRenamed("id", "src"),
                            "src", "left_semi")
                      .join(act_v.withColumnRenamed("id", "dst"),
                            "dst", "left_semi")
-                     .select("src", "dst").localCheckpoint())
+                     .select("src", "dst").localCheckpoint(eager=False))
             n_act -= n_triv
         if n_act == 0:
             break
@@ -729,17 +735,17 @@ def strongly_connected_components(
             act_v, max_iters)
         fb = (f.withColumnRenamed("lab", "_f")
               .join(b.withColumnRenamed("lab", "_b"), "id")
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
         settled = fb.filter(F.col("_f") == F.col("_b"))
         parts.append(settled.select("id", F.col("_f").alias("component"))
                      .localCheckpoint(eager=False))
         act_v = (fb.filter(F.col("_f") != F.col("_b"))
-                 .select("id").localCheckpoint())
-        n_act = act_v.count()
+                 .select("id").localCheckpoint(eager=False))
+        n_act = act_v.count()   # materializes fb + act_v in one job
         act_e = (act_e
                  .join(act_v.withColumnRenamed("id", "src"), "src", "left_semi")
                  .join(act_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                 .select("src", "dst").localCheckpoint())
+                 .select("src", "dst").localCheckpoint(eager=False))
     if n_act != 0:
         raise RuntimeError(
             "strongly_connected_components: active vertices remain after "

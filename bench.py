@@ -70,6 +70,11 @@ HEADLINE = [
     # semi-join composed with IVF probing) — THE production vector
     # query. Same caveat — per-query comparisons.
     "ann_filtered_ivf",
+    # round-14 second wave: the lexical retrieval serving row (BM25
+    # inverted-index join) and the map-only RAG chunking pass. Same
+    # caveat — per-query comparisons across rounds.
+    "bm25_topk",
+    "chunk_documents",
 ]
 
 

@@ -593,3 +593,23 @@ def test_ann_filtered_ivf_index_bounded_shape(spark):
     # scoring joins on the probed inverted-list key, query side
     # broadcast (one hash join keyed on _list)
     assert re.search(r"BroadcastHashJoin \[_list#\d+", plan), plan
+
+
+def test_bm25_inverted_index_shape(spark):
+    """bm25_topk must be the inverted-index join: the tiny query-term
+    frame broadcasts (scoring touches only matched posting lists, not
+    |corpus| x |queries|), the corpus-stats cross-join rides a
+    BroadcastNestedLoopJoin over 1-row aggregates, and the per-query
+    top-k keeps the WindowGroupLimit pushdown so no task sorts more
+    than k rows per query map-side."""
+    from agensgraph_spark.pipeline.retrieval import bm25_topk
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qs = (docs.filter(F.col("doc_id") < 8)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("text").alias("query_text")))
+    plan = physical(bm25_topk(docs, qs, k=5))
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins are the two 1-row stats cross-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan

@@ -89,7 +89,17 @@ PROBE_EXTRA = ["dedup_semantic_scaled", "text_lm_perplexity",
                # work stays n_probe/n_lists of the FILTERED corpus);
                # a supra-linear decade here would mean the filter is
                # secretly forcing a brute pair join
-               "ann_filtered_ivf"]
+               "ann_filtered_ivf",
+               # r14 second wave: BM25 is the inverted-index join —
+               # constant query set (8 corpus-derived queries), corpus
+               # grows 10x per decade, so a supra-linear decade would
+               # mean scoring stopped being bounded by matched posting
+               # lists; graph_scc runs the FW-BW-Trim rounds on the
+               # lineitem part-transition digraph (edge count scales
+               # with lineitem); chunk_documents is map-only and pins
+               # the trivially-linear baseline the others are read
+               # against
+               "bm25_topk", "graph_scc", "chunk_documents"]
 PROBE = PROBE7 + PROBE_EXTRA
 
 
