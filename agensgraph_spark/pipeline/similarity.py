@@ -282,6 +282,129 @@ def ivf_cosine_topk(
                     F.col("rank").cast("long").alias("rank")))
 
 
+def _list_mat(col, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<double> column —
+    one flatten + reshape over the contiguous values buffer, no
+    per-row Python. Nulls and ragged rows refuse loudly (the cosine
+    math would silently misalign every following row)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if arr.null_count:
+        raise ValueError("semantic_dedup: NULL embedding in corpus")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if flat.shape[0] != n * dim:
+        raise ValueError(
+            f"semantic_dedup: ragged embeddings (got {flat.shape[0]} "
+            f"values for {n} rows of dim {dim})")
+    return flat.reshape(n, dim)
+
+
+def _semantic_dedup_arrow(
+    base: DataFrame,
+    cm: np.ndarray,
+    max_cluster: int,
+) -> DataFrame:
+    """Capped-mode scoring engine for ``semantic_dedup`` (r14): tag +
+    within-cluster max-lower-cosine as two Arrow stages with the
+    quadratic inner product handed to numpy/BLAS per batch (guide
+    §4.2), replacing the JVM self-join + two windows. Plan shape:
+    Scan -> MapInArrow(tag) -> ONE Exchange(cluster) -> Sort(cluster,
+    id) -> MapInArrow(stream-score) — no self-join, no window, no
+    broadcast, and the per-task state is bounded at max_cluster x dim
+    doubles per active cluster (the head buffer), initialised once per
+    task and carried across batches (guide §4.5). Emits (_id, cluster
+    int, _mlc double, _rnb long) with _mlc NULL for rank-1 rows."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    dim = cm.shape[1]
+    n_lists = len(cm)
+    cmT = np.ascontiguousarray(cm.T)  # (dim, n_lists) float64
+    cap = int(max_cluster)
+    id_type = base.schema[0].dataType
+
+    tag_schema = StructType([
+        StructField("_id", id_type),
+        StructField("_v", ArrayType(DoubleType())),
+        StructField("_list", IntegerType()),
+    ])
+
+    def tag_batches(it):
+        for b in it:
+            V = _list_mat(b.column(1), dim)
+            sims = V @ cmT  # (n, n_lists)
+            # tie -> HIGHER index (same rule as the JVM
+            # reverse(array_sort(struct(s, i))) argmax): argmax over the
+            # reversed columns picks the first max = highest original i
+            tags = (n_lists - 1
+                    - sims[:, ::-1].argmax(axis=1)).astype(np.int32)
+            yield pa.record_batch(
+                [b.column(0), b.column(1), pa.array(tags, pa.int32())],
+                names=["_id", "_v", "_list"])
+
+    out_schema = StructType([
+        StructField("_id", id_type),
+        StructField("cluster", IntegerType()),
+        StructField("_mlc", DoubleType()),
+        StructField("_rnb", LongType()),
+    ])
+
+    def score_batches(it):
+        # streaming per-cluster state (input sorted by cluster, id):
+        # head = the cap LOWEST-id vectors of the current cluster —
+        # exactly the b-side of the ranked JVM join, so a row at
+        # global rank r compares against head rows ranked
+        # <= min(r-1, cap) and nothing else
+        cur: int | None = None
+        headM = np.empty((0, dim))
+        headN = np.empty((0,))
+        cnt = 0
+        for b in it:
+            lists = b.column(2).to_numpy(zero_copy_only=False)
+            V = _list_mat(b.column(1), dim)
+            rn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            m = len(lists)
+            mlc = np.full(m, np.nan)
+            rnb = np.empty(m, dtype=np.int64)
+            idx = 0
+            while idx < m:
+                lv = int(lists[idx])
+                end = idx + 1
+                while end < m and lists[end] == lv:
+                    end += 1
+                if lv != cur:
+                    cur, cnt = lv, 0
+                    headM, headN = np.empty((0, dim)), np.empty((0,))
+                seg = end - idx
+                R, Rn = V[idx:end], rn[idx:end]
+                need = max(0, min(cap - cnt, seg))
+                H = np.vstack([headM, R[:need]]) if need else headM
+                Hn = np.concatenate([headN, Rn[:need]]) if need else headN
+                if len(H):
+                    C = (H @ R.T) / (Hn[:, None] * Rn[None, :])
+                    ii = np.arange(len(H))[:, None]
+                    jj = np.arange(seg)[None, :]
+                    C = np.where(ii < (cnt + jj), C, -np.inf)
+                    best = C.max(axis=0)
+                    has = np.minimum(cnt + np.arange(seg), len(H)) > 0
+                    mlc[idx:end] = np.where(has, best, np.nan)
+                rnb[idx:end] = cnt + 1 + np.arange(seg)
+                headM, headN, cnt = H, Hn, cnt + seg
+                idx = end
+            yield pa.record_batch(
+                [b.column(0), b.column(2),
+                 pa.array(mlc, pa.float64(), from_pandas=True),
+                 pa.array(rnb, pa.int64())],
+                names=["_id", "cluster", "_mlc", "_rnb"])
+
+    tagged = base.mapInArrow(tag_batches, tag_schema)
+    part = (tagged.repartition("_list")
+            .sortWithinPartitions("_list", "_id"))
+    return part.mapInArrow(score_batches, out_schema)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     tau: float = 0.2,
@@ -337,33 +460,23 @@ def semantic_dedup(
     (Observation — no extra Spark job) and WARN with the number, or
     run ``semdedup_skew_stats()`` for the deterministic audit."""
     cm = _resolve_cents(corpus, vec_col, n_lists, seed, dim, cents)
-    tagged = _centroid_tagged(corpus, id_col, vec_col, cm)
-
-    a = tagged.select(F.col("_id").alias("vec_id"), F.col("_v").alias("va"),
-                      F.col("_n").alias("na"), F.col("_list").alias("cluster"))
-    b = tagged.select(F.col("_id").alias("_ib"), F.col("_v").alias("vb"),
-                      F.col("_n").alias("nb"), F.col("_list").alias("cluster"))
     if max_cluster is not None:
-        # rank-by-id within each cluster on the b side only; the
-        # window partitions on the same key as the pair join, so the
-        # exchange is shared — the cap adds a sort, not a shuffle
-        wb = Window.partitionBy("cluster").orderBy(F.col("_ib").asc())
-        b = b.withColumn("_rnb", F.row_number().over(wb))
-        # per-row audit flag over the ranked frame: a row at rank r
-        # only misses mates at ranks max_cluster+1..r-1, so
-        # max_lower_cos is exact through rank max_cluster+1 and a
-        # LOWER BOUND beyond — `capped` marks exactly those rows.
-        # Cost: ONE extra narrow (id, cluster, bool) window branch; on
-        # broadcast small-corpus plans it surfaces its own cluster-key
-        # exchange (the b branch's WindowGroupLimit pushdown makes the
-        # two subtrees differ, so no exchange reuse — test_plans.py:447
-        # pins the <= +2 exchange bound); on corpus-scale sort-merge
-        # plans both windows partition on the pair join's cluster key
-        flags = b.select(F.col("_ib").alias("vec_id"), "cluster",
-                         (F.col("_rnb") > max_cluster + 1).alias("_capped"))
+        # r14: the capped path runs on the Arrow engine — ONE cluster
+        # exchange, a partition-local sort, and a streaming numpy
+        # scorer whose state is bounded at max_cluster x dim doubles
+        # (see _semantic_dedup_arrow; guide §4.2/§4.5). Output-
+        # identical to the old ranked-join formulation: head rows keep
+        # exact semantics, overflow rows lower-bound, `capped` flags
+        # rank > max_cluster + 1. The EXACT (max_cluster=None) path
+        # below stays on the distributed JVM self-join, which handles
+        # an unbounded hot cluster by spilling across tasks instead of
+        # holding it in one Python worker.
+        base = corpus.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).cast("array<double>").alias("_v"))
+        scored = _semantic_dedup_arrow(base, cm, max_cluster)
         if audit_cap:
             obs = Observation()
-            b = b.observe(
+            scored = scored.observe(
                 obs, F.sum((F.col("_rnb") > max_cluster).cast("long"))
                 .alias("capped_members"))
             _warn_async(obs, "capped_members",
@@ -378,10 +491,21 @@ def semantic_dedup(
                 "overflow rows of a hot cluster compare only against "
                 "the cluster head; pass audit_cap=True or run "
                 "semdedup_skew_stats() to count them", max_cluster)
-        b = b.filter(F.col("_rnb") <= max_cluster).drop("_rnb")
-        out = flags
-    else:
-        out = a.select("vec_id", "cluster", F.lit(False).alias("_capped"))
+        # keep compares the UNROUNDED max (same as the JVM path, whose
+        # filter also ran on the raw aggregate before rounding)
+        return scored.select(
+            F.col("_id").alias("vec_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round("_mlc", 6).alias("max_lower_cos"),
+            F.coalesce(F.col("_mlc") < tau, F.lit(True)).alias("keep"),
+            (F.col("_rnb") > max_cluster + 1).alias("capped"))
+    tagged = _centroid_tagged(corpus, id_col, vec_col, cm)
+
+    a = tagged.select(F.col("_id").alias("vec_id"), F.col("_v").alias("va"),
+                      F.col("_n").alias("na"), F.col("_list").alias("cluster"))
+    b = tagged.select(F.col("_id").alias("_ib"), F.col("_v").alias("vb"),
+                      F.col("_n").alias("nb"), F.col("_list").alias("cluster"))
+    out = a.select("vec_id", "cluster", F.lit(False).alias("_capped"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     lower = (a.join(b, "cluster").filter(F.col("_ib") < F.col("vec_id"))
               .groupBy("vec_id").agg(F.max(cos).alias("max_lower_cos")))

@@ -445,30 +445,30 @@ def test_formatting_shims_stay_jvm_side(spark):
 
 
 def test_semantic_dedup_cap_plan_shape(spark):
-    """The max_cluster skew guard materializes in the plan: a
-    row_number Window over the cluster key plus its rank filter on the
-    b side (bounding the within-cluster join at size x cap), sharing
-    the pair join's exchange — and disappears when the cap is off."""
+    """r14: the capped path runs on the Arrow engine — the plan is a
+    straight pipe Scan -> MapInArrow(tag) -> ONE Exchange(cluster) ->
+    Sort -> MapInArrow(score): no self-join, no window, no broadcast,
+    and per-task memory bounded at max_cluster x dim (the head
+    buffer). The EXACT (max_cluster=None) path keeps the distributed
+    JVM self-join (no Python eval) so an unbounded hot cluster spills
+    across tasks instead of one Python worker."""
     from agensgraph_spark.loader import read_table
     from agensgraph_spark.pipeline import similarity as S
     emb = read_table(spark, SF, "embeddings")
     capped = physical(S.semantic_dedup(emb, dim=64, max_cluster=100))
     uncapped = physical(S.semantic_dedup(emb, dim=64, max_cluster=None))
-    assert "row_number" in capped and "Window" in capped, capped
-    assert "row_number" not in uncapped, uncapped
-    # cost bound: at most TWO exchanges more than the uncapped plan —
-    # the b-side rank window plus the narrow (vec_id, cluster, capped)
-    # flags window that feeds the per-row `capped` output column. On
-    # this small corpus the uncapped pair join broadcasts, so both
-    # cluster-key windows surface their own hash partitioning; on a
-    # corpus-scale sort-merge join they partition on the same cluster
-    # key as the join and share its exchange. The b-side branch must
-    # keep the WindowGroupLimit pushdown (rank filter prunes shuffle
-    # rows before the exchange).
+    # capped: exactly two Arrow stages, one exchange, and NO join of
+    # any kind — the quadratic term never materializes as pairs
+    assert capped.count("MapInArrow") == 2, capped
+    assert "Join" not in capped and "Window" not in capped, capped
+
     def n_ex(p):
         return len(re.findall(r"\bExchange\b", p))
-    assert n_ex(capped) <= n_ex(uncapped) + 2, (n_ex(capped), n_ex(uncapped))
-    assert "WindowGroupLimit" in capped, capped
+    assert n_ex(capped) == 1, capped
+    # uncapped stays JVM-side: no Python eval, cluster-keyed join
+    assert "MapInArrow" not in uncapped, uncapped
+    assert "EvalPython" not in uncapped, uncapped
+    assert "row_number" not in uncapped, uncapped
     # the capped output column is present in both shapes
     for p in (capped, uncapped):
         assert "capped" in p, p
