@@ -829,11 +829,63 @@ def _std_picture_fast(dec: Column, pre, post, has_d: bool, fm: bool,
     to_char_number for the equivalence argument), or None when the
     picture needs the general renderer. Covers the default floating
     sign, S leading/trailing, MI leading/trailing, zero-fill from the
-    leftmost '0' slot, and ',' groups of exactly 3 — i.e. every
-    literal-free picture except PR and FM."""
+    leftmost '0' slot, ',' groups of exactly 3, and (r14) default-sign
+    group-free FM — i.e. every literal-free picture except PR and the
+    exotic FM combinations."""
     import decimal as _dec
 
-    if fm or sign == "PR":
+    if fm:
+        # r14 FM fast path: literal-free, group-free, default-sign FM
+        # pictures ('FM990D099', 'FM9999') render in ~6 string ops —
+        # int/frac split, conditional zero-fill lpad, one trailing-zero
+        # trim bounded below by the last '0' slot, '-' prefix — instead
+        # of the general renderer's overlay machinery. Semantics match
+        # the general path exactly: FM drops all padding blanks (no
+        # lpad to template width, no sign slot for positives), keeps
+        # the decimal point, trims trailing fraction zeros down to the
+        # last 0 slot, and renders overflow as '#' slots with NO
+        # leading blank.
+        if sign != "default":
+            return None
+        if any(k != "d" for k, _ in pre) or any(k != "d" for k, _ in post):
+            return None
+        if n_pre == 0 or (has_d and n_post == 0):
+            return None
+        digit_idxs = [i for i, (k, _) in enumerate(pre) if k == "d"]
+        zero_orders = [o for o, i in enumerate(digit_idxs)
+                       if pre[i][1] == "0"]
+        min_int = (n_pre - zero_orders[0]) if zero_orders else 0
+        post_zero = [o for o, (k, v) in enumerate(post) if v == "0"]
+        min_post = (post_zero[-1] + 1) if post_zero else 0
+
+        astr = F.abs(dec).cast("string")
+        if has_d:
+            istr0 = F.substring_index(astr, ".", 1)
+            fstr = F.substring_index(astr, ".", -1)
+            trimmed = F.regexp_replace(fstr, "0+$", "")
+            fkeep = F.substring(
+                fstr, 1, F.greatest(F.length(trimmed), F.lit(min_post))
+                .cast("int"))
+            frac_nonempty = (F.length(trimmed) > 0) | F.lit(min_post > 0)
+        else:
+            istr0 = astr
+            fkeep = None
+            frac_nonempty = F.lit(False)
+        istr = F.when(F.length(istr0) < min_int,
+                      F.lpad(istr0, max(min_int, 1), "0")).otherwise(istr0)
+        if min_int == 0:
+            # blank-zero: a zero integer part renders empty when the
+            # fraction carries digits
+            istr = F.when((istr0 == "0") & frac_nonempty,
+                          F.lit("")).otherwise(istr)
+        core = F.concat(istr, F.lit("."), fkeep) if has_d else istr
+        body = F.when(dec < 0, F.concat(F.lit("-"), core)).otherwise(core)
+        limit = _dec.Decimal(10) ** n_pre
+        over_txt = ("#" * n_pre) + ("." if has_d else "") + ("#" * n_post)
+        return F.when(F.abs(dec) >= F.lit(limit), F.lit(over_txt)) \
+            .otherwise(body)
+
+    if sign == "PR":
         return None
     if has_d and n_post == 0:
         return None  # trailing-dot picture ('999D') needs the general path

@@ -1095,7 +1095,13 @@ def test_to_char_number_fast_vs_general_differential(spark):
 
     pics = ["9G999G999D99", "999D99", "S0999D999", "999D9MI",
             "9G999G999", "S9999", "9999S", "9999MI", "MI9999",
-            "990", "900", "0000D00", "99999", "9D9999", "S9G999D9"]
+            "990", "900", "0000D00", "99999", "9D9999", "S9G999D9",
+            # r14 FM fast path (default sign, group/literal-free):
+            # zero-fill both sides, blank-zero, trim-to-last-0-slot,
+            # trim-to-empty-fraction ('FM999D9' keeps the bare dot),
+            # and integer-only FM
+            "FM990D099", "FM9999", "FM999D99", "FM999D9", "FM0D99",
+            "FM9990", "FM00999"]
     rng = random.Random(1402)
     vals = ["0", "-0.004", "0.004", "0.45", "-0.45", "1", "-1",
             "999.995", "-999.995", "9999.9999", "12345678", "-12345678",
