@@ -60,11 +60,18 @@ def pagerank(
     connected_components. Short runs (iters <= 6, including the
     oracle-replayed default of 3) never checkpoint, keeping their plan
     a pure closed-form join chain."""
-    verts = vertices.select("id").distinct()
+    # r14: verts and the degree-annotated edge relation are shared by
+    # every iteration (and verts additionally by each rank update) —
+    # lazy localCheckpoint rewrites each to ONE LogicalRDD computed at
+    # the first action instead of re-inlining the scan+join subtree
+    # once per reference (same truncation as harmonic_sampled; no
+    # extra job, values unchanged)
+    verts = vertices.select("id").distinct().localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("_deg"))
     # (src, dst, src out-degree): static across iterations
-    ed = edges.join(deg.withColumnRenamed("id", "src"), "src")
+    ed = (edges.join(deg.withColumnRenamed("id", "src"), "src")
+          .localCheckpoint(eager=False))
     pr = verts.select("id", F.lit(1.0).alias("pr"))
     for i in range(iters):
         contrib = (ed.join(pr.withColumnRenamed("id", "src"), "src")
@@ -553,13 +560,24 @@ def harmonic_centrality_sampled(
     harmonic_est double) for every vertex — n_sampled is the RAW count
     of seeds that reached the vertex (the estimator's support, useful
     for confidence filtering), harmonic_est the scaled estimate."""
+    # r14: the shared subtrees (symmetrized edges, vertex universe,
+    # seed semi-join) are lazily truncated too — each is referenced by
+    # every hop (sym) or by two consumers (verts: universe + |V|;
+    # srcs: level 0 + |S|), and un-truncated they re-inline their
+    # union/distinct trees per reference (the harmonic plan carried 68
+    # parquet scans; driver-side analysis alone cost ~1.1s per build).
+    # Lazy localCheckpoint rewrites each to ONE LogicalRDD computed
+    # once at the first action — no extra job, same values.
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
            .filter(F.col("src") != F.col("dst"))
-           .distinct())
-    verts = vertices.select("id").distinct()
-    srcs = sources.select("id").distinct().join(verts, "id", "left_semi")
+           .distinct()
+           .localCheckpoint(eager=False))
+    verts = vertices.select("id").distinct().localCheckpoint(eager=False)
+    srcs = (sources.select("id").distinct()
+            .join(verts, "id", "left_semi")
+            .localCheckpoint(eager=False))
     dist = srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
                        F.lit(0).alias("d"))
     frontier = dist

@@ -857,9 +857,11 @@ def connected_components(
     iterate-persist-unpersist generational pattern as the path
     operators (operators/paths.py): the previous generation is
     unpersisted as soon as the next materializes, so at most two label
-    frames are ever pinned. The symmetric edge list is persisted for
-    the loop and released before returning; the returned frame is
-    localCheckpoint-materialized so it holds no reference to the pins.
+    frames are ever pinned. On the distributed path the symmetric edge
+    list is persisted for the loop and released before returning, and
+    the returned frame is localCheckpoint-materialized so it holds no
+    reference to the pins; the driver fast path returns a lazy frame
+    built purely from the driver-side label map.
 
     ``nodes`` (optional, single id column) widens the universe:
     unpaired ids come back as singleton components of themselves.
@@ -869,31 +871,35 @@ def connected_components(
     Scale shape (two regimes, picked by the edge count the loop needs
     anyway): near-dup pair graphs are SPARSE at corpus scale — most
     docs are singletons and only paired docs need label propagation.
-    When the distinct edge set fits the driver (``driver_max_edges``,
+    When the raw pair list fits the driver (``driver_max_edges``,
     ~1.5 MB of longs at the default), the component labels are solved
-    in one union-find pass over the collected edges and broadcast-
-    joined back onto the (arbitrarily large, distributed) node
-    universe — zero iterative rounds instead of O(log diameter) rounds
-    of ~0.5 s scheduler overhead each. Above the threshold the
-    distributed min-label + pointer-jumping loop below takes over;
-    ``driver_max_edges=0`` forces it (the differential tests pin both
-    paths against each other).
+    in one union-find pass over the collected pairs (duplicates and
+    orientation are irrelevant to union-find, so the r14 fast path
+    skips the symmetrize+distinct exchange AND the output checkpoint —
+    the label map and endpoint universe live on the driver, so the
+    returned plan is independent of the pair frame: two jobs total)
+    and broadcast-joined back onto the (arbitrarily large,
+    distributed) node universe — zero iterative rounds instead of
+    O(log diameter) rounds of ~0.5 s scheduler overhead each. Above
+    the threshold the distributed min-label + pointer-jumping loop
+    below takes over; ``driver_max_edges=0`` forces it (the
+    differential tests pin both paths against each other).
     """
     from pyspark.storagelevel import StorageLevel
 
-    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (sym.unionByName(
-                sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-             .distinct()
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    # size the loop's parallelism to the graph: the iteration cost on
-    # small pair graphs (the common near-dup case — candidates are
-    # rare) is pure task-scheduling overhead, so a 100-node graph must
-    # not run 32-task rounds; big graphs keep full width. The count
-    # also materializes the edge pin for the loop.
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        local = edges.filter(F.col("src") < F.col("dst")).collect()
+    # r14: the RAW pair list is pinned and counted — not the
+    # symmetrized-distinct edge set. The driver fast path needs
+    # neither symmetry nor dedup (union-find is idempotent over
+    # duplicate and reversed edges), so the common sparse case pays
+    # exactly TWO jobs (persist+count, cached collect) and ZERO
+    # shuffles beyond whatever produced the pairs; the distinct+
+    # symmetrize exchange now happens only on the distributed path.
+    # n_pairs <= driver_max_edges implies the edge set fits too.
+    raw = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    n_pairs = raw.count()
+    if n_pairs <= driver_max_edges:
+        local = raw.collect()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -910,25 +916,38 @@ def connected_components(
                 # min-id root keeps the min-label contract exactly
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        labels = [(x, find(x)) for x in
-                  {v for row in local for v in (row["src"], row["dst"])}]
+        endpoints = {v for row in local for v in (row["src"], row["dst"])}
+        labels = [(x, find(x)) for x in endpoints]
         spark = pairs.sparkSession
         # label map inherits the id type (graph ids are longs, doc keys
         # may be strings — Python min and F.least order both the same
         # way, so the min-label contract holds for either)
         import pyspark.sql.types as T
-        id_dt = edges.schema["src"].dataType
+        id_dt = raw.schema["src"].dataType
         comp_schema = T.StructType([T.StructField("id", id_dt),
                                     T.StructField("component", id_dt)])
         comp = spark.createDataFrame(labels, comp_schema)
-        base = edges.select(F.col("src").alias("id")).distinct()
+        # the endpoint universe is already on the driver — base builds
+        # from the collected set, so the output plan never references
+        # the pair frame and needs no checkpoint to outlive the pin
+        base = comp.select("id")
         if nodes is not None:
             base = base.unionByName(nodes.toDF("id")).distinct()
         out = (base.join(F.broadcast(comp), "id", "left")
-               .select("id", F.coalesce("component", "id").alias("component"))
-               .localCheckpoint())
-        edges.unpersist(blocking=False)
+               .select("id", F.coalesce("component", "id").alias("component")))
+        raw.unpersist(blocking=False)
         return out
+    sym = raw.select("src", "dst")
+    edges = (sym.unionByName(
+                sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    # size the loop's parallelism to the graph: the iteration cost on
+    # small pair graphs is pure task-scheduling overhead, so a modest
+    # graph must not run 32-task rounds; big graphs keep full width.
+    # The count also materializes the edge pin for the loop.
+    n_edges = edges.count()
+    raw.unpersist(blocking=False)
     spread = pairs.sparkSession.sparkContext.defaultParallelism
     width = max(1, min(spread, n_edges // 50_000))
     edges = edges.repartition(width, "src")
