@@ -45,9 +45,42 @@ def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
     return eng
 
 
+# r14: compiled-plan memo for the PURE-LAZY Cypher reads — parsing +
+# compiling a MATCH pipeline costs 0.3-0.9s of driver time per
+# invocation (measured; the engine and read_table are already
+# memoized, this is the parse/compile/analysis share). DataFrames are
+# immutable and these plans are fully lazy, so handing the same
+# DataFrame back recomputes EVERYTHING from parquet at every action —
+# a plan cache (the to_char template-cache analog), never a result
+# cache. Eligibility is decided EMPIRICALLY, not by token-matching:
+# a query is memoized only when its compile ran ZERO Spark jobs. The
+# path searches (shortestpath/allshortestpaths/dijkstra) and VLE
+# expansion run eager frontier jobs and hand back plans over
+# checkpointed RDDs — memoizing those would skip the search itself on
+# re-invocation (result caching), so the zero-job rule excludes them
+# automatically. tests/test_workload_gate.py pins the rule.
+_CY_PLANS: dict[tuple, DataFrame] = {}
+
+
+def _compile_job_count(spark: SparkSession):
+    # DAGScheduler's monotone job counter: cheap, in-process, and a
+    # strictly conservative eagerness detector (any concurrent job
+    # inflates the delta and merely skips the memo)
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
 def _cypher(text: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _engine(spark, sf_dir).cypher(text)
+        eng = _engine(spark, sf_dir)
+        key = (id(eng), text)
+        hit = _CY_PLANS.get(key)
+        if hit is not None:
+            return hit
+        j0 = _compile_job_count(spark)
+        df = eng.cypher(text)
+        if _compile_job_count(spark) == j0:
+            _CY_PLANS[key] = df
+        return df
     return fn
 
 
