@@ -250,25 +250,21 @@ def ivf_cosine_topk(
     cents = _resolve_cents(corpus, vec_col, n_lists, seed, dim, cents)
     n_lists = len(cents)
 
-    def centroid_sims(vec: Column) -> Column:
-        # one nested-array literal for the centroid matrix (see
-        # lsh_signature: per-element literals explode codegen size)
-        cm = matrix_lit(cents)
-        return F.transform(cm, lambda c: dot(vec, c) / norm(vec))
-
-    def arg_top(sims: Column, n: int) -> Column:
-        idx = F.sequence(F.lit(0), F.lit(n_lists - 1))
-        pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-        return F.slice(F.reverse(F.array_sort(pairs)), 1, n).getField("i")
-
+    # r14: both tag passes run on the Arrow engine (numpy matmul
+    # argmax/arg-top, guide §4.2) instead of the JVM interpreted
+    # transform over a ~n_lists*dim-literal centroid array that rode
+    # the plan once per side. Tie rule preserved exactly: score DESC,
+    # then index DESC (the reverse(array_sort(struct(s, i))) order the
+    # SQL oracle replays). Dividing by the row norm cannot change a
+    # per-row argmax, so the tag skips it like the oracle does.
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv")) \
-              .select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+                      F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv")) \
-               .select("query_id", "qv", norm(F.col("qv")).alias("qn"))
-    c_tag = c.withColumn("_list", arg_top(centroid_sims(F.col("cv")), 1).getItem(0))
-    q_tag = q.withColumn("_list", F.explode(arg_top(centroid_sims(F.col("qv")), n_probe)))
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c_tag = _centroid_tag_arrow(c, np.asarray(cents, dtype=float),
+                                "neighbor_id", "cv", "cn", 1)
+    q_tag = _centroid_tag_arrow(q, np.asarray(cents, dtype=float),
+                                "query_id", "qv", "qn", n_probe)
 
     cand = c_tag.join(F.broadcast(q_tag), "_list") \
                 .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -297,6 +293,68 @@ def _list_mat(col, dim: int) -> np.ndarray:
             f"semantic_dedup: ragged embeddings (got {flat.shape[0]} "
             f"values for {n} rows of dim {dim})")
     return flat.reshape(n, dim)
+
+
+def _centroid_tag_arrow(
+    base: DataFrame,
+    cm: np.ndarray,
+    id_name: str,
+    vec_name: str,
+    norm_name: str,
+    topn: int,
+) -> DataFrame:
+    """(id, vec, norm, _list) via one Arrow pass: numpy matmul against
+    the centroid matrix, arg-top with the score-DESC-then-index-DESC
+    tie rule (identical to the JVM reverse(array_sort(struct(s, i)))
+    and to the SQL oracle's ROW_NUMBER ordering). ``topn`` > 1 emits
+    one row per probed list (the query-side explode). The centroid
+    matrix ships in the task closure — it never rides the plan as a
+    literal."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    dim = cm.shape[1]
+    n_lists = len(cm)
+    cmT = np.ascontiguousarray(cm.T)
+    id_type = base.schema[0].dataType
+    schema = StructType([
+        StructField(id_name, id_type),
+        StructField(vec_name, ArrayType(DoubleType())),
+        StructField(norm_name, DoubleType()),
+        StructField("_list", IntegerType()),
+    ])
+
+    def go(it):
+        for b in it:
+            V = _list_mat(b.column(1), dim)
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            S = V @ cmT  # (rows, n_lists)
+            if topn == 1:
+                tags = (n_lists - 1
+                        - S[:, ::-1].argmax(axis=1)).astype(np.int32)
+                yield pa.record_batch(
+                    [b.column(0), b.column(1),
+                     pa.array(nrm, pa.float64()),
+                     pa.array(tags, pa.int32())],
+                    names=[id_name, vec_name, norm_name, "_list"])
+            else:
+                rows = len(nrm)
+                # stable sort over the REVERSED columns: equal scores
+                # keep the lower reversed index = higher original one
+                order = np.argsort(-S[:, ::-1], axis=1,
+                                   kind="stable")[:, :topn]
+                tags = (n_lists - 1 - order).astype(np.int32)
+                idx = pa.array(np.repeat(np.arange(rows), topn),
+                               pa.int64())
+                yield pa.record_batch(
+                    [b.column(0).take(idx), b.column(1).take(idx),
+                     pa.array(np.repeat(nrm, topn), pa.float64()),
+                     pa.array(tags.reshape(-1), pa.int32())],
+                    names=[id_name, vec_name, norm_name, "_list"])
+
+    return base.mapInArrow(go, schema)
 
 
 def _semantic_dedup_arrow(
