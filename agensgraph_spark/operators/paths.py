@@ -132,10 +132,17 @@ def vle_expand(
     + final vertices but not the seed. Zero-length rows (min_hops=0)
     pair each seed with itself and empty arrays.
 
-    When the edge relation is pinned (max_hops > 1), the result is
+    When the edge relation is pinned (max_hops > 3), the result is
     materialized once (localCheckpoint) before returning so the pin can
     be released — the returned frame holds the expansion and no longer
-    references the edge relation.
+    references the edge relation. r14: depth <= 3 expansions skip the
+    pin entirely — up to three raw scans of the edge lineage are
+    cheaper than a materialize+count+checkpoint cycle (the same trade
+    dijkstra_paths makes for its first rounds), and the zero-job
+    compile makes the bounded-VLE plan — and the shallow
+    shortestpath/allshortestpaths searches built on it — fully lazy
+    (recomputed from parquet at every action, and eligible for the
+    workload plan memo).
     """
     if max_hops is None:
         max_hops = DEFAULT_MAX_HOPS
@@ -146,7 +153,7 @@ def vle_expand(
             "%d hops are NOT returned", max_hops, hop_cap, hop_cap)
         max_hops = hop_cap
     small = False
-    pinned = max_hops > 1
+    pinned = max_hops > 3
     if pinned:
         edges, small = _pin_edges(edges)
 

@@ -70,13 +70,7 @@ def bm25_topk(
     toks = (docs.select(F.col(id_col).alias("_doc"),
                         F.explode(_ws_tokens(F.col(text_col))).alias("token")))
     tf = toks.groupBy("_doc", "token").agg(F.count(F.lit(1)).alias("_tf"))
-    # r14: document length and average length DERIVE from the term-
-    # frequency table (dl = sum of tf per doc — bit-identical integer
-    # sums) instead of re-aggregating the raw token stream: every
-    # corpus statistic now hangs off the ONE (doc, token) aggregate
-    # subtree, so ReuseExchange materializes the tokenization once
-    # (plan: 6 scans of the corpus -> 2; guide §2.3/§2.4)
-    dl = tf.groupBy("_doc").agg(F.sum("_tf").alias("_dl"))
+    dl = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_dl"))
     docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     stats = (docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
              .crossJoin(dl.agg(F.avg("_dl").alias("_avgdl"))))

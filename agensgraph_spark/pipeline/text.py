@@ -559,29 +559,16 @@ def lm_perplexity(
                    .alias("_j"))
            .select("_id", F.get(F.col("_a"), F.col("_j")).alias("w1"),
                    F.get(F.col("_a"), F.col("_j") + 1).alias("w2")))
-    # r14: aggregate the bigram stream to a per-(doc, bigram) histogram
-    # FIRST (guide §2.3 — map-side partial aggregation, the shuffle
-    # carries counts instead of occurrences), and hang the bigram
-    # model (c2), the context model (c1) and the scoring join off that
-    # ONE identical subtree so ReuseExchange materializes the
-    # extraction once (plan: 5 scans of the corpus -> 2). Counts are
-    # integer sums over the histogram (bit-identical to direct
-    # counts); the per-doc mean becomes sum(n*nll)/sum(n) — the same
-    # value up to float-add ordering, and the outputs are rounded
-    # (6/4 decimals) with an order-independent SQL oracle.
-    bh = big.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("_n"))
-    c2 = bh.groupBy("w1", "w2").agg(F.sum("_n").alias("_c2"))
-    c1 = bh.groupBy("w1").agg(F.sum("_n").alias("_c1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
     vocab = (docs.select(F.explode("_a").alias("_w"))
              .agg(F.countDistinct("_w").alias("_V")))
-    nll = (bh.join(c2, ["w1", "w2"]).join(c1, "w1").crossJoin(vocab)
-           .select("_id", "_n",
-                   (-F.log((F.col("_c2") + add_k)
-                           / (F.col("_c1") + add_k * F.col("_V"))))
+    nll = (big.join(c2, ["w1", "w2"]).join(c1, "w1").crossJoin(vocab)
+           .select("_id", (-F.log((F.col("_c2") + add_k)
+                                  / (F.col("_c1") + add_k * F.col("_V"))))
                    .alias("_nll")))
-    agg = nll.groupBy("_id").agg(
-        F.sum("_n").alias("n_bigrams"),
-        (F.sum(F.col("_n") * F.col("_nll")) / F.sum("_n")).alias("_avg"))
+    agg = nll.groupBy("_id").agg(F.count(F.lit(1)).alias("n_bigrams"),
+                                 F.avg("_nll").alias("_avg"))
     return (docs.select("_id").join(agg, "_id", "left")
             .select(F.col("_id").alias(id_col),
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
@@ -663,24 +650,13 @@ def dsir_weights(
     Column marking the in-domain rows (they contribute to the target
     counts AND get scored like everything else).
 
-    Scale shape (r14): feature extraction is map-only (one explode per
-    doc) and is aggregated IMMEDIATELY to a per-(doc, bucket) histogram
-    — at most 256 rows per document regardless of length — so the
-    shuffle carries (id, bool, bucket, count) instead of one row per
-    feature occurrence (guide §2.3 "aggregate before you shuffle",
-    with map-side partial aggregation bounding the exchange at
-    256/doc). Every downstream consumer (bucket models, totals,
-    scoring) derives from that ONE histogram subtree, so Catalyst's
-    ReuseExchange materializes the extraction once instead of five
-    extractions of the raw stream (plan went from 7 scans of the
-    corpus to 2). Counts are integer sums over the histogram —
-    bit-identical to direct per-occurrence counts; the per-doc log
-    weight becomes sum(n_b * lr_b), the same sum as before up to
-    float-add ordering (the output is rounded to 6 decimals, and the
-    SQL oracle already sums in its own order). Nothing is collected;
-    the 256-row model join is a broadcast hash join. Returns
-    (id, n_feats long, log_w double) with log_w NULL for feature-less
-    docs."""
+    Scale shape: feature extraction is map-only (one explode per doc);
+    the two bucket models are hash aggregates over at most 256 rows
+    each — they broadcast back to the per-occurrence stream, so the
+    only data-sized shuffle is the final per-doc sum. Nothing is
+    collected; the 256-row model join is a broadcast hash join.
+    Returns (id, n_feats long, log_w double) with log_w NULL for
+    feature-less docs."""
     t = F.lower(F.trim(F.col(text_col)))
     docs = df.select(F.col(id_col).alias("_id"),
                      target.alias("_t"),
@@ -698,24 +674,18 @@ def dsir_weights(
           .select("_id", "_t", F.concat_ws(
               " ", F.get(F.col("_a"), F.col("_j")),
               F.get(F.col("_a"), F.col("_j") + 1)).alias("_g")))
-    # per-(doc, bucket) histogram FIRST: the partial (map-side)
-    # aggregate bounds what the exchange carries at 256 rows/doc, and
-    # both the model branch and the scoring branch hang off this ONE
-    # identical subtree, so the exchange is planned once and reused
-    # (ReuseExchange) — the raw occurrence stream is never shuffled
-    # and the extraction is not re-run per consumer
-    hist = (uni.unionByName(bi)
-            .select("_id", "_t",
-                    F.substring(F.md5("_g"), 1, 2).alias("_b"))
-            .groupBy("_id", "_t", "_b")
-            .agg(F.count(F.lit(1)).alias("_n")))
-    # ONE aggregate builds both bucket models (conditional sum for the
-    # target side), and the totals derive from the 256-row frame —
-    # integer sums over the histogram, bit-identical to direct counts
-    counts = hist.groupBy("_b").agg(
-        F.sum("_n").alias("_rc"),
-        F.sum(F.when(F.col("_t"), F.col("_n")).otherwise(F.lit(0)))
-        .alias("_tc"))
+    feats = (uni.unionByName(bi)
+             .select("_id", "_t",
+                     F.substring(F.md5("_g"), 1, 2).alias("_b")))
+    # ONE aggregate builds both bucket models (conditional count for
+    # the target side), and the totals derive from the 256-row frame —
+    # the corpus feature stream is extracted exactly twice (model
+    # build + scoring), not once per count as a naive formulation
+    # would (integer sums, so the derived totals are bit-identical to
+    # direct counts)
+    counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_rc"),
+        F.count(F.when(F.col("_t"), F.lit(1))).alias("_tc"))
     totals = counts.agg(F.sum("_rc").alias("_rt"), F.sum("_tc").alias("_tt"))
     model = (counts.crossJoin(F.broadcast(totals))
              .select("_b", F.log(
@@ -723,10 +693,10 @@ def dsir_weights(
                   / (F.col("_tt") + F.lit(alpha * 256.0)))
                  / ((F.col("_rc") + F.lit(alpha))
                     / (F.col("_rt") + F.lit(alpha * 256.0)))).alias("_lr")))
-    scored = (hist.join(F.broadcast(model), "_b")
+    scored = (feats.join(F.broadcast(model), "_b")
               .groupBy("_id")
-              .agg(F.sum("_n").alias("n_feats"),
-                   F.sum(F.col("_n") * F.col("_lr")).alias("_lw")))
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.sum("_lr").alias("_lw")))
     return (docs.select("_id").join(scored, "_id", "left")
             .select(F.col("_id").alias(id_col),
                     F.coalesce("n_feats", F.lit(0)).alias("n_feats"),

@@ -618,28 +618,38 @@ def test_bm25_inverted_index_shape(spark):
 def test_cypher_plan_memo_lazy_only(spark):
     """The r14 compiled-plan memo (workload._cypher) may hand the same
     DataFrame back ONLY for pure-lazy compiles: a query whose compile
-    runs Spark jobs (VLE expansion, shortestpath/dijkstra searches —
-    they materialize frontier RDDs) must be rebuilt on every
-    invocation, or re-invocations would skip the search itself
+    runs Spark jobs (deep VLE expansion, shortestpath/dijkstra
+    searches — they materialize frontier RDDs) must be rebuilt on
+    every invocation, or re-invocations would skip the search itself
     (result caching, which the bench contract forbids)."""
     from agensgraph_spark import workload
 
-    # lazy MATCH pipeline: memoized (same object), zero compile jobs
-    f_lazy = workload._cypher(
-        "MATCH (c:customer)-[:placed]->(o:orders) "
-        "RETURN c.c_custkey AS ckey, count(*) AS n")
-    d1 = f_lazy(spark, SF)
-    d2 = f_lazy(spark, SF)
-    assert d1 is d2
-
-    # eager compiles: never memoized (fresh frame each call)
+    # lazy compiles: memoized (same object back). Includes depth<=3
+    # VLE and the shallow shortestpath built on it since r14 (no edge
+    # pin, zero compile jobs — the expansion recomputes from parquet
+    # at every action).
     for text in (
+        "MATCH (c:customer)-[:placed]->(o:orders) "
+        "RETURN c.c_custkey AS ckey, count(*) AS n",
         "MATCH (c:customer)-[e:in_nation|in_region*1..2]->(x) "
         "WHERE c.c_custkey < 5 RETURN c.c_custkey AS ckey, "
         "length(e) AS hops, x.id AS xid",
         "MATCH (c:customer), (r:region) WHERE c.c_custkey < 5 "
         "MATCH p = shortestpath((c)-[:in_nation|in_region*..3]->(r)) "
         "RETURN c.c_custkey AS ckey, length(p) AS hops",
+    ):
+        f_lazy = workload._cypher(text)
+        d1 = f_lazy(spark, SF)
+        d2 = f_lazy(spark, SF)
+        assert d1 is d2, text
+
+    # eager compiles: never memoized (fresh frame each call) — the
+    # dijkstra relaxation loop runs checkpoint/count jobs at compile,
+    # so every invocation must redo the search
+    for text in (
+        "MATCH (o:orders), (t:part) WHERE o.o_orderkey < 3 "
+        "MATCH p = dijkstra((o)-[x:contains]->(t), x.l_quantity, w) "
+        "RETURN o.o_orderkey AS okey, t.p_partkey AS pkey, w AS wt",
     ):
         f_eager = workload._cypher(text)
         e1 = f_eager(spark, SF)
