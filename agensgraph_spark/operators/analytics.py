@@ -98,13 +98,17 @@ def label_propagation(
     CTEs, like pagerank); isolated vertices keep their own label.
     Per round one (neighbor, label) equi-join + a grouped count + a
     per-vertex top-1 window — all narrow rows; lineage truncated every
-    6 rounds like the sibling iterative operators.
+    6 rounds like the sibling iterative operators. The symmetrized
+    edge relation is referenced EVERY round, so it is lazily
+    localCheckpoint-truncated once (one LogicalRDD, computed at first
+    action) instead of re-inlining its union+distinct subtree per
+    round (the r14 shared-subtree discipline from pagerank/harmonic).
     Returns (id, community)."""
     from pyspark.sql import Window
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     verts = vertices.select("id").distinct()
     lab = verts.select("id", F.col("id").alias("label"))
     for i in range(iters):
@@ -158,9 +162,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (``src``/``dst``, duplicates/self-loops tolerated); see
     `_oriented_triangles` for the degree-oriented enumeration bound.
     Returns (id, n_triangles), zero rows omitted."""
+    # und feeds the degree aggregate (both sides), the rank join and
+    # the wedge-closure join — 4 references; lazy localCheckpoint
+    # truncates it to ONE LogicalRDD computed at first action (k_truss
+    # already checkpoints its per-round edge set for the same reason)
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+           .filter(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint(eager=False))
     tri = _oriented_triangles(und)
     corners = F.explode(F.array("p", "q1", "q2")).alias("id")
     return tri.select(corners).groupBy("id").agg(
@@ -321,8 +330,13 @@ def hits(
     """
     if iters < 1:
         raise ValueError(f"hits needs at least 1 iteration, got {iters}")
-    verts = vertices.select("id").distinct()
-    e = edges.select("src", "dst")
+    # verts and the edge relation are each referenced TWICE per round
+    # (auth sum + hub sum / their left joins): lazy localCheckpoint
+    # rewrites both to ONE LogicalRDD computed at first action instead
+    # of 2*iters re-inlined scan subtrees (r14 shared-subtree
+    # discipline, same as pagerank/harmonic)
+    verts = vertices.select("id").distinct().localCheckpoint(eager=False)
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     hub = verts.select("id", F.lit(1.0).alias("hub"))
     auth = None
     for i in range(iters):
@@ -398,15 +412,23 @@ def personalized_pagerank(
                 "personalized_pagerank: no source id is present in "
                 "vertices (restart mass would be undefined)"))
             .cast("double")).otherwise(F.col("_ns0")).alias("_ns"))
+    # restart (with its |S| raise-guard subplan) and the
+    # degree-annotated edge relation are referenced every iteration:
+    # lazy localCheckpoint truncates each to ONE LogicalRDD computed
+    # at first action instead of re-inlining the distinct+semi-join+
+    # guard and scan+degree-join subtrees per round (the r14
+    # shared-subtree discipline pagerank already applies)
     restart = (verts
                .join(src_set.withColumn("_is_src", F.lit(1)), "id", "left")
                .crossJoin(F.broadcast(n_src))
                .select("id", F.when(F.col("_is_src").isNotNull(),
                                     F.lit(1.0) / F.col("_ns"))
-                       .otherwise(F.lit(0.0)).alias("restart")))
+                       .otherwise(F.lit(0.0)).alias("restart"))
+               .localCheckpoint(eager=False))
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("_deg"))
-    ed = edges.join(deg.withColumnRenamed("id", "src"), "src")
+    ed = edges.join(deg.withColumnRenamed("id", "src"), "src") \
+        .localCheckpoint(eager=False)
     pr = restart.select("id", F.col("restart").alias("ppr"))
     for i in range(iters):
         contrib = (ed.join(pr.withColumnRenamed("id", "src")
@@ -448,13 +470,17 @@ def random_walks(
     raw vertex ids so downstream corpus generation (node2vec-style
     sequence emission) never re-parses ids from text."""
     from pyspark.sql import Window
+    # the edge relation is re-joined every step: lazy localCheckpoint
+    # truncates it to ONE LogicalRDD computed at first action instead
+    # of `steps` re-inlined scans (r14 shared-subtree discipline)
+    hop = edges.select(F.col("src").alias("cur"), "dst") \
+        .localCheckpoint(eager=False)
     w = starts.select(F.col("id").alias("walk_id"),
                       F.col("id").alias("cur"),
                       F.col("id").cast("string").alias("path"),
                       F.array(F.col("id")).alias("path_ids"))
     for s in range(steps):
-        cand = (w.join(edges.select(F.col("src").alias("cur"), "dst"),
-                       "cur", "left")
+        cand = (w.join(hop, "cur", "left")
                 .withColumn("_h", F.md5(F.concat_ws(
                     ":", F.lit(salt), F.col("walk_id"),
                     F.lit(str(s)), F.col("dst")))))
@@ -496,15 +522,20 @@ def harmonic_centrality(
 
     Per hop: one frontier-edge join + one anti-join against the seen
     set + a distinct — all on narrow id-pair rows, the same
-    generational discipline as the VLE/BFS operators. Returns
+    generational discipline as the VLE/BFS operators. The symmetrized
+    edge relation and vertex universe are referenced every hop /
+    twice, so both are lazily localCheckpoint-truncated once (ONE
+    LogicalRDD each, computed at first action — the r14
+    shared-subtree discipline harmonic_centrality_sampled measured at
+    68-scans-to-0). Returns
     (id, n_reached long, harmonic double) for every vertex (zeros for
     isolated ones)."""
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
            .filter(F.col("src") != F.col("dst"))
-           .distinct())
-    verts = vertices.select("id").distinct()
+           .distinct().localCheckpoint(eager=False))
+    verts = vertices.select("id").distinct().localCheckpoint(eager=False)
     dist = verts.select(F.col("id").alias("u"), F.col("id").alias("v"),
                         F.lit(0).alias("d"))
     frontier = dist
@@ -622,15 +653,25 @@ def harmonic_centrality_sampled(
                      / F.col("_ns")).alias("harmonic_est")))
 
 
-def _min_reach_labels(
+def _min_reach_labels_fb(
     edges: DataFrame,
     vertices: DataFrame,
     max_iters: int = 300,
 ) -> DataFrame:
-    """Fixpoint of lab(v) = min({v} | {lab(u) : u->v}): the minimum
-    vertex id that REACHES v along edge direction — one edge-to-label
-    equi-join + min aggregate per round, O(diameter) rounds. Each
-    round lazily localCheckpoints so the convergence count
+    """LOCKSTEP forward/backward min-reach fixpoint: one loop computes
+    both f(v) = min({v} | {f(u) : u->v}) (minimum id that REACHES v)
+    and b(v) = min({v} | {b(w) : v->w}) (minimum id REACHABLE from v).
+    The two recurrences are independent, so advancing them in the same
+    round converges each to exactly the fixpoint the sequential
+    variant produced — but the loop runs max(d_f, d_b) rounds instead
+    of d_f + d_b, with ONE convergence-count job per round instead of
+    two, and the (id, f, b) frame comes back already joined (the old
+    per-round f-join-b step is gone). At tiny-per-round graph sizes
+    the cost is round-count x scheduler overhead, so halving the
+    round/job count halves the phase (r14 opt session 2: graph_scc
+    31.9s -> see OPTIMIZATION_r14.md).
+
+    Each round lazily localCheckpoints so the convergence count
     materializes the generation in one job and the plan stays
     constant-size.
 
@@ -646,20 +687,33 @@ def _min_reach_labels(
     pathological rounds; diameter-bound rounds on narrow (id, id)
     rows are the shape that scales. (Batching several label-steps
     per convergence count was ALSO measured and lost — the deeper
-    per-job plan costs more than the saved count jobs.)"""
-    lab = vertices.select("id", F.col("id").alias("lab")).localCheckpoint()
+    per-job plan costs more than the saved count jobs. Lockstep f/b
+    is NOT that: the per-round plan is two independent shallow
+    join-agg branches, not a deeper chain.)
+
+    Returns (id, f, b)."""
+    lab = vertices.select("id", F.col("id").alias("f"),
+                          F.col("id").alias("b")).localCheckpoint()
     for _ in range(max_iters):
-        nbr = (edges
-               .join(lab.select(F.col("id").alias("src"),
-                                F.col("lab").alias("_nl")), "src")
-               .groupBy(F.col("dst").alias("id"))
-               .agg(F.min("_nl").alias("_m")))
-        new = (lab.join(nbr, "id", "left")
-               .select("id", F.col("lab").alias("_old"),
-                       F.least("lab", "_m").alias("lab"))
+        nf = (edges
+              .join(lab.select(F.col("id").alias("src"),
+                               F.col("f").alias("_lf")), "src")
+              .groupBy(F.col("dst").alias("id"))
+              .agg(F.min("_lf").alias("_mf")))
+        nb = (edges
+              .join(lab.select(F.col("id").alias("dst"),
+                               F.col("b").alias("_lb")), "dst")
+              .groupBy(F.col("src").alias("id"))
+              .agg(F.min("_lb").alias("_mb")))
+        new = (lab.join(nf, "id", "left").join(nb, "id", "left")
+               .select("id",
+                       F.col("f").alias("_of"), F.col("b").alias("_ob"),
+                       F.least("f", "_mf").alias("f"),
+                       F.least("b", "_mb").alias("b"))
                .localCheckpoint(eager=False))
-        changed = new.filter(F.col("lab") != F.col("_old")).count()
-        lab = new.select("id", "lab")
+        changed = new.filter((F.col("f") != F.col("_of"))
+                             | (F.col("b") != F.col("_ob"))).count()
+        lab = new.select("id", "f", "b")
         if changed == 0:
             return lab
     raise RuntimeError(
@@ -668,11 +722,78 @@ def _min_reach_labels(
         "diameter exceeds the budget; raise max_iters")
 
 
+def _tarjan_scc(edge_rows) -> dict:
+    """Iterative Tarjan over a driver-local edge list. Returns
+    {vertex: component} with component = the minimum member id of the
+    vertex's SCC — exactly the labeling the distributed path produces,
+    independent of traversal order (the label is a property of the
+    component, not of the DFS). Duplicate and self-loop edges are
+    harmless."""
+    adj: dict = {}
+    nodes: set = set()
+    for s, d in edge_rows:
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, []).append(d)
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on.add(v)
+            descended = False
+            nbrs = adj.get(v, ())
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in on:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if descended:
+                continue
+            # v's neighborhood is exhausted: close v's SCC if v is a
+            # root, then propagate lowlink to the parent
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    comp[w] = m
+            work.pop()
+            if work:
+                u, upi = work[-1]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+    return comp
+
+
 def strongly_connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_rounds: int = 30,
     max_iters: int = 300,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Strongly connected components of a directed edge frame:
     (id, component) with component = the minimum member id of the SCC
@@ -688,8 +809,11 @@ def strongly_connected_components(
     the trim loop runs to fixpoint (a DAG dissolves entirely here,
     two semi-joins per peel, no propagation at all) — then computes
     f(v) = min id reaching v and b(v) = min id reachable from v
-    (two `_min_reach_labels` fixpoints, the second on reversed
-    edges). f and b are constant on an SCC, and f(v) == b(v) == m
+    (one LOCKSTEP `_min_reach_labels_fb` fixpoint — both recurrences
+    advance in the same round, so the phase runs max(d_f, d_b) rounds
+    with one convergence job each instead of d_f + d_b rounds with
+    two, and f/b come back pre-joined). f and b are constant on an
+    SCC, and f(v) == b(v) == m
     holds exactly when m is a mutual reacher, i.e. m is the SCC's own
     minimum and no smaller id sits strictly upstream or downstream —
     so every settled vertex gets its true final label, whole SCCs
@@ -707,14 +831,53 @@ def strongly_connected_components(
 
     ``vertices`` (single ``id`` column) widens the universe; isolated
     vertices come back as singleton components. Self-loops are fine
-    (a vertex whose only edge is a self-loop is its own SCC)."""
-    e = edges.select("src", "dst").distinct()
+    (a vertex whose only edge is a self-loop is its own SCC).
+
+    Scale shape (two regimes, picked by the raw edge count — the same
+    split `connected_components` uses): cyclic cores are SPARSE at
+    corpus scale, and the trim+settle loop's cost on a small graph is
+    pure round-count x scheduler overhead. When the raw edge list fits
+    the driver (``driver_max_edges``, ~1.5 MB of longs at the
+    default), one iterative Tarjan pass over the collected edges
+    labels every endpoint (duplicates/self-loops are harmless, and
+    the min-member label is a property of the component, so the
+    labeling is traversal-order-independent and exactly matches the
+    distributed path) and broadcast-joins back onto the (arbitrarily
+    large, distributed) vertex universe — two jobs total instead of
+    O(rounds) count jobs. Above the threshold the FW-BW-Trim loop
+    below takes over; ``driver_max_edges=0`` forces it (the
+    differential test pins both regimes against each other)."""
+    from pyspark.storagelevel import StorageLevel
+    raw = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    n_raw = raw.count()
+    if n_raw <= driver_max_edges:
+        local = raw.collect()
+        comp = _tarjan_scc((r["src"], r["dst"]) for r in local)
+        import pyspark.sql.types as T
+        id_dt = raw.schema["src"].dataType
+        comp_schema = T.StructType([T.StructField("id", id_dt),
+                                    T.StructField("component", id_dt)])
+        comp_df = edges.sparkSession.createDataFrame(
+            sorted(comp.items()), comp_schema)
+        # the endpoint universe is already on the driver — base builds
+        # from the label map, so the output plan never references the
+        # edge frame and needs no checkpoint to outlive the pin
+        base = comp_df.select("id")
+        if vertices is not None:
+            base = base.unionByName(vertices.select("id")).distinct()
+        out = (base.join(F.broadcast(comp_df), "id", "left")
+               .select("id",
+                       F.coalesce("component", "id").alias("component")))
+        raw.unpersist(blocking=False)
+        return out
+    e = raw.distinct()
     verts = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))))
     if vertices is not None:
         verts = verts.unionByName(vertices.select("id"))
     act_v = verts.distinct().localCheckpoint()
     act_e = e.localCheckpoint()
+    raw.unpersist(blocking=False)
     parts: list[DataFrame] = []
     n_act = act_v.count()
     for _ in range(max_rounds):
@@ -747,13 +910,10 @@ def strongly_connected_components(
             n_act -= n_triv
         if n_act == 0:
             break
-        f = _min_reach_labels(act_e, act_v, max_iters)
-        b = _min_reach_labels(
-            act_e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            act_v, max_iters)
-        fb = (f.withColumnRenamed("lab", "_f")
-              .join(b.withColumnRenamed("lab", "_b"), "id")
-              .localCheckpoint(eager=False))
+        # lockstep fixpoint: (id, f, b) in one loop — the convergence
+        # counts AND the old per-round f⋈b join collapse into it
+        fb = (_min_reach_labels_fb(act_e, act_v, max_iters)
+              .select("id", F.col("f").alias("_f"), F.col("b").alias("_b")))
         settled = fb.filter(F.col("_f") == F.col("_b"))
         parts.append(settled.select("id", F.col("_f").alias("component"))
                      .localCheckpoint(eager=False))
@@ -815,13 +975,19 @@ def betweenness_centrality_sampled(
     (id, bc_est double) for every vertex."""
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    # sym is joined once per forward hop AND once per backward level,
+    # verts/srcs feed the seed levels and the |V|/|S| scale factors:
+    # lazy localCheckpoint truncates each shared subtree to ONE
+    # LogicalRDD computed at first action (the r14 shared-subtree
+    # discipline measured on harmonic_centrality_sampled)
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
            .filter(F.col("src") != F.col("dst"))
-           .distinct())
-    verts = vertices.select("id").distinct()
-    srcs = sources.select("id").distinct().join(verts, "id", "left_semi")
+           .distinct().localCheckpoint(eager=False))
+    verts = vertices.select("id").distinct().localCheckpoint(eager=False)
+    srcs = (sources.select("id").distinct().join(verts, "id", "left_semi")
+            .localCheckpoint(eager=False))
     levels = [srcs.select(F.col("id").alias("s"), F.col("id").alias("v"),
                           F.lit(1.0).alias("sigma"))]
     seen = levels[0].select("s", "v")

@@ -1491,10 +1491,15 @@ def test_scc_hand_graph(spark):
          (7, 8), (8, 9), (10, 10)],
         "src long, dst long")
     verts = spark.createDataFrame([(i,) for i in range(1, 12)], "id long")
-    rows = sorted((r.id, r.component) for r in
-                  strongly_connected_components(edges, verts).collect())
-    assert rows == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4),
-                    (7, 7), (8, 8), (9, 9), (10, 10), (11, 11)]
+    want = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4),
+            (7, 7), (8, 8), (9, 9), (10, 10), (11, 11)]
+    # both regimes: driver Tarjan fast path (default gate) and the
+    # forced distributed FW-BW-Trim loop (driver_max_edges=0)
+    for dme in (100_000, 0):
+        rows = sorted((r.id, r.component) for r in
+                      strongly_connected_components(
+                          edges, verts, driver_max_edges=dme).collect())
+        assert rows == want, f"driver_max_edges={dme}"
 
 
 def test_scc_dag_all_singletons(spark):
@@ -1504,8 +1509,11 @@ def test_scc_dag_all_singletons(spark):
         strongly_connected_components)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)], "src long, dst long")
+    # driver_max_edges=0 forces the distributed loop — this test is
+    # ABOUT the trim phase, which the driver fast path never runs
     rows = sorted((r.id, r.component) for r in
-                  strongly_connected_components(edges).collect())
+                  strongly_connected_components(
+                      edges, driver_max_edges=0).collect())
     assert rows == [(1, 1), (2, 2), (3, 3), (4, 4)]
 
 
@@ -1521,8 +1529,11 @@ def test_scc_adversarial_condensation_chain(spark):
         pairs += [(base, base + 1), (base + 1, base)]
     pairs += [(30, 20), (20, 10)]
     edges = spark.createDataFrame(pairs, "src long, dst long")
+    # force the distributed loop — the min-pivot worst case is a
+    # property of the settle rounds, not of the driver fast path
     rows = sorted((r.id, r.component) for r in
-                  strongly_connected_components(edges).collect())
+                  strongly_connected_components(
+                      edges, driver_max_edges=0).collect())
     assert rows == [(10, 10), (11, 10), (20, 20), (21, 20),
                     (30, 30), (31, 30)]
 
@@ -1588,9 +1599,13 @@ def test_scc_differential_vs_tarjan(spark):
             strong(v)
     e_df = spark.createDataFrame(edges, "src long, dst long")
     v_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
-    got = sorted((r.id, r.component) for r in
-                 strongly_connected_components(e_df, v_df).collect())
-    assert got == sorted(comp.items())
+    # pin BOTH regimes against the in-test Tarjan: the driver fast
+    # path (default gate) and the forced distributed FW-BW-Trim loop
+    for dme in (100_000, 0):
+        got = sorted((r.id, r.component) for r in
+                     strongly_connected_components(
+                         e_df, v_df, driver_max_edges=dme).collect())
+        assert got == sorted(comp.items()), f"driver_max_edges={dme}"
 
 
 def test_scc_empty_graph(spark):
