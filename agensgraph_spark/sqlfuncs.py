@@ -492,6 +492,31 @@ def _era(upper: bool, dots: bool):
     return build
 
 
+# r14 §4 (per-row CPU): tokens whose builder is EXACTLY a bare
+# `date_format(ts, <java pattern>)` fuse with adjacent literals and
+# each other into ONE date_format call — the per-row cost of
+# date_format is dominated by the micros->LocalDateTime conversion and
+# string assembly, which a 6-field fused pattern pays once instead of
+# six times ('YYYY-MM-DD HH24:MI:SS' was six calls). Output is
+# byte-identical by construction: a fused pattern formats the same
+# fields with the same letters and renders literal runs quoted.
+# Key = token name; value = the java pattern fragment. _FUSE applies
+# in normal mode, _FUSE_FM in FM mode (FM numeric tokens render bare
+# ints, NOT date_format, so only the name/meridiem family stays).
+_FUSE: dict = {
+    "YYYY": "yyyy", "YY": "yy", "MM": "MM", "MI": "mm", "MS": "SSS",
+    "DDD": "DDD", "DD": "dd", "HH24": "HH", "HH12": "hh", "HH": "hh",
+    "SS": "ss", "US": "SSSSSS", "Q": "Q",
+    "Mon": "MMM", "Dy": "EEE", "AM": "a", "PM": "a",
+}
+_FUSE_FM: dict = {
+    # FM drops the 9-char blank pad from Day/Month, leaving the bare
+    # date_format; Mon/Dy/AM/PM ignore FM entirely
+    "Day": "EEEE", "Month": "MMMM",
+    "Mon": "MMM", "Dy": "EEE", "AM": "a", "PM": "a",
+}
+
+
 # Longest-match token table. Callable -> supported; None -> recognized
 # PG token this shim deliberately refuses (loudly).
 _TOCHAR_TOKENS: "list[tuple[str, object]]" = [
@@ -577,14 +602,36 @@ def to_char(col: "Column | str", pattern: str) -> Column:
     prevent."""
     ts = _c(col)
     segs: list[Column] = []
-    lit: list[str] = []
+    # pending fusable run: ('lit', text) and ('pat', java-fragment)
+    # pieces that will render as ONE date_format call (r14 §4 fusion;
+    # see _FUSE above). A lit-only run stays a plain F.lit — identical
+    # to the pre-fusion renderer, including for all-literal patterns.
+    pend: list[tuple[str, str]] = []
     i, n = 0, len(pattern)
     fm = False
 
     def flush() -> None:
-        if lit:
-            segs.append(F.lit("".join(lit)))
-            lit.clear()
+        if not pend:
+            return
+        if all(k == "lit" for k, _ in pend):
+            segs.append(F.lit("".join(t for _, t in pend)))
+            pend.clear()
+            return
+        # coalesce ADJACENT literal pieces into one quoted run first:
+        # separately-quoted neighbors would abut as '...''...' and the
+        # '' between them reads as an escaped quote, not two runs
+        merged: list[tuple[str, str]] = []
+        for k, t in pend:
+            if k == "lit" and merged and merged[-1][0] == "lit":
+                merged[-1] = ("lit", merged[-1][1] + t)
+            else:
+                merged.append((k, t))
+        # literal runs render single-quoted (embedded ' doubles, per
+        # the java.time pattern grammar Spark inherits)
+        segs.append(F.date_format(ts, "".join(
+            t if k == "pat" else "'" + t.replace("'", "''") + "'"
+            for k, t in merged)))
+        pend.clear()
 
     while i < n:
         ch = pattern[i]
@@ -592,12 +639,13 @@ def to_char(col: "Column | str", pattern: str) -> Column:
             # PG honors backslash escapes OUTSIDE quoted sections too —
             # '\"YYYY\"' renders literal quotes around the year
             # (formatting.c parse_format)
-            lit.append(pattern[i + 1])
+            pend.append(("lit", pattern[i + 1]))
             i += 2
             continue
         if ch == '"':
             txt, i = _scan_quoted(pattern, i, "to_char")
-            lit.append(txt)
+            if txt:  # an empty "" must not render as '' (= literal ')
+                pend.append(("lit", txt))
             continue
         if pattern.startswith("FM", i):
             fm = True
@@ -620,6 +668,22 @@ def to_char(col: "Column | str", pattern: str) -> Column:
                     f"to_char: pattern {name!r} is not supported by this "
                     f"shim (in {pattern!r}) — PG token recognized but "
                     "deliberately refused; see sqlfuncs.to_char")
+            # fusion fast path: a bare-date_format token joins the
+            # pending run UNLESS a TH/th suffix follows (the ordinal
+            # wraps this field alone). Same-letter adjacency guard:
+            # two fused fragments must never concatenate into a longer
+            # pattern-letter run (MM+MM is MM MM, not MMMM) — flush
+            # and start a new date_format when the letters touch.
+            frag = (_FUSE_FM if fm else _FUSE).get(name)
+            if (frag is not None
+                    and not pattern.startswith(("TH", "th"), i + len(name))):
+                if (pend and pend[-1][0] == "pat"
+                        and pend[-1][1][-1] == frag[0]):
+                    flush()
+                pend.append(("pat", frag))
+                fm = False
+                i += len(name)
+                continue
             flush()
             seg = build(ts, fm)
             fm = False
@@ -639,7 +703,7 @@ def to_char(col: "Column | str", pattern: str) -> Column:
             raise ValueError(
                 f"to_char: unrecognized template character {ch!r} at "
                 f"position {i} in {pattern!r}")
-        lit.append(ch)
+        pend.append(("lit", ch))
         i += 1
     flush()
     if not segs:

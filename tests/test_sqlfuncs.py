@@ -602,6 +602,31 @@ def test_to_timestamp_pg_templates(spark, txt, pat, expected):
     assert got == expected
 
 
+def test_to_char_fusion_adjacency_and_shape(spark):
+    """r14 date_format fusion: adjacent bare-date_format tokens render
+    through ONE date_format call — and the same-letter adjacency guard
+    must keep pattern-letter runs from merging (MM+MM is month month,
+    never MMMM=full name). Value pins + a plan-shape pin."""
+    from agensgraph_spark.sqlfuncs import to_char
+    ts = "2024-02-05 13:07:09.123456"
+    # same-letter adjacency: two MM tokens back to back, YYYY+YY, SS+MS
+    assert _fmt_one(spark, ts, "MMMM") in ("0202",)      # MM+MM, not 'February'
+    assert _fmt_one(spark, ts, "YYYYYY") == "202424"     # YYYY+YY
+    assert _fmt_one(spark, ts, "MSUS") == "123123456"    # SSS+SSSSSS split
+    assert _fmt_one(spark, ts, "MMMI") == "0207"         # MM+mm fuses
+    # quoted literals with embedded quotes and empty sections
+    assert _fmt_one(spark, ts, 'YYYY"" "a\'b" MM') == "2024 a'b 02"
+    # FM name tokens fuse; non-FM Day keeps its 9-char pad
+    assert _fmt_one(spark, ts, "FMDay-FMMonth") == "Monday-February"
+    assert _fmt_one(spark, ts, "Day-Month") == "Monday   -February "
+    # TH suffix blocks fusion of the suffixed field only
+    assert _fmt_one(spark, ts, "DDth MM") == "05th 02"
+    # plan shape: the whole iso pattern is ONE date_format call
+    c = to_char(F.col("ts"), "YYYY-MM-DD HH24:MI:SS")
+    s = c._jc.toString()
+    assert s.count("date_format") == 1, s
+
+
 def test_to_char_backslash_escape_outside_quotes(spark):
     # PG honors backslash escapes outside quoted sections too:
     # '\"YYYY\"' renders literal quotes around the year
