@@ -110,6 +110,52 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow base-table scan across the session's cores
+    before heavy per-row map work (guide §2: spread the work).
+
+    A single-file, single-row-group parquet table plans exactly ONE
+    non-empty input split, so everything up to the first exchange —
+    formatting, tokenization, per-gram hashing — runs on one task no
+    matter how many cores the session has (measured: the sf local
+    tables are all 1 file / 1 row group). The fix is one hash exchange
+    on a unique key, sized to ``defaultParallelism`` so it adapts to
+    the session's core count rather than a constant.
+
+    Scale contract: a NO-OP whenever the scan already plans at least
+    the session's parallelism in partitions — the many-file production
+    layout — so the exchange exists only where the input layout starves
+    the cores. The partition probe (``df.rdd.getNumPartitions()``) is
+    safe here because callers hand this function the bare ``read_table``
+    scan (shuffle-free plan: the probe costs a file listing, never a
+    stage execution — see pipeline.multimodal._spread for the AQE
+    caveat on shuffled frames), and the count is memoized on the
+    DataFrame object, which read_table itself memoizes per table.
+
+    ``keys`` should be a unique/high-cardinality column (the table's
+    primary key): hash spreading avoids round-robin's
+    sort-before-repartition pass over the full row, which measurably
+    costs on wide text rows. With no keys, falls back to round-robin.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    parts = getattr(df, "_spread_scan_parts", None)
+    if parts is None:
+        try:
+            parts = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        try:
+            df._spread_scan_parts = parts
+        except Exception:
+            pass
+    if parts >= target:
+        return df
+    if keys:
+        return df.repartition(target, *keys)
+    return df.repartition(target)
+
+
 def normalize_event_ts(dt):
     """`ts` arrives as long nanos (nanosAsLong on a TIMESTAMP(NANOS) file)
     or as a timestamp type (micros file). Normalize to TIMESTAMP_NTZ: the

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from agensgraph_spark.cypher.compiler import CypherEngine
-from agensgraph_spark.loader import build_tpch_graph, read_table, register_tables
+from agensgraph_spark.loader import (build_tpch_graph, read_table,
+                                     register_tables, spread_scan)
 from agensgraph_spark.operators import analytics as AN
 from agensgraph_spark.pipeline import dedup as D
 from agensgraph_spark.pipeline import multimodal as MM
@@ -1052,11 +1053,17 @@ def _q_dedup_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.text_stats(read_table(spark, sf_dir, "documents"))
+    # spread_scan: the per-doc feature math otherwise runs on the ONE
+    # task a single-file corpus scan plans (r14 A/B; no-op at scale)
+    return TX.text_stats(spread_scan(
+        read_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.lang_id(read_table(spark, sf_dir, "documents"))
+    # spread_scan: r14 A/B 0.68 -> 0.41s — the n-gram profile scoring
+    # is pure map CPU starved by the single-split scan (no-op at scale)
+    return TX.lang_id(spread_scan(
+        read_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,7 +1269,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.bpe_token_count(read_table(spark, sf_dir, "documents"))
+    # spread_scan: per-doc merge-loop math starved by the single-split
+    # scan (r14 A/B; no-op at scale)
+    return TX.bpe_token_count(spread_scan(
+        read_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,7 +2184,10 @@ _DSIR_ORACLE = r"""
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicate 8-gram spans (the ExactSubstr
     approximation) over the documents corpus."""
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_scan: both gram-extraction subtrees (positions + n_grams)
+    # otherwise hash every window on the ONE task the single-file scan
+    # plans (r14 A/B: 1.31 -> 0.88s; no-op on a many-file layout)
+    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     return D.duplicate_spans(docs, n=8)
 
 
@@ -3981,7 +3994,10 @@ def _q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode, quoted literals, 12-hour clock and week numbers; symbolic
     age() fields; make_date. All pure JVM column expressions."""
     from agensgraph_spark import sqlfuncs as SQLF
-    ev = read_table(spark, sf_dir, "events")
+    # spread_scan: six template renders x 100k rows of pure formatting
+    # CPU on the ONE task a single-file scan plans (r14 A/B; no-op at
+    # scale — see loader.spread_scan)
+    ev = spread_scan(read_table(spark, sf_dir, "events"), "event_id")
     ref = F.lit("1997-06-15").cast("timestamp")
     day = F.date_trunc("day", F.col("ts"))
     ap = SQLF.age_parts(day, ref)
@@ -4122,7 +4138,10 @@ def _q_to_char_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-fill, S sign, trailing MI, FM trimming, and the '#'
     overflow fill, over the events value column."""
     from agensgraph_spark import sqlfuncs as SQLF
-    ev = read_table(spark, sf_dir, "events")
+    # spread_scan: five digit-picture renders x 100k rows — the
+    # heaviest formatting map in the repo — starved by the single-split
+    # scan (r14 A/B: 1.93 -> 0.72s; no-op at scale)
+    ev = spread_scan(read_table(spark, sf_dir, "events"), "event_id")
     # decimal-FIRST: the 3-decimal value column recovers exactly into
     # decimal(38,3) in both engines, and every later rescale then
     # rounds identical decimal digits (half-away both sides). Feeding

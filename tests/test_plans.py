@@ -655,3 +655,27 @@ def test_cypher_plan_memo_lazy_only(spark):
         e1 = f_eager(spark, SF)
         e2 = f_eager(spark, SF)
         assert e1 is not e2, text
+
+
+def test_spread_scan_conditional(spark):
+    """loader.spread_scan (r14): a single-split local scan gains ONE
+    hash exchange on the given key — and column pruning still reaches
+    the parquet scan BELOW the exchange — while an input that already
+    plans >= defaultParallelism partitions is returned UNCHANGED (the
+    many-file production layout pays no exchange)."""
+    from agensgraph_spark.loader import read_table, spread_scan
+
+    ev = read_table(spark, SF, "events")
+    out = spread_scan(ev, "event_id")
+    plan = physical(out.select("event_id", "value"))
+    assert "Exchange hashpartitioning(event_id" in plan, plan
+    assert re.search(r"ReadSchema: struct<event_id:bigint,value:double>",
+                     plan), plan
+    # partition-count probe is memoized on the (memoized) scan object:
+    # later spreads of the same table never re-plan the probe RDD
+    assert getattr(ev, "_spread_scan_parts", None) is not None
+
+    # an already-parallel frame passes through untouched (identity, not
+    # merely equivalent: no exchange node is added)
+    wide = spark.range(0, 1000)  # plans defaultParallelism partitions
+    assert spread_scan(wide, "id") is wide
