@@ -1463,7 +1463,12 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.heuristic_filter(read_table(spark, sf_dir, "documents"))
+    # spread_scan: the regex/distinct-token signals are pure map CPU
+    # starved by the single-split scan (r14 A/B: 0.69 -> 0.39s; no-op
+    # at scale). The OPERATOR stays exchange-free — the spread is this
+    # row's input layout fix, not part of the gate's shape.
+    return TX.heuristic_filter(spread_scan(
+        read_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

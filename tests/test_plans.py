@@ -244,13 +244,21 @@ def test_sp_expr_left_join_no_cartesian(spark):
 
 
 def test_heuristic_filter_single_stage(spark):
-    """The quality gate is a pure projection: no Exchange, no UDFs —
-    map-only at any corpus scale."""
+    """The quality gate OPERATOR is a pure projection: no Exchange, no
+    UDFs — map-only at any corpus scale. The workload ROW additionally
+    spreads its single-split local scan (loader.spread_scan, a no-op on
+    a many-file layout), so its plan carries exactly ONE hash exchange
+    below the projection and still no Python."""
     from agensgraph_spark import workload
-    df = workload.all_queries()["heuristic_filter"](spark, SF)
-    plan = physical(df)
-    assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from agensgraph_spark.pipeline import text as TX
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    op_plan = physical(TX.heuristic_filter(docs))
+    assert "Exchange" not in op_plan
+    assert "BatchEvalPython" not in op_plan and "ArrowEvalPython" not in op_plan
+    row_plan = physical(workload.all_queries()["heuristic_filter"](spark, SF))
+    assert len(re.findall(r"\bExchange hashpartitioning\(doc_id",
+                          row_plan)) == 1, row_plan
+    assert "BatchEvalPython" not in row_plan and "ArrowEvalPython" not in row_plan
 
 
 def test_repetition_filter_single_stage(spark):
