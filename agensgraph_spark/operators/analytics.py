@@ -847,10 +847,14 @@ def strongly_connected_components(
     O(rounds) count jobs. Above the threshold the FW-BW-Trim loop
     below takes over; ``driver_max_edges=0`` forces it (the
     differential test pins both regimes against each other)."""
-    from pyspark.storagelevel import StorageLevel
-    raw = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    n_raw = raw.count()
-    if n_raw <= driver_max_edges:
+    # r15 (guide §5, r14 verdict item 6): the regime gate is a bounded
+    # LIMIT probe — limit(k+1).count() short-circuits once k+1 rows
+    # exist and returns exactly min(|edges|, k+1), so the decision is
+    # unchanged while a 100 TB edge frame is never persisted
+    # (MEMORY_AND_DISK write amplification) just to be counted.
+    raw = edges.select("src", "dst")
+    n_probe = raw.limit(driver_max_edges + 1).count()
+    if n_probe <= driver_max_edges:
         local = raw.collect()
         comp = _tarjan_scc((r["src"], r["dst"]) for r in local)
         import pyspark.sql.types as T
@@ -868,7 +872,6 @@ def strongly_connected_components(
         out = (base.join(F.broadcast(comp_df), "id", "left")
                .select("id",
                        F.coalesce("component", "id").alias("component")))
-        raw.unpersist(blocking=False)
         return out
     e = raw.distinct()
     verts = (e.select(F.col("src").alias("id"))
@@ -877,7 +880,6 @@ def strongly_connected_components(
         verts = verts.unionByName(vertices.select("id"))
     act_v = verts.distinct().localCheckpoint()
     act_e = e.localCheckpoint()
-    raw.unpersist(blocking=False)
     parts: list[DataFrame] = []
     n_act = act_v.count()
     for _ in range(max_rounds):

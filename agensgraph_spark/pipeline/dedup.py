@@ -887,18 +887,22 @@ def connected_components(
     """
     from pyspark.storagelevel import StorageLevel
 
-    # r14: the RAW pair list is pinned and counted — not the
-    # symmetrized-distinct edge set. The driver fast path needs
-    # neither symmetry nor dedup (union-find is idempotent over
-    # duplicate and reversed edges), so the common sparse case pays
-    # exactly TWO jobs (persist+count, cached collect) and ZERO
-    # shuffles beyond whatever produced the pairs; the distinct+
-    # symmetrize exchange now happens only on the distributed path.
-    # n_pairs <= driver_max_edges implies the edge set fits too.
-    raw = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    n_pairs = raw.count()
-    if n_pairs <= driver_max_edges:
+    # r14: the RAW pair list gates the regime — not the symmetrized-
+    # distinct edge set. The driver fast path needs neither symmetry
+    # nor dedup (union-find is idempotent over duplicate and reversed
+    # edges), so the distinct+symmetrize exchange happens only on the
+    # distributed path. r15 (guide §5, r14 verdict item 6): the gate is
+    # a bounded LIMIT probe, not a persist+count of the full frame —
+    # at corpus scale persisting a huge pair frame (MEMORY_AND_DISK)
+    # just to count it is material write amplification, while
+    # limit(k+1).count() short-circuits as soon as k+1 rows exist and
+    # returns exactly min(|pairs|, k+1), so the regime decision is
+    # unchanged. Callers hand in already-materialized pair frames
+    # (minhash/exact dedup outputs localCheckpoint eagerly), so the
+    # probe and the fast path's collect never recompute a heavy plan.
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    n_probe = raw.limit(driver_max_edges + 1).count()
+    if n_probe <= driver_max_edges:
         local = raw.collect()
         parent: dict[int, int] = {}
 
@@ -935,7 +939,6 @@ def connected_components(
             base = base.unionByName(nodes.toDF("id")).distinct()
         out = (base.join(F.broadcast(comp), "id", "left")
                .select("id", F.coalesce("component", "id").alias("component")))
-        raw.unpersist(blocking=False)
         return out
     sym = raw.select("src", "dst")
     edges = (sym.unionByName(
@@ -947,7 +950,6 @@ def connected_components(
     # graph must not run 32-task rounds; big graphs keep full width.
     # The count also materializes the edge pin for the loop.
     n_edges = edges.count()
-    raw.unpersist(blocking=False)
     spread = pairs.sparkSession.sparkContext.defaultParallelism
     width = max(1, min(spread, n_edges // 50_000))
     edges = edges.repartition(width, "src")

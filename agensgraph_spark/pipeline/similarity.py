@@ -286,7 +286,14 @@ def _list_mat(col, dim: int) -> np.ndarray:
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     if arr.null_count:
         raise ValueError("semantic_dedup: NULL embedding in corpus")
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    flat_arr = arr.flatten()
+    if flat_arr.null_count:
+        # a null ELEMENT inside an embedding passes the top-level null
+        # check and the length check, then silently becomes NaN in the
+        # matmul — refuse it as loudly as a null row (r14 ADVICE)
+        raise ValueError(
+            "semantic_dedup: NULL element inside an embedding vector")
+    flat = flat_arr.to_numpy(zero_copy_only=False)
     n = len(arr)
     if flat.shape[0] != n * dim:
         raise ValueError(
@@ -423,6 +430,16 @@ def _semantic_dedup_arrow(
             lists = b.column(2).to_numpy(zero_copy_only=False)
             V = _list_mat(b.column(1), dim)
             rn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            if not rn.all():
+                # 0/0 cosine: the JVM exact path yields NaN (keep=False
+                # since NaN < tau is false) while NaN here would become
+                # NULL through from_pandas=True (keep=True) — refuse
+                # the degenerate vector loudly instead of letting the
+                # two modes silently diverge (r14 ADVICE)
+                raise ValueError(
+                    "semantic_dedup: zero-norm embedding in corpus — "
+                    "cosine is undefined (0/0); drop or repair "
+                    "degenerate vectors upstream")
             m = len(lists)
             mlc = np.full(m, np.nan)
             rnb = np.empty(m, dtype=np.int64)

@@ -59,15 +59,22 @@ def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
 # expansion run eager frontier jobs and hand back plans over
 # checkpointed RDDs — memoizing those would skip the search itself on
 # re-invocation (result caching), so the zero-job rule excludes them
-# automatically. tests/test_workload_gate.py pins the rule.
+# automatically. tests/test_plans.py::test_cypher_plan_memo_lazy_only
+# pins the rule both ways.
 _CY_PLANS: dict[tuple, DataFrame] = {}
 
 
 def _compile_job_count(spark: SparkSession):
     # DAGScheduler's monotone job counter: cheap, in-process, and a
     # strictly conservative eagerness detector (any concurrent job
-    # inflates the delta and merely skips the memo)
-    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    # inflates the delta and merely skips the memo). Reaches through
+    # private internals (_jsc), so degrade gracefully: None = counter
+    # unavailable (Spark Connect, accessor change) = treat the compile
+    # as eager and skip memoization (r14 ADVICE).
+    try:
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    except Exception:
+        return None
 
 
 def _cypher(text: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -79,7 +86,7 @@ def _cypher(text: str) -> Callable[[SparkSession, str], DataFrame]:
             return hit
         j0 = _compile_job_count(spark)
         df = eng.cypher(text)
-        if _compile_job_count(spark) == j0:
+        if j0 is not None and _compile_job_count(spark) == j0:
             _CY_PLANS[key] = df
         return df
     return fn

@@ -165,6 +165,19 @@ def main() -> None:
         m = len(s) // 2
         return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
+    # Mid-run noise detection (r14 verdict item 2): the pre-spin-up
+    # ambient sample cannot see contention that starts DURING the
+    # passes — BENCH_r14 self-reported usable with ambient 1.46 while
+    # its timings were 1.3-3x the same-code 8-core leg. The post-pass
+    # samples include the bench's OWN burst (~2.5-3.5 on load1 while 32
+    # worker threads run), so the mid-run threshold sits above that
+    # envelope: readings >= ~5 mean external load (see README noise
+    # methodology). load1_max_pass rides the stdout JSON so a mid-run-
+    # tainted artifact is self-disqualifying from the artifact alone.
+    pass_warn_threshold = float(
+        os.environ.get("SPARK_GRAFT_LOAD_PASS_WARN", "5.0"))
+    load1_max_pass = max(pass_load[1:]) if len(pass_load) > 1 else 0.0
+
     best = {name: min(ps[name] for ps in passes) for name in HEADLINE}
     med = {name: _median([ps[name] for ps in passes]) for name in HEADLINE}
     total = round(sum(best.values()), 3)
@@ -294,11 +307,18 @@ def main() -> None:
         # but does not erase contention)
         "load1_warn": pass_load[0] > load_warn_threshold,
         # usable=false ⇔ the pre-pass-1 sample stayed loud after the
-        # bounded wait-for-quiet loop: round-over-round comparisons MUST
-        # skip this artifact (the r11 lesson — a loud archived run is
-        # worse than no run)
-        "usable": pass_load[0] <= load_warn_threshold,
+        # bounded wait-for-quiet loop (the r11 lesson — a loud archived
+        # run is worse than no run) OR any mid-run sample exceeded the
+        # pass threshold (the r14 lesson — ambient-clean runs can be
+        # tainted mid-pass by external host load; see load1_max_pass
+        # above): round-over-round comparisons MUST skip this artifact
+        "usable": (pass_load[0] <= load_warn_threshold
+                   and load1_max_pass <= pass_warn_threshold),
         "ambient_load1": pass_load[0],
+        # max of the per-pass (post-pass) load1 samples — includes the
+        # bench's own ~2.5-3.5 burst; values past the pass threshold
+        # mean external contention during the timed region
+        "load1_max_pass": load1_max_pass,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }, separators=(",", ":"))
     # 1800 not 2000: headroom for ~8 more headline rows before anyone

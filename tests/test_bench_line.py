@@ -26,6 +26,7 @@ def _simulated_line(headline: list[str]) -> str:
         "load1_warn": False,
         "usable": False,
         "ambient_load1": 99.99,
+        "load1_max_pass": 99.99,
         "sf": 0.1,
     }, separators=(",", ":"))
 
