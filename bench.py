@@ -123,7 +123,19 @@ def main() -> None:
     # the guard keys on the PRE-spin-up ambient sample: load measured
     # here would include the bench's own JVM/warmup burst (a ~2s spike
     # at 32 runnable threads adds ~1.0 to load1 by itself)
+    def _cpu_stat():
+        """(total_jiffies, steal_jiffies) across all CPUs, or None when
+        /proc/stat is unavailable (non-Linux dev box) — the mid-run
+        contention gate then degrades to ambient-only."""
+        try:
+            parts = open("/proc/stat").readline().split()[1:11]
+            vals = [int(x) for x in parts]
+            return (sum(vals), vals[7])
+        except Exception:
+            return None
+
     pass_load: list[float] = [ambient_load1]
+    pass_stat: list = [_cpu_stat()]
     if pass_load[0] > load_warn_threshold:
         print(f"# WARN: ambient load1={pass_load[0]} before JVM spin-up "
               f"after {waited:.0f}s wait-for-quiet — timings below are "
@@ -159,6 +171,7 @@ def main() -> None:
         gc.collect()
         passes.append(timings)
         pass_load.append(round(os.getloadavg()[0], 2))
+        pass_stat.append(_cpu_stat())
 
     def _median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -168,15 +181,34 @@ def main() -> None:
     # Mid-run noise detection (r14 verdict item 2): the pre-spin-up
     # ambient sample cannot see contention that starts DURING the
     # passes — BENCH_r14 self-reported usable with ambient 1.46 while
-    # its timings were 1.3-3x the same-code 8-core leg. The post-pass
-    # samples include the bench's OWN burst (~2.5-3.5 on load1 while 32
-    # worker threads run), so the mid-run threshold sits above that
-    # envelope: readings >= ~5 mean external load (see README noise
-    # methodology). load1_max_pass rides the stdout JSON so a mid-run-
-    # tainted artifact is self-disqualifying from the artifact alone.
-    pass_warn_threshold = float(
-        os.environ.get("SPARK_GRAFT_LOAD_PASS_WARN", "5.0"))
+    # its timings were 1.3-3x the same-code 8-core leg. Two mid-run
+    # signals, with different trust levels:
+    #
+    # * load1_max_pass (max post-pass load1) is ARCHIVED AS EVIDENCE
+    #   but does NOT gate `usable`: load1 counts this process's own
+    #   runnable threads, and a fully-busy 32-core pass legitimately
+    #   reads 6-9 here (calibrated r15: a 10 s 32-way spin alone reads
+    #   load1 5.9 on an otherwise-idle host) and scales with pass
+    #   duration — on a slower host the same clean bench would read
+    #   20+. It still exposes CO-TENANT guest processes to a reader
+    #   comparing artifacts.
+    # * steal_pct_max (max per-pass hypervisor steal share from
+    #   /proc/stat) DOES gate `usable`: steal time is CPU the guest
+    #   wanted and did not get — precisely the condition that inflates
+    #   wall-clock timings — and is ~0% idle / <2% under full self-load
+    #   (r15 calibration), so a high reading cannot be the bench's own
+    #   burst. The r14 "loud host, zero guest processes" pattern is
+    #   exactly what this catches.
+    steal_warn_threshold = float(
+        os.environ.get("SPARK_GRAFT_STEAL_WARN", "8.0"))
     load1_max_pass = max(pass_load[1:]) if len(pass_load) > 1 else 0.0
+    steal_pcts = []
+    for a, b in zip(pass_stat, pass_stat[1:]):
+        if a is None or b is None or b[0] <= a[0]:
+            continue
+        steal_pcts.append(round((b[1] - a[1]) / (b[0] - a[0]) * 100, 2))
+    steal_pct_max = max(steal_pcts) if steal_pcts else None
+    print(f"# steal_pct_per_pass: {steal_pcts}", file=sys.stderr)
 
     best = {name: min(ps[name] for ps in passes) for name in HEADLINE}
     med = {name: _median([ps[name] for ps in passes]) for name in HEADLINE}
@@ -308,17 +340,23 @@ def main() -> None:
         "load1_warn": pass_load[0] > load_warn_threshold,
         # usable=false ⇔ the pre-pass-1 sample stayed loud after the
         # bounded wait-for-quiet loop (the r11 lesson — a loud archived
-        # run is worse than no run) OR any mid-run sample exceeded the
-        # pass threshold (the r14 lesson — ambient-clean runs can be
-        # tainted mid-pass by external host load; see load1_max_pass
-        # above): round-over-round comparisons MUST skip this artifact
+        # run is worse than no run) OR the hypervisor withheld CPU
+        # during any pass (the r14 lesson — ambient-clean runs can be
+        # tainted mid-pass by external host load; steal%, unlike
+        # load1, cannot be the bench's own burst — see the mid-run
+        # detection comment above): round-over-round comparisons MUST
+        # skip this artifact
         "usable": (pass_load[0] <= load_warn_threshold
-                   and load1_max_pass <= pass_warn_threshold),
+                   and (steal_pct_max is None
+                        or steal_pct_max <= steal_warn_threshold)),
         "ambient_load1": pass_load[0],
-        # max of the per-pass (post-pass) load1 samples — includes the
-        # bench's own ~2.5-3.5 burst; values past the pass threshold
-        # mean external contention during the timed region
+        # max of the per-pass (post-pass) load1 samples — EVIDENCE, not
+        # a gate: includes the bench's own burst (6-9 at 32 cores,
+        # duration-dependent), but exposes co-tenant guest processes
         "load1_max_pass": load1_max_pass,
+        # max per-pass hypervisor steal share (%, /proc/stat) — the
+        # mid-run gate; null when /proc/stat is unavailable
+        "steal_pct_max": steal_pct_max,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }, separators=(",", ":"))
     # 1800 not 2000: headroom for ~8 more headline rows before anyone

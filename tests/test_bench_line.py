@@ -27,6 +27,7 @@ def _simulated_line(headline: list[str]) -> str:
         "usable": False,
         "ambient_load1": 99.99,
         "load1_max_pass": 99.99,
+        "steal_pct_max": 99.99,
         "sf": 0.1,
     }, separators=(",", ":"))
 
