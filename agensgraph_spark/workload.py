@@ -3604,7 +3604,11 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving path next to the ANN family's semantic one). The inverted-
     index join shape means only posting lists of queried terms are ever
     scored; see pipeline/retrieval.py for the scale contract."""
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_scan (§2, r15): the corpus tokenize/explode branches (tf,
+    # dl) otherwise run on the ONE non-empty split the local layout
+    # plans; identical spread subtrees dedupe into one ReusedExchange.
+    # No-op at the many-file production layout.
+    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     return RT.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
 
 
@@ -3648,7 +3652,9 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (doc_id == vec_id aligns the two modalities) — the serving
     pattern production search stacks run, expressed as two k-bounded
     rank frames and one fusion aggregate."""
-    docs = read_table(spark, sf_dir, "documents")
+    # same spread as _q_bm25_topk — the lexical leg tokenizes the
+    # whole corpus and otherwise runs on one split locally
+    docs = spread_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     emb = read_table(spark, sf_dir, "embeddings")
     lex = RT.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
     sem = (S.brute_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
