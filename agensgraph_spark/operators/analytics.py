@@ -180,26 +180,41 @@ def k_truss(
     edges: DataFrame,
     k: int = 4,
     max_iters: int = 50,
+    incremental_threshold: float = 0.005,
 ) -> DataFrame:
     """Edges of the k-truss: the maximal subgraph in which every edge
     sits in at least ``k - 2`` triangles OF THE SUBGRAPH — the
     edge-support sibling of `k_core` (cohesion by shared neighbors,
     not mere degree: a hub-and-spoke star survives a high k-core but
     has no truss at all). Classic peel fixpoint: per round, count each
-    surviving edge's triangles via the degree-oriented enumeration
-    (`_oriented_triangles` — each triangle found once, exploded back
-    onto its three edges, one hash aggregate), drop edges below
-    support k-2, repeat until the edge set stops changing. Converges
-    in at most |E| rounds, in practice a handful (each peel removes
-    the whole sub-threshold frontier); the surviving edge frame is
-    localCheckpoint-truncated per generation and every shuffle carries
-    narrow (id, id) or (edge, count) rows. Aggregation inside the loop
-    puts this outside recursive-CTE SQL, but a FIXED round count
-    replays it (idempotent at the fixpoint) — same oracle strategy as
-    k_core. Hitting ``max_iters`` before the fixpoint WARNS like
-    k_core (the partial result is a valid superset of the truss).
-    Returns (src, dst, support) with src < dst, support counted in the
-    final surviving subgraph."""
+    surviving edge's triangles, drop edges below support k-2, repeat
+    until the edge set stops changing. Converges in at most |E|
+    rounds, in practice a handful; the surviving edge/support frames
+    are localCheckpoint-truncated per generation and every shuffle
+    carries narrow (id, id) or (edge, count) rows. Aggregation inside
+    the loop puts this outside recursive-CTE SQL, but a FIXED round
+    count replays it (idempotent at the fixpoint) — same oracle
+    strategy as k_core. Hitting ``max_iters`` before the fixpoint
+    WARNS like k_core (the partial result is a valid superset of the
+    truss). Returns (src, dst, support) with src < dst, support
+    counted in the final surviving subgraph.
+
+    Support maintenance is two-regime (r15, guide §1.2/§2 — measured
+    at sf0.1: from the third peel on every round removed <0.2% of edges
+    yet re-paid the FULL degree-oriented wedge enumeration, ~5.5 s of
+    the 49 s total per round; at a 2% peel the affected set is already
+    large enough that the full enumeration wins, hence the 0.5%
+    default): when a peel removes at most
+    ``incremental_threshold`` of the surviving edges, only AFFECTED
+    edges — those sharing a triangle of the pre-peel graph with a
+    removed edge — can change support (a triangle of an unaffected
+    edge contains no removed edge, so it survives verbatim), and their
+    new support is recomputed EXACTLY by a bounded common-neighbor
+    join seeded from the removed set. Larger peels (and round 1) run
+    the full enumeration. Same values either way — the fixpoint and
+    the final supports are properties of the graph, pinned by the
+    incremental-vs-full differential test; ``incremental_threshold=0``
+    forces the full re-enumeration every round."""
     import logging
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -208,9 +223,9 @@ def k_truss(
            .filter(F.col("a") != F.col("b")).distinct()
            .localCheckpoint())
     n_before = und.count()
-    supp = None
-    for _ in range(max_iters):
-        tri = _oriented_triangles(und)
+
+    def full_support(cur: DataFrame) -> DataFrame:
+        tri = _oriented_triangles(cur)
         tri_edges = tri.select(
             F.explode(F.array(
                 F.struct(F.least("p", "q1").alias("a"),
@@ -220,25 +235,109 @@ def k_truss(
                 F.struct(F.least("q1", "q2").alias("a"),
                          F.greatest("q1", "q2").alias("b")))).alias("e")) \
             .select("e.a", "e.b")
-        supp = tri_edges.groupBy("a", "b").agg(
+        agg = tri_edges.groupBy("a", "b").agg(
             F.count(F.lit(1)).alias("support"))
-        nxt = (und.join(supp, ["a", "b"], "left")
-               .select("a", "b",
-                       F.coalesce("support", F.lit(0)).alias("support"))
-               .filter(F.col("support") >= k - 2)
-               .localCheckpoint(eager=False))
-        n_after = nxt.count()
-        und = nxt.select("a", "b")
+        return (cur.join(agg, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).alias("support")))
+
+    def _adj(cur: DataFrame) -> DataFrame:
+        return (cur.select(F.col("a").alias("v"), F.col("b").alias("w"))
+                .unionByName(cur.select(F.col("b").alias("v"),
+                                        F.col("a").alias("w"))))
+
+    def _common_neighbor_support(cand: DataFrame, cur: DataFrame) -> DataFrame:
+        """Exact support of each ``cand`` edge (a, b) in the graph
+        ``cur``: count of c adjacent to both endpoints. Work is
+        bounded by sum of deg(a) over candidates — the candidate set
+        is peel-sized, never corpus-sized (the caller broadcast-hints
+        it when its exact count is driver-known small; checkpointed
+        inputs otherwise carry no size estimate and the planner falls
+        back to shuffling the full edge set on every round)."""
+        fan = cand.join(_adj(cur).withColumnRenamed("v", "a"), "a") \
+                  .select("a", "b", F.col("w").alias("c")) \
+                  .filter(F.col("c") != F.col("b")) \
+                  .localCheckpoint(eager=False)
+        # the wedge fan (|cand| x deg) drives the closure join: its
+        # exact count is one cheap map-only job, and a driver-known
+        # small fan broadcast turns the closure from a full-edge-set
+        # sort-merge (measured 1.5-1.9 s per round at sf0.1 even for a
+        # 10-edge candidate set — checkpointed inputs carry no size
+        # estimate) into a map-only hash probe of the edge frame
+        fan = _maybe_bcast(fan, fan.count())
+        closed = fan.join(
+            cur.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            (F.least("b", "c") == F.col("x"))
+            & (F.greatest("b", "c") == F.col("y")))
+        counted = closed.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+        return (cand.join(counted, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).alias("support")))
+
+    # broadcast the peel-sized frames only when their EXACT row count
+    # is driver-known under this bound (~32 MB of long pairs) — a
+    # fraction-gated regime alone could still hand a corpus-scale
+    # removed set to a broadcast at 100 TB
+    bcast_bound = 2_000_000
+
+    def _maybe_bcast(df: DataFrame, n: int) -> DataFrame:
+        return F.broadcast(df) if n <= bcast_bound else df
+
+    supp = full_support(und).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        # keep is a plain filter over the supp checkpoint — giving it
+        # its own checkpoint would pay one extra stage materialization
+        # per round (an AQE plan's RDD construction executes its
+        # non-result stages eagerly)
+        keep = supp.filter(F.col("support") >= k - 2)
+        n_after = keep.count()
         if n_after == n_before or n_after == 0:
-            return nxt.select(F.col("a").alias("src"),
-                              F.col("b").alias("dst"), "support")
+            return keep.select(F.col("a").alias("src"),
+                               F.col("b").alias("dst"), "support")
+        n_removed = n_before - n_after
+        removed = _maybe_bcast(
+            supp.filter(F.col("support") < k - 2).select("a", "b"),
+            n_removed)
+        cur = keep.select("a", "b")
+        if n_removed > incremental_threshold * n_before:
+            supp = full_support(cur).localCheckpoint(eager=False)
+        else:
+            # triangles of the PRE-peel graph that contain a removed
+            # edge mark every edge whose support can have changed
+            fan_r = removed.join(_adj(und).withColumnRenamed("v", "a"),
+                                 "a") \
+                .select("a", "b", F.col("w").alias("c")) \
+                .filter(F.col("c") != F.col("b")) \
+                .localCheckpoint(eager=False)
+            # same driver-known-size broadcast as the support fan
+            fan_r = _maybe_bcast(fan_r, fan_r.count())
+            tri_r = fan_r.join(und.select(F.col("a").alias("x"),
+                                          F.col("b").alias("y")),
+                               (F.least("b", "c") == F.col("x"))
+                               & (F.greatest("b", "c") == F.col("y")))
+            affected = (tri_r.select(F.least("a", "c").alias("a"),
+                                     F.greatest("a", "c").alias("b"))
+                        .unionByName(
+                            tri_r.select(F.least("b", "c").alias("a"),
+                                         F.greatest("b", "c").alias("b")))
+                        .distinct()
+                        # survivors only: removed edges need no support
+                        .join(cur, ["a", "b"], "left_semi")
+                        .localCheckpoint(eager=False))
+            n_aff = affected.count()
+            affected = _maybe_bcast(affected, n_aff)
+            supp_aff = _common_neighbor_support(affected, cur)
+            supp = (keep.join(affected, ["a", "b"], "left_anti")
+                    .unionByName(supp_aff)
+                    .localCheckpoint(eager=False))
+        und = cur
         n_before = n_after
     logging.getLogger(__name__).warning(
         "k_truss: max_iters=%d reached before fixpoint — the result is "
         "a superset of the true %d-truss", max_iters, k)
-    return (und.join(supp, ["a", "b"], "left")
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
-                    F.coalesce("support", F.lit(0)).alias("support")))
+    return supp.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       "support")
 
 
 def k_core(

@@ -76,6 +76,7 @@ SLOW_TESTS = frozenset([
     'test_pipeline_scale.py::test_harmonic_centrality_sampled_hand_computed',
     'test_pipeline_scale.py::test_hits_and_harmonic_deep_iters_bounded_plan',
     'test_pipeline_scale.py::test_k_core_differential',
+    'test_pipeline_scale.py::test_k_truss_incremental_matches_full',
     'test_pipeline_scale.py::test_neighbor_mean_embeddings_hand_computed',
     'test_pipeline_scale.py::test_neighbor_mean_two_rounds',
     'test_pipeline_scale.py::test_new_operators_empty_inputs',

@@ -1819,6 +1819,37 @@ def test_k_truss_star_empties(spark):
         k_truss(edges, k=1)
 
 
+def test_k_truss_incremental_matches_full(spark):
+    """The two support-maintenance regimes (affected-edge recompute vs
+    full re-enumeration) must produce identical edge sets AND identical
+    final supports. Random sparse graphs peel a few edges per round —
+    exactly the regime where the incremental path runs — and a
+    triangle-dense clique-union exercises multi-round cascades.
+    incremental_threshold=0 forces full; =1.1 forces incremental from
+    round 2 on."""
+    import random
+    from agensgraph_spark.operators.analytics import k_truss
+    rng = random.Random(20260818)
+    cases = []
+    for n, m in [(24, 70), (30, 90), (18, 45)]:
+        cases.append([(rng.randrange(n), rng.randrange(n))
+                      for _ in range(m)])
+    # K5 sharing an edge with K4, plus a pendant triangle: peels cascade
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    k4 = [(a + 10, b + 10) for a, b in
+          [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]]
+    cases.append(k5 + k4 + [(4, 10), (3, 11), (4, 11), (0, 20), (1, 20)])
+    for rows in cases:
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in rows], "src long, dst long")
+        for k in (3, 4):
+            full = sorted((r.src, r.dst, r.support) for r in k_truss(
+                edges, k=k, incremental_threshold=0.0).collect())
+            inc = sorted((r.src, r.dst, r.support) for r in k_truss(
+                edges, k=k, incremental_threshold=1.1).collect())
+            assert inc == full, (k, rows)
+
+
 def test_temperature_mix_python_replay(spark):
     """120/30 two-stratum corpus at alpha=0: targets are uniform, so
     the big stratum keeps rate 30/120 = 0.25 and the small one 1.0 —
