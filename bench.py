@@ -75,6 +75,13 @@ HEADLINE = [
     # caveat — per-query comparisons across rounds.
     "bm25_topk",
     "chunk_documents",
+    # round-15 addition (r14 verdict item 7): the streaming family's
+    # first TIMED row — the hourly rollup executed for REAL through
+    # Structured Streaming (file source -> watermarked window agg ->
+    # memory sink, availableNow trigger) during query construction;
+    # the noop write materializes the sink table. Same caveat —
+    # per-query comparisons across rounds.
+    "stream_events_hourly",
 ]
 
 
