@@ -59,13 +59,27 @@ def brute_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (query set is broadcast —
     the corpus is never shuffled). Excludes self-pairs. Ties broken by
-    neighbor id for determinism."""
-    # row norms computed once per side, before the |Q|x|C| join — see
-    # cosine_neardup_pairs: interpreted HOFs make per-pair norm
-    # traversals ~3x the cost of the dot alone
+    neighbor id for determinism.
+
+    Fast path (r15, guide §4.2): the query set is a bounded serving
+    batch by contract, so it is collected once and the |C| x |Q| score
+    matrix runs as ONE BLAS matmul per Arrow batch with an in-batch
+    partial top-k (exact (cos DESC, id ASC) tie rule — a per-batch
+    top-k merged by the global window is exactly the global top-k).
+    The JVM broadcast-join path (interpreted per-pair zip_with dots —
+    measured ~0.7 s for 2000x20 pairs at sf0.1) remains for oversized
+    query sets (``arrow_max_queries``, probed with a bounded limit,
+    never a full count) and for non-numeric corpora it would not help.
+    Degenerate inputs refuse loudly like every Arrow vector path here:
+    NULL/ragged embeddings (`_list_mat`) and zero-norm vectors (0/0
+    cosine) raise instead of silently producing NaN ranks."""
+    n_q = len(queries.limit(arrow_max_queries + 1).select(id_col).collect())
+    if 0 < n_q <= arrow_max_queries:
+        return _brute_topk_arrow(corpus, queries, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -79,11 +93,99 @@ def brute_cosine_topk(
         "query_id", "neighbor_id",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global (cos DESC, neighbor ASC) top-k + display rounding — the
+    shared tail of both brute paths."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("cos_sim"), 6).alias("cos_sim"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def _brute_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """BLAS scorer for `brute_cosine_topk`: per Arrow batch, one
+    matmul against the collected query matrix and an exact in-batch
+    partial top-k (at most |Q| x k rows leave each batch), then the
+    same global window as the JVM path. Values are the same cosine
+    doubles; per-batch selection cannot change the global top-k
+    because selection and merge use the identical total order."""
+    import pyarrow as pa
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)
+                           .cast("array<double>")).collect()
+    q_ids = [r[0] for r in qrows]
+    if any(i is None for i in q_ids):
+        raise ValueError("brute_cosine_topk: NULL query id")
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("brute_cosine_topk: ragged/NULL query vectors")
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    if (qn == 0).any():
+        raise ValueError("brute_cosine_topk: zero-norm query vector")
+    dim = Q.shape[1]
+    QT = Q.T.copy()
+    n_q = len(q_ids)
+
+    base = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+    id_field = base.schema["neighbor_id"]
+    q_field = queries.select(F.col(id_col).alias("query_id")) \
+        .schema["query_id"]
+
+    def score(batches):
+        qi = np.asarray(q_ids)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0)
+            V = _list_mat(b.column(1), dim)
+            cn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            if (cn == 0).any():
+                raise ValueError(
+                    "brute_cosine_topk: zero-norm corpus vector")
+            S = (V @ QT) / np.outer(cn, qn)  # (rows, n_q)
+            nid = ids.to_numpy(zero_copy_only=False)
+            out_q, out_n, out_s = [], [], []
+            for j in range(n_q):
+                col = S[:, j]
+                sel = np.flatnonzero(nid != qi[j])  # no self-pairs
+                if sel.size == 0:
+                    continue
+                # exact (cos DESC, id ASC): stable lexsort, primary
+                # key last
+                order = sel[np.lexsort((nid[sel], -col[sel]))][:k]
+                out_q.extend([q_ids[j]] * len(order))
+                out_n.append(order)
+                out_s.append(col[order])
+            if not out_q:
+                continue
+            take = np.concatenate(out_n)
+            yield pa.record_batch([
+                pa.array(out_q),
+                ids.take(pa.array(take)),
+                pa.array(np.concatenate(out_s), type=pa.float64()),
+            ], names=["query_id", "neighbor_id", "cos_sim"])
+
+    import pyspark.sql.types as T
+    out_schema = T.StructType([
+        T.StructField("query_id", q_field.dataType),
+        T.StructField("neighbor_id", id_field.dataType),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    scored = base.mapInArrow(score, out_schema)
+    return _rank_topk(scored, k)
 
 
 def cosine_neardup_pairs(

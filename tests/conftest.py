@@ -69,6 +69,7 @@ SLOW_TESTS = frozenset([
     'test_pipeline_scale.py::test_assign_sessions_bucketed_mode_identical',
     'test_pipeline_scale.py::test_assign_sessions_bucketed_multi_null_ts',
     'test_pipeline_scale.py::test_betweenness_sampled_path_graph',
+    'test_pipeline_scale.py::test_brute_topk_arrow_matches_jvm',
     'test_pipeline_scale.py::test_bm25_query_term_multiplicity_ignored',
     'test_pipeline_scale.py::test_cap_per_group_deterministic_and_bounded',
     'test_pipeline_scale.py::test_fuzzy_decontaminate_hand_computed',

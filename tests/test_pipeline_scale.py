@@ -1253,6 +1253,32 @@ def test_ivf_with_trained_centroids(spark):
     assert got == exp  # full probing == exact, regardless of centroids
 
 
+def test_brute_topk_arrow_matches_jvm(spark):
+    """The BLAS fast path of brute_cosine_topk must return the exact
+    rows (ids, ranks, AND round-6 scores) of the JVM broadcast-join
+    path — per-batch partial top-k with the (cos DESC, id ASC) rule is
+    provably the global top-k, and the differential pins it. Forced
+    both ways via arrow_max_queries (0 = always JVM)."""
+    from pyspark.sql import functions as F
+    from agensgraph_spark.pipeline.similarity import brute_cosine_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 25)
+    for k in (1, 5):
+        jvm = sorted(map(tuple, brute_cosine_topk(
+            emb, q, k=k, arrow_max_queries=0).collect()))
+        arrow = sorted(map(tuple, brute_cosine_topk(
+            emb, q, k=k).collect()))
+        assert arrow == jvm, k
+    # degenerate inputs refuse loudly on the arrow path
+    import pytest as _pytest
+    zq = spark.createDataFrame(
+        [(9999, [0.0] * 64)], "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="zero-norm"):
+        brute_cosine_topk(emb, zq, k=1).collect()
+    with _pytest.raises(Exception, match="zero-norm"):
+        brute_cosine_topk(zq, q, k=1).collect()
+
+
 def test_train_ivf_reduces_quantization_error(spark):
     """Lloyd rounds must not increase total assignment distortion
     (cosine distance to the assigned centroid)."""
