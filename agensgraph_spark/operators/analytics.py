@@ -947,14 +947,15 @@ def strongly_connected_components(
     below takes over; ``driver_max_edges=0`` forces it (the
     differential test pins both regimes against each other)."""
     # r15 (guide §5, r14 verdict item 6): the regime gate is a bounded
-    # LIMIT probe — limit(k+1).count() short-circuits once k+1 rows
-    # exist and returns exactly min(|edges|, k+1), so the decision is
-    # unchanged while a 100 TB edge frame is never persisted
-    # (MEMORY_AND_DISK write amplification) just to be counted.
+    # fused probe+fetch — limit(k+1).collect() ships at most k+1 narrow
+    # rows and short-circuits once k+1 exist, so the decision is
+    # unchanged while a 100 TB edge frame is never persisted or counted
+    # in full, AND the edge-producing plan runs once, not twice (len <=
+    # k means the bounded fetch exhausted the frame — the rows in hand
+    # are the complete edge list; same fusion as connected_components).
     raw = edges.select("src", "dst")
-    n_probe = raw.limit(driver_max_edges + 1).count()
-    if n_probe <= driver_max_edges:
-        local = raw.collect()
+    local = raw.limit(driver_max_edges + 1).collect()
+    if len(local) <= driver_max_edges:
         comp = _tarjan_scc((r["src"], r["dst"]) for r in local)
         import pyspark.sql.types as T
         id_dt = raw.schema["src"].dataType

@@ -901,9 +901,15 @@ def connected_components(
     # (minhash/exact dedup outputs localCheckpoint eagerly), so the
     # probe and the fast path's collect never recompute a heavy plan.
     raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    n_probe = raw.limit(driver_max_edges + 1).count()
-    if n_probe <= driver_max_edges:
-        local = raw.collect()
+    # fused probe+fetch (r15): limit(k+1).collect() ships at most k+1
+    # narrow rows AND answers the regime question — len <= k means the
+    # bounded fetch exhausted the frame, so the collected rows ARE the
+    # complete pair set. The previous probe-then-collect pair ran the
+    # (lazy, possibly expensive) pair-producing plan twice per call —
+    # measured as a second full interpreted-cosine pair join in
+    # dedup_cluster / dedup_keep_best.
+    local = raw.limit(driver_max_edges + 1).collect()
+    if len(local) <= driver_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
