@@ -205,9 +205,13 @@ def main() -> None:
     #   wall-clock timings — and is ~0% idle / <2% under full self-load
     #   (r15 calibration), so a high reading cannot be the bench's own
     #   burst. The r14 "loud host, zero guest processes" pattern is
-    #   exactly what this catches.
+    #   exactly what this catches. Threshold calibration (r15): clean
+    #   full benches read 1.25-1.9%; a run at 5.1% measured every row
+    #   ~30% inflated — so the gate sits at 3.5, 2x above the clean
+    #   self-load envelope and well under the first observed tainted
+    #   reading.
     steal_warn_threshold = float(
-        os.environ.get("SPARK_GRAFT_STEAL_WARN", "8.0"))
+        os.environ.get("SPARK_GRAFT_STEAL_WARN", "3.5"))
     load1_max_pass = max(pass_load[1:]) if len(pass_load) > 1 else 0.0
     steal_pcts = []
     for a, b in zip(pass_stat, pass_stat[1:]):
